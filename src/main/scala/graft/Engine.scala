@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dialect.{Compiler, Lexer, Parser}
+import graft.functions.FunctionRegistry
+
+/** Public API of the engine — the Spark-native analog of WarpDB's entry
+  * points (SURVEY.md §2.9).
+  *
+  *  - `query` = E1: `"expr [WHERE cond]"` masked map. The reference guards
+  *    the per-row assignment without compacting, leaving unmatched lanes as
+  *    uninitialized device memory and the result length at `num_rows`
+  *    (`/root/reference/src/jit.cpp:55-61`, `/root/reference/src/warpdb.cpp:
+  *    244,253`). The sane idealization of "undefined" is NULL: we emit
+  *    `when(cond, expr)` — length preserved, unmatched rows null.
+  *  - `sql` = E2: the full dialect (`/root/reference/src/warpdb.cpp:297-498`)
+  *    with the brokenness fixed per SURVEY.md §7.1: joins execute, global
+  *    aggregates work, GROUP BY uses all keys, both LIMIT/OFFSET orders
+  *    parse. Unlike the reference's single anonymous float column
+  *    (`src/warpdb.cpp:253-256`), results carry full named schemas.
+  *
+  * Scale: both paths emit pure logical plans — no driver-side row handling —
+  * so execution distributes across whatever cluster the SparkSession has.
+  */
+object Engine {
+
+  /** Default registry, shared by entry points that don't supply their own
+    * (the `custom.cu` analog is per-engine, not per-query). */
+  val registry: FunctionRegistry = FunctionRegistry.default()
+
+  /** E1 — masked-map expression query over one table.
+    *
+    * `float32 = true` (default) reproduces WarpDB's all-float32 arithmetic
+    * (`/root/reference/src/warpdb.cpp:111-126`); pass `false` to compute in
+    * the columns' natural (double) types.
+    */
+  def query(df: DataFrame, exprWhere: String, float32: Boolean = true,
+            as: String = "result"): DataFrame = {
+    val toks = Lexer.tokenize(exprWhere)
+    // token-aware split on the first WHERE keyword — robust version of the
+    // reference's substring split (`/root/reference/src/warpdb.cpp:204-213`,
+    // which would split inside an identifier containing "where")
+    val idx = toks.indexWhere(_.isKw("WHERE"))
+    val c = new Compiler(registry, float32)
+    val (exprSrc, condCol) =
+      if (idx < 0) (exprWhere, None)
+      else {
+        val parts = splitAtWhere(exprWhere, toks(idx))
+        (parts._1, Some(c.cond(Parser.parseExpression(parts._2))))
+      }
+    val projCol = c.value(Parser.parseExpression(exprSrc))
+    val out = condCol match {
+      case Some(p) => when(p, projCol)
+      case None    => projCol
+    }
+    df.select(out.as(as))
+  }
+
+  private def splitAtWhere(src: String, whereTok: Lexer.Token): (String, String) = {
+    // reconstruct the character offset of the WHERE token
+    var line = 1; var col = 1; var i = 0
+    while (i < src.length && (line < whereTok.line || col < whereTok.col)) {
+      if (src.charAt(i) == '\n') { line += 1; col = 1 } else col += 1
+      i += 1
+    }
+    (src.substring(0, i), src.substring(i + "WHERE".length))
+  }
+
+  /** E2 — full dialect SQL against a table catalog. */
+  def sql(sqlText: String, catalog: String => DataFrame,
+          float32: Boolean = true): DataFrame =
+    new Compiler(registry, float32).compile(Parser.parseQuery(sqlText), catalog)
+
+  /** E2 convenience over the test-data catalog. */
+  def sql(spark: SparkSession, sfDir: String, sqlText: String,
+          float32: Boolean): DataFrame =
+    sql(sqlText, Tables.catalog(spark, sfDir), float32)
+}

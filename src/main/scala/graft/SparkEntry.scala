@@ -1,13 +1,349 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry is one operator/capability from SURVEY.md §2, expressed
+  * Spark-first, with a DuckDB oracle where SQL-expressible. Column names and
+  * rounding are aligned on BOTH sides (the driver's compare sorts columns by
+  * name and hashes values). Doubles that pass through accumulation (SUM/AVG)
+  * are rounded — Spark's partial aggregation adds in a different order than
+  * DuckDB's sequential scan, so the last ULPs differ; rounding to a coarser
+  * grid than the ~1e-8 relative noise makes the hash stable.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // (name, query, optional oracle SQL) — kept adjacent so the two sides
+  // cannot drift apart.
+  // ------------------------------------------------------------------
+  private type Q = (SparkSession, String) => DataFrame
+  private val defs = scala.collection.mutable.LinkedHashMap[String, (Q, Option[String])]()
+  private def define(name: String, oracle: String)(fn: Q): Unit =
+    defs(name) = (fn, Some(oracle))
+  private def defineNoOracle(name: String)(fn: Q): Unit =
+    defs(name) = (fn, None)
+  private def q(name: String): Q = defs(name)._1
+
+  // ==================================================================
+  // §2.4 Aggregations
+  // ==================================================================
+
+  // A1+A3+A4: multi-key GROUP BY with all five aggregate functions in one
+  // pass (partial+final hash agg; map-side combine means the shuffle carries
+  // one row per (key × partition), not per input row — at 100 TB the shuffle
+  // is O(groups), not O(rows)).
+  define("q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS cnt,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""") { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+  }
+
+  // A7: global aggregate, no GROUP BY (intended-but-dead in the reference,
+  // `/root/reference/src/warpdb.cpp:445-459`).
+  define("q4_global_agg",
+    """SELECT count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+       FROM lineitem WHERE l_discount > 0.02""") { (s, d) =>
+    t(s, d, "lineitem").filter(col("l_discount") > 0.02)
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+  }
+
+  // A5: HAVING with aggregate arithmetic
+  // (`/root/reference/src/warpdb.cpp:387-427`).
+  define("q6_having",
+    """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+       FROM lineitem GROUP BY l_suppkey
+       HAVING sum(l_quantity) > 14000 AND count(*) > 100""") { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_suppkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"),
+        sum("l_quantity").as("__sq"))
+      .filter(col("__sq") > 14000 && col("cnt") > 100)
+      .drop("__sq")
+  }
+
+  // A6: DISTINCT dedup of the projected output
+  // (`/root/reference/src/warpdb.cpp:463-468`).
+  define("q7_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, d) =>
+    t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+  }
+
+  // Date-derived grouping key (timestamp handling; cast to INT on both sides
+  // so schemas hash identically).
+  define("q18_year_agg",
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1""") { (s, d) =>
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  // ==================================================================
+  // §2.2 Projections / filters (P2/P3/P4/P6: compacting WHERE + projection)
+  // ==================================================================
+
+  // No rounding on the per-row product: both engines compute the identical
+  // IEEE double, and rounding a true 4-decimal value to 2 digits is unstable
+  // at exact half-cents.
+  define("q2_filter_project",
+    """SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+       FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.05""") { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  // P1/E1: masked map — WHERE guards, does NOT compact; length preserved,
+  // unmatched rows null (`/root/reference/src/jit.cpp:55-61`).
+  define("q3_masked_map",
+    """SELECT CASE WHEN l_quantity > 25 THEN l_extendedprice * l_quantity END
+       AS result FROM lineitem""") { (s, d) =>
+    Engine.query(t(s, d, "lineitem"),
+      "l_extendedprice * l_quantity WHERE l_quantity > 25", float32 = false)
+  }
+
+  // ==================================================================
+  // §2.3 Joins (J1 executed for real) + Spark-extended join types
+  // ==================================================================
+
+  // Inner equi-join chain with aggregation (TPC-H Q5 shape). nation/region
+  // are bounded dims (25/5 rows at ANY scale) → explicit broadcast;
+  // customer/orders are left to Catalyst/AQE, which broadcasts them at small
+  // SF and shuffle-joins at cluster scale — the decision must be size-based,
+  // not hardcoded, to survive 1000×.
+  define("q5_join_agg",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+       AS revenue, count(*) AS cnt
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""") { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+    val n = t(s, d, "nation").select("n_nationkey", "n_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("cnt"))
+  }
+
+  // left-semi: EXISTS. At scale: shuffle on the key, but only key columns of
+  // the right side move — keep the right projection minimal.
+  define("q13_semi_join",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderkey IN
+         (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)""") { (s, d) =>
+    val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+    val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+  }
+
+  // left-anti: NOT EXISTS.
+  define("q14_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""") { (s, d) =>
+    val c = t(s, d, "customer").select("c_custkey", "c_name")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+  }
+
+  // ==================================================================
+  // §2.7 Set operations (absent in the reference; Spark-extended surface)
+  // ==================================================================
+
+  define("q15_union",
+    """SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 400000
+       UNION
+       SELECT l_orderkey FROM lineitem WHERE l_quantity > 49""") { (s, d) =>
+    t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("okey"))
+      .union(t(s, d, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_orderkey")))
+      .distinct()
+  }
+
+  define("q16_intersect",
+    """SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 300000
+       INTERSECT
+       SELECT l_orderkey FROM lineitem WHERE l_quantity > 45""") { (s, d) =>
+    t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("okey"))
+      .intersect(t(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey")))
+  }
+
+  define("q17_except",
+    """SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 300000
+       EXCEPT
+       SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'""") { (s, d) =>
+    t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("okey"))
+      .except(t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")))
+  }
+
+  // ==================================================================
+  // §2.6 Sort / LIMIT / OFFSET (offset-then-limit,
+  // `/root/reference/src/warpdb.cpp:485-495`). orderBy+limit is rewritten by
+  // Catalyst to TakeOrderedAndProject — no global sort materialization.
+  // ==================================================================
+
+  define("q8_order_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""") { (s, d) =>
+    t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(5).limit(10)
+  }
+
+  // ==================================================================
+  // §2.5 Window functions (declared-but-dead in the reference; realized:
+  // AGG(expr) OVER (PARTITION BY k ORDER BY e)). Unique order key keeps the
+  // default RANGE frame deterministic.
+  // ==================================================================
+
+  define("q9_window",
+    """SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS running_total,
+       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+       FROM orders""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("o_custkey")
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(sum("o_totalprice").over(byCust.orderBy("o_orderkey")), 2)
+        .as("running_total"),
+      count(lit(1)).over(byCust).as("n_orders"))
+  }
+
+  // ==================================================================
+  // §2.9 E2: the WarpDB dialect end-to-end (tokenizer → parser → Catalyst)
+  // ==================================================================
+
+  define("q10_dialect_sql",
+    """SELECT l_returnflag AS flag, sum(l_quantity) AS sum_qty, count(*) AS n
+       FROM lineitem WHERE l_discount > 0.04 GROUP BY l_returnflag
+       HAVING count(l_quantity) > 100 ORDER BY sum_qty DESC LIMIT 3""") { (s, d) =>
+    Engine.sql(s, d,
+      """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty,
+         COUNT(*) AS n FROM lineitem WHERE l_discount > 0.04
+         GROUP BY l_returnflag HAVING COUNT(l_quantity) > 100
+         ORDER BY sum_qty DESC LIMIT 3""", float32 = false)
+  }
+
+  // AVG of 2-decimal money can land exactly on a half-cent (sum/count), where
+  // Spark and DuckDB round() disagree — so the mean is computed as
+  // round(sum,2)/count: both engines then divide the same two exact values.
+  define("q11_dialect_having",
+    """SELECT o_custkey, round(sum(o_totalprice), 2) / count(o_totalprice)
+       AS avg_price FROM orders
+       GROUP BY o_custkey
+       HAVING count(o_totalprice) > 12 AND sum(o_totalprice) > 100
+       ORDER BY o_custkey""") { (s, d) =>
+    Engine.sql(s, d,
+      """SELECT o_custkey, round(SUM(o_totalprice), 2) / COUNT(o_totalprice)
+         AS avg_price FROM orders GROUP BY o_custkey
+         HAVING COUNT(o_totalprice) > 12 AND SUM(o_totalprice) > 100
+         ORDER BY o_custkey""", float32 = false)
+  }
+
+  // §2.8 U1: runtime function registry (the `custom.cu` analog) used from
+  // the dialect; `discount` is the reference's shipped example.
+  define("q12_dialect_udf",
+    """SELECT l_returnflag AS flag,
+       round(sum(l_extendedprice * 0.9), 2) AS disc_rev
+       FROM lineitem GROUP BY l_returnflag ORDER BY flag""") { (s, d) =>
+    Engine.sql(s, d,
+      """SELECT l_returnflag AS flag,
+         round(SUM(discount(l_extendedprice, 0.9)), 2) AS disc_rev
+         FROM lineitem GROUP BY l_returnflag ORDER BY flag""", float32 = false)
+  }
+
+  // Dialect join: dotted identifiers resolve across tables
+  // (`sales.id` is ONE identifier in the reference tokenizer,
+  // `/root/reference/src/expression.cpp:44-54`; join executed for real).
+  define("q19_dialect_join",
+    """SELECT n_name, round(sum(c_acctbal), 2) AS total_bal, count(*) AS n
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""") { (s, d) =>
+    Engine.sql(s, d,
+      """SELECT nation.n_name AS n_name,
+         round(SUM(customer.c_acctbal), 2) AS total_bal, COUNT(*) AS n
+         FROM customer JOIN nation ON customer.c_nationkey = nation.n_nationkey
+         GROUP BY nation.n_name ORDER BY n_name""", float32 = false)
+  }
+
+  // Dialect window (§2.5 W1 via the dialect front-end).
+  define("q20_dialect_window",
+    """SELECT l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), 2)
+         AS run_qty
+       FROM lineitem""") { (s, d) =>
+    Engine.sql(s, d,
+      """SELECT l_orderkey, l_linenumber,
+         round(SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), 2)
+           AS run_qty
+         FROM lineitem""", float32 = false)
+  }
+
+  // Dialect DISTINCT + value-context comparison (0/1 numeric, float
+  // truthiness semantics of `/root/reference/src/warpdb.cpp:143-155`).
+  define("q21_dialect_distinct",
+    """SELECT DISTINCT l_linenumber,
+       CAST(CAST(l_quantity > 25 AS INT) AS DOUBLE) AS is_big
+       FROM lineitem ORDER BY l_linenumber""") { (s, d) =>
+    Engine.sql(s, d,
+      """SELECT DISTINCT l_linenumber, l_quantity > 25 AS is_big
+         FROM lineitem ORDER BY l_linenumber""", float32 = false)
+  }
+
+  // ------------------------------------------------------------------
+  // Contract surface
+  // ------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.view.mapValues(_._1).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.collect { case (name, (_, Some(sql))) => name -> sql }.toMap
 }

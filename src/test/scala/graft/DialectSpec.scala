@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dialect._
+
+class DialectSpec extends AnyFunSuite {
+  import SparkSpec.{spark, sf}
+
+  // ---- parser unit tests (mirror reference tests/test_expression.cpp,
+  // precedence_tests.cpp, parsing_error_tests.cpp) ----
+
+  test("precedence: mul binds tighter than add, left-assoc") {
+    assert(Parser.parseExpression("price + quantity * 2") ==
+      BinOp("+", ColRef("price"), BinOp("*", ColRef("quantity"), NumLit("2"))))
+    assert(Parser.parseExpression("a - b - c") ==
+      BinOp("-", BinOp("-", ColRef("a"), ColRef("b")), ColRef("c")))
+  }
+
+  test("parens override precedence") {
+    assert(Parser.parseExpression("(price + quantity) * 2") ==
+      BinOp("*", BinOp("+", ColRef("price"), ColRef("quantity")), NumLit("2")))
+  }
+
+  test("AND/OR lower than comparison; OR lowest") {
+    val e = Parser.parseExpression("a > 1 AND b < 2 OR c == 3")
+    assert(e == BinOp("OR",
+      BinOp("AND", BinOp(">", ColRef("a"), NumLit("1")),
+        BinOp("<", ColRef("b"), NumLit("2"))),
+      BinOp("==", ColRef("c"), NumLit("3"))))
+  }
+
+  test("= is an alias of ==") {
+    assert(Parser.parseExpression("a = 1") == Parser.parseExpression("a == 1"))
+  }
+
+  test("dotted identifiers are single tokens") {
+    assert(Parser.parseExpression("sales.id = items.id") ==
+      BinOp("==", ColRef("sales.id"), ColRef("items.id")))
+  }
+
+  test("function calls parse with full expression args") {
+    assert(Parser.parseExpression("discount(price, 0.9)") ==
+      FuncCall("discount", Seq(ColRef("price"), NumLit("0.9"))))
+  }
+
+  test("unknown character rejected with position") {
+    val e = intercept[DialectParseException](Lexer.tokenize("price # 2"))
+    assert(e.getMessage.contains("Unknown character"))
+    assert(e.col == 7)
+  }
+
+  test("trailing tokens rejected") {
+    intercept[DialectParseException](
+      Parser.parseQuery("SELECT price FROM t WHERE price > 1 price"))
+  }
+
+  test("missing FROM rejected") {
+    intercept[DialectParseException](Parser.parseQuery("SELECT price"))
+  }
+
+  test("no unary minus (reference tokenizer has no negative literals)") {
+    intercept[DialectParseException](Parser.parseExpression("-price"))
+  }
+
+  test("full query clause set parses") {
+    val q = Parser.parseQuery(
+      """SELECT DISTINCT l_returnflag, SUM(l_quantity) FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_quantity > 5 GROUP BY l_returnflag, l_linestatus
+         HAVING SUM(l_quantity) > 10 ORDER BY l_returnflag DESC
+         LIMIT 7 OFFSET 2""")
+    assert(q.distinct && q.joins.size == 1 && q.groupBy.size == 2 &&
+      q.having.nonEmpty && q.orderBy.exists(!_.asc) &&
+      q.limit.contains(7) && q.offset.contains(2))
+  }
+
+  test("OFFSET before LIMIT also parses (reference grammar-order quirk)") {
+    val q = Parser.parseQuery("SELECT a FROM t OFFSET 1 LIMIT 2")
+    assert(q.limit.contains(2) && q.offset.contains(1))
+  }
+
+  // ---- execution semantics ----
+
+  test("E1 masked map: length preserved, unmatched rows null, float32") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val out = Engine.query(li, "l_extendedprice * l_quantity WHERE l_quantity > 25")
+    assert(out.count() == li.count())
+    assert(out.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.FloatType)
+    val matched = out.filter(col("result").isNotNull).count()
+    val expected = li.filter(col("l_quantity") > 25).count()
+    assert(matched == expected)
+  }
+
+  test("E1 without WHERE: plain map") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val out = Engine.query(li, "l_quantity + 1")
+    assert(out.filter(col("result").isNull).count() == 0)
+  }
+
+  test("float32 fidelity: literals and columns compute in float32") {
+    val li = Tables.load(spark, sf, "lineitem").limit(10)
+    val out = Engine.query(li, "l_extendedprice / 3").collect()
+    val exp = li.select((col("l_extendedprice").cast("float") / lit(3.0f))
+      .cast("float").as("result")).collect()
+    assert(out.map(_.getFloat(0)).toSeq == exp.map(_.getFloat(0)).toSeq)
+  }
+
+  test("comparisons usable as 0/1 values in arithmetic (float truthiness)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    // (l_quantity > 25) + 1  →  1.0 or 2.0
+    val out = Engine.query(li, "(l_quantity > 25) + 1")
+    val vals = out.select("result").distinct().collect().map(_.getFloat(0)).sorted
+    assert(vals.toSeq == Seq(1.0f, 2.0f))
+  }
+
+  test("unknown column → AnalysisException (reference: Unknown column)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Engine.query(li, "nonexistent + 1").collect()
+    }
+  }
+
+  test("unknown function rejected") {
+    val li = Tables.load(spark, sf, "lineitem")
+    intercept[IllegalArgumentException] {
+      Engine.query(li, "nosuchfn(l_quantity)").collect()
+    }
+  }
+
+  test("E2 global aggregate works (dead in reference, fixed here)") {
+    val out = Engine.sql(spark, sf,
+      "SELECT SUM(l_quantity) AS s, COUNT(*) AS n FROM lineitem",
+      float32 = false).collect().head
+    assert(out.getLong(1) == 6000L)
+    assert(out.getDouble(0) > 0)
+  }
+
+  test("E2 offset-then-limit semantics") {
+    val rows = Engine.sql(spark, sf,
+      """SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3 OFFSET 2""",
+      float32 = false).collect().map(_.getLong(0))
+    val all = Engine.sql(spark, sf,
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5",
+      float32 = false).collect().map(_.getLong(0))
+    assert(rows.toSeq == all.drop(2).toSeq)
+  }
+
+  test("E2 join executes for real (not grammar-only)") {
+    val n = Engine.sql(spark, sf,
+      """SELECT customer.c_custkey FROM customer
+         JOIN nation ON customer.c_nationkey = nation.n_nationkey""",
+      float32 = false).count()
+    assert(n == Tables.load(spark, sf, "customer").count())
+  }
+
+  test("registry extension: user function callable from dialect") {
+    Engine.registry.register("add_tax", args => args(0) * lit(1.1))
+    val out = Engine.sql(spark, sf,
+      "SELECT add_tax(o_totalprice) AS taxed FROM orders LIMIT 1",
+      float32 = false)
+    assert(out.columns.toSeq == Seq("taxed"))
+    assert(out.count() == 1)
+  }
+}

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py [sfDir] [outDir]
+Runs each oracle_sql.json entry in DuckDB over the parquet tables and
+compares (column-name-sorted, row-sorted) against the Spark parquet dumps.
+"""
+import duckdb, json, sys
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out"
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+bad = 0
+for name in sorted(oracles):
+    try:
+        got = pd.read_parquet(f"{out}/{name}")
+        exp = con.sql(oracles[name]).df()
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            print(f"{name}: COLUMN MISMATCH got={list(got.columns)} exp={list(exp.columns)}")
+            bad += 1
+            continue
+        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+        if len(gs) != len(es):
+            print(f"{name}: ROWCOUNT got={len(gs)} exp={len(es)}")
+            bad += 1
+            continue
+        if gs.equals(es):
+            print(f"{name}: OK ({len(gs)} rows)")
+        else:
+            diff = (gs != es) & ~(gs.isna() & es.isna())
+            nbad = diff.any(axis=1).sum()
+            print(f"{name}: VALUES differ in {nbad} rows")
+            print(gs[diff.any(axis=1)].head(3))
+            print(es[diff.any(axis=1)].head(3))
+            bad += 1
+    except Exception as e:
+        print(f"{name}: ERROR {type(e).__name__}: {e}")
+        bad += 1
+print(f"--- {len(oracles) - bad}/{len(oracles)} oracle-checked queries OK ---")
+sys.exit(1 if bad else 0)
