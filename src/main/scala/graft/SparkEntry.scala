@@ -338,6 +338,321 @@ object SparkEntry {
          FROM lineitem ORDER BY l_linenumber""", float32 = false)
   }
 
+  // ==================================================================
+  // Text analysis (training-data-pipeline surface; TextFunctions)
+  // ==================================================================
+
+  define("t1_token_count",
+    """SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS n_bpeish
+       FROM documents""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    t(s, d, "documents").select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TF.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+  }
+
+  // Quality features: every term is pure per-row double arithmetic mirrored
+  // exactly (same associativity) in the oracle → bitwise-equal, no rounding.
+  define("t2_quality",
+    """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)
+         AS n_punct,
+       least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+         + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) > 0.1 THEN 0.0
+            ELSE 1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0 END) * 0.3
+         + least(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS DOUBLE)
+             / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
+         AS quality
+       FROM documents""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    val c = col("text")
+    val nTok = TF.tokenCount(c).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punct = TF.punctCount(c).cast("double")
+    val punctRatio = punct / greatest(length(c), lit(1)).cast("double")
+    val punctScore = when(punctRatio > 0.1, lit(0.0))
+      .otherwise(lit(1.0) - punctRatio * lit(10.0))
+    val stopRatio = TF.wordHits(c, TF.stopwords("en")).cast("double") /
+      greatest(nTok, lit(1.0))
+    val stopScore = least(stopRatio * lit(5.0), lit(1.0))
+    t(s, d, "documents").select(col("doc_id"),
+      length(c).cast("long").as("n_chars"),
+      TF.punctCount(c).cast("long").as("n_punct"),
+      (lenScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3))
+        .as("quality"))
+  }
+
+  define("t3_langid",
+    """WITH h AS (
+       SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           w -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], w))) AS h_de,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS h_en,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           w -> list_contains(['el','la','los','y','es','una','que','no'], w))) AS h_es,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           w -> list_contains(['le','la','les','et','est','une','que','pas'], w))) AS h_fr,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           w -> list_contains(['de','le','shi','bu','wo','ni','ta','zai'], w))) AS h_zh
+       FROM documents)
+       SELECT doc_id,
+         CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) <= 0 THEN 'en'
+              WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+              WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+              WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+              WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+              ELSE 'zh' END AS pred_lang,
+         (CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) <= 0 THEN 'en'
+              WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+              WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+              WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+              WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+              ELSE 'zh' END) = lang AS is_correct
+       FROM h""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    t(s, d, "documents").select(col("doc_id"),
+      TF.langId(col("text")).as("pred_lang"),
+      (TF.langId(col("text")) === col("lang")).as("is_correct"))
+  }
+
+  // Fingerprint check via the count-distinct identity: distinct 64-bit
+  // fingerprints == distinct normalized texts (collision odds ~n²/2⁶⁵).
+  define("t4_fingerprint",
+    """SELECT count(*) AS n_docs,
+       count(DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_distinct_fp
+       FROM documents""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    t(s, d, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(TF.fingerprint(col("text"))).as("n_distinct_fp"))
+  }
+
+  // ==================================================================
+  // Deduplication family (operators.Dedup)
+  // ==================================================================
+
+  define("d1_exact_dedup",
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+       GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))""") { (s, d) =>
+    graft.operators.Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+  }
+
+  // MinHash+LSH with exact-Jaccard verification — the output equals the
+  // exact cross-join answer (recall loss < 1e-14 at J≥0.9; the data's pairs
+  // all sit at J≥0.9 with nothing in (0.15, 0.9)).
+  define("d2_minhash_lsh",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 2),
+           i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])) AS sh FROM w)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           AS jaccard
+       FROM sh a, sh b
+       WHERE a.doc_id < b.doc_id
+         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             >= 0.5""") { (s, d) =>
+    graft.operators.Dedup.minHashLsh(t(s, d, "documents"), "text", "doc_id",
+      threshold = 0.5)
+  }
+
+  // Exact n-gram (word-bigram) Jaccard via inverted-index join — no
+  // sketching, so the oracle is the same computation done by cross join.
+  define("d4_ngram_jaccard",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 1),
+           i -> wds[i] || ' ' || wds[i+1])) AS sh FROM w)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           AS jaccard
+       FROM sh a, sh b
+       WHERE a.doc_id < b.doc_id
+         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             >= 0.5""") { (s, d) =>
+    graft.operators.Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id",
+      threshold = 0.5, shingleSize = 2, maxDf = 1000000L)
+  }
+
+  // SimHash near-dup: no SQL oracle (the 64-bit fingerprint hash is not
+  // expressible in DuckDB) → rows-only check; recall vs planted pairs is
+  // asserted in PipelineSpec.
+  defineNoOracle("d3_simhash") { (s, d) =>
+    graft.operators.Dedup.simHash(t(s, d, "documents"), "text", "doc_id")
+  }
+
+  // Embedding near-dup, exact path (threshold 0.47 sits in a gap of the
+  // cosine distribution, so DuckDB's float32-accumulated cosine agrees on
+  // the pair SET even though raw similarity values differ at ~1e-8).
+  define("d5_embedding_neardup",
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < b.vec_id
+         AND list_cosine_similarity(a.embedding, b.embedding) >= 0.47""") { (s, d) =>
+    graft.operators.Dedup.embeddingNearDup(t(s, d, "embeddings"),
+      "embedding", "vec_id", threshold = 0.47, bruteForce = true)
+      .select("a_id", "b_id")
+  }
+
+  // LSH-blocked embedding near-dup — the 100 TB path (rows-only: recall <1
+  // by construction; asserted ≥ threshold recall in PipelineSpec).
+  defineNoOracle("d6_embedding_neardup_lsh") { (s, d) =>
+    graft.operators.Dedup.embeddingNearDup(t(s, d, "embeddings"),
+      "embedding", "vec_id", threshold = 0.47, bruteForce = false)
+      .select("a_id", "b_id")
+  }
+
+  // ==================================================================
+  // Similarity search (operators.Similarity)
+  // ==================================================================
+
+  define("s1_ann_brute",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+      "embedding", "vec_id", k = 5)
+      .select("q_id", "n_id", "rank")
+  }
+
+  defineNoOracle("s2_ann_lsh") { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.lshTopK(
+      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+      "embedding", "vec_id", k = 5)
+      .select("q_id", "n_id", "rank")
+  }
+
+  defineNoOracle("s3_ann_ivf") { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+      "embedding", "vec_id", cellCol = "label", k = 5, nprobe = 3)
+      .select("q_id", "n_id", "rank")
+  }
+
+  // ==================================================================
+  // Multimodal columns (operators.Multimodal)
+  // ==================================================================
+
+  // Columnar decode path (binary payload → typed metadata, fused in codegen).
+  define("m1_multimodal_decode",
+    """SELECT doc_id, CAST(16 + length(text) % 64 AS INT) AS width,
+       CAST(1 + floor(length(text) / 32.0) AS INT) AS n_frames
+       FROM documents""") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.decodeFeaturesColumnar(
+      Multimodal.attachPayload(t(s, d, "documents"), "text", "image/fake"),
+      "doc_id")
+  }
+
+  // Batched per-partition decode (the mapInPandas/mapInArrow shape) — same
+  // metadata, via the RDD batch path, checked against the same SQL oracle.
+  define("m3_multimodal_batched",
+    """SELECT doc_id, CAST(16 + length(text) % 64 AS INT) AS width,
+       CAST(1 + floor(length(text) / 32.0) AS INT) AS n_frames
+       FROM documents""") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.decodeFeatures(
+      Multimodal.attachPayload(t(s, d, "documents"), "text", "image/fake"),
+      "doc_id")
+      .select("doc_id", "width", "n_frames")
+  }
+
+  define("m2_frame_sample",
+    """SELECT doc_id,
+       CAST(unnest(list_filter(generate_series(0,
+         CAST(floor(length(text) / 32.0) AS INT)), f -> f % 4 = 0)) AS INT)
+         AS frame_idx
+       FROM documents""") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.sampleFrames(
+      Multimodal.decodeFeaturesColumnar(
+        Multimodal.attachPayload(t(s, d, "documents"), "text", "image/fake"),
+        "doc_id"),
+      "doc_id", stride = 4)
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"))
+  }
+
+  // ==================================================================
+  // §2.1 Sources: CSV all-Float32 default, NDJSON with explicit schema
+  // ==================================================================
+
+  define("src_csv_f32",
+    """SELECT count(*) AS cnt,
+       round(sum(CAST(l_quantity AS REAL)), 1) AS sum_qty,
+       min(CAST(l_discount AS REAL)) AS min_disc,
+       max(CAST(l_tax AS REAL)) AS max_tax
+       FROM lineitem""") { (s, d) =>
+    import graft.sources.Sources
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^0-9.]", "")}"
+    t(s, d, "lineitem").select("l_quantity", "l_discount", "l_tax")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    Sources.csv(s, tmp) // no schema → every column Float32 (reference default)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 1).as("sum_qty"),
+        min("l_discount").as("min_disc"),
+        max("l_tax").as("max_tax"))
+  }
+
+  define("src_ndjson",
+    """SELECT count(*) AS cnt, round(sum(value), 2) AS total,
+       min(event_id) AS min_id, max(event_id) AS max_id
+       FROM events""") { (s, d) =>
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_${d.replaceAll("[^0-9.]", "")}"
+    t(s, d, "events").select("event_id", "value")
+      .write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    Sources.open(s, s"$tmp/part-*.json", jsonSchema = Some(schema))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+  }
+
+  // ==================================================================
+  // Structured Streaming (§2.9 E4 / §3.3): chunked out-of-core shape
+  // ==================================================================
+
+  define("st1_stream_agg",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events GROUP BY event_type""") { (s, d) =>
+    graft.streaming.Streaming.eventTypeAgg(s, d, "st1_out")
+  }
+
+  define("st2_stream_window",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1, 2""") { (s, d) =>
+    graft.streaming.Streaming.hourlyWindowAgg(s, d, "st2_out")
+  }
+
+  define("st3_stream_filter",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'purchase' AND value > 50""") { (s, d) =>
+    graft.streaming.Streaming.statelessFilter(s, d, "st3_out")
+  }
+
   // ------------------------------------------------------------------
   // Contract surface
   // ------------------------------------------------------------------

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines — language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Everything is composed from `org.apache.spark.sql.functions` (codegen'd,
+  * pushdown-friendly); no Scala closures. Each helper returns a `Column`, so
+  * the operators stay fusable into the enclosing stage — at 100 TB these run
+  * as a single scan pass over the corpus with no shuffle.
+  *
+  * The reference has no text operators at all (strings are load-only,
+  * `/root/reference/src/csv_loader.cpp:151-155`); this is the
+  * training-data-pipeline extension surface required by the build brief.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics (keeping spaces), squeeze runs of
+    * whitespace — the canonical form used for exact-dedup and
+    * fingerprinting. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword pieces: word chunks + standalone punctuation, the
+    * common pre-tokenizer regex shape. */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
+
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
+
+  /** Number of tokens appearing in `words` (used for stopword ratios and the
+    * language-ID vote). `filter` + `array_contains` are native higher-order
+    * functions — evaluated per row without leaving the JVM codegen path. */
+  def wordHits(c: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(tokens(lower(c)), w => array_contains(wordArr, w)))
+  }
+
+  /** Small per-language stopword lists for the n-gram/stopword-vote
+    * language-ID heuristic. Deliberately tiny and deterministic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "que", "no"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "ni", "ta", "zai"))
+
+  /** Language-ID by stopword vote: argmax over per-language hit counts with
+    * a deterministic tie-break (lexicographic language order, 'en' default
+    * when all votes are zero). */
+  def langId(c: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val hits = langs.map(l => wordHits(c, stopwords(l)))
+    // fold a (bestLang, bestHits) pair; strictly-greater keeps the
+    // tie-break on the earlier language
+    val zero = (lit("en"), lit(0))
+    val (bestLang, _) = langs.zip(hits).foldLeft(zero) {
+      case ((bl, bh), (l, h)) => (when(h > bh, lit(l)).otherwise(bl), greatest(h, bh))
+    }
+    bestLang
+  }
+
+  /** Quality score in [0, 1]: length sweet-spot, punctuation moderation,
+    * stopword presence — the standard cheap heuristics (C4/Gopher-style
+    * rules) as one codegen'd expression. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(length(c), lit(1)).cast("double")
+    val punctScore = when(punctRatio > 0.1, lit(0.0)).otherwise(lit(1.0) - punctRatio * 10.0)
+    val stopRatio = wordHits(c, stopwords("en")).cast("double") / greatest(nTok, lit(1.0))
+    val stopScore = least(stopRatio * lit(5.0), lit(1.0))
+    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4)
+  }
+
+  /** 64-bit content fingerprint of the normalized text (xxhash64 — Spark's
+    * native codegen'd hash). Distinct-fingerprint counts equal distinct
+    * normalized-text counts up to 64-bit collision odds (~n²/2⁶⁵). */
+  def fingerprint(c: Column): Column = xxhash64(normText(c))
+
+  /** Word n-gram shingles as an array column: n-token windows joined by a
+    * single space. Native `sequence`/`transform`/`slice` — no UDF. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming equivalents of the reference's chunked out-of-core
+  * path (`query_multi_gpu_csv`: stream chunks → stateless per-chunk query →
+  * in-order append, `/root/reference/src/warpdb.cpp:544-590`,
+  * `src/csv_loader.cpp:186-223`).
+  *
+  * In Spark the chunking is the file-source's partitioning; statelessness
+  * maps to a streaming `select`/`filter` in append mode, and the reference's
+  * nonexistent-but-implied aggregation-over-stream maps to watermarked
+  * windowed aggregation. Each helper runs the stream to completion against
+  * the (bounded) test parquet via `processAllAvailable`, returning the final
+  * result as a DataFrame — the *plans* are genuine streaming plans.
+  */
+object Streaming {
+
+  private def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spark.readStream
+      .schema(batch.schema)
+      // one file per micro-batch ≈ the reference's rows_per_chunk streaming
+      .option("maxFilesPerTrigger", 1)
+      // the table is a single parquet FILE; the file-stream source accepts
+      // only directories or globs, so address it via a glob pattern
+      .parquet(s"$sfDir/events.*")
+    // events.ts is nanosecond-precision parquet, read as long nanos under
+    // spark.sql.legacy.parquet.nanosAsLong → convert to a µs timestamp
+    // (exact: values < 2^53 µs survive the double division losslessly)
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Running aggregate over the stream (complete mode): per-event-type
+    * count/sum — the streaming shape of a GROUP BY. State is one row per
+    * key; at scale the state store shards by key across executors. */
+  def eventTypeAgg(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val agg = readEventsStream(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Watermarked tumbling-window aggregate: events bucketed into 1-hour
+    * windows per type. The watermark bounds state retention — the knob that
+    * makes unbounded streams feasible; window start is emitted as a string
+    * for engine-portable comparison. */
+  def hourlyWindowAgg(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val agg = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Stateless streaming map+filter in append mode — the exact shape of the
+    * reference's chunked expression query (per-chunk select, ordered
+    * append). */
+  def statelessFilter(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val out = readEventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value") > 50)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

