@@ -418,9 +418,10 @@ object SparkEntry {
               ELSE 'zh' END) = lang AS is_correct
        FROM h""") { (s, d) =>
     import graft.functions.{TextFunctions => TF}
-    t(s, d, "documents").select(col("doc_id"),
-      TF.langId(col("text")).as("pred_lang"),
-      (TF.langId(col("text")) === col("lang")).as("is_correct"))
+    TF.withLangId(graft.operators.spread(
+        t(s, d, "documents").select("doc_id", "lang", "text")), "text")
+      .select(col("doc_id"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("is_correct"))
   }
 
   // Fingerprint check via the count-distinct identity: distinct 64-bit

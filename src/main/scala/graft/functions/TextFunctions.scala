@@ -56,9 +56,36 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "y", "es", "una", "que", "no"),
     "zh" -> Seq("de", "le", "shi", "bu", "wo", "ni", "ta", "zai"))
 
+  /** Efficient language-ID: materializes the token array and per-language
+    * hit counts as real columns (each regex/split runs ONCE per row), then
+    * the argmax CASE over the materialized counts. Use this for corpus-scale
+    * scoring; `langId` below is the single-Column convenience form.
+    *
+    * Returns the input plus `pred_lang`.
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val toked = df.withColumn("__toks", tokens(lower(col(textCol))))
+    val withHits = langs.foldLeft(toked) { (acc, l) =>
+      val wordArr = array(stopwords(l).map(lit): _*)
+      acc.withColumn(s"__h_$l",
+        size(filter(col("__toks"), w => array_contains(wordArr, w))))
+    }
+    val hitCols = langs.map(l => col(s"__h_$l"))
+    val best = greatest(hitCols: _*)
+    val caseExpr = langs.foldRight(lit(langs.last)) { (l, rest) =>
+      when(col(s"__h_$l") === best, lit(l)).otherwise(rest)
+    }
+    withHits.withColumn("pred_lang",
+        when(best <= 0, lit("en")).otherwise(caseExpr))
+      .drop(("__toks" +: langs.map(l => s"__h_$l")): _*)
+  }
+
   /** Language-ID by stopword vote: argmax over per-language hit counts with
     * a deterministic tie-break (lexicographic language order, 'en' default
-    * when all votes are zero). */
+    * when all votes are zero). Convenience Column form — for large corpora
+    * prefer `withLangId`, which materializes the hit counts once. */
   def langId(c: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
     val hits = langs.map(l => wordHits(c, stopwords(l)))

@@ -31,7 +31,7 @@ object Dedup {
     * duplicate count.
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol), TF.fingerprint(col(textCol)).as("__fp"))
+    spread(docs.select(col(idCol), TF.fingerprint(col(textCol)).as("__fp")))
       .groupBy("__fp")
       .agg(min(idCol).as(idCol), count(lit(1)).as("n_dups"))
       .drop("__fp")
@@ -42,14 +42,21 @@ object Dedup {
     * stays < 2⁶² — no long overflow under ANSI mode. One nested native-HOF
     * expression — a single scan pass, no UDF, no shuffle.
     */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int,
-                       seed: Long = 42L): Column = {
+  /** Shingle-hash set for `minhashFromHashes` — compute ONCE per row into
+    * its own projection; inlining it into the signature expression would
+    * replicate the shingling+hashing work `numHashes` times. */
+  def shingleHashes(text: Column, shingleSize: Int): Column = {
+    val p = 2147483647L
+    transform(array_distinct(TF.shingles(text, shingleSize)),
+      s => pmod(xxhash64(s), lit(p)))
+  }
+
+  def minhashFromHashes(hashes: Column, numHashes: Int,
+                        seed: Long = 42L): Column = {
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     val rnd = new scala.util.Random(seed)
     val params = Seq.fill(numHashes)(
       (1L + rnd.nextLong(p - 1), rnd.nextLong(p)))
-    val hashes = transform(array_distinct(TF.shingles(text, shingleSize)),
-      s => pmod(xxhash64(s), lit(p)))
     array(params.map { case (a, b) =>
       array_min(transform(hashes, x => pmod(x * lit(a) + lit(b), lit(p))))
     }: _*)
@@ -77,10 +84,21 @@ object Dedup {
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = docs.select(
-      col(idCol).as("id"),
-      col(textCol).as("text"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    // Staged projections, each materialized once per row (CollapseProject
+    // keeps multi-referenced expensive columns separate): shingle set →
+    // shingle hashes → signature. The (id, shingles, signature) projection is
+    // persisted because BOTH sides of the bucket self-join and the verify
+    // join consume it — without the cache Spark recomputes the whole
+    // shingling pipeline once per consumer (self-joins get no subplan reuse).
+    // Size is O(docs × (shingles + numHashes)) — derived sketch data, far
+    // smaller than the corpus; MEMORY_AND_DISK spills rather than OOMs.
+    val p = 2147483647L
+    val withSig = spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .withColumn("sh", array_distinct(TF.shingles(col("text"), shingleSize)))
+      .withColumn("hashes", transform(col("sh"), s => pmod(xxhash64(s), lit(p))))
+      .withColumn("sig", minhashFromHashes(col("hashes"), numHashes))
+      .select("id", "sh", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = withSig.select(
       col("id"),
@@ -98,17 +116,14 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
 
-    verifyJaccard(candidates, withSig.select(col("id"), col("text")),
-      shingleSize, threshold)
+    verifyJaccard(candidates, withSig.select(col("id"), col("sh")), threshold)
   }
 
   /** Exact word-shingle Jaccard for candidate pairs (a_id, b_id), joined
-    * back to the texts. Shingle sets stay arrays; intersect/union are native
+    * back to precomputed shingle sets (id, sh). Intersect/union are native
     * expressions. */
-  private def verifyJaccard(pairs: DataFrame, docs: DataFrame,
-                            shingleSize: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col("id"),
-      array_distinct(TF.shingles(col("text"), shingleSize)).as("sh"))
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
     pairs
       .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
       .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
@@ -129,8 +144,8 @@ object Dedup {
     */
   def simHash(docs: DataFrame, textCol: String, idCol: String,
               maxHamming: Int = 3): DataFrame = {
-    val withSig = docs.select(col(idCol).as("id"),
-      VF.simhash64(TF.tokens(TF.normText(col(textCol)))).as("sig"))
+    val withSig = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), VF.simhash64(TF.tokens(TF.normText(col(textCol)))).as("sig"))
     val chunked = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -157,8 +172,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, shingleSize: Int = 2,
                    maxDf: Long = 1000L): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inverted = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val pruned = inverted
@@ -193,7 +208,7 @@ object Dedup {
                        threshold: Double, bruteForce: Boolean = false,
                        bits: Int = 16, bands: Int = 8,
                        seed: Long = 7L): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val candidates =
       if (bruteForce) {
         val a = base.as("a")

@@ -59,7 +59,7 @@ object Multimodal {
   def decodeFeatures(withPayload: DataFrame, idCol: String,
                      batchSize: Int = 64): DataFrame = {
     val spark = withPayload.sparkSession
-    val input = withPayload.select(col(idCol).cast("long"), col("payload"))
+    val input = spread(withPayload.select(col(idCol).cast("long"), col("payload")))
     val rows = input.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec init, model load)

@@ -30,7 +30,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val c = spread(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -51,7 +51,7 @@ object Similarity {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
     def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+      spread(df).select(col(idCol).as(id), col(vecCol).as(vec),
           VF.rhpSignature(col(vecCol), bits, seed).as("sig"))
         .select(col(id), col(vec),
           posexplode(array((0 until bands).map(bd =>
@@ -100,7 +100,7 @@ object Similarity {
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cell"))
     // score only rows in probed cells
-    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("n_id"),
+    val c = spread(corpus).select(col(cellCol).as("cell"), col(idCol).as("n_id"),
       col(vecCol).as("n_vec"))
     val scored = c.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
