@@ -631,9 +631,52 @@ object SparkEntry {
         min("event_id").as("min_id"), max("event_id").as("max_id"))
   }
 
+  // S7: ORC roundtrip (reference reads ORC via Arrow,
+  // `/root/reference/src/arrow_loader.cpp:120-126`).
+  define("src_orc",
+    """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       FROM orders""") { (s, d) =>
+    import graft.sources.Sources
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^0-9.]", "")}"
+    t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").orc(tmp)
+    Sources.orc(s, tmp)
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  // K2/E5/S6: Arrow IPC interchange roundtrip — distributed export (one IPC
+  // file per partition, no driver collect), read back and aggregated.
+  define("src_arrow_roundtrip",
+    """SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
+       FROM lineitem WHERE l_quantity > 40""") { (s, d) =>
+    import graft.sources.ArrowInterchange
+    import org.apache.spark.sql.types._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_arrow_${d.replaceAll("[^0-9.]", "")}"
+    val src = t(s, d, "lineitem").filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_extendedprice")
+    ArrowInterchange.writeArrow(src, tmp)
+    val schema = StructType(Seq(StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType)))
+    ArrowInterchange.readArrow(s, tmp, schema)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_extendedprice"), 2).as("total"))
+  }
+
   // ==================================================================
   // Structured Streaming (§2.9 E4 / §3.3): chunked out-of-core shape
   // ==================================================================
+
+  // S3/E4 faithfully: CHUNKED CSV streaming — CSV parts streamed one file
+  // per micro-batch (the reference's rows_per_chunk loop,
+  // `/root/reference/src/warpdb.cpp:544-590`), stateless per chunk, ordered
+  // append, aggregated at the end for the oracle compare.
+  define("st4_stream_csv",
+    """SELECT count(*) AS cnt, round(sum(l_quantity), 1) AS sum_qty
+       FROM lineitem WHERE l_quantity > 30""") { (s, d) =>
+    graft.streaming.Streaming.chunkedCsv(s, d, "st4_out")
+  }
 
   define("st1_stream_agg",
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value

@@ -71,6 +71,40 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Chunked CSV streaming — the reference's out-of-core loop made literal:
+    * CSV part files stream one per micro-batch (`rows_per_chunk` ≈ rows per
+    * part), the filter+aggregate runs incrementally, and the final state is
+    * the answer. Dataset size never bounds memory: each micro-batch holds
+    * one chunk, exactly like `query_multi_gpu_csv`
+    * (`/root/reference/src/warpdb.cpp:544-590`). */
+  def chunkedCsv(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_csv_" +
+      sfDir.replaceAll("[^0-9.]", "")
+    // prepare chunked input: 4 CSV parts ≈ 4 chunks
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .repartition(4)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(StructField("l_orderkey", LongType),
+      StructField("l_quantity", DoubleType)))
+    val agg = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 1) // one chunk per micro-batch
+      .csv(tmp)
+      .filter(col("l_quantity") > 30)
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 1).as("sum_qty"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stateless streaming map+filter in append mode — the exact shape of the
     * reference's chunked expression query (per-chunk select, ordered
     * append). */
