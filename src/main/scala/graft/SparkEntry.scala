@@ -594,6 +594,23 @@ object SparkEntry {
       .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"))
   }
 
+  // UDAF surface (§2.8 extension): TypedImperativeAggregate — deterministic
+  // mergeable bottom-k-by-hash sampler; the sample is identical at any
+  // partitioning, which is what makes it reproducible on a cluster.
+  define("a8_bottomk_sample",
+    """SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank FROM (
+       SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS sample_rank
+       FROM documents) WHERE sample_rank <= 5""") { (s, d) =>
+    import graft.functions.BottomKSample.bottomKSample
+    t(s, d, "documents").groupBy("lang")
+      .agg(bottomKSample(col("doc_id"), 5).as("sample"))
+      .select(col("lang"),
+        posexplode(col("sample")).as(Seq("pos", "doc_id")))
+      .select(col("lang"), col("doc_id"),
+        (col("pos") + 1).cast("int").as("sample_rank"))
+  }
+
   // ==================================================================
   // §2.1 Sources: CSV all-Float32 default, NDJSON with explicit schema
   // ==================================================================

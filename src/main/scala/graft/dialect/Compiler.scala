@@ -57,11 +57,18 @@ final class Compiler(registry: FunctionRegistry, float32: Boolean) {
           case "-" => lv - rv
           case "*" => lv * rv
           case "/" =>
-            // Spark's Divide promotes float operands to double; cast back in
-            // float32 mode to keep the reference's float32 arithmetic (note:
-            // double-divide-then-round, not single-step float divide — can
-            // differ from CUDA float division in the last ULP).
-            if (float32) (lv / rv).cast(FloatType) else lv / rv
+            // float32 mode is IEEE-faithful to the reference's CUDA float
+            // division: x/0 → ±Inf, 0/0 → NaN (ANSI Spark would throw).
+            // Note: double-divide-then-round, not single-step float divide —
+            // can differ from CUDA float division in the last ULP.
+            // Natural-type mode keeps standard SQL (ANSI) semantics.
+            if (float32)
+              when(rv =!= lit(0.0f), (lv / rv).cast(FloatType))
+                .otherwise(
+                  when(lv === lit(0.0f) || lv.isNaN, lit(Float.NaN))
+                    .when(lv > lit(0.0f), lit(Float.PositiveInfinity))
+                    .otherwise(lit(Float.NegativeInfinity)))
+            else lv / rv
         }
       case FuncCall(name, args) =>
         val fn = registry.lookup(name).getOrElse(

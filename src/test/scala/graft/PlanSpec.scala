@@ -68,6 +68,28 @@ class PlanSpec extends AnyFunSuite {
       s"constant-false predicate not folded:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no shuffle Exchange in the plan") {
+    // The 100 TB fact-fact join strategy: bucket both sides on the join key
+    // at write time, and repeated joins skip the shuffle entirely (the
+    // reference has no analog — its 'partitioned execution' is a per-query
+    // range split, /root/reference/src/multi_gpu_utils.cpp:23-60).
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+    val joined = spark.table("li_bucketed").join(
+      spark.table("o_bucketed").hint("merge"),
+      col("l_orderkey") === col("o_orderkey"))
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    assert(joined.count() > 0)
+  }
+
   test("custom CosineSimilarity participates in codegen (no fallback)") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = emb.select(graft.functions.VectorFunctions
