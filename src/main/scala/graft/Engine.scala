@@ -68,6 +68,25 @@ object Engine {
     (src.substring(0, i), src.substring(i + "WHERE".length))
   }
 
+  /** Multi-expression single-pass query — the reference's manually-fused
+    * two-expression kernel (`project_revenue_and_adjusted`,
+    * `/root/reference/src/main.cu:104-118`) generalized: any number of
+    * expressions evaluated in one pass over the (compacting-filtered) input.
+    * Whole-stage codegen performs the fusion the reference wrote by hand.
+    */
+  def queryMulti(df: DataFrame, exprs: Seq[(String, String)],
+                 where: Option[String] = None,
+                 float32: Boolean = true): DataFrame = {
+    val c = new Compiler(registry, float32)
+    val base = where match {
+      case Some(w) => df.filter(c.cond(Parser.parseExpression(w)))
+      case None    => df
+    }
+    base.select(exprs.map { case (src, name) =>
+      c.value(Parser.parseExpression(src)).as(name)
+    }: _*)
+  }
+
   /** E2 — full dialect SQL against a table catalog. */
   def sql(sqlText: String, catalog: String => DataFrame,
           float32: Boolean = true): DataFrame =

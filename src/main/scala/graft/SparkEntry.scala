@@ -135,6 +135,36 @@ object SparkEntry {
       "l_extendedprice * l_quantity WHERE l_quantity > 25", float32 = false)
   }
 
+  // P5: multi-expression fusion — two expressions, one pass (the reference
+  // fused this by hand in CUDA; whole-stage codegen does it automatically).
+  define("e5_multi_expr",
+    """SELECT l_extendedprice * l_quantity AS revenue,
+       l_extendedprice - 10 AS adjusted
+       FROM lineitem WHERE l_quantity > 45""") { (s, d) =>
+    Engine.queryMulti(t(s, d, "lineitem"),
+      Seq("l_extendedprice * l_quantity" -> "revenue",
+          "l_extendedprice - 10" -> "adjusted"),
+      where = Some("l_quantity > 45"), float32 = false)
+  }
+
+  // Salted two-stage aggregation (operators.Skew) — identical result to a
+  // direct groupBy, hot keys spread over saltFactor reducers.
+  define("a9_salted_agg",
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS cnt, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    import graft.operators.Skew
+    Skew.saltedAgg(
+      t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
+      keys = Seq("l_returnflag"), saltFactor = 16,
+      aggs = Seq(
+        ("__sum_qty", col("l_quantity"), Skew.SUM),
+        ("cnt", col("l_quantity"), Skew.COUNT),
+        ("min_qty", col("l_quantity"), Skew.MIN),
+        ("max_qty", col("l_quantity"), Skew.MAX)))
+      .withColumn("sum_qty", round(col("__sum_qty"), 2)).drop("__sum_qty")
+  }
+
   // ==================================================================
   // §2.3 Joins (J1 executed for real) + Spark-extended join types
   // ==================================================================
@@ -706,6 +736,38 @@ object SparkEntry {
        event_type, count(*) AS n, round(sum(value), 2) AS total_value
        FROM events GROUP BY 1, 2""") { (s, d) =>
     graft.streaming.Streaming.hourlyWindowAgg(s, d, "st2_out")
+  }
+
+  // Batch sessionization (lag + cumulative flag — the window-function way);
+  // 30-minute gap. ts is long nanos on the Spark side, TIMESTAMP_NS in
+  // DuckDB → epoch_ns() aligns them.
+  define("st5_sessionize",
+    """SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+         SELECT user_id,
+           CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+             (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+             > 1800000000000 OR lag(epoch_ns(ts)) OVER
+             (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+           THEN 1 ELSE 0 END AS is_new
+         FROM events)
+       GROUP BY user_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, d, "events").select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("is_new",
+        when(col("ts") - lag("ts", 1).over(w) > 1800000000000L ||
+          lag("ts", 1).over(w).isNull, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("is_new").as("n_sessions"))
+  }
+
+  // Same sessionization through flatMapGroupsWithState (custom streaming
+  // state) — equivalence with st5 asserted in PipelineSpec; no SQL oracle
+  // for the state machine itself.
+  defineNoOracle("st6_sessionize_stateful") { (s, d) =>
+    graft.streaming.Streaming.sessionizeStateful(s, d, "st6_out")
   }
 
   define("st3_stream_filter",

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation primitives.
+  *
+  * AQE's runtime skew-join splitting handles most cases (enabled in every
+  * session this engine creates); salting is the complementary *aggregation*
+  * fix for pathological hot keys — a single grouping key holding a large
+  * fraction of a 100 TB table would otherwise pin one reducer regardless of
+  * cluster size.
+  */
+object Skew {
+
+  /** (stage-1 partial over input, stage-2 merge over partials). */
+  type MergeableAgg = (Column => Column, Column => Column)
+
+  val SUM: MergeableAgg = (sum(_), sum(_))
+  val COUNT: MergeableAgg = (c => count(c), sum(_))
+  val MIN: MergeableAgg = (min(_), min(_))
+  val MAX: MergeableAgg = (max(_), max(_))
+
+  /** Two-stage salted aggregation for additively-mergeable aggregates:
+    *
+    *   stage 1: group by (key, salt), salt = hash(row) mod `saltFactor` —
+    *            a hot key's rows spread over `saltFactor` reducers, each
+    *            producing a partial;
+    *   stage 2: group by key, merging the ≤ saltFactor partials (this
+    *            shuffle moves only keys × saltFactor rows — negligible).
+    *
+    * `aggs` is an ordered list of (outputName, inputColumn, aggregate).
+    * Result is identical to the direct groupBy (asserted in SkewSpec).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltFactor: Int,
+                aggs: Seq[(String, Column, MergeableAgg)]): DataFrame = {
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
+    val partials = aggs.map { case (name, input, (partial, _)) =>
+      partial(input).as(s"__p_$name")
+    }
+    val stage1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val merges = aggs.map { case (name, _, (_, merge)) =>
+      merge(col(s"__p_$name")).as(name)
+    }
+    stage1.groupBy(keys.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
+}

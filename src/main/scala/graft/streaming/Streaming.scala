@@ -105,6 +105,59 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Per-user running session state for `sessionizeStateful`. */
+  case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+
+  /** Custom-state streaming: sessionization via `flatMapGroupsWithState` —
+    * the KeyValueGroupedDataset state surface for logic windowed aggs can't
+    * express. State per user is 24 bytes (last timestamp + two counters);
+    * the state store shards by user key across executors, so state size is
+    * O(users), independent of event volume.
+    *
+    * A new session starts when the gap to the previous event exceeds
+    * `gapNanos` (timestamps arrive as long nanos under the nanosAsLong
+    * reader). Each micro-batch emits the updated (user, n_sessions,
+    * n_events); the memory sink accumulates updates, so the caller takes the
+    * per-user max (counts grow monotonically).
+    */
+  def sessionizeStateful(spark: SparkSession, sfDir: String, name: String,
+                         gapNanos: Long = 30L * 60 * 1000000000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/events.*")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Long)]
+    val updated = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        // events within a micro-batch are unordered — sort before folding
+        val ts = it.map(_._2).toArray.sorted
+        var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+        ts.foreach { t =>
+          val newSession = st.lastTs == Long.MinValue || t - st.lastTs > gapNanos
+          st = SessionState(t,
+            st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+        }
+        state.update(st)
+        Iterator.single((user, st.nSessions, st.nEvents))
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+    val q = updated.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // counts grow monotonically; last update per user = max
+    spark.table(name).groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+  }
+
   /** Stateless streaming map+filter in append mode — the exact shape of the
     * reference's chunked expression query (per-chunk select, ordered
     * append). */

@@ -163,7 +163,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ---- skew ----
+
+  test("salted aggregation equals direct groupBy") {
+    import graft.operators.Skew
+    val li = Tables.load(spark, sf, "lineitem").select("l_suppkey", "l_quantity")
+    val direct = li.groupBy("l_suppkey")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("c"),
+        min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+    val salted = Skew.saltedAgg(li, Seq("l_suppkey"), saltFactor = 8,
+      aggs = Seq(("s", col("l_quantity"), Skew.SUM),
+        ("c", col("l_quantity"), Skew.COUNT),
+        ("mn", col("l_quantity"), Skew.MIN),
+        ("mx", col("l_quantity"), Skew.MAX)))
+    assert(direct.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(direct).count() == 0)
+  }
+
   // ---- streaming ----
+
+  test("stateful sessionization equals batch window sessionization") {
+    val stateful = graft.streaming.Streaming
+      .sessionizeStateful(spark, sf, "spec_sess")
+      .select("user_id", "n_sessions", "n_events")
+    val batch = SparkEntry.queries("st5_sessionize")(spark, sf)
+      .select("user_id", "n_sessions", "n_events")
+    assert(batch.exceptAll(stateful).count() == 0 &&
+      stateful.exceptAll(batch).count() == 0)
+  }
 
   test("stateless streaming filter equals batch filter") {
     val streamed = graft.streaming.Streaming.statelessFilter(spark, sf, "spec_st")
