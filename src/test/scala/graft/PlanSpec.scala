@@ -75,6 +75,19 @@ class PlanSpec extends AnyFunSuite {
     // range split, /root/reference/src/multi_gpu_utils.cpp:23-60).
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // directories persist — clear them or CREATE TABLE fails with
+    // LOCATION_ALREADY_EXISTS
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val dir = new java.io.File(s"target/spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
