@@ -211,6 +211,81 @@ object RandomHyperplaneSignature {
   }
 }
 
+/** MinHash signature + LSH band bucket hashes in ONE compact kernel.
+  *
+  * Input: array<string> of shingles. For each of `numHashes` Carter-Wegman
+  * functions `(a·x + b) mod p` (p = 2³¹−1) over the FNV64-hashed shingles,
+  * keep the minimum; then mix each band of r = numHashes/bands consecutive
+  * minhashes into one 64-bit bucket hash. Output: array<long> of `bands`
+  * bucket values.
+  *
+  * Exists as a custom Expression for compile-shape reasons as much as run
+  * time: the equivalent higher-order-function composition unrolls into
+  * `numHashes` separate array-transform subtrees whose generated Java takes
+  * seconds to Janino-compile per query — this is one short loop.
+  */
+case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int,
+                             seed: Long)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_hashes"
+
+  private val P = 2147483647L
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(numHashes)(1L + rnd.nextLong(P - 1)),
+     Array.fill(numHashes)(rnd.nextLong(P)))
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(shingles: ArrayData): ArrayData = {
+    val r = numHashes / bands
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val x = java.lang.Math.floorMod(
+          SimHash64.hash64(shingles.getUTF8String(i)), P)
+        var j = 0
+        while (j < numHashes) {
+          val v = java.lang.Math.floorMod(as(j) * x + bs(j), P)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = seed ^ (b.toLong * 0x9e3779b97f4a7c15L)
+      var j = b * r
+      while (j < (b + 1) * r) {
+        acc ^= mins(j) + 0x9e3779b97f4a7c15L + (acc << 6) + (acc >>> 2)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashBands", this,
+      classOf[MinHashBandHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandHashes =
+    copy(child = newChild)
+}
+
 /** Column-level API over the custom expressions. */
 object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -223,4 +298,9 @@ object VectorFunctions {
   def rhpSignature(vec: Column, bits: Int, seed: Long): Column =
     ColumnBridge.column(RandomHyperplaneSignature(
       ColumnBridge.expression(vec), bits, seed))
+
+  def minhashBandHashes(shingles: Column, numHashes: Int, bands: Int,
+                        seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashBandHashes(
+      ColumnBridge.expression(shingles), numHashes, bands, seed))
 }

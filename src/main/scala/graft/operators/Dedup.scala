@@ -83,30 +83,27 @@ object Dedup {
                  threshold: Double, shingleSize: Int = 3,
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // Staged projections, each materialized once per row (CollapseProject
     // keeps multi-referenced expensive columns separate): shingle set →
-    // shingle hashes → signature. The (id, shingles, signature) projection is
-    // persisted because BOTH sides of the bucket self-join and the verify
-    // join consume it — without the cache Spark recomputes the whole
-    // shingling pipeline once per consumer (self-joins get no subplan reuse).
-    // Size is O(docs × (shingles + numHashes)) — derived sketch data, far
-    // smaller than the corpus; MEMORY_AND_DISK spills rather than OOMs.
-    val p = 2147483647L
+    // band bucket hashes (minhash signature + banding fused in ONE custom
+    // codegen'd kernel, `MinHashBandHashes` — the HOF equivalent unrolls
+    // into numHashes subtrees whose generated Java takes seconds to compile
+    // per query). The (id, shingles, bands) projection is persisted because
+    // BOTH sides of the bucket self-join and the verify join consume it —
+    // without the cache Spark recomputes the pipeline once per consumer
+    // (self-joins get no subplan reuse). Size is O(docs × (shingles +
+    // bands)) — derived sketch data, far smaller than the corpus;
+    // MEMORY_AND_DISK spills rather than OOMs.
     val withSig = spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("sh", array_distinct(TF.shingles(col("text"), shingleSize)))
-      .withColumn("hashes", transform(col("sh"), s => pmod(xxhash64(s), lit(p))))
-      .withColumn("sig", minhashFromHashes(col("hashes"), numHashes))
-      .select("id", "sh", "sig")
+      .withColumn("bands",
+        VF.minhashBandHashes(col("sh"), numHashes, bands))
+      .select("id", "sh", "bands")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = withSig.select(
       col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * lit(r) + lit(1), lit(r)),
-            _.cast("string"))))))
-        .as(Seq("band", "bucket")))
+      posexplode(col("bands")).as(Seq("band", "bucket")))
 
     val a = banded.as("a")
     val b = banded.as("b")
