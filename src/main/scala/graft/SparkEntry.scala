@@ -287,6 +287,104 @@ object SparkEntry {
       count(lit(1)).over(byCust).as("n_orders"))
   }
 
+  // Ranking/analytic window functions (Spark-extended beyond the
+  // reference's SUM/AVG/COUNT/MIN/MAX-over surface).
+  define("q22_rank_windows",
+    """SELECT o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey
+         ORDER BY o_totalprice DESC) AS INT) AS drk,
+       lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderkey) AS next_key
+       FROM orders""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("o_custkey")
+    t(s, d, "orders").select(col("o_orderkey"),
+      row_number().over(byCust.orderBy(col("o_totalprice").desc,
+        col("o_orderkey"))).as("rn"),
+      dense_rank().over(byCust.orderBy(col("o_totalprice").desc)).as("drk"),
+      lead("o_orderkey", 1).over(byCust.orderBy("o_orderkey")).as("next_key"))
+  }
+
+  // Top-N per group — the pattern Catalyst plans as a partial window sort;
+  // no global shuffle of losers.
+  define("q23_topn_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+       SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+       FROM orders) WHERE rn <= 3""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3).drop("rn")
+  }
+
+  // Timestamp predicate pushed to the parquet scan + join + agg.
+  define("q24_date_filter_join",
+    """SELECT o_orderpriority, count(*) AS cnt,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY o_orderpriority""") { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  // Conditional aggregation (pivot-style CASE inside aggregates).
+  define("q25_conditional_agg",
+    """SELECT l_returnflag,
+       round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END), 2)
+         AS big_rev,
+       round(sum(CASE WHEN l_quantity <= 25 THEN l_extendedprice ELSE 0 END), 2)
+         AS small_rev,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      round(sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+        .otherwise(0)), 2).as("big_rev"),
+      round(sum(when(col("l_quantity") <= 25, col("l_extendedprice"))
+        .otherwise(0)), 2).as("small_rev"),
+      sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_discounted"))
+  }
+
+  // COUNT(DISTINCT) — Spark plans a two-phase distinct aggregate (expand +
+  // partial) rather than collecting values.
+  define("q26_count_distinct",
+    """SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS cnt
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      countDistinct("l_partkey").as("n_parts"),
+      countDistinct("l_suppkey").as("n_supps"),
+      count(lit(1)).as("cnt"))
+  }
+
+  // ROLLUP grouping sets (absent in the reference; native in Spark/DuckDB).
+  define("q27_rollup",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""") { (s, d) =>
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+  }
+
   // ==================================================================
   // §2.9 E2: the WarpDB dialect end-to-end (tokenizer → parser → Catalyst)
   // ==================================================================

@@ -36,32 +36,6 @@ object Dedup {
       .agg(min(idCol).as(idCol), count(lit(1)).as("n_dups"))
       .drop("__fp")
 
-  /** MinHash signature as an array column: `numHashes` Carter-Wegman
-    * universal hashes `(a_i·x + b_i) mod p` (p = 2³¹−1) minimized over the
-    * shingle-hash set. Shingle hashes are first reduced mod p so `a·x + b`
-    * stays < 2⁶² — no long overflow under ANSI mode. One nested native-HOF
-    * expression — a single scan pass, no UDF, no shuffle.
-    */
-  /** Shingle-hash set for `minhashFromHashes` — compute ONCE per row into
-    * its own projection; inlining it into the signature expression would
-    * replicate the shingling+hashing work `numHashes` times. */
-  def shingleHashes(text: Column, shingleSize: Int): Column = {
-    val p = 2147483647L
-    transform(array_distinct(TF.shingles(text, shingleSize)),
-      s => pmod(xxhash64(s), lit(p)))
-  }
-
-  def minhashFromHashes(hashes: Column, numHashes: Int,
-                        seed: Long = 42L): Column = {
-    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val rnd = new scala.util.Random(seed)
-    val params = Seq.fill(numHashes)(
-      (1L + rnd.nextLong(p - 1), rnd.nextLong(p)))
-    array(params.map { case (a, b) =>
-      array_min(transform(hashes, x => pmod(x * lit(a) + lit(b), lit(p))))
-    }: _*)
-  }
-
   /** MinHash + LSH banding + exact-Jaccard verification.
     *
     * Pipeline (one shuffle on band buckets, one on candidate pairs):
