@@ -17,6 +17,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q2_filter_project", "q3_masked_map", "q5_join_agg",
     "q8_order_limit_offset", "q9_window", "q10_dialect_sql",
+    "q23_topn_per_group", "q24_date_filter_join", "q28_funnel",
+    "a9_salted_agg",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_embedding_neardup",
     "s1_ann_brute", "t2_quality", "t3_langid", "m2_frame_sample")
 

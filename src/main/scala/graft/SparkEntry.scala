@@ -637,12 +637,47 @@ object SparkEntry {
       .select("a_id", "b_id")
   }
 
-  // LSH-blocked embedding near-dup — the 100 TB path (rows-only: recall <1
-  // by construction; asserted ≥ threshold recall in PipelineSpec).
-  defineNoOracle("d6_embedding_neardup_lsh") { (s, d) =>
+  // LSH-blocked embedding near-dup — the 100 TB path. Exact-cosine
+  // verification makes the output a SUBSET of the brute-force answer by
+  // construction; on this (deterministic) data the banded-LSH recall is
+  // 1.0, so the same cross-join oracle applies. PipelineSpec asserts the
+  // subset + recall properties independently of the data.
+  define("d6_embedding_neardup_lsh",
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < b.vec_id
+         AND list_cosine_similarity(a.embedding, b.embedding) >= 0.47""") { (s, d) =>
     graft.operators.Dedup.embeddingNearDup(t(s, d, "embeddings"),
       "embedding", "vec_id", threshold = 0.47, bruteForce = false)
       .select("a_id", "b_id")
+  }
+
+  // Event-sequence funnel: users completing view → click → purchase in
+  // order (each stage's earliest qualifying timestamp gates the next) —
+  // three small per-user aggregates chained by inequality joins; at scale
+  // each stage shuffles one row per user, not per event.
+  define("q28_funnel",
+    """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+         JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) > v.t
+         WHERE e.event_type = 'click' GROUP BY e.user_id),
+       p AS (SELECT e.user_id FROM events e
+         JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) > c.t
+         WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       SELECT count(*) AS n_converted FROM p""") { (s, d) =>
+    val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+    def stageAfter(prev: DataFrame, eventType: String): DataFrame = {
+      val e = ev.filter(col("event_type") === eventType)
+        .select(col("user_id").as("u"), col("ts"))
+      e.join(prev, e("u") === prev("user_id") && col("ts") > prev("t"))
+        .groupBy("u").agg(min("ts").as("t"))
+        .withColumnRenamed("u", "user_id")
+    }
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val p = stageAfter(stageAfter(v, "click"), "purchase")
+    p.agg(count(lit(1)).as("n_converted"))
   }
 
   // ==================================================================

@@ -49,6 +49,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(joined).contains("BroadcastHashJoin"), plan(joined))
   }
 
+  test("timestamp predicates push down to the parquet scan") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"timestamp filter did not reach the scan:\n$p")
+  }
+
   test("dialect WHERE compiles to pushdown-able predicates") {
     val df = Engine.sql(spark, sf,
       "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.05",
