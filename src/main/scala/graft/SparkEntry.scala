@@ -774,6 +774,20 @@ object SparkEntry {
         (col("pos") + 1).cast("int").as("sample_rank"))
   }
 
+  // Resize/thumbnail plumbing: binary in → truncated binary out + size
+  // metadata (the shape of a thumbnailing pass).
+  define("m4_resize",
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
+       CAST(least(length(text), 96) AS BIGINT) AS new_bytes
+       FROM documents""") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.resizePayload(
+      Multimodal.attachPayload(t(s, d, "documents"), "text", "image/fake"),
+      "doc_id", maxBytes = 96)
+      .select(col("doc_id"), col("orig_bytes").cast("long"),
+        col("new_bytes").cast("long"))
+  }
+
   // ==================================================================
   // §2.1 Sources: CSV all-Float32 default, NDJSON with explicit schema
   // ==================================================================

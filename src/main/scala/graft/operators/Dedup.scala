@@ -117,10 +117,13 @@ object Dedup {
               maxHamming: Int = 3): DataFrame = {
     val withSig = spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), VF.simhash64(TF.tokens(TF.normText(col(textCol)))).as("sig"))
+    // both sides of the chunk self-join consume this — persist (24 bytes/row
+    // × 4 chunks) so the normalize+tokenize+simhash pass runs once
     val chunked = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk_idx", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b,
@@ -152,6 +155,9 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("df") <= maxDf)
       .drop("df")
+      // both sides of the shingle self-join consume this — persist so the
+      // shingling + document-frequency window runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pruned.as("a")
     val b = pruned.as("b")
     val shared = a.join(b,

@@ -156,6 +156,48 @@ class DialectSpec extends AnyFunSuite {
     assert(n == Tables.load(spark, sf, "customer").count())
   }
 
+  test("E2 combined clauses: join + where + group + having + order + limit") {
+    val out = Engine.sql(spark, sf,
+      """SELECT nation.n_name AS nat, SUM(customer.c_acctbal) AS bal,
+         COUNT(*) AS n
+         FROM customer JOIN nation ON customer.c_nationkey = nation.n_nationkey
+         WHERE customer.c_acctbal > 0
+         GROUP BY nation.n_name
+         HAVING COUNT(*) > 1 AND SUM(customer.c_acctbal) > 100
+         ORDER BY bal DESC LIMIT 5""", float32 = false)
+    val rows = out.collect()
+    assert(rows.length <= 5 && rows.nonEmpty)
+    // ordered descending by bal
+    val bals = rows.map(_.getDouble(1))
+    assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("E2 window + WHERE in one dialect query") {
+    val out = Engine.sql(spark, sf,
+      """SELECT l_orderkey,
+         SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS order_qty
+         FROM lineitem WHERE l_quantity > 30""", float32 = false)
+    assert(out.columns.toSeq == Seq("l_orderkey", "order_qty"))
+    assert(out.count() > 0)
+  }
+
+  test("E2 ORDER BY an aggregate not in the select list") {
+    val out = Engine.sql(spark, sf,
+      """SELECT l_returnflag FROM lineitem GROUP BY l_returnflag
+         ORDER BY SUM(l_quantity) DESC""", float32 = false)
+    val flags = out.collect().map(_.getString(0))
+    assert(flags.length == 3)
+    // N has the largest total quantity in this data
+    assert(flags.head == "N")
+  }
+
+  test("E2 HAVING without matching select aggregate") {
+    val out = Engine.sql(spark, sf,
+      """SELECT o_custkey FROM orders GROUP BY o_custkey
+         HAVING COUNT(o_orderkey) > 15""", float32 = false)
+    assert(out.columns.toSeq == Seq("o_custkey"))
+  }
+
   test("registry extension: user function callable from dialect") {
     Engine.registry.register("add_tax", args => args(0) * lit(1.1))
     val out = Engine.sql(spark, sf,
