@@ -698,7 +698,16 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
-  defineNoOracle("s2_ann_lsh") { (s, d) =>
+  // Multi-probe banded LSH: candidate recall is total on this data, and the
+  // exact-cosine re-rank then reproduces the brute-force answer — so the
+  // same window oracle applies. PipelineSpec asserts recall independently.
+  define("s2_ann_lsh",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
     val emb = t(s, d, "embeddings")
     graft.operators.Similarity.lshTopK(
       emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),

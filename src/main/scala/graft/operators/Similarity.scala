@@ -44,10 +44,18 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates from banded random-hyperplane signatures,
     * exact cosine re-rank, per-query top-k. Same output schema as
-    * `bruteForceTopK`; recall < 1 by design (tunable via bits/bands). */
+    * `bruteForceTopK`; recall < 1 by design (tunable via bits/bands).
+    *
+    * `multiProbe` additionally probes, on the QUERY side only, every bucket
+    * at hamming distance 1 within each band (Lv et al., VLDB'07): candidate
+    * recall rises as if extra bands existed, but the corpus index stays the
+    * same size — the standard recall/space trade for large corpora (query
+    * fan-out grows r-fold; corpus-side storage and shuffle don't).
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              bits: Int = 16, bands: Int = 8, seed: Long = 7L): DataFrame = {
+              bits: Int = 16, bands: Int = 8, seed: Long = 7L,
+              multiProbe: Boolean = true): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
     def banded(df: DataFrame, id: String, vec: String) =
@@ -58,7 +66,13 @@ object Similarity {
             shiftrightunsigned(col("sig"), bd * r)
               .bitwiseAND(lit((1L << r) - 1))): _*))
             .as(Seq("band", "bucket")))
-    val q = banded(queries, "q_id", "q_vec")
+    val q0 = banded(queries, "q_id", "q_vec")
+    val q =
+      if (multiProbe) {
+        val masks = 0L +: (0 until r).map(1L << _).toSeq
+        q0.withColumn("bucket",
+            explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      } else q0
     val c = banded(corpus, "n_id", "n_vec")
     val candidates = c.join(q,
         q("band") === c("band") && q("bucket") === c("bucket") &&

@@ -111,7 +111,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.size == 25)
     val lsh = pairs(Similarity.lshTopK(q, c, "embedding", "vec_id", 5))
     val ivf = pairs(Similarity.ivfTopK(q, c, "embedding", "vec_id", "label", 5, nprobe = 3))
-    assert((brute & lsh).size.toDouble / brute.size >= 0.6)
+    assert((brute & lsh).size.toDouble / brute.size >= 0.8)
     // IVF with nprobe=3 of 10 cells is a coverage/recall trade — the corpus
     // clusters don't align with any single query's top-5, so recall is
     // modest by construction (0.28 on this data); assert the floor plus
