@@ -680,6 +680,32 @@ object SparkEntry {
     p.agg(count(lit(1)).as("n_converted"))
   }
 
+  // Staged full-corpus dedup: exact collapse → MinHash+LSH on
+  // representatives → greedy keep. 7.7× faster than sketching the raw
+  // corpus on a 10×-duplicated soak (see NOTES.md).
+  define("d7_dedup_corpus",
+    """WITH fp AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents),
+       reps AS (SELECT norm, min(doc_id) AS rep FROM fp GROUP BY norm),
+       m AS (SELECT f.doc_id AS id, r.rep FROM fp f JOIN reps r ON f.norm = r.norm),
+       w AS (SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\s+') AS wds
+         FROM documents d JOIN reps r ON d.doc_id = r.rep),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 2),
+           i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])) AS sh FROM w),
+       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               >= 0.5),
+       dropped AS (SELECT DISTINCT b_id AS rep FROM pairs)
+       SELECT m.id AS id, m.rep AS rep,
+         (m.id = m.rep AND dropped.rep IS NULL) AS keep
+       FROM m LEFT JOIN dropped ON m.rep = dropped.rep""") { (s, d) =>
+    graft.operators.Dedup.dedupCorpus(t(s, d, "documents"), "text", "doc_id",
+      threshold = 0.5)
+  }
+
   // ==================================================================
   // Similarity search (operators.Similarity)
   // ==================================================================
