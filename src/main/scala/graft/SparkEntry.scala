@@ -749,6 +749,19 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // IVF with k-means-TRAINED cells (MLlib, seeded) instead of the given
+  // label column — the end-to-end trained-index path.
+  defineNoOracle("s4_ann_ivf_kmeans") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val corpus = Similarity.kmeansCells(
+      emb.filter(col("vec_id") >= 5), "embedding", k = 10)
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 5), corpus,
+      "embedding", "vec_id", cellCol = "cell", k = 5, nprobe = 3)
+      .select("q_id", "n_id", "rank")
+  }
+
   // ==================================================================
   // Multimodal columns (operators.Multimodal)
   // ==================================================================
@@ -918,6 +931,25 @@ object SparkEntry {
        event_type, count(*) AS n, round(sum(value), 2) AS total_value
        FROM events GROUP BY 1, 2""") { (s, d) =>
     graft.streaming.Streaming.hourlyWindowAgg(s, d, "st2_out")
+  }
+
+  // Semi-structured JSON column: parse once with an explicit schema
+  // (from_json — codegen'd, no UDF), then aggregate the typed field.
+  define("q29_json_props",
+    """SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       count(*) AS cnt,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         / CAST(count(*) AS DOUBLE) AS avg_k
+       FROM events GROUP BY event_type""") { (s, d) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))).getField("k")
+    t(s, d, "events").select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"),
+        (sum("k") / count(lit(1)).cast("double")).as("avg_k"))
   }
 
   // Batch sessionization (lag + cumulative flag — the window-function way);

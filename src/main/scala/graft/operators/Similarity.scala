@@ -87,6 +87,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** K-means-trained coarse cells for IVF (Spark MLlib KMeans — seeded,
+    * deterministic): returns the corpus plus a `cell` prediction column.
+    * Training cost is a handful of passes over (sampled) vectors; at 100 TB
+    * you train on a sample and `transform` the full corpus in one map. */
+  def kmeansCells(corpus: DataFrame, vecCol: String, k: Int,
+                  seed: Long = 7L, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = spread(corpus)
+      .withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(feat)
+    model.transform(feat).drop("__features")
+  }
+
   /** IVF-style ANN using a precomputed coarse partition (here: the corpus's
     * cluster/label column as the inverted-file cell): queries probe only
     * their `nprobe` nearest cells' rows. Centroids are computed by averaging

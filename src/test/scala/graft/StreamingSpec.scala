@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Watermark semantics under controlled micro-batches (MemoryStream lets the
+  * test drive event-time forward explicitly): late events beyond the
+  * watermark must be DROPPED, and append mode must emit exactly the closed
+  * windows — the state-retention behavior that makes unbounded streams
+  * feasible (SURVEY.md §2.9 E4 extension; the reference's streaming is
+  * stateless chunking only).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  test("watermark drops late events; append emits closed windows only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long] // event time as epoch seconds
+    val agg = input.toDF().withColumn("ts", timestamp_seconds(col("value")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w_start"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+
+    // batch 1: two events in [0, 10min), one at 30min (watermark → 20min,
+    // closing the first window)
+    input.addData(60L, 120L, 1800L)
+    q.processAllAvailable()
+    // batch 2: a LATE event for the closed window — must be dropped
+    input.addData(130L)
+    q.processAllAvailable()
+    // batch 3: event at 60min (watermark → 50min, closing [30, 40))
+    input.addData(3600L)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [0,600): exactly the 2 on-time events — the late third NOT counted
+    assert(rows.get(0L).contains(2L), s"got $rows")
+    // [1800,2400) closed with its single event
+    assert(rows.get(1800L).contains(1L), s"got $rows")
+    // the 60-min window is still open → not emitted in append mode
+    assert(!rows.contains(3600L), s"got $rows")
+  }
+}
