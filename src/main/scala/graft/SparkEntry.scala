@@ -984,6 +984,16 @@ object SparkEntry {
     graft.streaming.Streaming.sessionizeStateful(s, d, "st6_out")
   }
 
+  // Stream-stream time-range join (bounded state via dual watermarks).
+  define("st7_stream_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+       FROM events c JOIN events p ON c.user_id = p.user_id
+       WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) > epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000""") { (s, d) =>
+    graft.streaming.Streaming.clickToPurchaseJoin(s, d, "st7_out")
+  }
+
   define("st3_stream_filter",
     """SELECT event_id, user_id, value FROM events
        WHERE event_type = 'purchase' AND value > 50""") { (s, d) =>

@@ -158,6 +158,40 @@ object Streaming {
       .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
   }
 
+  /** Stream-stream inner join with a time-range condition: each click joins
+    * purchases by the same user within the following `windowMinutes`. Both
+    * sides carry watermarks, so join state is bounded — the key property at
+    * unbounded volume (state evicts once the range + watermark passes).
+    * Timestamps are µs-truncated on both sides (and in the oracle) for
+    * engine parity.
+    */
+  def clickToPurchaseJoin(spark: SparkSession, sfDir: String, name: String,
+                          windowMinutes: Int = 30): DataFrame = {
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    def side(eventType: String, idAs: String, tsAs: String): DataFrame =
+      spark.readStream
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sfDir/events.*")
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${idAs}_user"),
+          col("event_id").as(idAs),
+          timestamp_micros((col("ts") / 1000).cast("long")).as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    val clicks = side("click", "click_id", "c_ts")
+    val purchases = side("purchase", "purchase_id", "p_ts")
+    val joined = clicks.join(purchases,
+      col("click_id_user") === col("purchase_id_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stateless streaming map+filter in append mode — the exact shape of the
     * reference's chunked expression query (per-chunk select, ordered
     * append). */
