@@ -82,6 +82,77 @@ class DialectPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- query-level round-trip: random full clause sets ----
+
+  private val aggGen: Gen[Expr] = for {
+    fn <- Gen.oneOf(AggFn.Sum, AggFn.Avg, AggFn.Count, AggFn.Min, AggFn.Max)
+    arg <- expr(2)
+  } yield Agg(fn, arg)
+
+  private val queryGen: Gen[Query] = for {
+    distinct <- Gen.oneOf(true, false)
+    nItems <- Gen.chooseNum(1, 3)
+    items <- Gen.listOfN(nItems, for {
+      e <- Gen.frequency(3 -> expr(2), 1 -> aggGen)
+      alias <- Gen.option(Gen.oneOf("a1", "a2", "out"))
+    } yield SelectItem(e, alias))
+    nJoins <- Gen.chooseNum(0, 2)
+    joins <- Gen.listOfN(nJoins, for {
+      t <- Gen.oneOf("t2", "t3")
+      on <- expr(2)
+    } yield JoinClause(t, on))
+    where <- Gen.option(expr(3))
+    nKeys <- Gen.chooseNum(0, 2)
+    keys <- Gen.listOfN(nKeys, expr(2))
+    having <- Gen.option(expr(2))
+    orderBy <- Gen.option(for {
+      e <- expr(2); asc <- Gen.oneOf(true, false)
+    } yield SortItem(e, asc))
+    limit <- Gen.option(Gen.chooseNum(1, 100))
+    offset <- Gen.option(Gen.chooseNum(1, 100))
+  } yield Query(distinct, items.toVector, "t1", joins.toVector, where,
+    keys.toVector, having, orderBy, limit, offset)
+
+  private def renderQuery(q: Query): String = {
+    def item(it: SelectItem): String =
+      renderAny(it.expr) + it.alias.map(a => s" AS $a").getOrElse("")
+    val sb = new StringBuilder("SELECT ")
+    if (q.distinct) sb.append("DISTINCT ")
+    sb.append(q.select.map(item).mkString(", "))
+    sb.append(s" FROM ${q.from}")
+    q.joins.foreach(j => sb.append(s" JOIN ${j.table} ON ${renderAny(j.on)}"))
+    q.where.foreach(w => sb.append(s" WHERE ${renderAny(w)}"))
+    if (q.groupBy.nonEmpty)
+      sb.append(" GROUP BY " + q.groupBy.map(renderAny).mkString(", "))
+    q.having.foreach(h => sb.append(s" HAVING ${renderAny(h)}"))
+    q.orderBy.foreach(s =>
+      sb.append(s" ORDER BY ${renderAny(s.expr)} ${if (s.asc) "ASC" else "DESC"}"))
+    q.limit.foreach(n => sb.append(s" LIMIT $n"))
+    q.offset.foreach(n => sb.append(s" OFFSET $n"))
+    sb.toString
+  }
+
+  private def renderAny(e: Expr): String = e match {
+    case Agg(fn, arg) => s"${fn.name}(${renderAny(arg)})"
+    case other        => render(other)
+  }
+
+  test("query render → parse round-trips the full clause set (150 random queries)") {
+    samples(queryGen, 150).foreach { q =>
+      val sql = renderQuery(q)
+      assert(Parser.parseQuery(sql) == q, sql)
+    }
+  }
+
+  test("keywords are case-insensitive") {
+    val q = Parser.parseQuery(
+      "select distinct price from t where price > 1 group by price " +
+        "having sum(price) > 2 order by price desc limit 3 offset 1")
+    assert(q.distinct && q.where.nonEmpty && q.groupBy.size == 1 &&
+      q.having.nonEmpty && q.orderBy.exists(!_.asc) &&
+      q.limit.contains(3) && q.offset.contains(1))
+  }
+
   test("float32 Spark evaluation matches the direct interpreter") {
     import spark.implicits._
     val rows = Seq((12.5f, 3.0f), (0.0f, 7.0f), (99.9f, 0.0f))
