@@ -109,6 +109,32 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
   }
 
+  // Exact interpolated percentiles (both engines implement the same
+  // continuous-quantile definition; quantities are integral so the
+  // interpolated values are exactly representable).
+  define("q30_percentiles",
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+      percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
+  }
+
+  // Statistical aggregates (stddev/corr) — rounded below the accumulation-
+  // order noise floor.
+  define("q31_stats",
+    """SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        .as("qty_price_corr"))
+  }
+
   // ==================================================================
   // §2.2 Projections / filters (P2/P3/P4/P6: compacting WHERE + projection)
   // ==================================================================
