@@ -794,8 +794,8 @@ object SparkEntry {
 
   // Columnar decode path (binary payload → typed metadata, fused in codegen).
   define("m1_multimodal_decode",
-    """SELECT doc_id, CAST(16 + length(text) % 64 AS INT) AS width,
-       CAST(1 + floor(length(text) / 32.0) AS INT) AS n_frames
+    """SELECT doc_id, CAST(16 + strlen(text) % 64 AS INT) AS width,
+       CAST(1 + floor(strlen(text) / 32.0) AS INT) AS n_frames
        FROM documents""") { (s, d) =>
     import graft.operators.Multimodal
     Multimodal.decodeFeaturesColumnar(
@@ -806,8 +806,8 @@ object SparkEntry {
   // Batched per-partition decode (the mapInPandas/mapInArrow shape) — same
   // metadata, via the RDD batch path, checked against the same SQL oracle.
   define("m3_multimodal_batched",
-    """SELECT doc_id, CAST(16 + length(text) % 64 AS INT) AS width,
-       CAST(1 + floor(length(text) / 32.0) AS INT) AS n_frames
+    """SELECT doc_id, CAST(16 + strlen(text) % 64 AS INT) AS width,
+       CAST(1 + floor(strlen(text) / 32.0) AS INT) AS n_frames
        FROM documents""") { (s, d) =>
     import graft.operators.Multimodal
     Multimodal.decodeFeatures(
@@ -819,7 +819,7 @@ object SparkEntry {
   define("m2_frame_sample",
     """SELECT doc_id,
        CAST(unnest(list_filter(generate_series(0,
-         CAST(floor(length(text) / 32.0) AS INT)), f -> f % 4 = 0)) AS INT)
+         CAST(floor(strlen(text) / 32.0) AS INT)), f -> f % 4 = 0)) AS INT)
          AS frame_idx
        FROM documents""") { (s, d) =>
     import graft.operators.Multimodal
@@ -851,8 +851,8 @@ object SparkEntry {
   // Resize/thumbnail plumbing: binary in → truncated binary out + size
   // metadata (the shape of a thumbnailing pass).
   define("m4_resize",
-    """SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
-       CAST(least(length(text), 96) AS BIGINT) AS new_bytes
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS orig_bytes,
+       CAST(least(strlen(text), 96) AS BIGINT) AS new_bytes
        FROM documents""") { (s, d) =>
     import graft.operators.Multimodal
     Multimodal.resizePayload(

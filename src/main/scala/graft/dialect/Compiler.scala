@@ -43,7 +43,13 @@ final class Compiler(registry: FunctionRegistry, float32: Boolean) {
         // → double.
         if (float32) lit(t.toFloat)
         else if (t.contains('.')) lit(t.toDouble)
-        else lit(t.toLong.toInt)
+        else {
+          // int when it fits (so round(x, 2) type-checks), long otherwise —
+          // NOT toInt, which would silently wrap literals above 2^31 (epoch
+          // values etc.)
+          val v = t.toLong
+          if (v >= Int.MinValue && v <= Int.MaxValue) lit(v.toInt) else lit(v)
+        }
       case ColRef(n) =>
         if (float32) col(n).cast(FloatType) else col(n)
       case BinOp("AND", _, _) | BinOp("OR", _, _) =>

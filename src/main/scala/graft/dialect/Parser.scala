@@ -203,18 +203,27 @@ final class Parser(toks: Vector[Lexer.Token]) {
       Some(SortItem(e, asc))
     } else None
     // LIMIT/OFFSET in either order (SURVEY.md §2.6 grammar-order quirk)
+    def intValue(what: String): Int = {
+      val tok = cur
+      val t = expect(TNum, "integer").value
+      if (t.contains('.'))
+        throw DialectParseException(s"$what must be an integer, got '$t'",
+          tok.line, tok.col)
+      val v = t.toLong
+      if (v > Int.MaxValue)
+        throw DialectParseException(s"$what out of range: $t", tok.line, tok.col)
+      v.toInt
+    }
     var limit: Option[Int] = None
     var offset: Option[Int] = None
     var progressed = true
     while (progressed) {
       progressed = false
       if (limit.isEmpty && acceptKw("LIMIT")) {
-        limit = Some(expect(TNum, "integer").value.toDouble.toInt)
-        progressed = true
+        limit = Some(intValue("LIMIT")); progressed = true
       }
       if (offset.isEmpty && acceptKw("OFFSET")) {
-        offset = Some(expect(TNum, "integer").value.toDouble.toInt)
-        progressed = true
+        offset = Some(intValue("OFFSET")); progressed = true
       }
     }
     Query(distinct, items, from, joins, where, groupBy, having, orderBy,

@@ -117,13 +117,16 @@ object TextFunctions {
   def fingerprint(c: Column): Column = xxhash64(normText(c))
 
   /** Word n-gram shingles as an array column: n-token windows joined by a
-    * single space. Native `sequence`/`transform`/`slice` — no UDF. */
+    * single space; documents shorter than n tokens yield an EMPTY set (the
+    * standard contract, and what `generate_series(1, len-n+1)` produces in
+    * the SQL oracles — a whole-text fallback would pair up all short docs).
+    * Native `sequence`/`transform`/`slice` — no UDF. */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
+      .otherwise(array().cast("array<string>"))
   }
 }

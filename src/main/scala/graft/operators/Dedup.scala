@@ -9,6 +9,12 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   * MinHash+LSH, SimHash, exact n-gram Jaccard, and embedding-cosine
   * near-dup.
   *
+  * NOTE on caching: operators whose plans feed a self-join persist the
+  * shared projection (`MEMORY_AND_DISK`) and rely on Spark's LRU for
+  * eviction — a long-lived service calling these repeatedly should wrap
+  * invocations and `unpersist` via `spark.sharedState.cacheManager` or
+  * session-scoped catalogs (tracked in NOTES.md).
+  *
   * Design for 100 TB (the reference has nothing comparable — its DISTINCT is
   * a host sort+unique of output floats, `/root/reference/src/warpdb.cpp:
   * 463-468`):

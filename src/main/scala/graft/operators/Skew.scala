@@ -35,8 +35,12 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], saltFactor: Int,
                 aggs: Seq[(String, Column, MergeableAgg)]): DataFrame = {
     require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    // salt by row POSITION, not row content: a hot key frequently carries
+    // identical payloads, and a content hash would send all duplicates to
+    // one reducer — exactly the skew this operator exists to break. The
+    // final result is salt-invariant, so positional nondeterminism is safe.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val partials = aggs.map { case (name, input, (partial, _)) =>
       partial(input).as(s"__p_$name")
     }

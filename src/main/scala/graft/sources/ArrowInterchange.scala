@@ -54,33 +54,36 @@ object ArrowInterchange {
         StandardOpenOption.CREATE, StandardOpenOption.WRITE,
         StandardOpenOption.TRUNCATE_EXISTING)
       val writer = new ArrowFileWriter(root, null, ch)
-      writer.start()
       var total = 0L
-      val it = rows.grouped(batchSize)
-      it.foreach { batch =>
-        root.allocateNew()
-        batch.zipWithIndex.foreach { case (row, i) =>
-          schema.fields.zipWithIndex.foreach { case (f, c) =>
-            val v = root.getVector(c)
-            if (row.isNullAt(c)) v.asInstanceOf[FieldVector].setNull(i)
-            else f.dataType match {
-              case LongType    => v.asInstanceOf[BigIntVector].setSafe(i, row.getLong(c))
-              case IntegerType => v.asInstanceOf[IntVector].setSafe(i, row.getInt(c))
-              case DoubleType  => v.asInstanceOf[Float8Vector].setSafe(i, row.getDouble(c))
-              case FloatType   => v.asInstanceOf[Float4Vector].setSafe(i, row.getFloat(c))
-              case StringType  => v.asInstanceOf[VarCharVector]
-                .setSafe(i, row.getString(c).getBytes("UTF-8"))
-              case BooleanType => v.asInstanceOf[BitVector]
-                .setSafe(i, if (row.getBoolean(c)) 1 else 0)
-              case _ => ()
+      try {
+        writer.start()
+        rows.grouped(batchSize).foreach { batch =>
+          root.allocateNew()
+          batch.zipWithIndex.foreach { case (row, i) =>
+            schema.fields.zipWithIndex.foreach { case (f, c) =>
+              val v = root.getVector(c)
+              if (row.isNullAt(c)) v.asInstanceOf[FieldVector].setNull(i)
+              else f.dataType match {
+                case LongType    => v.asInstanceOf[BigIntVector].setSafe(i, row.getLong(c))
+                case IntegerType => v.asInstanceOf[IntVector].setSafe(i, row.getInt(c))
+                case DoubleType  => v.asInstanceOf[Float8Vector].setSafe(i, row.getDouble(c))
+                case FloatType   => v.asInstanceOf[Float4Vector].setSafe(i, row.getFloat(c))
+                case StringType  => v.asInstanceOf[VarCharVector]
+                  .setSafe(i, row.getString(c).getBytes("UTF-8"))
+                case BooleanType => v.asInstanceOf[BitVector]
+                  .setSafe(i, if (row.getBoolean(c)) 1 else 0)
+                case _ => ()
+              }
             }
           }
+          root.setRowCount(batch.size)
+          writer.writeBatch()
+          total += batch.size
         }
-        root.setRowCount(batch.size)
-        writer.writeBatch()
-        total += batch.size
+        writer.end()
+      } finally {
+        writer.close(); ch.close(); root.close(); allocator.close()
       }
-      writer.end(); ch.close(); root.close(); allocator.close()
       Iterator.single(total)
     }.collect().sum
     counts
@@ -89,7 +92,8 @@ object ArrowInterchange {
   /** Read a directory of Arrow IPC files back as a DataFrame (one input file
     * per task — the scan parallelizes across files, like any file source). */
   def readArrow(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val files = new File(dir).listFiles()
+    val files = Option(new File(dir).listFiles())
+      .getOrElse(throw new IllegalArgumentException(s"No such directory: $dir"))
       .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
     val rdd = spark.sparkContext.parallelize(files.toSeq, math.max(files.length, 1))
       .flatMap { path =>
@@ -97,6 +101,7 @@ object ArrowInterchange {
         val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
         val reader = new ArrowFileReader(ch, allocator)
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        try {
         val root = reader.getVectorSchemaRoot
         while (reader.loadNextBatch()) {
           val n = root.getRowCount
@@ -119,7 +124,9 @@ object ArrowInterchange {
             i += 1
           }
         }
-        reader.close(); ch.close(); allocator.close()
+        } finally {
+          reader.close(); ch.close(); allocator.close()
+        }
         out.iterator
       }
     spark.createDataFrame(rdd, schema)

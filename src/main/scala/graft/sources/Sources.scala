@@ -23,21 +23,11 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
-  /** Read the CSV header line only (cheap driver-side peek, one line). A
-    * directory of part files (Spark's own CSV layout) uses the first
-    * non-empty part — every part carries the same header. */
-  private def headerColumns(spark: SparkSession, path: String): Array[String] = {
-    val f = new java.io.File(path)
-    val target =
-      if (f.isDirectory)
-        f.listFiles().filter(p => p.getName.endsWith(".csv") && p.length > 0)
-          .sortBy(_.getName).headOption
-          .getOrElse(throw new IllegalArgumentException(s"No CSV parts in $path"))
-      else f
-    val src = scala.io.Source.fromFile(target)
-    try src.getLines().next().split(",", -1).map(_.trim)
-    finally src.close()
-  }
+  /** Column names from the CSV header, via Spark's own (filesystem-aware)
+    * CSV reader — works for local, HDFS, or object-store paths alike; only
+    * the file head is touched to produce the string schema. */
+  private def headerColumns(spark: SparkSession, path: String): Array[String] =
+    spark.read.option("header", "true").csv(path).columns
 
   /** CSV with WarpDB schema semantics: `schema = None` → every column
     * Float32 (the reference default); `Some(types)` → positional match

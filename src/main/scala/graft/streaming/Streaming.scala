@@ -27,9 +27,10 @@ object Streaming {
       // only directories or globs, so address it via a glob pattern
       .parquet(s"$sfDir/events.*")
     // events.ts is nanosecond-precision parquet, read as long nanos under
-    // spark.sql.legacy.parquet.nanosAsLong → convert to a µs timestamp
-    // (exact: values < 2^53 µs survive the double division losslessly)
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // spark.sql.legacy.parquet.nanosAsLong → convert to a µs timestamp.
+    // Integer division (`div`), NOT `/`: the latter routes through double,
+    // which is lossy above 2^53 and can shift a value across a µs boundary.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Running aggregate over the stream (complete mode): per-event-type
@@ -119,6 +120,12 @@ object Streaming {
     * reader). Each micro-batch emits the updated (user, n_sessions,
     * n_events); the memory sink accumulates updates, so the caller takes the
     * per-user max (counts grow monotonically).
+    *
+    * LIMITATION: events are sorted within a micro-batch but batches are
+    * assumed to be in event-time order (true for this file source). An
+    * out-of-order event arriving in a later batch is counted into the
+    * current session and never moves `lastTs` backwards; exact late-data
+    * handling needs event-time timeouts + buffering (see NOTES.md).
     */
   def sessionizeStateful(spark: SparkSession, sfDir: String, name: String,
                          gapNanos: Long = 30L * 60 * 1000000000L): DataFrame = {
@@ -139,7 +146,9 @@ object Streaming {
         var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
         ts.foreach { t =>
           val newSession = st.lastTs == Long.MinValue || t - st.lastTs > gapNanos
-          st = SessionState(t,
+          // never move lastTs backwards: a cross-batch late event joins the
+          // current session instead of corrupting subsequent gap checks
+          st = SessionState(math.max(t, st.lastTs),
             st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
         }
         state.update(st)
@@ -176,7 +185,9 @@ object Streaming {
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${idAs}_user"),
           col("event_id").as(idAs),
-          timestamp_micros((col("ts") / 1000).cast("long")).as(tsAs))
+          // integer division: `/` would round-trip through double (lossy
+          // above 2^53 ns) and could shift µs boundaries
+          timestamp_micros(expr("ts div 1000")).as(tsAs))
         .withWatermark(tsAs, "2 hours")
     val clicks = side("click", "click_id", "c_ts")
     val purchases = side("purchase", "purchase_id", "p_ts")
