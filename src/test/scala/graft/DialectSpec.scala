@@ -198,6 +198,16 @@ class DialectSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("o_custkey"))
   }
 
+  test("E3: partitioned execution is transparent (same result at any partitioning)") {
+    // the reference's multi-GPU path range-splits rows and concatenates
+    // (`/root/reference/src/multi_gpu_utils.cpp:23-60`); Spark partitions
+    // are the same idea natively — results must not depend on partitioning
+    val li = Tables.load(spark, sf, "lineitem")
+    val one = Engine.query(li.coalesce(1), "l_extendedprice * l_quantity WHERE l_quantity > 25")
+    val many = Engine.query(li.repartition(16), "l_extendedprice * l_quantity WHERE l_quantity > 25")
+    assert(one.exceptAll(many).count() == 0 && many.exceptAll(one).count() == 0)
+  }
+
   test("registry extension: user function callable from dialect") {
     Engine.registry.register("add_tax", args => args(0) * lit(1.1))
     val out = Engine.sql(spark, sf,
