@@ -43,14 +43,22 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally graft.operators.CacheScope.global.release()
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up: JVM/codegen/shuffle machinery on a small representative mix
-    Seq("q1_agg", "q5_join_agg", "s1_ann_brute").foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir)
+    // Warm-up: run EVERY headline query once at the smallest available scale
+    // factor. The generated whole-stage code depends on the plan and schema,
+    // not the data volume, so this populates the Janino codegen cache (and
+    // JIT-compiles the hot loops) for pennies — the timed numbers then
+    // measure execution at the target SF, not per-query compilation.
+    val warmDir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(p => new java.io.File(p).isDirectory).getOrElse(sfDir)
+    headline.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally graft.operators.CacheScope.global.release()
     }
 
     val results = headline.map(n => n -> runOnce(n))

@@ -10,10 +10,10 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   * near-dup.
   *
   * NOTE on caching: operators whose plans feed a self-join persist the
-  * shared projection (`MEMORY_AND_DISK`) and rely on Spark's LRU for
-  * eviction — a long-lived service calling these repeatedly should wrap
-  * invocations and `unpersist` via `spark.sharedState.cacheManager` or
-  * session-scoped catalogs (tracked in NOTES.md).
+  * shared projection (`MEMORY_AND_DISK`) through a [[CacheScope]] — pass
+  * one implicitly and `release()` after the terminal action to drop the
+  * caches deterministically; callers that don't pass one share
+  * [[CacheScope.global]].
   *
   * Design for 100 TB (the reference has nothing comparable — its DISTINCT is
   * a host sort+unique of output floats, `/root/reference/src/warpdb.cpp:
@@ -61,7 +61,8 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, textCol: String, idCol: String,
                  threshold: Double, shingleSize: Int = 3,
-                 numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                 numHashes: Int = 128, bands: Int = 32)
+                (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // Staged projections, each materialized once per row (CollapseProject
     // keeps multi-referenced expensive columns separate): shingle set →
@@ -74,12 +75,12 @@ object Dedup {
     // (self-joins get no subplan reuse). Size is O(docs × (shingles +
     // bands)) — derived sketch data, far smaller than the corpus;
     // MEMORY_AND_DISK spills rather than OOMs.
-    val withSig = spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
-      .withColumn("sh", array_distinct(TF.shingles(col("text"), shingleSize)))
-      .withColumn("bands",
-        VF.minhashBandHashes(col("sh"), numHashes, bands))
-      .select("id", "sh", "bands")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = scope.cache(
+      spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+        .withColumn("sh", array_distinct(TF.shingles(col("text"), shingleSize)))
+        .withColumn("bands",
+          VF.minhashBandHashes(col("sh"), numHashes, bands))
+        .select("id", "sh", "bands"))
 
     val banded = withSig.select(
       col("id"),
@@ -114,22 +115,35 @@ object Dedup {
   /** SimHash near-dup: 64-bit fingerprints + pigeonhole blocking.
     *
     * Fingerprints with hamming distance ≤ k must agree exactly on at least
-    * one of k+1 equal bit-chunks (Manku/Jain/Sarma, WWW'07) — so candidates
-    * come from k+1 equi-joins on 16-bit chunks (here k=3, 4 chunks), never a
-    * cross join. Output: pairs with their hamming distance (`bit_count` of
-    * the XOR — native, codegen'd).
+    * one of k+1 disjoint bit-chunks (Manku/Jain/Sarma, WWW'07) — so the
+    * chunk count is derived as `maxHamming + 1` (widths 64/(k+1), the first
+    * 64 mod (k+1) chunks one bit wider) and candidates come from equi-joins
+    * on the chunks, never a cross join. Exact candidate recall holds for
+    * ANY `maxHamming` ≤ 63 by construction; larger k ⇒ narrower chunks ⇒
+    * bigger candidate buckets (the usual precision/recall trade).
+    * Output: pairs with their hamming distance (`bit_count` of the XOR —
+    * native, codegen'd).
     */
   def simHash(docs: DataFrame, textCol: String, idCol: String,
-              maxHamming: Int = 3): DataFrame = {
+              maxHamming: Int = 3)
+             (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = Seq.tabulate(nChunks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkCols = offsets.zip(widths).map { case (off, w) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("sig"), off).bitwiseAND(lit(mask))
+    }
     val withSig = spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), VF.simhash64(TF.tokens(TF.normText(col(textCol)))).as("sig"))
-    // both sides of the chunk self-join consume this — persist (24 bytes/row
-    // × 4 chunks) so the normalize+tokenize+simhash pass runs once
-    val chunked = withSig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk_idx", "chunk")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both sides of the chunk self-join consume this — cache (24 bytes/row
+    // × nChunks) so the normalize+tokenize+simhash pass runs once
+    val chunked = scope.cache(withSig.select(col("id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk"))))
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b,
@@ -151,19 +165,19 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, shingleSize: Int = 2,
-                   maxDf: Long = 1000L): DataFrame = {
+                   maxDf: Long = 1000L)
+                  (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val sh = spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inverted = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val pruned = inverted
+    // both sides of the shingle self-join consume this — cache so the
+    // shingling + document-frequency window runs once
+    val pruned = scope.cache(inverted
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("df") <= maxDf)
-      .drop("df")
-      // both sides of the shingle self-join consume this — persist so the
-      // shingling + document-frequency window runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .drop("df"))
     val a = pruned.as("a")
     val b = pruned.as("b")
     val shared = a.join(b,
@@ -197,12 +211,13 @@ object Dedup {
     * input.
     */
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
-                  threshold: Double, shingleSize: Int = 3): DataFrame = {
+                  threshold: Double, shingleSize: Int = 3)
+                 (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val fp = spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("fp", TF.fingerprint(col("text")))
     val reps = fp.groupBy("fp").agg(min("id").as("rep"))
-    val withRep = fp.join(reps, "fp").select(col("id"), col("rep"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withRep = scope.cache(
+      fp.join(reps, "fp").select(col("id"), col("rep"), col("text")))
     val repDocs = withRep.filter(col("id") === col("rep"))
       .select(col("id"), col("text"))
     val nearPairs = minHashLsh(repDocs, "text", "id", threshold, shingleSize)

@@ -42,10 +42,17 @@ object ArrowInterchange {
     new Field(f.name, FieldType.nullable(t), null)
   }
 
-  /** Write one Arrow IPC file per partition into `dir`. Returns row count. */
+  /** Write one Arrow IPC file per partition into `dir`, replacing any
+    * previous contents (Spark overwrite semantics). Returns row count. */
   def writeArrow(df: DataFrame, dir: String, batchSize: Int = 4096): Long = {
     val schema = df.schema
     Files.createDirectories(Paths.get(dir))
+    // Overwrite, not merge: a prior run with MORE partitions would leave
+    // stale part-NNNNN.arrow files that readArrow globs back in, silently
+    // inflating results. Clear existing part files first.
+    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".arrow"))
+      .foreach(f => Files.delete(f.toPath))
     val counts = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val arrowSchema = new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
       val allocator = new RootAllocator(Long.MaxValue)

@@ -89,6 +89,38 @@ class PipelineSpec extends AnyFunSuite {
     assert((planted & found).nonEmpty)
   }
 
+  test("simhash blocking stays exact when maxHamming > 3 (derived chunks)") {
+    // maxHamming=5 → 6 chunks (widths 11,11,11,11,10,10); pigeonhole holds
+    val sigs = docs.select(col("doc_id"),
+        VF.simhash64(TF.tokens(TF.normText(col("text")))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val truth = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if h <= 5
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    val found = Dedup.simHash(docs, "text", "doc_id", maxHamming = 5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth)
+    intercept[IllegalArgumentException] {
+      Dedup.simHash(docs, "text", "doc_id", maxHamming = 64)
+    }
+  }
+
+  test("CacheScope releases operator caches deterministically") {
+    import org.apache.spark.sql.functions.{col => c}
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    Dedup.minHashLsh(docs.limit(50), "text", "doc_id", threshold = 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    scope.release()
+    scope.release() // idempotent
+    // unpersist is non-blocking — poll briefly for the blocks to drop
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
+
   test("embedding near-dup LSH ⊆ brute force; recall ≥ 0.8") {
     val brute = Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.47,
         bruteForce = true)
@@ -161,6 +193,19 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sources.open(spark, "whatever.xyz")
     }
+  }
+
+  test("writeArrow overwrites stale part files from a wider prior run") {
+    import graft.sources.ArrowInterchange
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_ow").toString
+    val wide = docs.select("doc_id").limit(40).repartition(4)
+    ArrowInterchange.writeArrow(wide, tmp)
+    val narrow = docs.select("doc_id").limit(7).repartition(1)
+    ArrowInterchange.writeArrow(narrow, tmp)
+    val back = ArrowInterchange.readArrow(spark, tmp, narrow.schema)
+    // without the overwrite fix, parts 1..3 of the first run would survive
+    // and inflate the read to up to 37 rows
+    assert(back.count() == 7)
   }
 
   // ---- skew ----
