@@ -6,8 +6,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries are executed against the `noop` sink so the FULL plan runs
   * (a `count()` would let Catalyst prune projections and undercount work).
-  * A small warm-up first touches codegen/JIT paths so the timed numbers
-  * reflect steady-state execution, not first-query compilation.
+  * Robustness against measurement noise (JVM teardown of a preceding
+  * process, GC, first-touch codegen):
+  *   - a warm-up pass first runs every headline query at the smallest
+  *     available scale factor, populating the Janino codegen cache and JIT —
+  *     generated code depends on plan+schema, not data volume;
+  *   - each query is then timed `reps` times at the target SF and the
+  *     MEDIAN is reported — a single descheduling blip or GC pause cannot
+  *     move the recorded number;
+  *   - cache release happens OUTSIDE the timed window (unpersist
+  *     bookkeeping is lifecycle, not query work).
   */
 object Bench {
   /** Representative headline set: scan+agg, filter+project, join chain,
@@ -25,6 +33,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,33 +44,43 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      finally graft.operators.CacheScope.global.release()
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // lifecycle, not query work — deliberately outside the timed window
+      graft.operators.CacheScope.global.release()
+      elapsed
     }
 
-    // Warm-up: run EVERY headline query once at the smallest available scale
-    // factor. The generated whole-stage code depends on the plan and schema,
-    // not the data volume, so this populates the Janino codegen cache (and
-    // JIT-compiles the hot loops) for pennies — the timed numbers then
-    // measure execution at the target SF, not per-query compilation.
-    val warmDir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
-      .find(p => new java.io.File(p).isDirectory).getOrElse(sfDir)
-    headline.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      finally graft.operators.CacheScope.global.release()
+    // Warm-up directory: smallest sibling sf* of the target (or an explicit
+    // override) — falls back to the target itself, which doubles wall-clock
+    // but stays correct on layouts without smaller siblings.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
+      val target = new java.io.File(sfDir)
+      Option(target.getParentFile)
+        .flatMap(p => Option(p.listFiles()))
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("sf") && f != target)
+        .flatMap(f => f.getName.stripPrefix("sf").toDoubleOption.map(_ -> f.getAbsolutePath))
+        .sortBy(_._1).headOption.map(_._2).getOrElse(sfDir)
     }
+    System.err.println(s"[bench] warm-up dir: $warmDir; reps: $reps")
+    headline.foreach(runOnce(_, warmDir))
 
-    val results = headline.map(n => n -> runOnce(n))
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0
+      else ok.sorted.apply(ok.size / 2)
+    }
+    val results = headline.map(n => n -> median(Seq.fill(reps)(runOnce(n, sfDir))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1004,9 +1004,22 @@ object SparkEntry {
   }
 
   // Same sessionization through flatMapGroupsWithState (custom streaming
-  // state) — equivalence with st5 asserted in PipelineSpec; no SQL oracle
-  // for the state machine itself.
-  defineNoOracle("st6_sessionize_stateful") { (s, d) =>
+  // state). Its output is provably identical to the batch window-function
+  // formulation (equivalence also asserted in PipelineSpec), so st5's SQL
+  // oracle applies verbatim — session counts depend only on sorted per-user
+  // gap structure, which both formulations share.
+  define("st6_sessionize_stateful",
+    """SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+         SELECT user_id,
+           CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+             (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+             > 1800000000000 OR lag(epoch_ns(ts)) OVER
+             (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+           THEN 1 ELSE 0 END AS is_new
+         FROM events)
+       GROUP BY user_id""") { (s, d) =>
     graft.streaming.Streaming.sessionizeStateful(s, d, "st6_out")
   }
 

@@ -21,6 +21,14 @@ import org.apache.spark.storage.StorageLevel
   *
   * Callers that don't pass a scope get [[CacheScope.global]]; `Verify`,
   * `Bench`, and the test suites release it between queries.
+  *
+  * CONCURRENCY: [[CacheScope.global]] is shared mutable state — one
+  * caller's `release()` unpersists another concurrent caller's in-flight
+  * caches, silently forcing both self-join sides to recompute (correctness
+  * is unaffected; the cache is a pure optimization). Any multi-threaded or
+  * service use of the Dedup/Similarity operators should pass a per-pipeline
+  * `new CacheScope` implicitly and release it when that pipeline's terminal
+  * action completes.
   */
 final class CacheScope {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

@@ -123,9 +123,21 @@ object Dedup {
     * bigger candidate buckets (the usual precision/recall trade).
     * Output: pairs with their hamming distance (`bit_count` of the XOR —
     * native, codegen'd).
+    *
+    * Candidate-pair bound: with w-bit chunks a uniform corpus of n docs puts
+    * n/2ʷ docs in a bucket, so candidates grow O(nChunks · n²/2ʷ) — at 10⁹
+    * docs and 16-bit chunks that is ~10¹³ pairs. `maxBucket` is the skew/
+    * scale guard (mirroring `ngramJaccard.maxDf`): chunk buckets holding
+    * more than `maxBucket` docs are dropped before the self-join, capping
+    * candidates at nChunks · #buckets · C(maxBucket, 2). Statistically a
+    * chunk value shared by a huge fraction of the corpus (e.g. the all-zero
+    * chunk from boilerplate) carries no near-dup signal — the same argument
+    * as dropping stopword shingles. A pair is missed only if EVERY chunk it
+    * agrees on is over-full; with the default no test-scale bucket comes
+    * close, so pigeonhole exactness is preserved (asserted in PipelineSpec).
     */
   def simHash(docs: DataFrame, textCol: String, idCol: String,
-              maxHamming: Int = 3)
+              maxHamming: Int = 3, maxBucket: Long = 100000L)
              (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
@@ -144,15 +156,26 @@ object Dedup {
     // × nChunks) so the normalize+tokenize+simhash pass runs once
     val chunked = scope.cache(withSig.select(col("id"), col("sig"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk"))))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
+    // bucket-size guard: one map-side-combined aggregate over the cached
+    // chunk table finds over-full buckets (normally a tiny — often empty —
+    // set, so the anti-join broadcasts)
+    val heavy = chunked.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("chunk_idx", "chunk")
+    val pruned = chunked.join(heavy, Seq("chunk_idx", "chunk"), "left_anti")
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b,
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the pair, so
+      // the results agree — but filtering first keeps far candidates (the
+      // bulk, at narrow chunks) out of the distinct's shuffle entirely
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard dedup via inverted-index join (no sketching):
@@ -171,13 +194,15 @@ object Dedup {
       .select(col("id"), array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inverted = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    // both sides of the shingle self-join consume this — cache so the
-    // shingling + document-frequency window runs once
-    val pruned = scope.cache(inverted
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-      .drop("df"))
+    // document frequency via a map-side-combined aggregate (NOT a window,
+    // which would sort+shuffle every posting): the over-frequent shingle set
+    // is tiny, so the anti-join against it broadcasts. Cache the pruned
+    // index — both sides of the shingle self-join consume it.
+    val heavy = inverted.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("shingle")
+    val pruned = scope.cache(inverted.join(heavy, Seq("shingle"), "left_anti"))
     val a = pruned.as("a")
     val b = pruned.as("b")
     val shared = a.join(b,

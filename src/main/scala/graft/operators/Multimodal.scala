@@ -85,12 +85,12 @@ object Multimodal {
       (lit(1) + floor(length(col("payload")) / 32)).cast("int").as("n_frames"))
 
   /** Frame sampling: one row per kept frame index (every `stride`-th of
-    * `n_frames`) — `sequence` + `explode`, no UDF; at scale the explode
-    * multiplies rows *within* partitions, no shuffle. */
+    * `n_frames`) — stride-native `sequence` + `explode`, no UDF; only kept
+    * frames are ever generated (no post-explode filter), and at scale the
+    * explode multiplies rows *within* partitions, no shuffle. */
   def sampleFrames(decoded: DataFrame, idCol: String, stride: Int): DataFrame =
     decoded.select(col(idCol), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
-      .filter(col("frame_idx") % stride === 0)
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
   /** "Resize" stub over the payload: truncate bytes to `maxBytes` and record
     * old/new sizes — the plumbing shape of a thumbnailing pass (binary in,

@@ -43,21 +43,28 @@ object ArrowInterchange {
   }
 
   /** Write one Arrow IPC file per partition into `dir`, replacing any
-    * previous contents (Spark overwrite semantics). Returns row count. */
+    * previous contents (Spark overwrite semantics). Returns row count.
+    *
+    * The overwrite is staged: tasks write into a hidden `_staging-*` subdir
+    * of `dir` (shared storage in a cluster), and only after the job succeeds
+    * does the driver delete the previous `.arrow` files and move the staged
+    * ones into place — a failed job leaves the prior export intact. (The
+    * swap itself is not a single atomic rename, but the destructive step
+    * happens strictly after all data is durably written.) Stale parts from a
+    * prior run with MORE partitions are removed in the swap, so readArrow
+    * never globs them back in.
+    */
   def writeArrow(df: DataFrame, dir: String, batchSize: Int = 4096): Long = {
     val schema = df.schema
     Files.createDirectories(Paths.get(dir))
-    // Overwrite, not merge: a prior run with MORE partitions would leave
-    // stale part-NNNNN.arrow files that readArrow globs back in, silently
-    // inflating results. Clear existing part files first.
-    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".arrow"))
-      .foreach(f => Files.delete(f.toPath))
+    val stagingName = s"_staging-${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = Paths.get(dir, stagingName)
+    Files.createDirectories(staging)
     val counts = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val arrowSchema = new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
       val allocator = new RootAllocator(Long.MaxValue)
       val root = VectorSchemaRoot.create(arrowSchema, allocator)
-      val ch = FileChannel.open(Paths.get(dir, f"part-$pid%05d.arrow"),
+      val ch = FileChannel.open(Paths.get(dir, stagingName, f"part-$pid%05d.arrow"),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE,
         StandardOpenOption.TRUNCATE_EXISTING)
       val writer = new ArrowFileWriter(root, null, ch)
@@ -93,27 +100,64 @@ object ArrowInterchange {
       }
       Iterator.single(total)
     }.collect().sum
+    // job succeeded — swap staged files into place, dropping prior contents
+    try {
+      Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.endsWith(".arrow"))
+        .foreach(f => Files.delete(f.toPath))
+      Option(staging.toFile.listFiles()).getOrElse(Array.empty[File])
+        .foreach(f => Files.move(f.toPath, Paths.get(dir, f.getName)))
+    } finally {
+      Files.deleteIfExists(staging)
+    }
     counts
   }
 
   /** Read a directory of Arrow IPC files back as a DataFrame (one input file
-    * per task — the scan parallelizes across files, like any file source). */
+    * per task — the scan parallelizes across files, like any file source).
+    *
+    * Batches are streamed LAZILY: each task holds exactly one Arrow record
+    * batch in memory and advances `loadNextBatch()` only when the consuming
+    * iterator drains it — peak task memory is one batch, so a multi-GB part
+    * file cannot OOM the executor. Resources close when the file is
+    * exhausted, and a task-completion listener covers early termination
+    * (e.g. a LIMIT killing the task mid-file).
+    */
   def readArrow(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val files = Option(new File(dir).listFiles())
       .getOrElse(throw new IllegalArgumentException(s"No such directory: $dir"))
-      .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
+      .filter(f => f.isFile && f.getName.endsWith(".arrow"))
+      .map(_.getAbsolutePath).sorted
     val rdd = spark.sparkContext.parallelize(files.toSeq, math.max(files.length, 1))
       .flatMap { path =>
-        val allocator = new RootAllocator(Long.MaxValue)
-        val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-        val reader = new ArrowFileReader(ch, allocator)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-        val root = reader.getVectorSchemaRoot
-        while (reader.loadNextBatch()) {
-          val n = root.getRowCount
-          var i = 0
-          while (i < n) {
+        new Iterator[Row] {
+          private val allocator = new RootAllocator(Long.MaxValue)
+          private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+          private val reader = new ArrowFileReader(ch, allocator)
+          private val root = reader.getVectorSchemaRoot
+          private var rowIdx = 0
+          private var rowCount = 0
+          private var closed = false
+
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+
+          private def close(): Unit = if (!closed) {
+            closed = true
+            reader.close(); ch.close(); allocator.close()
+          }
+
+          override def hasNext: Boolean = {
+            while (!closed && rowIdx >= rowCount) {
+              if (reader.loadNextBatch()) { rowCount = root.getRowCount; rowIdx = 0 }
+              else close()
+            }
+            !closed
+          }
+
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException
+            val i = rowIdx
             val vals = schema.fields.indices.map { c =>
               val v = root.getVector(c)
               if (v.isNull(i)) null
@@ -127,14 +171,10 @@ object ArrowInterchange {
                 case _           => null
               }
             }
-            out += Row(vals: _*)
-            i += 1
+            rowIdx += 1
+            Row(vals: _*)
           }
         }
-        } finally {
-          reader.close(); ch.close(); allocator.close()
-        }
-        out.iterator
       }
     spark.createDataFrame(rdd, schema)
   }

@@ -16,6 +16,17 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val docs = Tables.load(spark, sf, "documents").cache()
   private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
 
+  /** Temp dir that is always removed, pass or fail. */
+  private def withTempDir[A](prefix: String)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // ---- custom expressions ----
 
   test("CosineSimilarity: correct value, interpreted and codegen agree") {
@@ -106,6 +117,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash maxBucket guard drops over-full chunk buckets") {
+    // every candidate pair needs a shared chunk bucket of size ≥ 2, so
+    // maxBucket = 1 must prune ALL buckets that could produce a pair
+    val none = Dedup.simHash(docs, "text", "doc_id", maxBucket = 1L)
+    assert(none.count() == 0)
+    // and the default guard is loose enough to stay exact at test scale
+    // (exactness itself is asserted in the pigeonhole tests above)
+    val all = Dedup.simHash(docs, "text", "doc_id")
+    assert(all.count() > 0)
+  }
+
   test("CacheScope releases operator caches deterministically") {
     import org.apache.spark.sql.functions.{col => c}
     val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -180,32 +202,51 @@ class PipelineSpec extends AnyFunSuite {
 
   test("CSV all-Float32 default and explicit-schema mismatch error") {
     import graft.sources.Sources
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
-    docs.select("doc_id", "n_chars").limit(10)
-      .write.mode("overwrite").option("header", "true").csv(tmp)
-    val df = Sources.csv(spark, tmp)
-    assert(df.schema.fields.forall(_.dataType ==
-      org.apache.spark.sql.types.FloatType))
-    assert(df.count() == 10)
-    intercept[IllegalArgumentException] {
-      Sources.csv(spark, tmp, Some(Seq(org.apache.spark.sql.types.FloatType)))
-    }
-    intercept[IllegalArgumentException] {
-      Sources.open(spark, "whatever.xyz")
+    withTempDir("graft_csv_spec") { tmp =>
+      docs.select("doc_id", "n_chars").limit(10)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val df = Sources.csv(spark, tmp)
+      assert(df.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.FloatType))
+      assert(df.count() == 10)
+      intercept[IllegalArgumentException] {
+        Sources.csv(spark, tmp, Some(Seq(org.apache.spark.sql.types.FloatType)))
+      }
+      intercept[IllegalArgumentException] {
+        Sources.open(spark, "whatever.xyz")
+      }
     }
   }
 
   test("writeArrow overwrites stale part files from a wider prior run") {
     import graft.sources.ArrowInterchange
-    val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_ow").toString
-    val wide = docs.select("doc_id").limit(40).repartition(4)
-    ArrowInterchange.writeArrow(wide, tmp)
-    val narrow = docs.select("doc_id").limit(7).repartition(1)
-    ArrowInterchange.writeArrow(narrow, tmp)
-    val back = ArrowInterchange.readArrow(spark, tmp, narrow.schema)
-    // without the overwrite fix, parts 1..3 of the first run would survive
-    // and inflate the read to up to 37 rows
-    assert(back.count() == 7)
+    withTempDir("graft_arrow_ow") { tmp =>
+      val wide = docs.select("doc_id").limit(40).repartition(4)
+      ArrowInterchange.writeArrow(wide, tmp)
+      val narrow = docs.select("doc_id").limit(7).repartition(1)
+      ArrowInterchange.writeArrow(narrow, tmp)
+      val back = ArrowInterchange.readArrow(spark, tmp, narrow.schema)
+      // without the overwrite fix, parts 1..3 of the first run would survive
+      // and inflate the read to up to 37 rows
+      assert(back.count() == 7)
+    }
+  }
+
+  test("readArrow streams a multi-batch file lazily (roundtrip + early stop)") {
+    import graft.sources.ArrowInterchange
+    withTempDir("graft_arrow_mb") { tmp =>
+      // batchSize=8 over 100 single-partition rows → 13 record batches in
+      // one file; the reader must roundtrip them through the lazy iterator
+      val src = docs.select("doc_id", "n_chars").orderBy("doc_id").limit(100)
+        .repartition(1)
+      ArrowInterchange.writeArrow(src, tmp, batchSize = 8)
+      val back = ArrowInterchange.readArrow(spark, tmp, src.schema)
+      assert(back.count() == 100)
+      assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+      // early termination: a LIMIT kills the task mid-file — the completion
+      // listener must close the reader without error
+      assert(back.limit(3).collect().length == 3)
+    }
   }
 
   // ---- skew ----
