@@ -55,8 +55,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
-      // lifecycle, not query work — deliberately outside the timed window
-      graft.operators.CacheScope.global.release()
+      // lifecycle, not query work — deliberately outside the timed window;
+      // blocking so async eviction can't bleed into the next timed query
+      graft.operators.CacheScope.global.release(blocking = true)
       elapsed
     }
 

@@ -96,4 +96,25 @@ object Engine {
   def sql(spark: SparkSession, sfDir: String, sqlText: String,
           float32: Boolean): DataFrame =
     sql(sqlText, Tables.catalog(spark, sfDir), float32)
+
+  /** Full ANSI SQL passthrough — the escape hatch past the (faithfully
+    * narrow) WarpDB dialect. Registers every catalog table as a temp view
+    * and hands the text to Catalyst's own parser, so users get subqueries,
+    * CTEs, EXISTS/IN, set ops, and multi-key ORDER BY with the same
+    * pushdown / broadcast / AQE treatment as the DataFrame API. The
+    * reference has no analog (its grammar IS the dialect,
+    * `/root/reference/src/expression.cpp:270-531`); this is the extension a
+    * real user reaches for the moment they outgrow it.
+    *
+    * Scale: temp-view registration is pure metadata (a logical-plan alias
+    * per table — no scan, no caching), and the query itself is planned by
+    * Catalyst exactly as the DataFrame entries are: correlated subqueries
+    * decorrelate to aggregate+join, EXISTS becomes a left-semi join.
+    */
+  def fullSql(spark: SparkSession, sfDir: String, sqlText: String): DataFrame = {
+    Tables.names.foreach { n =>
+      Tables.load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+    spark.sql(sqlText)
+  }
 }

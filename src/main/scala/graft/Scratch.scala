@@ -1,9 +1,21 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc profiling / soak main (not part of the driver contract). */
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Ad-hoc profiling / soak main (not part of the driver contract).
+  *
+  * Round-3 soak: (a) variance probe for d3_simhash — repeated isolated runs,
+  * with and without a preceding minhash query, to separate genuine operator
+  * cost from JVM/cache interference; (b) 100k-doc / 50k-vector corpora for
+  * the sketch dedup + ANN paths, recording per-query shuffle bytes and the
+  * candidate-pair counts that dominate at scale. Numbers land in NOTES.md.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,30 +27,111 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // shuffle-byte accounting: stage-level task metrics, accumulated
+    val shufWrite = new AtomicLong(0)
+    val shufRead = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
+      val w0 = shufWrite.get(); val t0 = System.nanoTime()
       val n = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheScope.global.release()
+      // listener events are async — settle briefly before reading counters
+      Thread.sleep(200)
+      val mb = (shufWrite.get() - w0) / 1e6
+      println(f"[scratch] $name: $sec%.2f s ($n rows, shuffle-write $mb%.1f MB)")
     }
-    // Soak: replicate documents 10x with offset ids — a duplicate-heavy
-    // 50k-doc corpus (every doc has 9 exact copies -> ~225k true dup pairs).
+
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
-    val rep = (0 until 10).map(i =>
-      docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text")))
-      .reduce(_ union _)
-    println(s"[scratch] soak corpus: ${rep.count()} docs")
-    time("soak_exact_dedup_50k") {
-      graft.operators.Dedup.exact(rep, "text", "doc_id").count()
+    val emb = Tables.load(spark, sfDir, "embeddings")
+
+    // ---- (a) d3 variance probe: isolated, then interleaved with d2 ----
+    println("[scratch] -- d3 variance probe (sf0.1 documents, 5000 docs) --")
+    (1 to 4).foreach { i =>
+      time(s"d3_iso_$i") { graft.operators.Dedup.simHash(docs, "text", "doc_id").count() }
     }
-    time("soak_minhash_lsh_50k") {
-      graft.operators.Dedup.minHashLsh(rep, "text", "doc_id", 0.5).count()
+    time("d2_before_d3") { graft.operators.Dedup.minHashLsh(docs, "text", "doc_id", 0.5).count() }
+    (1 to 2).foreach { i =>
+      time(s"d3_after_d2_$i") { graft.operators.Dedup.simHash(docs, "text", "doc_id").count() }
     }
-    time("soak_simhash_50k") {
-      graft.operators.Dedup.simHash(rep, "text", "doc_id").count()
+    // same interference probe, but with blocking eviction + a forced GC
+    // between queries — isolates async-unpersist/garbage interference
+    time("d2_again") { graft.operators.Dedup.minHashLsh(docs, "text", "doc_id", 0.5).count() }
+    (1 to 2).foreach { i =>
+      graft.operators.CacheScope.global.release(blocking = true)
+      System.gc()
+      time(s"d3_after_d2_settled_$i") { graft.operators.Dedup.simHash(docs, "text", "doc_id").count() }
     }
-    time("soak_staged_dedup_50k") {
-      val out = graft.operators.Dedup.dedupCorpus(rep, "text", "doc_id", 0.5)
+
+    // ---- (b) candidate-pair counts: the quantity that explodes at scale ----
+    def replicate(df: DataFrame, idCol: String, times: Int): DataFrame =
+      (0 until times).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * 1000000L))).reduce(_ union _)
+
+    val docs100k = replicate(docs, "doc_id", 20)
+    println(s"[scratch] soak corpus: ${docs100k.count()} docs")
+
+    // candidate pairs = sum over buckets of C(n,2), computed from the same
+    // public sketch expressions the operators use
+    def pairsOf(grouped: DataFrame): Long =
+      grouped.agg(sum(col("n") * (col("n") - 1) / 2)).head.getAs[Number](0).longValue
+
+    val sig = docs100k.select(col("doc_id"),
+      VF.simhash64(TF.tokens(TF.normText(col("text")))).as("sig"))
+    val chunks = sig.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(i => shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("chunk_idx", "chunk")))
+    val d3Cand = pairsOf(chunks.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("n")))
+    println(s"[scratch] d3 candidate pairs @100k docs (no guard): $d3Cand")
+
+    val bands = docs100k.select(col("doc_id"),
+      posexplode(VF.minhashBandHashes(
+        array_distinct(TF.shingles(TF.normText(col("text")), 3)), 128, 32))
+      .as(Seq("band_idx", "band_hash")))
+    val d2Cand = pairsOf(bands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n")))
+    println(s"[scratch] d2 candidate pairs @100k docs: $d2Cand")
+
+    // ---- (c) 100k-doc dedup + 50k-vector ANN timings ----
+    time("soak_exact_dedup_100k") {
+      graft.operators.Dedup.exact(docs100k, "text", "doc_id").count()
+    }
+    time("soak_minhash_lsh_100k") {
+      graft.operators.Dedup.minHashLsh(docs100k, "text", "doc_id", 0.5).count()
+    }
+    time("soak_simhash_100k") {
+      graft.operators.Dedup.simHash(docs100k, "text", "doc_id").count()
+    }
+    time("soak_staged_dedup_100k") {
+      val out = graft.operators.Dedup.dedupCorpus(docs100k, "text", "doc_id", 0.5)
       out.filter(col("keep")).count()
+    }
+    val corpus50k = replicate(emb, "vec_id", 25)
+    println(s"[scratch] soak vectors: ${corpus50k.count()}")
+    val queries = emb.filter(col("vec_id") < 25)
+    time("soak_ann_lsh_50k") {
+      graft.operators.Similarity.lshTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
+    }
+    // scale setting: finer buckets (r=4 → 16 buckets/band instead of 4)
+    // cut candidates ~3×; recall drops below the default's — the knob to
+    // turn WITH corpus growth, not unconditionally
+    time("soak_ann_lsh_50k_b32") {
+      graft.operators.Similarity.lshTopK(queries, corpus50k, "embedding", "vec_id", 10,
+        bits = 32, bands = 8).count()
+    }
+    time("soak_ann_brute_50k") {
+      graft.operators.Similarity.bruteForceTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
     }
     spark.stop()
   }

@@ -1039,6 +1039,78 @@ object SparkEntry {
     graft.streaming.Streaming.statelessFilter(s, d, "st3_out")
   }
 
+  // ==================================================================
+  // Full-SQL passthrough (Engine.fullSql): what the faithful dialect
+  // can't express. Same SQL text runs on both engines — Spark parses it
+  // with Catalyst, DuckDB with its own parser — so these three entries
+  // are true end-to-end ANSI-SQL conformance checks, not translations.
+  // ==================================================================
+
+  // Correlated scalar subquery (TPC-H Q17/Q22 shape). Catalyst
+  // decorrelates it into an aggregate + join — no per-row re-execution,
+  // so the 100 TB plan is one grouped aggregate over customer plus a
+  // broadcast join back. Raw doubles pass through unrounded (no
+  // accumulation reaches the output).
+  define("q32_sql_correlated",
+    """SELECT c_custkey, c_name, c_acctbal
+       FROM customer c
+       WHERE c_acctbal > 1.5 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                                WHERE c2.c_nationkey = c.c_nationkey)""") { (s, d) =>
+    Engine.fullSql(s, d,
+      """SELECT c_custkey, c_name, c_acctbal
+         FROM customer c
+         WHERE c_acctbal > 1.5 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)""")
+  }
+
+  // CTE + two joins + multi-key ORDER BY (the dialect allows one sort
+  // key; ANSI allows many). Ordering is total (s_name is unique), so the
+  // LIMIT cut is deterministic on both engines; revenue is rounded
+  // before the sort so both engines rank identical values.
+  define("q33_sql_cte",
+    """WITH rev AS (
+         SELECT l_suppkey AS suppkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_suppkey)
+       SELECT n_name, s_name, revenue, cnt
+       FROM rev JOIN supplier ON s_suppkey = suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+       ORDER BY revenue DESC, n_name, s_name
+       LIMIT 20""") { (s, d) =>
+    Engine.fullSql(s, d,
+      """WITH rev AS (
+           SELECT l_suppkey AS suppkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                  count(*) AS cnt
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT n_name, s_name, revenue, cnt
+         FROM rev JOIN supplier ON s_suppkey = suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+         ORDER BY revenue DESC, n_name, s_name
+         LIMIT 20""")
+  }
+
+  // EXISTS subquery (TPC-H Q4 shape, adapted to this schema). Catalyst
+  // plans it as a left-semi join on l_orderkey with the discount filter
+  // pushed to the lineitem scan — at scale the semi-join shuffles only
+  // matching orderkeys, never lineitem rows.
+  define("q34_sql_exists",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+       GROUP BY o_orderpriority""") { (s, d) =>
+    Engine.fullSql(s, d,
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+         GROUP BY o_orderpriority""")
+  }
+
   // ------------------------------------------------------------------
   // Contract surface
   // ------------------------------------------------------------------

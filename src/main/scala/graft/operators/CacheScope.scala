@@ -41,9 +41,12 @@ final class CacheScope {
     p
   }
 
-  /** Unpersist every frame this scope cached. Non-blocking; idempotent. */
-  def release(): Unit = synchronized {
-    frames.foreach(_.unpersist(blocking = false))
+  /** Unpersist every frame this scope cached. Idempotent. Non-blocking by
+    * default; pass `blocking = true` when the caller needs the blocks gone
+    * before its next query starts (e.g. benchmarking — async eviction
+    * otherwise steals cycles from the next timed window). */
+  def release(blocking: Boolean = false): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking))
     frames.clear()
   }
 }

@@ -58,29 +58,37 @@ object Similarity {
               multiProbe: Boolean = true): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
-    def banded(df: DataFrame, id: String, vec: String) =
-      spread(df).select(col(idCol).as(id), col(vecCol).as(vec),
+    // Slim banded index: (id, band, bucket) ONLY. Attaching vectors here
+    // would duplicate the full corpus payload ×bands through the bucket
+    // join's shuffle — measured 358 MB vs ~10 MB at a 50k×128-dim corpus
+    // (soak, NOTES.md). Vectors re-attach by id-equi-join after candidate
+    // dedup, so each is shuffled at most once and scored exactly once.
+    def banded(df: DataFrame, id: String) =
+      spread(df).select(col(idCol).as(id),
           VF.rhpSignature(col(vecCol), bits, seed).as("sig"))
-        .select(col(id), col(vec),
+        .select(col(id),
           posexplode(array((0 until bands).map(bd =>
             shiftrightunsigned(col("sig"), bd * r)
               .bitwiseAND(lit((1L << r) - 1))): _*))
             .as(Seq("band", "bucket")))
-    val q0 = banded(queries, "q_id", "q_vec")
+    val q0 = banded(queries, "q_id")
     val q =
       if (multiProbe) {
         val masks = 0L +: (0 until r).map(1L << _).toSeq
         q0.withColumn("bucket",
             explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
       } else q0
-    val c = banded(corpus, "n_id", "n_vec")
-    val candidates = c.join(q,
+    val c = banded(corpus, "n_id")
+    val candIds = c.join(q,
         q("band") === c("band") && q("bucket") === c("bucket") &&
           q("q_id") =!= c("n_id"))
-      .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"))
+      .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
-    val scored = candidates.select(col("q_id"), col("n_id"),
-      VF.cosineSimilarity(col("q_vec"), col("n_vec")).as("cosine"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = candIds.join(qv, "q_id").join(cv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        VF.cosineSimilarity(col("q_vec"), col("n_vec")).as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -205,18 +205,40 @@ object Streaming {
 
   /** Stateless streaming map+filter in append mode — the exact shape of the
     * reference's chunked expression query (per-chunk select, ordered
-    * append). */
+    * append).
+    *
+    * Unlike the aggregate helpers above (whose memory-sink output is a few
+    * rows of final state), the append path emits one row per matching
+    * event, so it goes through a FILE sink: executors write parquet
+    * directly and nothing routes through the driver — the pattern to copy
+    * at scale. The checkpoint gives exactly-once file output; the read-back
+    * at the end is just this helper returning its result. */
   def statelessFilter(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${name}_" + sfDir.replaceAll("[^0-9.]", ""))
+    // the file sink is append-only by contract — clear output + checkpoint
+    // so each invocation is a fresh, deterministic run
+    deleteRecursively(base)
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
     val out = readEventsStream(spark, sfDir)
       .filter(col("event_type") === "purchase" && col("value") > 50)
       .select(col("event_id"), col("user_id"), col("value"))
     val q = out.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    spark.read.parquet(outDir)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
 }

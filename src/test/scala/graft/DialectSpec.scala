@@ -216,4 +216,22 @@ class DialectSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("taxed"))
     assert(out.count() == 1)
   }
+
+  test("fullSql passthrough: correlated subquery decorrelates and agrees with DataFrame formulation") {
+    val viaSql = Engine.fullSql(spark, sf,
+      """SELECT c_custkey FROM customer c
+         WHERE c_acctbal > 1.5 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)""")
+    val avgs = Tables.load(spark, sf, "customer")
+      .groupBy("c_nationkey").agg(avg("c_acctbal").as("nation_avg"))
+    val viaDf = Tables.load(spark, sf, "customer")
+      .join(avgs, "c_nationkey")
+      .filter(col("c_acctbal") > lit(1.5) * col("nation_avg"))
+      .select("c_custkey")
+    assert(viaSql.exceptAll(viaDf).count() == 0 && viaDf.exceptAll(viaSql).count() == 0)
+    assert(viaSql.count() > 0)
+    // no per-row re-execution: the decorrelated plan must contain no subquery nodes
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"))
+  }
 }
