@@ -97,6 +97,14 @@ object Engine {
           float32: Boolean): DataFrame =
     sql(sqlText, Tables.catalog(spark, sfDir), float32)
 
+  /** E2 with a caller-supplied registry — pair with
+    * `FunctionRegistry.fromFile` to realize the reference's `custom.cu`
+    * file drop end-to-end: definitions dropped in a text file become
+    * codegen'd functions callable from dialect queries. */
+  def sqlWith(registry: FunctionRegistry, sqlText: String,
+              catalog: String => DataFrame, float32: Boolean = true): DataFrame =
+    new Compiler(registry, float32).compile(Parser.parseQuery(sqlText), catalog)
+
   /** Full ANSI SQL passthrough — the escape hatch past the (faithfully
     * narrow) WarpDB dialect. Registers every catalog table as a temp view
     * and hands the text to Catalyst's own parser, so users get subqueries,

@@ -107,8 +107,15 @@ object Scratch {
     time("soak_exact_dedup_100k") {
       graft.operators.Dedup.exact(docs100k, "text", "doc_id").count()
     }
-    time("soak_minhash_lsh_100k") {
+    // groupExact on vs off: the 20×-replicated corpus is the duplicate-heavy
+    // shape the stage-0 collapse is built for (sketch shrinks 20×, its
+    // candidate pairs ~400×; the expansion joins buy that back)
+    time("soak_minhash_lsh_100k_grouped") {
       graft.operators.Dedup.minHashLsh(docs100k, "text", "doc_id", 0.5).count()
+    }
+    time("soak_minhash_lsh_100k_raw") {
+      graft.operators.Dedup.minHashLsh(docs100k, "text", "doc_id", 0.5,
+        groupExact = false).count()
     }
     time("soak_simhash_100k") {
       graft.operators.Dedup.simHash(docs100k, "text", "doc_id").count()
@@ -132,6 +139,33 @@ object Scratch {
     }
     time("soak_ann_brute_50k") {
       graft.operators.Similarity.bruteForceTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
+    }
+
+    // ---- (d) streaming throughput ceiling: rate source → watermarked
+    // window agg (the st2 shape, unbounded input). The rate source
+    // generates rows executor-side, so this measures the engine's
+    // aggregation throughput, not file-reading. ----
+    {
+      val rps = 500000
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", rps.toString)
+        .option("numPartitions", "8").load()
+        .withColumn("event_type",
+          element_at(array(lit("click"), lit("view"), lit("purchase")),
+            (col("value") % 3 + 1).cast("int")))
+        .withWatermark("timestamp", "10 seconds")
+        .groupBy(window(col("timestamp"), "5 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      val q = rate.writeStream.outputMode("update")
+        .format("memory").queryName("rate_probe").start()
+      Thread.sleep(20000)
+      q.stop()
+      val progs = q.recentProgress
+      val rows = progs.map(_.numInputRows).sum
+      val secs = progs.map(_.batchDuration).sum / 1e3
+      println(f"[scratch] rate-source window agg: ${rows} rows in " +
+        f"$secs%.1f s busy-time = ${rows / math.max(secs, 0.001)}%.0f rows/s " +
+        f"(offered $rps/s × ~20 s)")
     }
     spark.stop()
   }

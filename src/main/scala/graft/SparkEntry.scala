@@ -454,6 +454,36 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag ORDER BY flag""", float32 = false)
   }
 
+  // §2.8 U1, file-drop half: the reference picks up ANY function dropped
+  // into ./custom.cu at query JIT time (/root/reference/src/jit.cpp:65-73).
+  // Analog: a definitions file loaded at session start
+  // (FunctionRegistry.fromFile); bodies are dialect expressions compiled to
+  // native Catalyst columns, so the loaded functions stay inside whole-stage
+  // codegen — note the oracle is the inlined arithmetic, proving the
+  // function boundary dissolves.
+  define("q35_file_udf",
+    """SELECT l_returnflag AS flag,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_rev,
+       round(max(l_extendedprice * l_discount), 2) AS max_rebate
+       FROM lineitem GROUP BY l_returnflag ORDER BY flag""") { (s, d) =>
+    import java.nio.file.Files
+    val defsFile = Files.createTempFile("graft_custom_", ".fns")
+    Files.write(defsFile,
+      """// custom.cu-style file drop: scalar fns over query columns
+        |net_price(p, disc, tax) = p * (1 - disc) * (1 + tax)
+        |rebate(p, disc) = p * disc
+        |""".stripMargin.getBytes("UTF-8"))
+    try {
+      val r = graft.functions.FunctionRegistry.fromFile(defsFile.toString)
+      Engine.sqlWith(r,
+        """SELECT l_returnflag AS flag,
+           round(SUM(net_price(l_extendedprice, l_discount, l_tax)), 2) AS net_rev,
+           round(MAX(rebate(l_extendedprice, l_discount)), 2) AS max_rebate
+           FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
+        Tables.catalog(s, d), float32 = false)
+    } finally Files.deleteIfExists(defsFile)
+  }
+
   // Dialect join: dotted identifiers resolve across tables
   // (`sales.id` is ONE identifier in the reference tokenizer,
   // `/root/reference/src/expression.cpp:44-54`; join executed for real).
@@ -930,6 +960,43 @@ object SparkEntry {
     ArrowInterchange.readArrow(s, tmp, schema)
       .agg(count(lit(1)).as("cnt"),
         round(sum("l_extendedprice"), 2).as("total"))
+  }
+
+  // Saved-layout story: hive-partitioned parquet write → partition-pruned
+  // read. At 100 TB the WHERE on the partition column resolves against
+  // directory metadata — only the matching partition's files are listed and
+  // scanned, the other ~4/5 of the data is never touched (pruning pinned in
+  // PlanSpec). The reference has no layout concept (one file per table).
+  define("src_partitioned_prune",
+    """SELECT count(*) AS cnt, round(sum(value), 2) AS total,
+       min(event_id) AS min_id
+       FROM events WHERE event_type = 'click'""") { (s, d) =>
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_${d.replaceAll("[^0-9.]", "")}"
+    t(s, d, "events").select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    s.read.parquet(tmp).filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("value"), 2).as("total"),
+        min("event_id").as("min_id"))
+  }
+
+  // K2 same-host half: capsule-style zero-copy handoff — Spark's internal
+  // Arrow serializer feeds an in-task consumer whose VectorSchemaRoot wraps
+  // the deserialized buffers directly (the distributed analog of the
+  // reference's shm/capsule export, `/root/reference/src/arrow_utils.cpp:
+  // 37-94`). The aggregate runs AFTER the round-trip, so the oracle match
+  // proves the data survived the handoff intact.
+  define("src_arrow_handoff",
+    """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+       min(o_orderstatus) AS min_status
+       FROM orders WHERE o_totalprice > 50000""") { (s, d) =>
+    import graft.sources.ArrowHandoff
+    val src = t(s, d, "orders").filter(col("o_totalprice") > 50000)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    ArrowHandoff.roundTrip(s, src)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderstatus").as("min_status"))
   }
 
   // ==================================================================

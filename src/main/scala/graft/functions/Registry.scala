@@ -42,4 +42,79 @@ object FunctionRegistry {
     r.register("ceil", args => ceil(args(0)))
     r
   }
+
+  /** Load function definitions from text into `r` — the runtime FILE-DROP
+    * half of the `custom.cu` analogy (the reference compiles any
+    * `__device__` function found in `./custom.cu` into the query kernel at
+    * JIT time, `/root/reference/src/jit.cpp:65-73`; here a definitions file
+    * is read at session start). One definition per line:
+    *
+    * {{{
+    *   // net price after discount, with tax
+    *   net_price(p, disc, tax) = p * (1 - disc) * (1 + tax)
+    * }}}
+    *
+    * The body is a dialect expression (same grammar as query expressions);
+    * it is parsed once at load and compiled to a NATIVE Catalyst `Column`
+    * builder with the parameters bound positionally — so, exactly like the
+    * shipped builtins, a loaded function participates in whole-stage
+    * codegen, constant folding and pushdown rather than hitting a UDF
+    * serialization wall. Definitions may call builtins and previously loaded
+    * functions (resolution is deferred to invocation). Bodies compute in the
+    * columns' natural types (like `sqrt` et al.); identifiers must all be
+    * parameters, and aggregates are rejected — a scalar function has no
+    * group context.
+    *
+    * Blank lines and `//`/`#` comments are skipped. Returns the names
+    * registered, in file order.
+    */
+  def loadDefinitions(r: FunctionRegistry, source: String): Seq[String] = {
+    val header = """^([A-Za-z_][A-Za-z0-9_]*)\s*\(([^)]*)\)\s*=\s*(.+)$""".r
+    source.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//") && !l.startsWith("#"))
+      .map {
+        case header(name, paramSrc, bodySrc) =>
+          val params = paramSrc.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(params.distinct == params,
+            s"$name: duplicate parameter in (${params.mkString(", ")})")
+          val body = graft.dialect.Parser.parseExpression(bodySrc)
+          validateBody(name, params, body)
+          r.register(name, args => {
+            require(args.length == params.length,
+              s"$name expects ${params.length} arguments, got ${args.length}")
+            val env: Map[graft.dialect.Expr, Column] =
+              params.zip(args).map { case (p, a) =>
+                (graft.dialect.ColRef(p): graft.dialect.Expr) -> a
+              }.toMap
+            new graft.dialect.Compiler(r, float32 = false).value(body, env)
+          })
+          name
+        case bad => throw new IllegalArgumentException(
+          s"Bad function definition (want `name(p1, ...) = expr`): $bad")
+      }.toSeq
+  }
+
+  /** [[default]] builtins + definitions loaded from `path` — drop a file
+    * next to the session the way the reference drops `custom.cu`. */
+  def fromFile(path: String): FunctionRegistry = {
+    val r = default()
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    loadDefinitions(r, src)
+    r
+  }
+
+  private def validateBody(name: String, params: Seq[String],
+                           e: graft.dialect.Expr): Unit = {
+    import graft.dialect._
+    e match {
+      case ColRef(n) => require(params.contains(n),
+        s"$name: identifier '$n' is not a parameter of (${params.mkString(", ")})")
+      case BinOp(_, l, rr)  => validateBody(name, params, l); validateBody(name, params, rr)
+      case FuncCall(_, as)  => as.foreach(validateBody(name, params, _))
+      case _: Agg | _: WindowAgg => throw new IllegalArgumentException(
+        s"$name: aggregates/windows are not allowed in a scalar function body")
+      case _: NumLit => ()
+    }
+  }
 }

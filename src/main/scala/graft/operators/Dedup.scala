@@ -58,12 +58,45 @@ object Dedup {
     * the threshold, and false positives are removed by step 4, so the output
     * equals the exact-Jaccard answer w.h.p. (verified against the DuckDB
     * cross-join oracle at sf0.01).
+    *
+    * `groupExact` (default on) prepends a stage 0 that collapses exact
+    * duplicates BEFORE sketching: fingerprint groupBy → sketch only one
+    * representative per distinct content → expand rep-level results back to
+    * all member pairs (members of one group pair at Jaccard exactly 1.0;
+    * cross-group pairs inherit the rep pair's Jaccard, since identical text
+    * has identical shingle sets). The output is EXACTLY the ungrouped
+    * answer — identical docs share every band bucket, so rep-level candidacy
+    * is member-level candidacy — but on a duplicate-heavy corpus (the normal
+    * web-crawl case) the sketch/verify stages shrink by the duplication
+    * factor and their candidate pairs quadratically. Groups whose shingle
+    * set is empty are excluded, matching the ungrouped path (0/0 Jaccard is
+    * NaN, which fails every threshold). Grouping keys are 64-bit content
+    * fingerprints, so the shuffle carries 8-byte keys — same collision
+    * stance as [[exact]].
     */
   def minHashLsh(docs: DataFrame, textCol: String, idCol: String,
                  threshold: Double, shingleSize: Int = 3,
-                 numHashes: Int = 128, bands: Int = 32)
+                 numHashes: Int = 128, bands: Int = 32,
+                 groupExact: Boolean = true)
                 (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+
+    // stage 0 (optional): exact-dup collapse. `members` (id, rep) is the
+    // only cached frame — 16 bytes/row; the corpus text is deliberately NOT
+    // cached (it re-scans once for the rep projection, cheap next to
+    // sketching dup-factor× more docs).
+    val (sketchInput, members) =
+      if (groupExact) {
+        val withFp = base.withColumn("fp", TF.fingerprint(col("text")))
+        val reps = withFp.groupBy("fp").agg(min("id").as("rep"))
+        val m = scope.cache(
+          withFp.join(reps, "fp").select(col("id"), col("rep")))
+        val repDocs = base.join(
+          m.filter(col("id") === col("rep")).select("id"), "id")
+        (repDocs, Some(m))
+      } else (base, None)
+
     // Staged projections, each materialized once per row (CollapseProject
     // keeps multi-referenced expensive columns separate): shingle set →
     // band bucket hashes (minhash signature + banding fused in ONE custom
@@ -76,7 +109,7 @@ object Dedup {
     // bands)) — derived sketch data, far smaller than the corpus;
     // MEMORY_AND_DISK spills rather than OOMs.
     val withSig = scope.cache(
-      spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      sketchInput
         .withColumn("sh", array_distinct(TF.shingles(col("text"), shingleSize)))
         .withColumn("bands",
           VF.minhashBandHashes(col("sh"), numHashes, bands))
@@ -94,7 +127,33 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
 
-    verifyJaccard(candidates, withSig.select(col("id"), col("sh")), threshold)
+    val repPairs =
+      verifyJaccard(candidates, withSig.select(col("id"), col("sh")), threshold)
+
+    members match {
+      case None => repPairs
+      case Some(m) =>
+        val x = m.select(col("id").as("x_id"), col("rep").as("x_rep"))
+        val y = m.select(col("id").as("y_id"), col("rep").as("y_rep"))
+        // within-group: every member pair of a non-empty-shingle group is an
+        // exact duplicate (Jaccard 1.0)
+        val nonEmpty = withSig.filter(size(col("sh")) > 0)
+          .select(col("id").as("x_rep"))
+        val within = x.join(y,
+            col("x_rep") === col("y_rep") && col("x_id") < col("y_id"))
+          .join(nonEmpty, "x_rep")
+          .filter(lit(1.0) >= threshold)
+          .select(col("x_id").as("a_id"), col("y_id").as("b_id"),
+            lit(1.0).as("jaccard"))
+        // cross-group: expand each rep pair to its groups' cross product
+        // (equi-joins on rep ids; output-proportional, as any pair list is)
+        val cross = repPairs
+          .join(x.select(col("x_id"), col("x_rep").as("a_id")), "a_id")
+          .join(y.select(col("y_id"), col("y_rep").as("b_id")), "b_id")
+          .select(least(col("x_id"), col("y_id")).as("a_id"),
+            greatest(col("x_id"), col("y_id")).as("b_id"), col("jaccard"))
+        within.unionByName(cross)
+    }
   }
 
   /** Exact word-shingle Jaccard for candidate pairs (a_id, b_id), joined
@@ -245,7 +304,10 @@ object Dedup {
       fp.join(reps, "fp").select(col("id"), col("rep"), col("text")))
     val repDocs = withRep.filter(col("id") === col("rep"))
       .select(col("id"), col("text"))
-    val nearPairs = minHashLsh(repDocs, "text", "id", threshold, shingleSize)
+    // groupExact=false: this input is already exact-deduped (stage 1), so
+    // the sketch's own collapse stage would only re-fingerprint singletons
+    val nearPairs =
+      minHashLsh(repDocs, "text", "id", threshold, shingleSize, groupExact = false)
     // greedy: the higher-id representative of every near-dup pair is dropped
     val dropped = nearPairs.select(col("b_id").as("rep")).distinct()
     withRep.join(dropped.withColumn("__drop", lit(true)), Seq("rep"), "left")

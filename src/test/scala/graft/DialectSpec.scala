@@ -217,6 +217,53 @@ class DialectSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("file-drop functions: definitions load, compose, and inline to native columns") {
+    import graft.functions.FunctionRegistry
+    val r = FunctionRegistry.default()
+    val names = FunctionRegistry.loadDefinitions(r,
+      """// comment and blank lines are skipped
+        |
+        |# hash-style comment too
+        |double_it(x) = x * 2
+        |net(p, d) = p * (1 - d)
+        |combo(p, d) = double_it(net(p, d)) + abs(p - p)
+        |""".stripMargin)
+    assert(names == Seq("double_it", "net", "combo"))
+    val out = Engine.sqlWith(r,
+      "SELECT round(sum(combo(l_extendedprice, l_discount)), 2) AS s FROM lineitem",
+      Tables.catalog(spark, sf), float32 = false)
+    val expected = Tables.load(spark, sf, "lineitem")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * 2), 2).as("s"))
+    assert(out.collect().toSeq == expected.collect().toSeq)
+    // the function boundary dissolves into codegen: one WholeStageCodegen
+    // span covers scan→project→partial agg, no UDF/eval fallback nodes
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("file-drop functions: bad definitions rejected at load time") {
+    import graft.functions.FunctionRegistry
+    def load(src: String) =
+      FunctionRegistry.loadDefinitions(FunctionRegistry.default(), src)
+    // identifier that is not a parameter
+    val e1 = intercept[IllegalArgumentException] { load("f(a) = a + b") }
+    assert(e1.getMessage.contains("'b'"))
+    // aggregates have no group context in a scalar body
+    intercept[IllegalArgumentException] { load("f(a) = SUM(a)") }
+    // malformed header
+    intercept[IllegalArgumentException] { load("not a definition") }
+    // duplicate parameter
+    intercept[IllegalArgumentException] { load("f(a, a) = a") }
+    // wrong arity surfaces at call time with the function's name
+    val r = FunctionRegistry.default()
+    FunctionRegistry.loadDefinitions(r, "g(a, b) = a + b")
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.sqlWith(r, "SELECT g(o_totalprice) AS x FROM orders",
+        Tables.catalog(spark, sf), float32 = false)
+    }
+    assert(e2.getMessage.contains("g expects 2"))
+  }
+
   test("fullSql passthrough: correlated subquery decorrelates and agrees with DataFrame formulation") {
     val viaSql = Engine.fullSql(spark, sf,
       """SELECT c_custkey FROM customer c

@@ -78,6 +78,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("minhash exact-dup collapse (groupExact) returns the ungrouped answer on a duplicated corpus") {
+    // 2×-duplicated corpus: ids 100k+ carry identical text to ids below —
+    // exercises within-group (J=1.0) AND cross-group expansion paths
+    val baseDocs = docs.select("doc_id", "text").limit(120)
+    val dupped = baseDocs.unionByName(
+      baseDocs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    def pairs(groupExact: Boolean) =
+      Dedup.minHashLsh(dupped, "text", "doc_id", threshold = 0.5,
+          groupExact = groupExact)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grouped = pairs(groupExact = true)
+    val ungrouped = pairs(groupExact = false)
+    assert(grouped == ungrouped)
+    // sanity: the duplication itself must have produced J=1.0 pairs
+    assert(grouped.exists(_._3 == 1.0))
+  }
+
   test("simhash near-dup: pigeonhole blocking is EXACT for hamming ≤ 3") {
     // ground truth: hamming distance over all signature pairs
     val sigs = docs.select(col("doc_id"),
@@ -247,6 +264,61 @@ class PipelineSpec extends AnyFunSuite {
       // listener must close the reader without error
       assert(back.limit(3).collect().length == 3)
     }
+  }
+
+  test("arrow handoff: capsule round-trip preserves data across multiple batches") {
+    import graft.sources.ArrowHandoff
+    val prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try {
+      // mixed-type projection over several partitions, forced into many
+      // small record batches so the per-batch root reuse is exercised
+      val src = docs.select(col("doc_id"), col("n_chars"),
+          col("lang"), (col("n_chars") > 500).as("long_doc"))
+        .limit(200).repartition(3)
+      val back = ArrowHandoff.roundTrip(spark, src)
+      assert(back.schema == src.schema)
+      assert(back.count() == 200)
+      assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    } finally spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+  }
+
+  test("arrow handoff: consumer sees Arrow buffers directly (per-batch aggregation)") {
+    import graft.sources.ArrowHandoff
+    // an Arrow-native consumer computing straight off the column buffers —
+    // no Spark Rows exist inside the consumer
+    val src = docs.select(col("n_chars").cast("long").as("n")).repartition(2)
+    val partials = ArrowHandoff.handoff(src) { root =>
+      val v = root.getVector(0).asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      var s = 0L
+      (0 until root.getRowCount).foreach(i => if (!v.isNull(i)) s += v.get(i))
+      Iterator.single(s)
+    }.collect().sum
+    val expected = docs.agg(sum(col("n_chars").cast("long"))).collect()(0).getLong(0)
+    assert(partials == expected)
+  }
+
+  test("arrow zero-copy move semantics: TransferPair hands buffers over without copying") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.Float4Vector
+    // the JVM analog of the reference's capsule export (arrow_utils.cpp:
+    // 37-94): ownership of the SAME memory moves producer → consumer
+    val allocator = new RootAllocator(Long.MaxValue)
+    val producer = new Float4Vector("result", allocator)
+    try {
+      producer.allocateNew(1024)
+      (0 until 1024).foreach(i => producer.setSafe(i, i * 0.5f))
+      producer.setValueCount(1024)
+      val addrBefore = producer.getDataBuffer.memoryAddress()
+      val tp = producer.getTransferPair(allocator)
+      tp.transfer() // move, not copy
+      val consumer = tp.getTo.asInstanceOf[Float4Vector]
+      try {
+        assert(consumer.getDataBuffer.memoryAddress() == addrBefore)
+        assert(consumer.getValueCount == 1024 && consumer.get(7) == 3.5f)
+        assert(producer.getValueCount == 0) // producer relinquished ownership
+      } finally consumer.close()
+    } finally { producer.close(); allocator.close() }
   }
 
   // ---- skew ----

@@ -112,6 +112,34 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    try {
+      Tables.load(spark, sf, "events").select("event_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      val df = spark.read.parquet(tmp).filter(col("event_type") === "click")
+      // the partition predicate must land in PartitionFilters (directory
+      // metadata), NOT PushedFilters (row groups) — and the scan must report
+      // reading 1 of the 5 event-type partitions
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      val scanStr = scan.toString
+      assert(scanStr.contains("PartitionFilters") &&
+        scanStr.contains("event_type#") && scanStr.contains("click"),
+        s"partition predicate not in PartitionFilters:\n$scanStr")
+      val pruned = df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      df.count() // materialize so selectedPartitions resolves
+      assert(pruned.relation.location.listFiles(pruned.partitionFilters, Nil)
+        .length == 1, "expected exactly one partition directory to survive pruning")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("custom CosineSimilarity participates in codegen (no fallback)") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = emb.select(graft.functions.VectorFunctions
