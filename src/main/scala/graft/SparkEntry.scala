@@ -962,6 +962,37 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("total"))
   }
 
+  // AS-OF join: each click attached to the user's most recent
+  // prior-or-simultaneous purchase — the point-in-time feature join. Spark
+  // side is the union–sort operator (one shuffle, one Window pass); oracle
+  // is DuckDB's NATIVE ASOF JOIN, so the two independent formulations must
+  // agree row-for-row. Purchases are pre-aggregated to one row per
+  // (user, ts) to make tie-breaks well-defined in both engines.
+  define("q36_asof_join",
+    """WITH purchases AS (
+         SELECT user_id, ts, max(value) AS purchase_value
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+       ), clicks AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+       )
+       SELECT c.event_id, c.user_id,
+              round(p.purchase_value, 2) AS last_purchase
+       FROM clicks c ASOF JOIN purchases p
+         ON c.user_id = p.user_id AND c.ts >= p.ts
+       ORDER BY c.event_id""") { (s, d) =>
+    import graft.operators.AsOf
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+    AsOf.join(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+      .filter(col("purchase_value").isNotNull) // inner ASOF semantics
+      .select(col("event_id"), col("user_id"),
+        round(col("purchase_value"), 2).as("last_purchase"))
+      .orderBy("event_id")
+  }
+
   // Saved-layout story: hive-partitioned parquet write → partition-pruned
   // read. At 100 TB the WHERE on the partition column resolves against
   // directory metadata — only the matching partition's files are listed and

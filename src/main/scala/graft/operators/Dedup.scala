@@ -82,16 +82,20 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
 
-    // stage 0 (optional): exact-dup collapse. `members` (id, rep) is the
-    // only cached frame — 16 bytes/row; the corpus text is deliberately NOT
-    // cached (it re-scans once for the rep projection, cheap next to
-    // sketching dup-factor× more docs).
+    // stage 0 (optional): exact-dup collapse. The cached frames are tiny id
+    // maps (16–24 bytes/row); the corpus text is deliberately NOT cached (it
+    // re-scans once for the rep projection, cheap next to sketching
+    // dup-factor× more docs). `idFp` is cached because BOTH the rep
+    // aggregation and the member join consume it — without the cache the
+    // regex-normalizing fingerprint pass would run twice over the corpus
+    // (measured ~6 s/pass at the 100k-doc soak).
     val (sketchInput, members) =
       if (groupExact) {
-        val withFp = base.withColumn("fp", TF.fingerprint(col("text")))
-        val reps = withFp.groupBy("fp").agg(min("id").as("rep"))
+        val idFp = scope.cache(
+          base.select(col("id"), TF.fingerprint(col("text")).as("fp")))
+        val reps = idFp.groupBy("fp").agg(min("id").as("rep"))
         val m = scope.cache(
-          withFp.join(reps, "fp").select(col("id"), col("rep")))
+          idFp.join(reps, "fp").select(col("id"), col("rep")))
         val repDocs = base.join(
           m.filter(col("id") === col("rep")).select("id"), "id")
         (repDocs, Some(m))

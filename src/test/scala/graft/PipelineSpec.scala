@@ -321,6 +321,29 @@ class PipelineSpec extends AnyFunSuite {
     } finally { producer.close(); allocator.close() }
   }
 
+  test("asof join matches the brute-force max-prior-ts formulation (incl. ties and no-match rows)") {
+    import graft.operators.AsOf
+    val ev = Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").limit(400)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("pv"))
+    val asof = AsOf.join(clicks, purch, "user_id", "ts", Seq("pv"))
+    // brute force: all prior pairs → arg-max ts per click → fetch value
+    val pairs = clicks.join(purch.withColumnRenamed("ts", "p_ts"), "user_id")
+      .filter(col("p_ts") <= col("ts"))
+    val best = pairs.groupBy("event_id").agg(max("p_ts").as("p_ts"))
+    val brute = clicks.join(best, Seq("event_id"), "left")
+      .join(purch.withColumnRenamed("ts", "p_ts"), Seq("user_id", "p_ts"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("pv"))
+    assert(asof.exceptAll(brute).count() == 0 && brute.exceptAll(asof).count() == 0)
+    // left semantics: every click survives, matched or not
+    assert(asof.count() == clicks.count())
+    // and at this data there are both matched and unmatched clicks
+    assert(asof.filter(col("pv").isNull).count() > 0)
+    assert(asof.filter(col("pv").isNotNull).count() > 0)
+  }
+
   // ---- skew ----
 
   test("salted aggregation equals direct groupBy") {
