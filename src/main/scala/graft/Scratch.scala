@@ -144,12 +144,12 @@ object Scratch {
     // ---- (d) streaming throughput ceiling: rate source → watermarked
     // window agg (the st2 shape, unbounded input). The rate source
     // generates rows executor-side, so this measures the engine's
-    // aggregation throughput, not file-reading. ----
-    {
-      val rps = 500000
+    // aggregation throughput, not file-reading. Swept over offered rates
+    // to find where busy-time stops tracking wall-time (the ceiling). ----
+    Seq(500000, 2000000, 8000000).foreach { rps =>
       val rate = spark.readStream.format("rate")
         .option("rowsPerSecond", rps.toString)
-        .option("numPartitions", "8").load()
+        .option("numPartitions", "16").load()
         .withColumn("event_type",
           element_at(array(lit("click"), lit("view"), lit("purchase")),
             (col("value") % 3 + 1).cast("int")))
@@ -157,15 +157,15 @@ object Scratch {
         .groupBy(window(col("timestamp"), "5 seconds"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("sv"))
       val q = rate.writeStream.outputMode("update")
-        .format("memory").queryName("rate_probe").start()
+        .format("memory").queryName(s"rate_probe_$rps").start()
       Thread.sleep(20000)
       q.stop()
       val progs = q.recentProgress
       val rows = progs.map(_.numInputRows).sum
       val secs = progs.map(_.batchDuration).sum / 1e3
-      println(f"[scratch] rate-source window agg: ${rows} rows in " +
-        f"$secs%.1f s busy-time = ${rows / math.max(secs, 0.001)}%.0f rows/s " +
-        f"(offered $rps/s × ~20 s)")
+      println(f"[scratch] rate-source window agg @$rps/s offered: $rows rows " +
+        f"in $secs%.1f s busy-time = ${rows / math.max(secs, 0.001)}%.0f rows/s")
+      spark.catalog.dropTempView(s"rate_probe_$rps")
     }
     spark.stop()
   }

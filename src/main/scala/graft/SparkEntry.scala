@@ -962,6 +962,41 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("total"))
   }
 
+  // Connected components over the near-dup graph: the transitive grouping
+  // d7's one-hop greedy approximates, labeled min-id-per-component. Spark
+  // side is min-label propagation (one edge⋈label join + min-agg per round,
+  // O(diameter) rounds); the oracle is a DuckDB RECURSIVE CTE transitive
+  // closure — two entirely different fixpoint computations agreeing
+  // row-for-row on all 500 docs.
+  define("d8_connected_components",
+    """WITH RECURSIVE
+       w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds
+             FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 1),
+           i -> wds[i] || ' ' || wds[i+1])) AS sh FROM w),
+       e0 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                      AS DOUBLE) >= 0.5),
+       edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       reach(src, dst) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+       )
+       SELECT src AS doc_id, min(dst) AS component FROM reach
+       GROUP BY src ORDER BY doc_id""") { (s, d) =>
+    import graft.operators.Dedup
+    val docs = t(s, d, "documents")
+    val edges = Dedup.ngramJaccard(docs, "text", "doc_id",
+      threshold = 0.5, shingleSize = 2, maxDf = 1000000L)
+    Dedup.connectedComponents(docs.select("doc_id"), edges,
+        "doc_id", "a_id", "b_id")
+      .orderBy("doc_id")
+  }
+
   // AS-OF join: each click attached to the user's most recent
   // prior-or-simultaneous purchase — the point-in-time feature join. Spark
   // side is the union–sort operator (one shuffle, one Window pass); oracle
@@ -990,6 +1025,41 @@ object SparkEntry {
       .filter(col("purchase_value").isNotNull) // inner ASOF semantics
       .select(col("event_id"), col("user_id"),
         round(col("purchase_value"), 2).as("last_purchase"))
+      .orderBy("event_id")
+  }
+
+  // Bounded AS-OF: a purchase only counts while it is ≤ 1 hour old at click
+  // time (expired snapshots → null, filtered here = bounded-inner). Spark
+  // computes it as the same one-shuffle union–sort fill plus an age
+  // null-out; the oracle is a correlated max-ts subquery with the age
+  // predicate — again two independent formulations.
+  define("q37_asof_bounded",
+    """WITH purchases AS (
+         SELECT user_id, ts, max(value) AS pv
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+       ), clicks AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+       ), best AS (
+         SELECT c.event_id, c.user_id,
+           (SELECT max(p.ts) FROM purchases p
+            WHERE p.user_id = c.user_id AND p.ts <= c.ts
+              AND p.ts >= c.ts - INTERVAL 1 HOUR) AS pts
+         FROM clicks c)
+       SELECT b.event_id, b.user_id, round(p.pv, 2) AS recent_purchase
+       FROM best b JOIN purchases p
+         ON p.user_id = b.user_id AND p.ts = b.pts
+       ORDER BY b.event_id""") { (s, d) =>
+    import graft.operators.AsOf
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("pv"))
+    AsOf.joinWithin(clicks, purchases, Seq("user_id"), "ts", Seq("pv"),
+        maxAge = 3600L * 1000000000L) // 1 h in nanos (events.ts is long nanos)
+      .filter(col("pv").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("pv"), 2).as("recent_purchase"))
       .orderBy("event_id")
   }
 

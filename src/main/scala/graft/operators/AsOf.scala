@@ -29,35 +29,68 @@ import org.apache.spark.sql.functions._
   * range if that ever dominates.
   *
   * Right rows should be unique per (key, ts) — pre-aggregate otherwise
-  * (ties at identical (key, ts) would resolve arbitrarily).
+  * (ties at identical (key, ts) would resolve arbitrarily). A NULL in a
+  * right payload column is transparent — the fill carries the previous
+  * non-null value past it (feature-store "null = no update" semantics);
+  * encode explicit deletion as a sentinel value if needed.
   */
 object AsOf {
 
-  /** @param payloadCols right-side columns to attach (left keeps ALL its
+  /** Single-key convenience over [[join(left:*]]. */
+  def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           payloadCols: Seq[String]): DataFrame =
+    join(left, right, Seq(keyCol), tsCol, payloadCols)
+
+  /** Bounded AS-OF: like [[join(left:*]], but a match is only valid while
+    * `leftTs - rightTs <= maxAge` (same units as the ts column — e.g. nanos
+    * for a long-nanos ts). A snapshot older than `maxAge` at event time is
+    * treated as expired: the payload comes back null, exactly as if no
+    * snapshot existed. Same single-shuffle union–sort plan plus one
+    * null-out projection — the naive range-join formulation would explode
+    * |L|×|per-key right rows| candidates instead.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 tsCol: String, payloadCols: Seq[String],
+                 maxAge: Long): DataFrame = {
+    require(maxAge >= 0, "maxAge must be non-negative")
+    // carry the matched right ts through as an extra payload, then expire
+    val rTs = "__asof_rts"
+    val out = join(left, right.withColumn(rTs, col(tsCol)),
+      keyCols, tsCol, payloadCols :+ rTs)
+    val fresh = col(rTs).isNotNull && (col(tsCol) - col(rTs) <= maxAge)
+    payloadCols.foldLeft(out) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c))) // expired/unmatched → null
+    }.drop(rTs)
+  }
+
+  /** @param keyCols     composite equality key (all must match)
+    * @param payloadCols right-side columns to attach (left keeps ALL its
     *                    columns; the right's key/ts are consumed by the
     *                    match and not re-emitted) */
-  def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           payloadCols: Seq[String]): DataFrame = {
+  def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "asof join needs at least one key column")
     require(payloadCols.nonEmpty, "asof join needs at least one payload column")
-    val leftExtra = left.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
+    val leftExtra =
+      left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
     val rSchema = right.schema
     val lSchema = left.schema
 
     // schema-aligned tagged union: left rows carry null right-payloads,
     // right rows carry null left-extras
     val lAligned = left.select(
-      col(keyCol) +: col(tsCol) +:
+      keyCols.map(col) ++ (col(tsCol) +:
         (leftExtra.map(col) ++
           payloadCols.map(c =>
             lit(null).cast(rSchema(c).dataType).as(s"__r_$c")) :+
-          lit(1).as("__side")): _*)
+          lit(1).as("__side"))): _*)
     val rAligned = right.select(
-      col(keyCol) +: col(tsCol) +:
+      keyCols.map(col) ++ (col(tsCol) +:
         (leftExtra.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
           payloadCols.map(c => col(c).as(s"__r_$c")) :+
-          lit(0).as("__side")): _*)
+          lit(0).as("__side"))): _*)
 
-    val w = Window.partitionBy(keyCol)
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payloadCols.foldLeft(lAligned.unionByName(rAligned)) {

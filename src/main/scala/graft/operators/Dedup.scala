@@ -289,9 +289,14 @@ object Dedup {
     *      candidate pairs quadratically);
     *   2. NEAR-DUP pass on representatives only (MinHash+LSH + exact
     *      verify);
-    *   3. greedy keep: of each near-dup pair, the lower id survives
-    *      (one-hop greedy — the standard corpus-dedup approximation of
-    *      connected components; deterministic).
+    *   3. keep-set. Default: one-hop greedy — of each near-dup pair, the
+    *      lower id survives (the standard cheap approximation; keeps every
+    *      LOCAL-minimum id, so a component with several local minima — e.g.
+    *      docs 1–10–2 chained through 10 — retains both 1 and 2).
+    *      `transitive = true` runs [[connectedComponents]] over the pair
+    *      graph instead and keeps exactly one doc (the min id) per
+    *      transitive component, at the cost of the O(diameter) label
+    *      propagation.
     *
     * Returns (id, rep, keep): every document, its exact-content
     * representative, and whether it survives dedup. Soak-measured 10×
@@ -299,7 +304,8 @@ object Dedup {
     * input.
     */
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
-                  threshold: Double, shingleSize: Int = 3)
+                  threshold: Double, shingleSize: Int = 3,
+                  transitive: Boolean = false)
                  (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val fp = spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("fp", TF.fingerprint(col("text")))
@@ -312,11 +318,82 @@ object Dedup {
     // the sketch's own collapse stage would only re-fingerprint singletons
     val nearPairs =
       minHashLsh(repDocs, "text", "id", threshold, shingleSize, groupExact = false)
-    // greedy: the higher-id representative of every near-dup pair is dropped
-    val dropped = nearPairs.select(col("b_id").as("rep")).distinct()
-    withRep.join(dropped.withColumn("__drop", lit(true)), Seq("rep"), "left")
-      .select(col("id"), col("rep"),
-        (col("id") === col("rep") && col("__drop").isNull).as("keep"))
+    if (transitive) {
+      val comp = connectedComponents(repDocs.select("id"), nearPairs,
+        "id", "a_id", "b_id")
+        .select(col("id").as("rep"), col("component").as("__comp"))
+      withRep.join(comp, Seq("rep"))
+        .select(col("id"), col("rep"),
+          (col("id") === col("rep") && col("rep") === col("__comp")).as("keep"))
+    } else {
+      // greedy: the higher-id representative of every near-dup pair is dropped
+      val dropped = nearPairs.select(col("b_id").as("rep")).distinct()
+      withRep.join(dropped.withColumn("__drop", lit(true)), Seq("rep"), "left")
+        .select(col("id"), col("rep"),
+          (col("id") === col("rep") && col("__drop").isNull).as("keep"))
+    }
+  }
+
+  /** Connected components over a near-duplicate pair list: every document
+    * labeled with the smallest id reachable through the edge set — the
+    * transitive grouping [[dedupCorpus]]'s one-hop greedy approximates.
+    * "Keep one doc per component" is then `id === component`.
+    *
+    * Algorithm: min-label propagation. Each round every node takes the min
+    * of its own label and its neighbors' labels (one equi-join edge⋈label +
+    * one map-side-combined min-aggregate per round); converged when no label
+    * changes. Rounds needed = the component graph's diameter — near-dup
+    * components are shallow (dozens of docs chained through mutual overlap),
+    * so this converges in a handful of rounds; `maxIter` bounds the
+    * pathological case and the operator THROWS if it hits the bound without
+    * converging (a silently-partial grouping would corrupt a dedup
+    * downstream).
+    *
+    * Scale notes: state per round is one (id, label) frame — 16 bytes/row —
+    * `localCheckpoint`ed eagerly each round. The checkpoint is load-bearing,
+    * not an optimization: every round references the previous labels TWICE
+    * (neighbor join + fallback), so without lineage truncation the logical
+    * plan doubles per round and analysis itself OOMs after ~12 rounds
+    * (persist alone does not truncate the plan). On a cluster, reliable
+    * `checkpoint()` to durable storage is the fault-tolerant variant (a lost
+    * executor can't replay a truncated lineage). Edges are cached once,
+    * symmetrized. The convergence test is a count over the joined old/new
+    * labels — one action per round. For graphs with deep chains
+    * (diameter ≫ 20) prefer the large-star/small-star contraction (Kiveris
+    * et al.), which converges in O(log n) rounds; near-dup graphs don't
+    * need it.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String, aCol: String, bCol: String,
+                          maxIter: Int = 20)
+                         (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val sym = scope.cache(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("label").as("nbr_label"))
+      // eager checkpoint: materializes `next` AND truncates its plan, so the
+      // previous round's blocks can be dropped immediately after
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          when(col("nbr_label").isNotNull && col("nbr_label") < col("label"),
+            col("nbr_label")).otherwise(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds the bound; raise maxIter or use star contraction")
+    labels.select(col("id").as(idCol), col("label").as("component"))
   }
 
   /** Embedding-cosine near-duplicate pairs.

@@ -321,6 +321,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally { producer.close(); allocator.close() }
   }
 
+  test("connected components: chains merge transitively, singletons keep their id") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain — NOT a clique, so one-hop greedy would
+    // mislabel), {10,11}, {20} isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, edges, "id", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // non-convergence within the bound must throw, not return partial labels
+    val longChain = (1L to 12L).toDF("id")
+    val chainEdges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(longChain, chainEdges, "id", "a", "b", maxIter = 2)
+    }
+    // and the same graph converges with an adequate bound
+    val ok = Dedup.connectedComponents(longChain, chainEdges, "id", "a", "b")
+    assert(ok.filter(col("component") === 1L).count() == 12)
+  }
+
   test("asof join matches the brute-force max-prior-ts formulation (incl. ties and no-match rows)") {
     import graft.operators.AsOf
     val ev = Tables.load(spark, sf, "events")
@@ -342,6 +363,57 @@ class PipelineSpec extends AnyFunSuite {
     // and at this data there are both matched and unmatched clicks
     assert(asof.filter(col("pv").isNull).count() > 0)
     assert(asof.filter(col("pv").isNotNull).count() > 0)
+  }
+
+  test("dedupCorpus transitive keep collapses multi-local-min components greedy leaves split") {
+    import spark.implicits._
+    // near-dup graph 1–10–2: doc 10 overlaps both 1 and 2, but 1 and 2 share
+    // nothing. Greedy drops only pair b-sides (10), keeping BOTH local
+    // minima 1 and 2; transitive keeps exactly the component min (1).
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi"),
+      (30L, "totally unrelated content standing alone")
+    ).toDF("doc_id", "text")
+    def keeps(transitive: Boolean) =
+      Dedup.dedupCorpus(corpus, "text", "doc_id", threshold = 0.4,
+          shingleSize = 1, transitive = transitive)
+        .filter(col("keep")).select("id").collect().map(_.getLong(0)).toSet
+    assert(keeps(transitive = false) == Set(1L, 2L, 30L))
+    assert(keeps(transitive = true) == Set(1L, 30L))
+  }
+
+  test("bounded asof: matches older than maxAge expire to null") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    val left = Seq((1L, 100L, "fresh"), (1L, 200L, "stale"), (2L, 100L, "never"))
+      .toDF("k", "ts", "ev")
+    val right = Seq((1L, 95L, 7.0)).toDF("k", "ts", "v")
+    val out = AsOf.joinWithin(left, right, Seq("k"), "ts", Seq("v"), maxAge = 50L)
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    // age 5 ≤ 50 → kept; age 105 > 50 → expired; no history → null
+    assert(out == Map("fresh" -> Some(7.0), "stale" -> None, "never" -> None))
+    // boundary: age exactly maxAge is still fresh
+    val edge = AsOf.joinWithin(
+      Seq((1L, 145L, "edge")).toDF("k", "ts", "ev"), right,
+      Seq("k"), "ts", Seq("v"), maxAge = 50L)
+      .collect().map(r => Option(r.get(3))).head
+    assert(edge.contains(7.0))
+  }
+
+  test("asof join composite key: both key columns must match") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    val left = Seq((1L, "x", 10L, "e1"), (1L, "y", 10L, "e2"), (2L, "x", 10L, "e3"))
+      .toDF("k1", "k2", "ts", "ev")
+    val right = Seq((1L, "x", 5L, 1.0), (1L, "y", 7L, 2.0), (1L, "x", 20L, 9.0))
+      .toDF("k1", "k2", "ts", "v")
+    val out = AsOf.join(left, right, Seq("k1", "k2"), "ts", Seq("v"))
+      .collect().map(r => r.getString(3) -> Option(r.get(4))).toMap
+    // e1 matches (1,x,5); e2 matches (1,y,7); e3 has no (2,x) history at all
+    assert(out == Map("e1" -> Some(1.0), "e2" -> Some(2.0), "e3" -> None))
   }
 
   // ---- skew ----

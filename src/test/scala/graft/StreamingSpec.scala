@@ -47,4 +47,41 @@ class StreamingSpec extends AnyFunSuite {
     // the 60-min window is still open → not emitted in append mode
     assert(!rows.contains(3600L), s"got $rows")
   }
+
+  test("streaming file sink with partitionBy lays out prunable directories") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_part_")
+    try {
+      val input = MemoryStream[(String, Long)]
+      val out = input.toDF().toDF("category", "value")
+      val q = out.writeStream.outputMode("append")
+        .format("parquet")
+        .partitionBy("category")
+        .option("path", base.resolve("data").toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      input.addData(("a", 1L), ("b", 2L), ("a", 3L))
+      q.processAllAvailable()
+      input.addData(("b", 4L))
+      q.processAllAvailable()
+      q.stop()
+      // hive-style category=... directories exist → the batch reader prunes
+      val dataDir = base.resolve("data").toFile
+      val partDirs = dataDir.listFiles().filter(_.isDirectory).map(_.getName)
+        .filterNot(_ == "_spark_metadata").toSet // sink's exactly-once log
+      assert(partDirs == Set("category=a", "category=b"), s"got $partDirs")
+      val back = spark.read.parquet(dataDir.toString)
+      assert(back.filter(col("category") === "a")
+        .select("value").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      val scan = back.filter(col("category") === "b")
+        .queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("category#"),
+        s"partition predicate not pruned:\n$scan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
