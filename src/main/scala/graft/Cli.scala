@@ -8,14 +8,33 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.Cli "<expr [WHERE cond]>" [file]           — E1 masked map
   *   runMain graft.Cli --sql "SELECT ..." [sfDir]             — E2 dialect SQL
+  *   runMain graft.Cli --full-sql "SELECT ..." [sfDir]        — ANSI passthrough
   *
-  * Default file mirrors the reference's `data/test.csv` default with our
-  * test lineitem table.
+  * `--fns <file>` (before the mode flag) loads `name(p1,…) = expr` function
+  * definitions for the dialect modes — the CLI face of the reference's
+  * `./custom.cu` pickup. Default file mirrors the reference's
+  * `data/test.csv` default with our test lineitem table.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Cli \"expr [WHERE cond]\" [file] | --sql \"SELECT ...\" [sfDir]")
+      System.err.println(
+        "usage: graft.Cli [--fns defs.fns] \"expr [WHERE cond]\" [file] " +
+          "| --sql \"SELECT ...\" [sfDir] | --full-sql \"SELECT ...\" [sfDir]")
+      sys.exit(2)
+    }
+    // optional --fns <path>: file-drop function definitions loaded into the
+    // engine-wide registry (custom.cu analog — per-engine, not per-query),
+    // visible to BOTH the expr and dialect modes
+    val rest =
+      if (args(0) == "--fns" && args.length >= 2) {
+        val src = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(args(1))), "UTF-8")
+        graft.functions.FunctionRegistry.loadDefinitions(Engine.registry, src)
+        args.drop(2)
+      } else args
+    if (rest.isEmpty) {
+      System.err.println("missing query after --fns")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -29,13 +48,16 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val result =
-        if (args(0) == "--sql") {
-          val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
-          Engine.sql(spark, sfDir, args(1), float32 = false)
+        if (rest(0) == "--sql") {
+          val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.001")
+          Engine.sql(spark, sfDir, rest(1), float32 = false)
+        } else if (rest(0) == "--full-sql") {
+          val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.001")
+          Engine.fullSql(spark, sfDir, rest(1))
         } else {
-          val path = args.lift(1)
+          val path = rest.lift(1)
             .getOrElse("/root/testdata/sf0.001/lineitem.parquet")
-          Engine.query(graft.sources.Sources.open(spark, path), args(0))
+          Engine.query(graft.sources.Sources.open(spark, path), rest(0))
         }
       result.show(100, truncate = false) // K3: stdout sink
     } finally spark.stop()

@@ -835,12 +835,16 @@ object SparkEntry {
 
   // Batched per-partition decode (the mapInPandas/mapInArrow shape) — same
   // metadata, via the RDD batch path, checked against the same SQL oracle.
+  // Batched decode through the Arrow handoff (the mapInArrow shape): rows
+  // reach the decoder as Arrow column buffers, not JVM Rows; the oracle
+  // reproduces the decode-stub arithmetic, proving payload bytes survive
+  // Spark's internal Arrow serialization intact.
   define("m3_multimodal_batched",
     """SELECT doc_id, CAST(16 + strlen(text) % 64 AS INT) AS width,
        CAST(1 + floor(strlen(text) / 32.0) AS INT) AS n_frames
        FROM documents""") { (s, d) =>
     import graft.operators.Multimodal
-    Multimodal.decodeFeatures(
+    Multimodal.decodeFeaturesArrow(
       Multimodal.attachPayload(t(s, d, "documents"), "text", "image/fake"),
       "doc_id")
       .select("doc_id", "width", "n_frames")

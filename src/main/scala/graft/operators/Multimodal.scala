@@ -75,6 +75,34 @@ object Multimodal {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Arrow-native batched decode: same bounded-batch shape as
+    * [[decodeFeatures]], but the decoder consumes Arrow column buffers via
+    * [[graft.sources.ArrowHandoff]] — Spark serializes each partition with
+    * its internal ArrowWriter (rows never box into JVM objects on the way
+    * out) and ids/payloads are read straight off the vectors. One record
+    * batch = one decode batch (`spark.sql.execution.arrow.
+    * maxRecordsPerBatch`), where a real codec/model setup would amortize.
+    * This is the mapInArrow shape realized in Scala; prefer it over
+    * [[decodeFeatures]] when the decoder is the bottleneck and Row
+    * serialization overhead matters. */
+  def decodeFeaturesArrow(withPayload: DataFrame, idCol: String): DataFrame = {
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector}
+    val spark = withPayload.sparkSession
+    val input = spread(
+      withPayload.select(col(idCol).cast("long").as("doc_id"), col("payload")))
+    val rows = graft.sources.ArrowHandoff.handoff(input) { root =>
+      // per-batch setup would go here (codec init, model load)
+      val ids = root.getVector(0).asInstanceOf[BigIntVector]
+      val payloads = root.getVector(1).asInstanceOf[VarBinaryVector]
+      (0 until root.getRowCount).iterator.map { i =>
+        val (w, h, f) = fakeDecode(payloads.get(i))
+        Row(ids.get(i), w, h, f)
+      }
+    }
+    spark.createDataFrame(rows, decodedSchema)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Columnar variant of the decode for metadata that IS expressible as
     * native expressions (here: everything, since the stub is arithmetic on
     * byte length) — stays inside whole-stage codegen, used by the oracle-

@@ -205,6 +205,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(h1 == h2)
   }
 
+  test("arrow-native batched decode equals the row-based batched decode") {
+    val withPayload = Multimodal.attachPayload(docs.limit(200), "text", "image/fake")
+    val viaRows = Multimodal.decodeFeatures(withPayload, "doc_id")
+    val viaArrow = Multimodal.decodeFeaturesArrow(withPayload, "doc_id")
+    assert(viaArrow.schema == viaRows.schema)
+    assert(viaArrow.exceptAll(viaRows).count() == 0 &&
+      viaRows.exceptAll(viaArrow).count() == 0)
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val decoded = Multimodal.decodeFeaturesColumnar(
       Multimodal.attachPayload(docs, "text", "image/fake"), "doc_id")
