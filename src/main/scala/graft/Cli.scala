@@ -23,18 +23,21 @@ object Cli {
           "| --sql \"SELECT ...\" [sfDir] | --full-sql \"SELECT ...\" [sfDir]")
       sys.exit(2)
     }
-    // optional --fns <path>: file-drop function definitions loaded into the
-    // engine-wide registry (custom.cu analog — per-engine, not per-query),
-    // visible to BOTH the expr and dialect modes
+    // optional --fns <path> (anywhere in the arg list): file-drop function
+    // definitions loaded into the engine-wide registry (custom.cu analog —
+    // per-engine, not per-query), visible to BOTH the expr and dialect modes
+    val fnsIdx = args.indexOf("--fns")
+    if (fnsIdx >= 0 && fnsIdx == args.length - 1) {
+      System.err.println("--fns requires a definitions-file path")
+      sys.exit(2)
+    }
     val rest =
-      if (args(0) == "--fns" && args.length >= 2) {
-        val src = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(args(1))), "UTF-8")
-        graft.functions.FunctionRegistry.loadDefinitions(Engine.registry, src)
-        args.drop(2)
+      if (fnsIdx >= 0) {
+        graft.functions.FunctionRegistry.loadFile(Engine.registry, args(fnsIdx + 1))
+        args.patch(fnsIdx, Nil, 2)
       } else args
     if (rest.isEmpty) {
-      System.err.println("missing query after --fns")
+      System.err.println("missing query")
       sys.exit(2)
     }
     val spark = SparkSession.builder()

@@ -124,6 +124,14 @@ object Scratch {
       val out = graft.operators.Dedup.dedupCorpus(docs100k, "text", "doc_id", 0.5)
       out.filter(col("keep")).count()
     }
+    // connected components over the full 100k-doc near-dup graph (1.05M
+    // pairs): rounds = diameter of the near-dup components
+    time("soak_connected_components_100k") {
+      val edges = graft.operators.Dedup.minHashLsh(docs100k, "text", "doc_id", 0.5)
+      graft.operators.Dedup.connectedComponents(
+        docs100k.select("doc_id"), edges, "doc_id", "a_id", "b_id")
+        .select(countDistinct(col("component"))).head.getLong(0)
+    }
     val corpus50k = replicate(emb, "vec_id", 25)
     println(s"[scratch] soak vectors: ${corpus50k.count()}")
     val queries = emb.filter(col("vec_id") < 25)

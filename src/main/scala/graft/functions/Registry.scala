@@ -59,11 +59,13 @@ object FunctionRegistry {
     * builder with the parameters bound positionally — so, exactly like the
     * shipped builtins, a loaded function participates in whole-stage
     * codegen, constant folding and pushdown rather than hitting a UDF
-    * serialization wall. Definitions may call builtins and previously loaded
-    * functions (resolution is deferred to invocation). Bodies compute in the
-    * columns' natural types (like `sqrt` et al.); identifiers must all be
-    * parameters, and aggregates are rejected — a scalar function has no
-    * group context.
+    * serialization wall. Definitions may call builtins and PREVIOUSLY
+    * defined functions only — a body referencing itself, a later
+    * definition, or an unknown name is rejected at load (deferring that to
+    * invocation would turn `f(a) = f(a)` into a compile-time
+    * StackOverflowError). Bodies compute in the columns' natural types
+    * (like `sqrt` et al.); identifiers must all be parameters, and
+    * aggregates are rejected — a scalar function has no group context.
     *
     * Blank lines and `//`/`#` comments are skipped. Returns the names
     * registered, in file order.
@@ -78,7 +80,7 @@ object FunctionRegistry {
           require(params.distinct == params,
             s"$name: duplicate parameter in (${params.mkString(", ")})")
           val body = graft.dialect.Parser.parseExpression(bodySrc)
-          validateBody(name, params, body)
+          validateBody(name, params, body, r)
           r.register(name, args => {
             require(args.length == params.length,
               s"$name expects ${params.length} arguments, got ${args.length}")
@@ -94,24 +96,34 @@ object FunctionRegistry {
       }.toSeq
   }
 
+  /** [[loadDefinitions]] from a file path. */
+  def loadFile(r: FunctionRegistry, path: String): Seq[String] =
+    loadDefinitions(r, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
   /** [[default]] builtins + definitions loaded from `path` — drop a file
     * next to the session the way the reference drops `custom.cu`. */
   def fromFile(path: String): FunctionRegistry = {
     val r = default()
-    val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-    loadDefinitions(r, src)
+    loadFile(r, path)
     r
   }
 
   private def validateBody(name: String, params: Seq[String],
-                           e: graft.dialect.Expr): Unit = {
+                           e: graft.dialect.Expr, r: FunctionRegistry): Unit = {
     import graft.dialect._
     e match {
       case ColRef(n) => require(params.contains(n),
         s"$name: identifier '$n' is not a parameter of (${params.mkString(", ")})")
-      case BinOp(_, l, rr)  => validateBody(name, params, l); validateBody(name, params, rr)
-      case FuncCall(_, as)  => as.foreach(validateBody(name, params, _))
+      case BinOp(_, l, rr) =>
+        validateBody(name, params, l, r); validateBody(name, params, rr, r)
+      case FuncCall(fn, as) =>
+        // only already-registered names: rejects self/forward recursion
+        // (would StackOverflow at query compile) and typos, at load time
+        require(r.contains(fn),
+          s"$name: unknown function '$fn' (functions may call builtins and " +
+            "previously defined functions only)")
+        as.foreach(validateBody(name, params, _, r))
       case _: Agg | _: WindowAgg => throw new IllegalArgumentException(
         s"$name: aggregates/windows are not allowed in a scalar function body")
       case _: NumLit => ()

@@ -71,6 +71,12 @@ object AsOf {
            tsCol: String, payloadCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "asof join needs at least one key column")
     require(payloadCols.nonEmpty, "asof join needs at least one payload column")
+    // the result appends payloadCols to ALL left columns — a name collision
+    // would produce an ambiguous duplicate column, so fail fast instead
+    val clash = payloadCols.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asof join: payload column(s) ${clash.mkString(", ")} already exist " +
+        "on the left side — rename one side before joining")
     val leftExtra =
       left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
     val rSchema = right.schema

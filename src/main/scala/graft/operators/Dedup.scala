@@ -70,9 +70,16 @@ object Dedup {
     * web-crawl case) the sketch/verify stages shrink by the duplication
     * factor and their candidate pairs quadratically. Groups whose shingle
     * set is empty are excluded, matching the ungrouped path (0/0 Jaccard is
-    * NaN, which fails every threshold). Grouping keys are 64-bit content
-    * fingerprints, so the shuffle carries 8-byte keys — same collision
-    * stance as [[exact]].
+    * NaN, which fails every threshold).
+    *
+    * The grouping key is a hash of the RAW text — deliberately NOT the
+    * normalized [[exact]]-dedup fingerprint: shingles are built from raw
+    * tokens, so only byte-identical texts provably share a shingle set.
+    * Case/punctuation variants fall through to the sketch stage, which
+    * scores them as the near-dups they are (a normalized fingerprint here
+    * would stamp Jaccard 1.0 onto pairs whose raw shingle sets differ,
+    * silently changing the answer). The shuffle carries 8-byte keys — same
+    * collision stance as [[exact]].
     */
   def minHashLsh(docs: DataFrame, textCol: String, idCol: String,
                  threshold: Double, shingleSize: Int = 3,
@@ -92,7 +99,7 @@ object Dedup {
     val (sketchInput, members) =
       if (groupExact) {
         val idFp = scope.cache(
-          base.select(col("id"), TF.fingerprint(col("text")).as("fp")))
+          base.select(col("id"), xxhash64(col("text")).as("fp")))
         val reps = idFp.groupBy("fp").agg(min("id").as("rep"))
         val m = scope.cache(
           idFp.join(reps, "fp").select(col("id"), col("rep")))
@@ -143,12 +150,14 @@ object Dedup {
         // exact duplicate (Jaccard 1.0)
         val nonEmpty = withSig.filter(size(col("sh")) > 0)
           .select(col("id").as("x_rep"))
-        val within = x.join(y,
+        val withinAll = x.join(y,
             col("x_rep") === col("y_rep") && col("x_id") < col("y_id"))
           .join(nonEmpty, "x_rep")
-          .filter(lit(1.0) >= threshold)
           .select(col("x_id").as("a_id"), col("y_id").as("b_id"),
             lit(1.0).as("jaccard"))
+        // identical docs pair at exactly 1.0 — they clear any threshold ≤ 1
+        val within =
+          if (threshold <= 1.0) withinAll else withinAll.limit(0)
         // cross-group: expand each rep pair to its groups' cross product
         // (equi-joins on rep ids; output-proportional, as any pair list is)
         val cross = repPairs
@@ -372,6 +381,14 @@ object Dedup {
         .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
+    // an edge endpoint missing from `nodes` would be SILENTLY ignored by the
+    // propagation joins, under-merging components — validate up front (one
+    // anti-join over the cached edge list; `nodes` may be a superset)
+    val orphans = sym.select(col("src").as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti").count()
+    require(orphans == 0,
+      s"connectedComponents: $orphans edge endpoint(s) missing from nodes — " +
+        "pass a node frame covering every pair endpoint")
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {

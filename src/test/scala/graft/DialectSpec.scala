@@ -250,6 +250,11 @@ class DialectSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("'b'"))
     // aggregates have no group context in a scalar body
     intercept[IllegalArgumentException] { load("f(a) = SUM(a)") }
+    // self-recursion would StackOverflow at query compile — reject at load
+    val e3 = intercept[IllegalArgumentException] { load("f(a) = f(a)") }
+    assert(e3.getMessage.contains("unknown function 'f'"))
+    // forward references (incl. mutual recursion) likewise
+    intercept[IllegalArgumentException] { load("f(a) = g(a)\ng(a) = a") }
     // malformed header
     intercept[IllegalArgumentException] { load("not a definition") }
     // duplicate parameter

@@ -80,10 +80,15 @@ class PipelineSpec extends AnyFunSuite {
 
   test("minhash exact-dup collapse (groupExact) returns the ungrouped answer on a duplicated corpus") {
     // 2×-duplicated corpus: ids 100k+ carry identical text to ids below —
-    // exercises within-group (J=1.0) AND cross-group expansion paths
+    // exercises within-group (J=1.0) AND cross-group expansion paths. Ids
+    // 200k+ add CASE variants: byte-different, normalization-equal — they
+    // must NOT be collapsed by stage 0 (raw shingle sets differ), which is
+    // exactly what a normalized grouping fingerprint would get wrong.
     val baseDocs = docs.select("doc_id", "text").limit(120)
     val dupped = baseDocs.unionByName(
       baseDocs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(baseDocs.limit(30).select(
+        (col("doc_id") + 200000).as("doc_id"), upper(col("text")).as("text")))
     def pairs(groupExact: Boolean) =
       Dedup.minHashLsh(dupped, "text", "doc_id", threshold = 0.5,
           groupExact = groupExact)
@@ -423,6 +428,11 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getString(3) -> Option(r.get(4))).toMap
     // e1 matches (1,x,5); e2 matches (1,y,7); e3 has no (2,x) history at all
     assert(out == Map("e1" -> Some(1.0), "e2" -> Some(2.0), "e3" -> None))
+    // a payload name colliding with a left column would yield an ambiguous
+    // duplicate — rejected up front
+    intercept[IllegalArgumentException] {
+      AsOf.join(left.withColumnRenamed("ev", "v"), right, Seq("k1"), "ts", Seq("v"))
+    }
   }
 
   // ---- skew ----
