@@ -966,6 +966,34 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("total"))
   }
 
+  // TF-IDF top-5 terms per document: tokenize → (doc,term) counts →
+  // document frequency → ln(N/df) scoring → per-doc top-k via
+  // row_number ≤ k (executes as WindowGroupLimit: per-partition partial
+  // top-k before the shuffle). Score rounded to a 1e-6 grid: tf/df/N are
+  // integers so the only engine divergence is the last-ulp of ln.
+  define("t5_tfidf_topterms",
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+           '\s+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+              GROUP BY doc_id, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       scored AS (SELECT t.doc_id, t.term, t.tf * ln(n.n / df.df) AS score
+         FROM tf t JOIN df ON t.term = df.term CROSS JOIN n),
+       ranked AS (SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+             AS rn
+         FROM scored)
+       SELECT doc_id, term, round(score, 6) AS score
+       FROM ranked WHERE rn <= 5 ORDER BY doc_id, term""") { (s, d) =>
+    graft.operators.TfIdf.topTerms(t(s, d, "documents"), "text", "doc_id", k = 5)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "term")
+  }
+
   // Connected components over the near-dup graph: the transitive grouping
   // d7's one-hop greedy approximates, labeled min-id-per-component. Spark
   // side is min-label propagation (one edge⋈label join + min-agg per round,

@@ -335,6 +335,29 @@ class PipelineSpec extends AnyFunSuite {
     } finally { producer.close(); allocator.close() }
   }
 
+  test("tfidf top terms: k per doc, corpus-wide terms score zero, maxDf prunes them") {
+    import graft.operators.TfIdf
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "shared shared apple apple apple"),
+      (2L, "shared banana banana"),
+      (3L, "shared cherry")).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(corpus, "text", "doc_id", k = 2)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // ≤ k rows per doc
+    assert(rows.groupBy(_._1).values.forall(_.length <= 2))
+    // 'shared' appears in every doc → idf = ln(3/3) = 0 exactly
+    assert(rows.filter(_._2 == "shared").forall(_._3 == 0.0))
+    // the distinctive term dominates: apple = 3·ln(3) for doc 1
+    val apple = rows.find(r => r._1 == 1L && r._2 == "apple").get._3
+    assert(math.abs(apple - 3 * math.log(3.0)) < 1e-12)
+    // maxDf=2 drops the corpus-wide term entirely
+    val pruned = TfIdf.topTerms(corpus, "text", "doc_id", k = 2, maxDf = 2L)
+    assert(pruned.filter(col("term") === "shared").count() == 0)
+    // WindowGroupLimit partial top-k appears in the plan (the q23 shape)
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("connected components: chains merge transitively, singletons keep their id") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — NOT a clique, so one-hop greedy would
