@@ -966,6 +966,70 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("total"))
   }
 
+  // Capstone curation pipeline — the operators composed the way a real
+  // training-data pass runs them, in ONE logical plan: quality score +
+  // language ID (single shared scan), filter, exact-dedup keep-set,
+  // per-doc output. The oracle re-derives every stage in SQL, so the
+  // row-level hash match certifies the COMPOSITION, not just the parts.
+  define("p1_curation_pipeline",
+    """WITH q AS (
+         SELECT doc_id, text,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+             + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) > 0.1 THEN 0.0
+                ELSE 1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0 END) * 0.3
+             + least(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS DOUBLE)
+                 / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
+           AS quality
+         FROM documents),
+       h AS (
+         SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], w))) AS h_de,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS h_en,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['el','la','los','y','es','una','que','no'], w))) AS h_es,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['le','la','les','et','est','une','que','pas'], w))) AS h_fr,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['de','le','shi','bu','wo','ni','ta','zai'], w))) AS h_zh
+         FROM documents),
+       l AS (
+         SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) <= 0 THEN 'en'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM h),
+       f AS (SELECT q.doc_id, q.n_tokens, q.quality, q.text
+             FROM q JOIN l ON q.doc_id = l.doc_id
+             WHERE q.quality >= 0.5 AND l.pred_lang = 'en'),
+       keep AS (SELECT min(doc_id) AS doc_id FROM f
+                GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+       SELECT f.doc_id, f.n_tokens, f.quality
+       FROM f JOIN keep ON f.doc_id = keep.doc_id
+       ORDER BY f.doc_id""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Dedup
+    val scored = TF.withLangId(graft.operators.spread(
+        t(s, d, "documents").select("doc_id", "text")), "text")
+      .withColumn("quality", TF.qualityScoreRaw(col("text")))
+      .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+    val filtered = scored
+      .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+    val kept = Dedup.exact(filtered, "text", "doc_id").select("doc_id")
+    filtered.join(kept, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   // TF-IDF top-5 terms per document: tokenize → (doc,term) counts →
   // document frequency → ln(N/df) scoring → per-doc top-k via
   // row_number ≤ k (executes as WindowGroupLimit: per-partition partial

@@ -98,18 +98,24 @@ object TextFunctions {
     bestLang
   }
 
-  /** Quality score in [0, 1]: length sweet-spot, punctuation moderation,
-    * stopword presence — the standard cheap heuristics (C4/Gopher-style
-    * rules) as one codegen'd expression. */
-  def qualityScore(c: Column): Column = {
+  /** Quality score in [0, 1], unrounded: length sweet-spot, punctuation
+    * moderation, stopword presence — the standard cheap heuristics
+    * (C4/Gopher-style rules) as one codegen'd expression. The raw double is
+    * engine-portable bit-for-bit (integer inputs, fixed op order); prefer it
+    * for filters and comparisons — rounding lands on half-way points where
+    * decimal-rounding implementations legitimately disagree. */
+  def qualityScoreRaw(c: Column): Column = {
     val nTok = tokenCount(c).cast("double")
     val lenScore = least(nTok / lit(50.0), lit(1.0))
     val punctRatio = punctCount(c).cast("double") / greatest(length(c), lit(1)).cast("double")
     val punctScore = when(punctRatio > 0.1, lit(0.0)).otherwise(lit(1.0) - punctRatio * 10.0)
     val stopRatio = wordHits(c, stopwords("en")).cast("double") / greatest(nTok, lit(1.0))
     val stopScore = least(stopRatio * lit(5.0), lit(1.0))
-    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4)
+    lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
   }
+
+  /** [[qualityScoreRaw]] rounded to 4 decimals for display. */
+  def qualityScore(c: Column): Column = round(qualityScoreRaw(c), 4)
 
   /** 64-bit content fingerprint of the normalized text (xxhash64 — Spark's
     * native codegen'd hash). Distinct-fingerprint counts equal distinct
