@@ -1288,6 +1288,16 @@ object SparkEntry {
   }
 
   // Stream-stream time-range join (bounded state via dual watermarks).
+  // Streaming exact-dedup: dropDuplicates state = one 8-byte fingerprint
+  // per distinct content; append emits first-seen docs. The deterministic
+  // check is the distinct-content count (equal to the batch d1 group count).
+  define("st8_stream_dedup",
+    """SELECT count(DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_distinct
+       FROM documents""") { (s, d) =>
+    graft.streaming.Streaming.streamingDedup(s, d, "st8_out")
+  }
+
   define("st7_stream_join",
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id
        FROM events c JOIN events p ON c.user_id = p.user_id

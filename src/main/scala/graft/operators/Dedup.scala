@@ -374,21 +374,32 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String, aCol: String, bCol: String,
-                          maxIter: Int = 20)
+                          maxIter: Int = 20, algorithm: String = "label")
                          (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val sym = scope.cache(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+    val nodeIds = nodes.select(col(idCol).as("id"))
     // an edge endpoint missing from `nodes` would be SILENTLY ignored by the
     // propagation joins, under-merging components — validate up front (one
     // anti-join over the cached edge list; `nodes` may be a superset)
     val orphans = sym.select(col("src").as("id")).distinct()
-      .join(labels, Seq("id"), "left_anti").count()
+      .join(nodeIds, Seq("id"), "left_anti").count()
     require(orphans == 0,
       s"connectedComponents: $orphans edge endpoint(s) missing from nodes — " +
         "pass a node frame covering every pair endpoint")
+    algorithm match {
+      case "label" => labelPropagation(nodeIds, sym, idCol, maxIter)
+      case "star"  => starContraction(nodeIds, sym, idCol, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"unknown algorithm '$other' (want 'label' or 'star')")
+    }
+  }
+
+  private def labelPropagation(nodeIds: DataFrame, sym: DataFrame,
+                               idCol: String, maxIter: Int): DataFrame = {
+    var labels = nodeIds.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -409,8 +420,64 @@ object Dedup {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "graph diameter exceeds the bound; raise maxIter or use star contraction")
+        "graph diameter exceeds the bound; raise maxIter or use " +
+        "algorithm = \"star\" (O(log n) rounds)")
     labels.select(col("id").as(idCol), col("label").as("component"))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round rewires
+    * every node's strictly-larger neighbors (large-star), then its
+    * not-larger neighbors and itself (small-star), to the minimum of its
+    * closed neighborhood. Converges in O(log n) rounds REGARDLESS of
+    * diameter — the deep-chain path [[labelPropagation]]'s O(diameter)
+    * can't serve. Edges come out of each phase center-oriented
+    * (node > center), so the fixpoint test is an exact symmetric-difference
+    * count on canonical pairs.
+    */
+  private def starContraction(nodeIds: DataFrame, sym: DataFrame,
+                              idCol: String, maxIter: Int): DataFrame = {
+    def symmetrize(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // closed-neighborhood min per node: m(u) = min(N(u) ∪ {u})
+    def withMin(s: DataFrame): DataFrame =
+      s.join(
+        s.groupBy("u").agg(min("v").as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m")),
+        "u")
+    var e = sym.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v"))
+      .filter(col("u") > col("v")) // canonical orientation, deduped below
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val large = withMin(symmetrize(e))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // (larger nbr → min)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val smallIn = withMin(symmetrize(large))
+      val small = smallIn.filter(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smallIn.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val next = small.localCheckpoint(true)
+      changed = next.exceptAll(e).count() + e.exceptAll(next).count()
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"star contraction did not converge in $maxIter rounds")
+    // at the fixpoint every edge is (node, component-center)
+    val lbl = symmetrize(e).groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("id"), least(col("mv"), col("u")).as("label"))
+    nodeIds.join(lbl, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("component"))
   }
 
   /** Embedding-cosine near-duplicate pairs.

@@ -235,6 +235,35 @@ object Streaming {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming exact-dedup: `dropDuplicates` on the content fingerprint over
+    * an unbounded document stream — the online form of the batch exact-dedup
+    * pass. State is one 8-byte fingerprint per distinct content, sharded by
+    * the state store across executors; training-corpus semantics keep it
+    * global (a duplicate is a duplicate forever — add
+    * `withWatermark + dropDuplicatesWithinWatermark` for time-scoped dedup
+    * where state must expire). Append mode emits each first-seen document
+    * once; WHICH doc of an intra-batch duplicate pair is "first" is
+    * execution-order-dependent, so the driver-facing result is the
+    * distinct-content count, which is not.
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).agg(count(lit(1)).as("n_distinct"))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._

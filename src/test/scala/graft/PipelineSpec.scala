@@ -335,6 +335,31 @@ class PipelineSpec extends AnyFunSuite {
     } finally { producer.close(); allocator.close() }
   }
 
+  test("star-contraction CC equals label propagation; converges on deep chains where label cannot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 150
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = Seq.fill(200)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val viaLabel = Dedup.connectedComponents(nodes, edges, "id", "a", "b",
+      maxIter = 50)
+    val viaStar = Dedup.connectedComponents(nodes, edges, "id", "a", "b",
+      maxIter = 50, algorithm = "star")
+    assert(viaStar.exceptAll(viaLabel).count() == 0 &&
+      viaLabel.exceptAll(viaStar).count() == 0)
+    // 60-node chain, diameter 59: label propagation needs ~59 rounds and
+    // must throw at maxIter=10; star contraction converges in O(log n)
+    val chainN = (1L to 60L).toDF("id")
+    val chainE = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chainN, chainE, "id", "a", "b", maxIter = 10)
+    }
+    val star = Dedup.connectedComponents(chainN, chainE, "id", "a", "b",
+      maxIter = 10, algorithm = "star")
+    assert(star.filter(col("component") === 1L).count() == 60)
+  }
+
   test("tfidf top terms: k per doc, corpus-wide terms score zero, maxDf prunes them") {
     import graft.operators.TfIdf
     import spark.implicits._
