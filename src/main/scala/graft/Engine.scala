@@ -26,9 +26,48 @@ import graft.functions.FunctionRegistry
   */
 object Engine {
 
-  /** Default registry, shared by entry points that don't supply their own
-    * (the `custom.cu` analog is per-engine, not per-query). */
-  val registry: FunctionRegistry = FunctionRegistry.default()
+  /** Default registry, shared by entry points that don't supply their own. */
+  @volatile private var sharedRegistry: FunctionRegistry =
+    FunctionRegistry.default()
+  def registry: FunctionRegistry = { refreshFunctions(); sharedRegistry }
+
+  // ---- per-query function-file pickup (the reference re-reads ./custom.cu
+  // at query JIT time, /root/reference/src/jit.cpp:65-73 — not just once at
+  // session start) ----
+  @volatile private var watched: Option[(String, Long)] = None
+
+  /** Watch a definitions file: every subsequent query entry point stats it
+    * and, if the modification time changed, rebuilds the shared registry as
+    * builtins + the file's current definitions — edit the file, next query
+    * sees the new functions, exactly like dropping a new `custom.cu`.
+    * Pass the path of a file that may not exist yet; it is picked up when
+    * it appears. `unwatchFunctions()` stops the pickup. */
+  def watchFunctions(path: String): Unit = {
+    watched = Some((path, -1L))
+    refreshFunctions()
+  }
+
+  def unwatchFunctions(): Unit = {
+    watched = None
+    sharedRegistry = FunctionRegistry.default()
+  }
+
+  private def refreshFunctions(): Unit = watched match {
+    case Some((path, seen)) =>
+      val f = new java.io.File(path)
+      val mtime = if (f.isFile) f.lastModified() else -1L
+      if (mtime != seen) synchronized {
+        // re-check under the lock, then swap in a freshly built registry so
+        // functions REMOVED from the file disappear too
+        if (watched.contains((path, seen))) {
+          val r = FunctionRegistry.default()
+          if (f.isFile) FunctionRegistry.loadFile(r, path)
+          sharedRegistry = r
+          watched = Some((path, mtime))
+        }
+      }
+    case None => ()
+  }
 
   /** E1 — masked-map expression query over one table.
     *

@@ -31,6 +31,21 @@ object Multimodal {
         length(col("payload")).as("n_bytes"),
         lit(mime).as("mime")))
 
+  /** The decode seam as an interface: a real deployment implements this
+    * with an actual codec (ImageIO/ffmpeg/...) and passes it to
+    * [[decodeFeatures]]/[[decodeFeaturesArrow]] — the pipeline (schema,
+    * batching, Arrow plumbing) does not change. Must be Serializable: it
+    * ships to executors. */
+  trait PayloadDecoder extends Serializable {
+    /** payload bytes → (width, height, nFrames) */
+    def decode(bytes: Array[Byte]): (Int, Int, Int)
+  }
+
+  /** Default stub decoder (this container has no codecs). */
+  object FakeDecoder extends PayloadDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = fakeDecode(bytes)
+  }
+
   /** Deterministic stand-in for a real decoder: width/height/duration are
     * pure functions of the payload bytes. Replace with a codec call in a
     * real deployment (`???` marks the seam). */
@@ -57,7 +72,8 @@ object Multimodal {
     * could amortize model/codec setup per batch, and peak memory per task is
     * `batchSize` payloads, not the partition. */
   def decodeFeatures(withPayload: DataFrame, idCol: String,
-                     batchSize: Int = 64): DataFrame = {
+                     batchSize: Int = 64,
+                     decoder: PayloadDecoder = FakeDecoder): DataFrame = {
     val spark = withPayload.sparkSession
     val input = spread(withPayload.select(col(idCol).cast("long"), col("payload")))
     val rows = input.rdd.mapPartitions { it =>
@@ -66,7 +82,7 @@ object Multimodal {
         batch.iterator.map { row =>
           val id = row.getLong(0)
           val bytes = row.getAs[Array[Byte]](1)
-          val (w, h, f) = fakeDecode(bytes)
+          val (w, h, f) = decoder.decode(bytes)
           Row(id, w, h, f)
         }
       }
@@ -85,7 +101,8 @@ object Multimodal {
     * This is the mapInArrow shape realized in Scala; prefer it over
     * [[decodeFeatures]] when the decoder is the bottleneck and Row
     * serialization overhead matters. */
-  def decodeFeaturesArrow(withPayload: DataFrame, idCol: String): DataFrame = {
+  def decodeFeaturesArrow(withPayload: DataFrame, idCol: String,
+                          decoder: PayloadDecoder = FakeDecoder): DataFrame = {
     import org.apache.arrow.vector.{BigIntVector, VarBinaryVector}
     val spark = withPayload.sparkSession
     val input = spread(
@@ -95,7 +112,7 @@ object Multimodal {
       val ids = root.getVector(0).asInstanceOf[BigIntVector]
       val payloads = root.getVector(1).asInstanceOf[VarBinaryVector]
       (0 until root.getRowCount).iterator.map { i =>
-        val (w, h, f) = fakeDecode(payloads.get(i))
+        val (w, h, f) = decoder.decode(payloads.get(i))
         Row(ids.get(i), w, h, f)
       }
     }

@@ -269,6 +269,37 @@ class DialectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("g expects 2"))
   }
 
+  test("watchFunctions: definitions-file edits are picked up by the next query (custom.cu parity)") {
+    val f = java.nio.file.Files.createTempFile("graft_watch_", ".fns")
+    try {
+      java.nio.file.Files.write(f, "boost(x) = x * 2\n".getBytes("UTF-8"))
+      Engine.watchFunctions(f.toString)
+      val v1 = Engine.sql(spark, sf,
+        "SELECT round(boost(o_totalprice), 2) AS b FROM orders LIMIT 1",
+        float32 = false)
+      assert(v1.count() == 1)
+      // mtime granularity on some filesystems is a full second
+      Thread.sleep(1100)
+      java.nio.file.Files.write(f,
+        "boost(x) = x * 3\ntriple(x) = x * 3\n".getBytes("UTF-8"))
+      val v2 = Engine.sql(spark, sf,
+        "SELECT round(triple(o_totalprice), 2) AS t FROM orders LIMIT 1",
+        float32 = false)
+      assert(v2.count() == 1)
+      // functions REMOVED from the file disappear on the next pickup
+      Thread.sleep(1100)
+      java.nio.file.Files.write(f, "boost(x) = x * 4\n".getBytes("UTF-8"))
+      intercept[IllegalArgumentException] {
+        Engine.sql(spark, sf,
+          "SELECT triple(o_totalprice) AS t FROM orders LIMIT 1",
+          float32 = false).collect()
+      }
+    } finally {
+      Engine.unwatchFunctions()
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
+
   test("fullSql passthrough: correlated subquery decorrelates and agrees with DataFrame formulation") {
     val viaSql = Engine.fullSql(spark, sf,
       """SELECT c_custkey FROM customer c

@@ -217,6 +217,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaArrow.schema == viaRows.schema)
     assert(viaArrow.exceptAll(viaRows).count() == 0 &&
       viaRows.exceptAll(viaArrow).count() == 0)
+    // the decoder seam is pluggable: a custom implementation flows through
+    val custom = Multimodal.decodeFeaturesArrow(withPayload, "doc_id",
+      new Multimodal.PayloadDecoder {
+        def decode(b: Array[Byte]): (Int, Int, Int) = (1, 2, b.length)
+      })
+    assert(custom.select("width", "height").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2)))
   }
 
   test("frame sampling keeps every stride-th frame") {

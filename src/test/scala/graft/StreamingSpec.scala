@@ -48,6 +48,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.contains(3600L), s"got $rows")
   }
 
+  test("time-scoped streaming dedup: in-watermark duplicates dropped, expired keys re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (fingerprint, event-time seconds)
+    val deduped = input.toDF().toDF("fp", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("fp", "sec")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup").start()
+    // fp=1 twice within the watermark window → second occurrence dropped
+    input.addData((1L, 10L), (1L, 15L), (2L, 12L))
+    q.processAllAvailable()
+    // advance event time far past the 10 s delay → fp=1 state expires
+    input.addData((9L, 100L))
+    q.processAllAvailable()
+    // fp=1 reappears AFTER expiry → re-emitted (time-scoped semantics:
+    // state is bounded, unlike st8's global training-corpus dedup)
+    input.addData((1L, 95L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.count(_._1 == 1L) == 2, s"got ${rows.toSeq}")
+    assert(rows.contains((1L, 10L)) && !rows.contains((1L, 15L)), s"got ${rows.toSeq}")
+    assert(rows.count(_._1 == 2L) == 1 && rows.count(_._1 == 9L) == 1)
+  }
+
   test("streaming file sink with partitionBy lays out prunable directories") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
