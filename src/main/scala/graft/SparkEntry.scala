@@ -797,6 +797,53 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // Persisted-index ANN: the corpus signature pass is paid once into a
+  // parquet (id, band, bucket) table + a _params side table; the query
+  // reads the index instead of recomputing signatures. Same exact-re-rank
+  // argument as s2 → same brute-force window oracle.
+  define("s5_ann_lsh_persisted",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_${d.replaceAll("[^0-9.]", "")}"
+    Similarity.buildLshIndex(corpus, "embedding", "vec_id", idx)
+    Similarity.lshTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
+      "embedding", "vec_id", k = 5)
+      .select("q_id", "n_id", "rank")
+  }
+
+  // Product-quantization ANN (Jégou'11): corpus stored as 16×4-bit codes
+  // (8 B/vector vs 256 B float32 — 32×), queries score codes via ADC
+  // lookup tables, exact cosine re-ranks the top-192 candidates. Candidate
+  // coverage of the true top-5 is total at these parameters (PipelineSpec
+  // asserts it independently; tools.PqSweep measured the recall curve), so
+  // the exact re-rank reproduces the brute-force answer and the same
+  // window oracle applies.
+  define("s6_ann_pq",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val book = Similarity.pqTrain(corpus, "embedding", dim = 64, m = 16, k = 16)
+    val codes = Similarity.pqEncode(corpus, book, "embedding", "vec_id",
+      dim = 64, m = 16)
+    Similarity.pqTopK(queries, corpus, codes, book, "embedding", "vec_id",
+      dim = 64, m = 16, k = 5, rerank = 192)
+      .select("q_id", "n_id", "rank")
+  }
+
   defineNoOracle("s3_ann_ivf") { (s, d) =>
     val emb = t(s, d, "embeddings")
     graft.operators.Similarity.ivfTopK(

@@ -72,6 +72,52 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two float-array columns, accumulated in
+  * double. The product-quantization distance kernel (subspace→centroid
+  * distances for encode and ADC tables); codegen'd for the same reason as
+  * [[CosineSimilarity]] — the loop fuses into the enclosing stage. */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_squared"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Squared =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash of a token array (Charikar'02 random-hyperplane sketch for
   * text; the scalable near-dup scheme of Manku/Jain/Sarma, WWW'07).
   *
@@ -290,6 +336,10 @@ case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int,
 object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2Squared(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Squared(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def simhash64(tokens: Column): Column =

