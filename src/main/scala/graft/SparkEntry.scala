@@ -1105,6 +1105,82 @@ object SparkEntry {
       .orderBy("doc_id", "term")
   }
 
+  // Greedy sequence packing into 256-token bins, per language in doc_id
+  // order. Spark runs the fold as a native `aggregate` HOF over each
+  // group's (id, n) array; the oracle replays the identical recurrence as
+  // a DuckDB RECURSIVE CTE — two different fixpoint engines agreeing
+  // row-for-row certifies the packing recurrence itself.
+  define("p2_sequence_packing",
+    """WITH RECURSIVE
+       t AS (SELECT lang, doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n
+             FROM documents),
+       o AS (SELECT lang, doc_id, n,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             FROM t),
+       pack(lang, rn, doc_id, n, acc, bin) AS (
+         SELECT lang, rn, doc_id, n, n, CAST(0 AS BIGINT) FROM o WHERE rn = 1
+         UNION ALL
+         SELECT o.lang, o.rn, o.doc_id, o.n,
+           CASE WHEN p.acc + o.n > 256 AND p.acc > 0 THEN o.n
+                ELSE p.acc + o.n END,
+           CASE WHEN p.acc + o.n > 256 AND p.acc > 0 THEN p.bin + 1
+                ELSE p.bin END
+         FROM pack p JOIN o ON o.lang = p.lang AND o.rn = p.rn + 1)
+       SELECT lang, doc_id, bin FROM pack""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    val withN = t(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(TF.tokens(col("text"))).as("n_tokens"))
+    graft.operators.Packing.packSequences(withN, "lang", "doc_id",
+      "n_tokens", budget = 256L)
+  }
+
+  // Deterministic train/val/test split: bucket = first 16 md5 bits of the
+  // key string mod 10 — a pure function of doc_id both engines (and any
+  // language's md5) compute identically, unlike engine-private hashes.
+  define("t7_hash_split",
+    """SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10
+           AS bucket,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 < 8
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 < 9
+              THEN 'val' ELSE 'test' END AS split
+       FROM documents""") { (s, d) =>
+    graft.operators.Splits.assign(
+      t(s, d, "documents").select("doc_id"), "doc_id")
+  }
+
+  // Train→eval benchmark-contamination check: asymmetric trigram
+  // containment over a deterministic doc_id split (every 20th doc plays
+  // the benchmark). The distribution is sharply bimodal on this corpus
+  // (planted leaks ≥ 0.97, background ≤ 0.09), so threshold 0.5 flags
+  // exactly the leaked items. Containment = inter / |sh(e)| is integer
+  // counts under double division — deterministic in both engines, no
+  // rounding (float-parity rule: never round per-row arithmetic).
+  define("t6_contamination",
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds
+         FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 2),
+           i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])) AS sh
+         FROM d WHERE len(wds) >= 3),
+       ev AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+       tr AS (SELECT * FROM sh WHERE doc_id % 20 != 0)
+       SELECT tr.doc_id AS t_id, ev.doc_id AS e_id,
+         CAST(len(list_intersect(ev.sh, tr.sh)) AS DOUBLE) / len(ev.sh)
+           AS containment
+       FROM ev, tr
+       WHERE CAST(len(list_intersect(ev.sh, tr.sh)) AS DOUBLE) / len(ev.sh)
+         >= 0.5""") { (s, d) =>
+    val docs = t(s, d, "documents")
+    graft.operators.Dedup.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", threshold = 0.5)
+  }
+
   // Connected components over the near-dup graph: the transitive grouping
   // d7's one-hop greedy approximates, labeled min-id-per-component. Spark
   // side is min-label propagation (one edge⋈label join + min-agg per round,

@@ -290,6 +290,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Train→eval n-gram contamination check — the "did benchmark data leak
+    * into the training corpus" pass a training pipeline runs before any
+    * job (cf. the 13-gram overlap scrub in GPT-3's appendix C).
+    *
+    * For each eval document, containment C(e,t) = |sh(e) ∩ sh(t)| / |sh(e)|
+    * against each train document; pairs at or above `threshold` are
+    * flagged. Containment is asymmetric by design: a short benchmark item
+    * quoted verbatim inside a long train document is 100% contaminated even
+    * though its symmetric Jaccard would be tiny.
+    *
+    * Scale shape is [[ngramJaccard]]'s inverted index made bipartite:
+    * postings equi-join on the shingle (never a cross join), with the
+    * `maxDf` stop-shingle guard computed on the TRAIN side (the 100 TB
+    * side — boilerplate shingles carry no contamination signal and would
+    * otherwise dominate the join). The guard prunes postings but the
+    * denominator stays the FULL |sh(e)|, so a dropped shingle can only
+    * lower a pair's containment, never inflate it. Eval sets are small;
+    * the per-eval-doc aggregate shuffles one row per surviving pair. */
+  def contamination(train: DataFrame, eval: DataFrame, textCol: String,
+                    idCol: String, threshold: Double = 0.5,
+                    shingleSize: Int = 3, maxDf: Long = 1000L): DataFrame = {
+    def shingled(df: DataFrame, id: String) =
+      spread(df.select(col(idCol).as(id), col(textCol)))
+        .select(col(id),
+          array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
+    val tr = shingled(train, "t_id")
+    val ev = shingled(eval, "e_id")
+    val evSizes = ev.select(col("e_id"), size(col("sh")).as("n_e"))
+    val tInv = tr.select(col("t_id"), explode(col("sh")).as("shingle"))
+    val eInv = ev.select(col("e_id"), explode(col("sh")).as("shingle"))
+    val heavy = tInv.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("shingle")
+    val shared = tInv.join(heavy, Seq("shingle"), "left_anti")
+      .join(eInv, "shingle")
+      .groupBy("t_id", "e_id")
+      .agg(count(lit(1)).as("inter"))
+    shared.join(evSizes, "e_id")
+      .select(col("t_id"), col("e_id"),
+        (col("inter").cast("double") / col("n_e").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Full corpus dedup, staged the way a 100 TB pipeline runs it:
     *
     *   1. EXACT pass first: fingerprint groupBy collapses identical content

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/validation/test assignment by key hash.
+  *
+  * A training pipeline must assign every document to a split such that
+  * (a) the assignment is a pure function of the key — stable across runs,
+  * re-shards, engines, and languages, never dependent on row order or
+  * partition layout; (b) membership can be recomputed by ANY downstream
+  * consumer (a Python eval harness, a SQL warehouse) without coordination.
+  * That is why the hash is md5 of the decimal key string — every language
+  * ships it with identical semantics — rather than an engine-private hash
+  * like xxhash64 (cheaper per row, but nothing outside Spark reproduces
+  * it). The hash cost is paid once per corpus pass and is noise next to
+  * the scan.
+  *
+  * `salt` decorrelates independent splits of the same corpus: different
+  * salt, statistically independent assignment. */
+object Splits {
+
+  /** Uniform bucket in [0, buckets) from the first 16 bits of
+    * md5(salt ‖ key): pure, order-free, cross-engine reproducible.
+    * 16 bits give at most ~1.6% bucket-size bias at buckets=1000
+    * (65536 % 1000); at the usual 10/100 buckets the bias is ≤ 0.06%. */
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
+    (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4),
+      16, 10).cast("int") % buckets)
+
+  /** Assign each row a `bucket` and a `split` label by hashing `keyCol`.
+    * Weights are bucket counts out of `trainW + valW + testW` total —
+    * the default 8/1/1 over 10 buckets is the standard 80/10/10. */
+  def assign(df: DataFrame, keyCol: String,
+             trainW: Int = 8, valW: Int = 1, testW: Int = 1,
+             salt: String = ""): DataFrame = {
+    require(trainW > 0 && valW >= 0 && testW >= 0, "weights must be valid")
+    val buckets = trainW + valW + testW
+    df.withColumn("bucket", hashBucket(col(keyCol), buckets, salt))
+      .withColumn("split",
+        when(col("bucket") < trainW, "train")
+          .when(col("bucket") < trainW + valW, "val")
+          .otherwise("test"))
+  }
+}

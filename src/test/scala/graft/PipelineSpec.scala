@@ -175,6 +175,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty && lsh.size.toDouble / brute.size >= 0.8)
   }
 
+  test("contamination: containment is asymmetric; maxDf drops boilerplate shingles") {
+    import spark.implicits._
+    // eval doc fully quoted inside a much longer train doc: containment 1.0
+    // even though symmetric Jaccard would be ~3/22
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon " +
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"),
+      (2L, "totally unrelated content about something else entirely here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, eval, "text", "doc_id",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.toSeq == Seq((1L, 100L, 1.0)))
+    // boilerplate guard: a shingle present in > maxDf train docs is dropped
+    // from the postings, so boilerplate-only overlap cannot flag — but the
+    // denominator stays |sh(e)|, so pruning only ever LOWERS containment
+    val boiler = (1L to 5L).map(i => (i, "click here to subscribe now"))
+      .toDF("doc_id", "text")
+    val evalB = Seq((200L, "click here to subscribe now")).toDF("doc_id", "text")
+    assert(Dedup.contamination(boiler, evalB, "text", "doc_id",
+      threshold = 0.1, maxDf = 4L).count() == 0)
+    assert(Dedup.contamination(boiler, evalB, "text", "doc_id",
+      threshold = 0.99, maxDf = 5L).count() == 5)
+  }
+
+  test("hash split: pure function of key, stable under repartition; salt decorrelates") {
+    import graft.operators.Splits
+    val ids = docs.select("doc_id")
+    val a = Splits.assign(ids, "doc_id").select("doc_id", "bucket", "split")
+    val b = Splits.assign(ids.repartition(7), "doc_id")
+      .select("doc_id", "bucket", "split")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // 8/1/1 weights land near 80/10/10 on 500 docs
+    val bySplit = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train") > 350 && bySplit("train") < 450, s"got $bySplit")
+    assert(bySplit.values.sum == 500)
+    // a different salt reassigns a nontrivial fraction of keys
+    val salted = Splits.assign(ids, "doc_id", salt = "v2")
+      .select("doc_id", "bucket", "split")
+    assert(a.exceptAll(salted).count() > 50)
+  }
+
+  test("sequence packing: bins bounded by budget, oversized docs isolated, order-stable") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val items = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 60L), // 100+100 fits, 60 spills
+      ("a", 4L, 300L),                                  // oversized: own bin
+      ("a", 5L, 10L),
+      ("b", 6L, 256L), ("b", 7L, 1L))
+      .toDF("grp", "id", "n")
+    val packed = Packing.packSequences(items, "grp", "id", "n", budget = 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(packed == Set(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 2L),
+      ("a", 5L, 3L), ("b", 6L, 0L), ("b", 7L, 1L)), s"got $packed")
+    // invariant over the real corpus: every bin is within budget unless it
+    // holds a single oversized doc; bin numbering is dense per group
+    import graft.functions.{TextFunctions => TF}
+    val withN = docs.select(col("lang"), col("doc_id"),
+      size(TF.tokens(col("text"))).cast("long").as("n"))
+    val corpus = Packing.packSequences(withN, "lang", "doc_id", "n", 256L)
+      .join(withN, Seq("lang", "doc_id"))
+    val bins = corpus.groupBy("lang", "bin")
+      .agg(sum("n").as("total"), count(lit(1)).as("docs"))
+    assert(bins.filter(col("total") > 256 && col("docs") > 1).count() == 0)
+    val perLang = bins.groupBy("lang")
+      .agg(countDistinct("bin").as("nbins"), (max("bin") + 1).as("maxb"))
+    assert(perLang.filter(col("nbins") =!= col("maxb")).count() == 0)
+    // partitioning invariance
+    val re = Packing.packSequences(withN.repartition(11), "lang", "doc_id", "n", 256L)
+    assert(Packing.packSequences(withN, "lang", "doc_id", "n", 256L)
+      .exceptAll(re).count() == 0)
+  }
+
   // ---- similarity search ----
 
   test("ANN: LSH and IVF recall vs brute-force top-5") {
