@@ -48,6 +48,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.contains(3600L), s"got $rows")
   }
 
+  test("RocksDB state store: stateful agg runs with spillable off-heap state") {
+    // The memory (HDFS-backed) provider caps state at executor heap; the
+    // RocksDB provider keeps state on local disk with a block-cache in
+    // native memory — the >RAM state configuration for large keyspaces
+    // (e.g. st8's global fingerprint dedup at corpus scale). Results must
+    // be identical; only the state backend changes.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Long]
+      val agg = input.toDF()
+        .withColumn("ts", timestamp_seconds(col("value")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("w_start"), col("n"))
+      val q = agg.writeStream.outputMode("update")
+        .format("memory").queryName("rocks_out").start()
+      input.addData(60L, 120L, 700L)
+      q.processAllAvailable()
+      input.addData(130L, 710L)
+      q.processAllAvailable()
+      // the provider actually engaged: progress reports RocksDB metrics
+      val prog = q.lastProgress.toString
+      assert(prog.contains("rocksdb"), s"no rocksdb metrics in: $prog")
+      q.stop()
+      val rows = spark.table("rocks_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(rows == Map(0L -> 3L, 600L -> 2L), s"got $rows")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("time-scoped streaming dedup: in-watermark duplicates dropped, expired keys re-emit") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
