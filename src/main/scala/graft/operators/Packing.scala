@@ -20,39 +20,57 @@ import org.apache.spark.sql.functions._
   * parallelism axis is ACROSS scopes: at 100 TB you pack per (group,
   * shard) with a deterministic shard key (e.g. [[Splits.hashBucket]]),
   * giving arbitrarily many independent folds with no shuffle beyond one
-  * hash partition per scope. The fold itself runs as a native `aggregate`
-  * higher-order function over the group's (id, size) array — one pass, no
-  * UDF, no driver involvement. */
+  * hash partition per scope.
+  *
+  * The fold is a per-partition streaming scan over hash-partitioned,
+  * (group, id)-sorted rows — O(rows) with O(1) state, the rare case where
+  * `mapPartitions` beats every declarative encoding: a first cut as a
+  * native `aggregate` HOF over each group's collect_list array re-copied
+  * the accumulator array per element — O(n²) per group, measured 56 s on a
+  * 100k-doc soak where this scan takes ~2 s (NOTES.md). */
 object Packing {
 
   /** Pack each group's documents (ascending `idCol`) into bins of at most
     * `budget` units; returns (groupCol, idCol, bin) with bins numbered
-    * from 0 per group. `sizeCol` is the per-document unit count (tokens). */
+    * from 0 per group. `sizeCol` is the per-document unit count (tokens).
+    * Output is a pure function of (group, id, size) — the group-wise
+    * repartition + within-partition sort pins the scan order regardless of
+    * input partitioning. Group values must implement equality (any Spark
+    * atomic type does); null groups form one scope. */
   def packSequences(df: DataFrame, groupCol: String, idCol: String,
                     sizeCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val items = df.select(col(groupCol).as("__grp"),
-      col(idCol).cast("long").as("id"), col(sizeCol).cast("long").as("n"))
-    // one array per scope, in id order (struct sort: id is the first field)
-    val grouped = items.groupBy("__grp")
-      .agg(array_sort(collect_list(struct(col("id"), col("n")))).as("items"))
-    val zero = struct(lit(0L).as("acc"), lit(0L).as("bin"),
-      array().cast("array<struct<id:bigint,bin:bigint>>").as("out"))
-    def step(st: Column, d: Column): Column = {
-      val overflow = (st.getField("acc") + d.getField("n") > budget) &&
-        (st.getField("acc") > 0)
-      val acc = when(overflow, d.getField("n"))
-        .otherwise(st.getField("acc") + d.getField("n"))
-      val bin = when(overflow, st.getField("bin") + 1)
-        .otherwise(st.getField("bin"))
-      struct(acc.as("acc"), bin.as("bin"),
-        concat(st.getField("out"),
-          array(struct(d.getField("id").as("id"), bin.as("bin")))).as("out"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val items = df.select(col(groupCol),
+      col(idCol).cast("long").as(idCol), col(sizeCol).cast("long").as("__n"))
+    // every row of a group lands in one partition, in id order; a group
+    // never spans partitions, so the scan state resets exactly at group
+    // boundaries
+    val parted = items.repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+    val schema = StructType(Seq(
+      items.schema.head.copy(name = groupCol),
+      StructField(idCol, LongType),
+      StructField("bin", LongType)))
+    val rows = parted.rdd.mapPartitions { it =>
+      var started = false
+      var curGrp: Any = null
+      var acc = 0L
+      var bin = 0L
+      it.map { r =>
+        val g = r.get(0)
+        val id = r.getLong(1)
+        val n = r.getLong(2)
+        if (!started || g != curGrp) {
+          started = true; curGrp = g; acc = 0L; bin = 0L
+        }
+        if (acc + n > budget && acc > 0L) { bin += 1; acc = n }
+        else acc += n
+        Row(g, id, bin)
+      }
     }
-    grouped
-      .select(col("__grp"),
-        explode(aggregate(col("items"), zero, step, _.getField("out"))).as("p"))
-      .select(col("__grp").as(groupCol), col("p.id").as(idCol),
-        col("p.bin").as("bin"))
+    spark.createDataFrame(rows, schema)
   }
 }

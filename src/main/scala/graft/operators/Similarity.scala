@@ -240,12 +240,22 @@ object Similarity {
 
   /** ANN over PQ codes: per query, build the M×K table of subspace
     * distances to every centroid (ADC), score each corpus vector as the
-    * sum of M table lookups — a broadcast join on (sub, code), corpus
-    * codes never shuffle and the original vectors are untouched — then
-    * exact-cosine re-rank the `rerank` best candidates per query.
+    * sum of M table lookups, then exact-cosine re-rank the `rerank` best
+    * candidates per query.
+    *
+    * The scoring join is vector-per-row, FAISS-style: each corpus vector's
+    * codes pack into ONE array row, each query's table flattens into ONE
+    * broadcast array indexed `sub·K + code`, and the ADC sum is a native
+    * `zip_with`/`aggregate` over M lookups — |corpus|·|Q| slim rows total.
+    * (A first cut joined long-form codes on (sub, code) and aggregated:
+    * |corpus|·M·|Q| intermediate rows, 265 MB vs 25 MB shuffle at the
+    * 50k×25 soak.) Corpus codes never shuffle (query tables broadcast);
+    * the original vectors are touched only by the candidate re-rank.
     * Output schema matches [[bruteForceTopK]]: (q_id, n_id, cosine, rank).
-    * Recall is tuned by (m, k, rerank); candidate generation cost is
-    * O(|corpus|·M) lookups per query — independent of D. */
+    * Recall is tuned by (m, k, rerank); candidate generation is
+    * O(|corpus|·M) lookups per query — independent of D. At ≥10⁸ vectors,
+    * compose with a coarse partition ([[ivfTopK]]'s cells) so each query
+    * scores one cell's codes — the IVFPQ layout. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
              codebook: DataFrame, vecCol: String, idCol: String,
              dim: Int, m: Int, k: Int, rerank: Int = 64): DataFrame = {
@@ -255,13 +265,28 @@ object Similarity {
       .select(col("q_id"),
         posexplode(array((0 until m).map(s =>
           slice(col("__nvec"), s * sub + 1, sub)): _*)).as(Seq("sub", "q_subvec")))
-    // ADC table: |Q|·M·K rows, tiny — broadcast to wherever codes live
-    val table = qsubs.join(broadcast(codebook), "sub")
+    // flat per-query lookup table: (sub, code)-sorted distances, so the
+    // entry for (s, c) sits at index s·K + c (codes are dense 0..K-1)
+    val qtbl = qsubs.join(broadcast(codebook), "sub")
       .select(col("q_id"), col("sub"), col("code"),
         VF.l2Squared(col("q_subvec"), col("centroid")).as("d"))
-    val adc = codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy("q_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
+        p => p.getField("d")).as("tbl"))
+    // one array of M codes per corpus vector, position = sub
+    val codesArr = codes.groupBy("n_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+    val kCodes = (size(col("tbl")) / lit(m)).cast("int")
+    val adc = codesArr.crossJoin(broadcast(qtbl))
       .filter(col("q_id") =!= col("n_id"))
-      .groupBy("q_id", "n_id").agg(sum("d").as("adc_dist"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("tbl"), s * kCodes + c.cast("int") + 1)),
+          lit(0.0), (a, x) => a + x).as("adc_dist"))
     val candW = Window.partitionBy("q_id")
       .orderBy(col("adc_dist").asc, col("n_id").asc)
     val cands = adc.withColumn("cr", row_number().over(candW))

@@ -1,0 +1,114 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Packing, Similarity, Splits}
+
+/** Soak for the round-3 additions at 100k docs / 50k vectors (not part of
+  * the driver contract): transitive staged dedup, contamination, packing,
+  * PQ ANN vs brute/LSH. Numbers land in NOTES.md. Run with
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.CurationSoak"`. */
+object CurationSoak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shufWrite = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def time(name: String)(f: => Long): Unit = {
+      val w0 = shufWrite.get(); val t0 = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheScope.global.release()
+      Thread.sleep(200)
+      val mb = (shufWrite.get() - w0) / 1e6
+      println(f"[soak] $name: $sec%.2f s ($n rows, shuffle-write $mb%.1f MB)")
+    }
+    def replicate(df: DataFrame, idCol: String, times: Int): DataFrame =
+      (0 until times).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * 1000000L))).reduce(_ union _)
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text", "lang")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val docs100k = replicate(docs, "doc_id", 20)
+    println(s"[soak] corpus: ${docs100k.count()} docs")
+
+    // staged dedup keep-set: greedy one-hop vs transitive (adds the CC
+    // fixpoint over the near-dup graph inside the pipeline)
+    time("dedup_corpus_greedy_100k") {
+      Dedup.dedupCorpus(docs100k, "text", "doc_id", 0.5)
+        .filter(col("keep")).count()
+    }
+    time("dedup_corpus_transitive_100k") {
+      Dedup.dedupCorpus(docs100k, "text", "doc_id", 0.5, transitive = true)
+        .filter(col("keep")).count()
+    }
+
+    // contamination: 100k-doc train side vs a 500-doc benchmark
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    time("contamination_100k_train") {
+      Dedup.contamination(docs100k, eval, "text", "doc_id", 0.5).count()
+    }
+
+    // packing + split at 100k docs (scan-dominated by construction)
+    val withN = docs100k.select(col("lang"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n"))
+    time("sequence_packing_100k") {
+      Packing.packSequences(withN, "lang", "doc_id", "n", 256L).count()
+    }
+    time("hash_split_100k") {
+      Splits.assign(docs100k.select("doc_id"), "doc_id")
+        .groupBy("split").count().count()
+    }
+
+    // PQ vs brute vs LSH at 50k vectors, 25 queries
+    val corpus50k = replicate(emb, "vec_id", 25)
+    println(s"[soak] vectors: ${corpus50k.count()}")
+    val queries = emb.filter(col("vec_id") < 25)
+    time("ann_brute_50k") {
+      Similarity.bruteForceTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
+    }
+    time("ann_lsh_50k") {
+      Similarity.lshTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
+    }
+    var codes: DataFrame = null
+    var book: DataFrame = null
+    time("pq_train_encode_50k") {
+      book = Similarity.pqTrain(corpus50k, "embedding", dim = 64, m = 16, k = 16)
+      codes = Similarity.pqEncode(corpus50k, book, "embedding", "vec_id",
+        dim = 64, m = 16).cache()
+      codes.count()
+    }
+    time("pq_topk_50k") {
+      Similarity.pqTopK(queries, corpus50k, codes, book, "embedding", "vec_id",
+        dim = 64, m = 16, k = 10, rerank = 192).count()
+    }
+    // persisted-index query path: signature pass skipped entirely
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_soak_idx_").toString
+    time("lsh_index_build_50k") {
+      Similarity.buildLshIndex(corpus50k, "embedding", "vec_id", idxDir); 1L
+    }
+    time("ann_lsh_from_index_50k") {
+      Similarity.lshTopKFromIndex(queries, corpus50k, idxDir, "embedding",
+        "vec_id", 10).count()
+    }
+    spark.stop()
+  }
+}
