@@ -844,6 +844,30 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // IVFPQ — coarse cells × PQ codes, the 10⁸⁺-vector layout. With nprobe
+  // covering all 10 label cells the composition provably equals flat PQ
+  // (PipelineSpec asserts it), whose candidates cover the true top-5 at
+  // these parameters — so the brute-force window oracle applies. The
+  // nprobe<cells recall trade is property-tested, mirroring s3.
+  define("s7_ann_ivfpq",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val book = Similarity.pqTrain(corpus, "embedding", dim = 64, m = 16, k = 16)
+    val codes = Similarity.pqEncode(corpus, book, "embedding", "vec_id",
+      dim = 64, m = 16)
+    Similarity.ivfPqTopK(queries, corpus, codes, book, "embedding", "vec_id",
+      cellCol = "label", dim = 64, m = 16, k = 5, nprobe = 10, rerank = 192)
+      .select("q_id", "n_id", "rank")
+  }
+
   defineNoOracle("s3_ann_ivf") { (s, d) =>
     val emb = t(s, d, "embeddings")
     graft.operators.Similarity.ivfTopK(

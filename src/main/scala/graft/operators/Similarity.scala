@@ -259,39 +259,94 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
              codebook: DataFrame, vecCol: String, idCol: String,
              dim: Int, m: Int, k: Int, rerank: Int = 64): DataFrame = {
+    val adc = packedCodes(codes)
+      .crossJoin(broadcast(qAdcTables(queries, codebook, vecCol, idCol, dim, m)))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adcDist(m).as("adc_dist"))
+    exactRerank(adcCandidates(adc, rerank), queries, corpus, vecCol, idCol, k)
+  }
+
+  /** IVFPQ (the FAISS large-corpus layout): coarse cells prune which
+    * vectors a query touches, PQ codes make each touched vector 8 bytes —
+    * the composition that holds at 10⁸⁺ vectors where neither half does
+    * alone (flat PQ still scans every code; IVF over raw vectors still
+    * reads D floats per row). Queries probe their `nprobe` nearest cell
+    * centroids, ADC-score ONLY those cells' codes (the per-query lookup
+    * tables broadcast against a cell equi-join — corpus codes never
+    * shuffle), and exact-cosine re-rank the survivors. With `nprobe` =
+    * all cells the output equals [[pqTopK]]'s exactly (asserted in
+    * PipelineSpec), which is what lets the s7 oracle hash-match; tighter
+    * probes trade recall for the per-query scan fraction. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+                codebook: DataFrame, vecCol: String, idCol: String,
+                cellCol: String, dim: Int, m: Int, k: Int,
+                nprobe: Int = 2, rerank: Int = 64): DataFrame = {
+    val probes = probeCells(queries, cellCentroids(corpus, vecCol, cellCol),
+      vecCol, idCol, nprobe).select("q_id", "cell")
+    // (q_id, cell, tbl): |Q|·nprobe rows — still broadcastable
+    val probedTbl = probes
+      .join(qAdcTables(queries, codebook, vecCol, idCol, dim, m), "q_id")
+    val cells = corpus.select(col(idCol).as("n_id"), col(cellCol).as("cell"))
+    val adc = packedCodes(codes).join(cells, "n_id")
+      .join(broadcast(probedTbl), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adcDist(m).as("adc_dist"))
+    exactRerank(adcCandidates(adc, rerank), queries, corpus, vecCol, idCol, k)
+  }
+
+  /** Flat per-query ADC lookup table (q_id, tbl): subspace distances to
+    * every centroid, (sub, code)-sorted so the entry for (s, c) sits at
+    * index s·K + c (codes are dense 0..K-1). */
+  private def qAdcTables(queries: DataFrame, codebook: DataFrame,
+                         vecCol: String, idCol: String,
+                         dim: Int, m: Int): DataFrame = {
     val sub = dim / m
-    val qsubs = queries
+    queries
       .select(col(idCol).as("q_id"), unit(col(vecCol)).as("__nvec"))
       .select(col("q_id"),
         posexplode(array((0 until m).map(s =>
           slice(col("__nvec"), s * sub + 1, sub)): _*)).as(Seq("sub", "q_subvec")))
-    // flat per-query lookup table: (sub, code)-sorted distances, so the
-    // entry for (s, c) sits at index s·K + c (codes are dense 0..K-1)
-    val qtbl = qsubs.join(broadcast(codebook), "sub")
+      .join(broadcast(codebook), "sub")
       .select(col("q_id"), col("sub"), col("code"),
         VF.l2Squared(col("q_subvec"), col("centroid")).as("d"))
       .groupBy("q_id")
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
         p => p.getField("d")).as("tbl"))
-    // one array of M codes per corpus vector, position = sub
-    val codesArr = codes.groupBy("n_id")
+  }
+
+  /** Long-form (n_id, sub, code) → one array of M codes per vector,
+    * position = sub. */
+  private def packedCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("n_id")
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
         p => p.getField("code")).as("codes"))
+
+  /** ADC sum over `codes` against the flat `tbl`: M native lookups. */
+  private def adcDist(m: Int): Column = {
     val kCodes = (size(col("tbl")) / lit(m)).cast("int")
-    val adc = codesArr.crossJoin(broadcast(qtbl))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, s) => element_at(col("tbl"), s * kCodes + c.cast("int") + 1)),
-          lit(0.0), (a, x) => a + x).as("adc_dist"))
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("tbl"), s * kCodes + c.cast("int") + 1)),
+      lit(0.0), (a, x) => a + x)
+  }
+
+  /** Keep each query's `rerank` best ADC rows (partial top-N —
+    * WindowGroupLimit prunes before the shuffle). */
+  private def adcCandidates(adc: DataFrame, rerank: Int): DataFrame = {
     val candW = Window.partitionBy("q_id")
       .orderBy(col("adc_dist").asc, col("n_id").asc)
-    val cands = adc.withColumn("cr", row_number().over(candW))
+    adc.withColumn("cr", row_number().over(candW))
       .filter(col("cr") <= rerank).select("q_id", "n_id")
-    // exact re-rank of the small candidate set
+  }
+
+  /** Exact-cosine re-rank of (q_id, n_id) candidates against the original
+    * vectors; only candidates' vectors are joined. Output: the
+    * [[bruteForceTopK]] schema. */
+  private def exactRerank(cands: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, vecCol: String, idCol: String,
+                          k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = cands.join(qv, "q_id").join(cv, "n_id")
@@ -311,24 +366,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, cellCol: String,
               k: Int, nprobe: Int = 2): DataFrame = {
-    // centroid per cell: elementwise mean via posexplode + groupBy (dim, cell)
-    val exploded = corpus.select(col(cellCol).as("cell"),
-      posexplode(col(vecCol)).as(Seq("dim", "v")))
-    val centroids = exploded.groupBy("cell", "dim").agg(avg("v").as("cv"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
-      .select(col("cell"),
-        transform(col("pairs"), p => p.getField("cv").cast("float")).as("centroid"))
-    // each query scores all centroids (tiny, broadcast), keeps nprobe cells
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val probeW = Window.partitionBy("q_id")
-      .orderBy(col("c_sim").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_vec"), col("cell"),
-        VF.cosineSimilarity(col("q_vec"), col("centroid")).as("c_sim"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("cell"))
+    val centroids = cellCentroids(corpus, vecCol, cellCol)
+    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
     // score only rows in probed cells
     val c = spread(corpus).select(col(cellCol).as("cell"), col(idCol).as("n_id"),
       col(vecCol).as("n_vec"))
@@ -340,5 +379,33 @@ object Similarity {
       .orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Per-cell centroid (cell, centroid): elementwise mean via posexplode +
+    * groupBy (cell, dim) — map-side-combined, shuffle O(cells·dims). */
+  private def cellCentroids(corpus: DataFrame, vecCol: String,
+                            cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("cell", "dim").agg(avg("v").as("cv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("cell"),
+        transform(col("pairs"), p => p.getField("cv").cast("float")).as("centroid"))
+
+  /** Each query scores all centroids (tiny, broadcast) and keeps its
+    * `nprobe` nearest cells: (q_id, q_vec, cell). */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+                         vecCol: String, idCol: String,
+                         nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        VF.cosineSimilarity(col("q_vec"), col("centroid")).as("c_sim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
   }
 }

@@ -320,6 +320,33 @@ class PipelineSpec extends AnyFunSuite {
       s"recall=${(brute & tight).size.toDouble / brute.size}")
   }
 
+  test("ANN: IVFPQ equals flat PQ at nprobe=all; tighter probes hold a recall floor") {
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val book = Similarity.pqTrain(c, "embedding", dim = 64, m = 16, k = 16)
+    val codes = Similarity.pqEncode(c, book, "embedding", "vec_id", dim = 64, m = 16)
+    def run(nprobe: Int) =
+      Similarity.ivfPqTopK(q, c, codes, book, "embedding", "vec_id",
+        cellCol = "label", dim = 64, m = 16, k = 5, nprobe = nprobe,
+        rerank = 192)
+    val flat = Similarity.pqTopK(q, c, codes, book, "embedding", "vec_id",
+      dim = 64, m = 16, k = 5, rerank = 192)
+    // probing every cell makes the cell pruning a no-op: identical output
+    val all = run(10).select("q_id", "n_id", "rank")
+    assert(all.exceptAll(flat.select("q_id", "n_id", "rank")).count() == 0 &&
+      flat.select("q_id", "n_id", "rank").exceptAll(all).count() == 0)
+    // nprobe=3 of 10 cells: same coverage/recall trade as IVF-flat (s3) —
+    // assert the floor plus structural validity
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5))
+    val probed = pairs(run(3))
+    assert(probed.size == 25)
+    assert((brute & probed).size.toDouble / brute.size >= 0.2,
+      s"recall=${(brute & probed).size.toDouble / brute.size}")
+  }
+
   // ---- multimodal plumbing ----
 
   test("batched decode matches columnar decode; height deterministic") {
