@@ -1160,6 +1160,31 @@ object SparkEntry {
       "n_tokens", budget = 256L)
   }
 
+  // Dense packing WITH document splitting (GPT-style concatenate-and-cut):
+  // placement is a window cumsum + sequence explode — closed-form, no
+  // recurrence — so both engines compute it declaratively.
+  define("p3_sequence_packing_dense",
+    """WITH t AS (SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),
+       p AS (SELECT lang, doc_id, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS s
+         FROM t WHERE n > 0),
+       b AS (SELECT lang, doc_id, n, s,
+         unnest(generate_series(s // 256, (s + n - 1) // 256)) AS bin FROM p)
+       SELECT lang, doc_id, bin,
+         greatest(s, bin * 256) - s AS offset,
+         least(s + n, (bin + 1) * 256) - greatest(s, bin * 256) AS len
+       FROM b""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    val withN = t(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(TF.tokens(col("text"))).as("n_tokens"))
+    graft.operators.Packing.packSequencesDense(withN, "lang", "doc_id",
+      "n_tokens", budget = 256L)
+  }
+
   // Deterministic train/val/test split: bucket = first 16 md5 bits of the
   // key string mod 10 — a pure function of doc_id both engines (and any
   // language's md5) compute identically, unlike engine-private hashes.

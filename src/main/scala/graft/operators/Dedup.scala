@@ -310,12 +310,20 @@ object Dedup {
     * the per-eval-doc aggregate shuffles one row per surviving pair. */
   def contamination(train: DataFrame, eval: DataFrame, textCol: String,
                     idCol: String, threshold: Double = 0.5,
-                    shingleSize: Int = 3, maxDf: Long = 1000L)
+                    shingleSize: Int = 3, maxDf: Long = 1000L,
+                    hashPostings: Boolean = false)
                    (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     def shingled(df: DataFrame, id: String) =
       spread(df.select(col(idCol).as(id), col(textCol)))
         .select(col(id),
           array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
+    // `hashPostings` replaces each posting's shingle string with its
+    // xxhash64 — at the 8–13-gram sizes real contamination scrubs use,
+    // raw strings dominate the posting shuffle and an 8-byte key halves
+    // it. A collision can only overcount one pair's intersection by 1
+    // (P ≈ distinct-shingles²/2⁶⁴); keep strings where an external oracle
+    // must reproduce the counts.
+    def key(c: Column) = if (hashPostings) xxhash64(c) else c
     val tr = shingled(train, "t_id")
     val ev = shingled(eval, "e_id")
     val evSizes = ev.select(col("e_id"), size(col("sh")).as("n_e"))
@@ -324,8 +332,10 @@ object Dedup {
     // regex shingling over the 100 TB side — measured 30 s → ~19 s on the
     // 100k-doc soak (NOTES.md)
     val tInv = scope.cache(
-      tr.select(col("t_id"), explode(col("sh")).as("shingle")))
-    val eInv = ev.select(col("e_id"), explode(col("sh")).as("shingle"))
+      tr.select(col("t_id"), explode(col("sh")).as("__s"))
+        .select(col("t_id"), key(col("__s")).as("shingle")))
+    val eInv = ev.select(col("e_id"), explode(col("sh")).as("__s"))
+      .select(col("e_id"), key(col("__s")).as("shingle"))
     val heavy = tInv.groupBy("shingle")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)

@@ -73,4 +73,45 @@ object Packing {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Dense packing WITH document splitting: the group's documents form one
+    * contiguous token stream (ascending `idCol`) chopped into exact
+    * `budget`-unit bins — a document straddling a boundary is split, so
+    * every bin except the group's last is exactly full. This is the
+    * pre-tokenization layout of GPT-style training runs (documents
+    * concatenated, context windows cut at fixed length), where
+    * [[packSequences]] is the no-split variant for pipelines that must
+    * keep documents whole.
+    *
+    * Splitting removes the sequential data dependency: a document's
+    * placement is `start = Σ sizes before it` (one window cumsum), its
+    * bins `start/budget .. (start+n-1)/budget` (a `sequence` explode), and
+    * per-bin (offset, len) close-form arithmetic — so unlike the no-split
+    * fold this is a single declarative plan: one shuffle for the cumsum,
+    * everything else fused map-side. Output: (groupCol, idCol, bin,
+    * offset, len) where `offset` indexes into the document and the bin
+    * holds its units [offset, offset+len). Zero-size documents occupy no
+    * space and emit no rows. */
+  def packSequencesDense(df: DataFrame, groupCol: String, idCol: String,
+                         sizeCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val items = df.select(col(groupCol),
+      col(idCol).cast("long").as(idCol), col(sizeCol).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = items
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__end", col("__start") + col("__n") - 1)
+    placed
+      .select(col(groupCol), col(idCol), col("__start"), col("__n"),
+        explode(sequence(floor(col("__start") / budget),
+          floor(col("__end") / budget))).as("bin"))
+      .withColumn("__binStart", greatest(col("__start"), col("bin") * budget))
+      .select(col(groupCol), col(idCol), col("bin"),
+        (col("__binStart") - col("__start")).as("offset"),
+        (least(col("__start") + col("__n"), (col("bin") + 1) * budget) -
+          col("__binStart")).as("len"))
+  }
 }

@@ -99,6 +99,24 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
+  /** Append a new corpus partition's signatures to an existing
+    * [[buildLshIndex]] index without touching the already-indexed corpus —
+    * the daily-ingest path: only the NEW vectors pay the signature pass,
+    * written as additional parquet part files. The stored `_params`
+    * (bits, bands, seed) are read back and reused, so appended signatures
+    * come from the same hyperplanes by construction. The caller owns id
+    * uniqueness across appends (duplicate ids would double-report as
+    * candidates, not corrupt results — candidates dedup on (q_id, n_id)). */
+  def appendToLshIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
+                       path: String): Unit = {
+    val spark = newCorpus.sparkSession
+    val p = spark.read.parquet(s"$path/_params").head()
+    val (bits, bands, seed) =
+      (p.getAs[Int]("bits"), p.getAs[Int]("bands"), p.getAs[Long]("seed"))
+    bandedSignatures(newCorpus, vecCol, idCol, "n_id", bits, bands, seed)
+      .write.mode("append").parquet(s"$path/index")
+  }
+
   /** ANN against a [[buildLshIndex]]-persisted index: reads the stored
     * banded buckets (scan of a slim parquet table — no corpus-wide
     * signature recompute), validates the recorded (bits, bands, seed),

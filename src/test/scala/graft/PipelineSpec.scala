@@ -199,6 +199,15 @@ class PipelineSpec extends AnyFunSuite {
       threshold = 0.1, maxDf = 4L).count() == 0)
     assert(Dedup.contamination(boiler, evalB, "text", "doc_id",
       threshold = 0.99, maxDf = 5L).count() == 5)
+    // hashed postings (the big-n-gram shuffle diet) flag the same pairs
+    val viaHash = Dedup.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", threshold = 0.5, hashPostings = true)
+    val viaString = Dedup.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", threshold = 0.5)
+    assert(viaHash.exceptAll(viaString).count() == 0 &&
+      viaString.exceptAll(viaHash).count() == 0)
   }
 
   test("hash split: pure function of key, stable under repartition; salt decorrelates") {
@@ -252,6 +261,32 @@ class PipelineSpec extends AnyFunSuite {
       .exceptAll(re).count() == 0)
   }
 
+  test("dense packing: every non-final bin exactly full; documents fully covered") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Packing
+    val withN = docs.select(col("lang"), col("doc_id"),
+      size(TF.tokens(col("text"))).cast("long").as("n"))
+    val dense = Packing.packSequencesDense(withN, "lang", "doc_id", "n", 256L)
+      .cache()
+    try {
+      // coverage: each doc's pieces sum to its size, offsets start at 0
+      val perDoc = dense.groupBy("lang", "doc_id")
+        .agg(sum("len").as("covered"), min("offset").as("off0"))
+        .join(withN, Seq("lang", "doc_id"))
+      assert(perDoc.filter(col("covered") =!= col("n") || col("off0") =!= 0)
+        .count() == 0)
+      // density: every bin except each group's last holds exactly 256 units
+      val binTotals = dense.groupBy("lang", "bin").agg(sum("len").as("total"))
+      val lastBin = dense.groupBy("lang").agg(max("bin").as("last"))
+      assert(binTotals.join(lastBin, "lang")
+        .filter(col("bin") =!= col("last") && col("total") =!= 256).count() == 0)
+      // pieces of a split doc sit in consecutive bins
+      val pieces = dense.groupBy("lang", "doc_id")
+        .agg(count(lit(1)).as("k"), (max("bin") - min("bin") + 1).as("span"))
+      assert(pieces.filter(col("k") =!= col("span")).count() == 0)
+    } finally dense.unpersist()
+  }
+
   // ---- similarity search ----
 
   test("ANN: LSH and IVF recall vs brute-force top-5") {
@@ -288,6 +323,20 @@ class PipelineSpec extends AnyFunSuite {
       assert(fromIdx.select("q_id", "n_id", "rank")
         .exceptAll(onTheFly.select("q_id", "n_id", "rank")).count() == 0)
       assert(fromIdx.count() == 25)
+    }
+    // incremental build: index half the corpus, append the rest — queries
+    // against the appended index reproduce the full-build answer (the
+    // stored _params guarantee the same hyperplanes)
+    withTempDir("graft_lsh_inc_") { dir =>
+      Similarity.buildLshIndex(c.filter(col("vec_id") < 250), "embedding",
+        "vec_id", dir)
+      Similarity.appendToLshIndex(c.filter(col("vec_id") >= 250), "embedding",
+        "vec_id", dir)
+      val inc = Similarity.lshTopKFromIndex(q, c, dir, "embedding", "vec_id", 5)
+      val full = Similarity.lshTopK(q, c, "embedding", "vec_id", 5)
+      assert(inc.select("q_id", "n_id", "rank")
+        .exceptAll(full.select("q_id", "n_id", "rank")).count() == 0)
+      assert(inc.count() == 25)
     }
   }
 
