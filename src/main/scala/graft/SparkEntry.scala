@@ -1201,6 +1201,50 @@ object SparkEntry {
       t(s, d, "documents").select("doc_id"), "doc_id")
   }
 
+  // Intra-document repetition gate (Gopher-style): fraction of trigram
+  // occurrences that repeat an earlier one. Integer-count division —
+  // deterministic, no rounding.
+  define("t8_repetition",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds
+         FROM documents),
+       sh AS (SELECT doc_id, CASE WHEN len(wds) >= 3 THEN list_transform(
+           generate_series(1, len(wds) - 2),
+           i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])
+         ELSE [] END AS sh FROM w)
+       SELECT doc_id,
+         CASE WHEN len(sh) = 0 THEN 0.0
+              ELSE CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh)
+         END AS rep_ratio
+       FROM sh""") { (s, d) =>
+    t(s, d, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))
+  }
+
+  // PII redaction with lookaround-free patterns chosen to behave
+  // identically under Java regex and RE2 — the scrub is reproducible by
+  // any engine that re-processes the corpus (the oracle RUNS it in RE2).
+  define("t9_redact_pii",
+    """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g') AS clean
+       FROM documents""") { (s, d) =>
+    t(s, d, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.redactPii(col("text")).as("clean"))
+  }
+
+  // Deterministic 10% sample: membership is a pure function of the key
+  // hash (not Spark's partition-seeded RNG), so the oracle selects the
+  // SAME rows — which is the operator's whole point.
+  define("a10_deterministic_sample",
+    """SELECT doc_id, lang FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 1000
+         < 100""") { (s, d) =>
+    graft.operators.Splits.sample(
+      t(s, d, "documents").select("doc_id", "lang"), "doc_id", 0.1)
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus

@@ -122,6 +122,33 @@ object TextFunctions {
     * normalized-text counts up to 64-bit collision odds (~n²/2⁶⁵). */
   def fingerprint(c: Column): Column = xxhash64(normText(c))
 
+  /** Intra-document repetition ratio: the fraction of the document's word
+    * n-gram occurrences that are repeats of an earlier occurrence —
+    * `1 − distinct/total` over NON-distinct shingles. Boilerplate-stuffed
+    * and degenerate machine-generated text scores high; the standard
+    * Gopher-style repetition quality gate. Documents too short to shingle
+    * score 0. Pure integer-count division — deterministic across engines. */
+  def repetitionRatio(c: Column, n: Int = 3): Column = {
+    val sh = shingles(c, n)
+    when(size(sh) === 0, lit(0.0))
+      .otherwise((size(sh) - size(array_distinct(sh))).cast("double") /
+        size(sh).cast("double"))
+  }
+
+  /** Redact common PII spans with typed placeholders: emails, IPv4
+    * addresses, and dashed phone numbers. Patterns are deliberately
+    * lookaround-free so Java regex (Spark) and RE2 (DuckDB, Go tooling)
+    * agree byte-for-byte — the scrub must be reproducible by whatever
+    * engine re-processes the corpus. Order matters: emails first (an
+    * email's host must not be half-eaten by a later pattern). */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b", "<PHONE>")
+  }
+
   /** Word n-gram shingles as an array column: n-token windows joined by a
     * single space; documents shorter than n tokens yield an EMPTY set (the
     * standard contract, and what `generate_series(1, len-n+1)` produces in

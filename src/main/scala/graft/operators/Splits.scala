@@ -28,6 +28,20 @@ object Splits {
     (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4),
       16, 10).cast("int") % buckets)
 
+  /** Deterministic sample: keep a row iff its key hashes into the first
+    * `fraction` of 1000 buckets. Unlike `df.sample` (seeded per-partition
+    * RNG — resolution changes with the partitioning), membership is a pure
+    * function of the key: re-runs, re-shards, and other engines select the
+    * SAME rows, and samples at different salts are independent. Within a
+    * stratum (any group column) the kept fraction concentrates around
+    * `fraction` because the hash is uniform and key-independent. */
+  def sample(df: DataFrame, keyCol: String, fraction: Double,
+             salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    df.filter(hashBucket(col(keyCol), 1000, salt) <
+      math.round(fraction * 1000).toInt)
+  }
+
   /** Assign each row a `bucket` and a `split` label by hashing `keyCol`.
     * Weights are bucket counts out of `trainW + valW + testW` total —
     * the default 8/1/1 over 10 buckets is the standard 80/10/10. */

@@ -287,6 +287,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally dense.unpersist()
   }
 
+  test("repetition ratio: repeats score high, unique text scores 0, short text 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),    // one distinct trigram
+      (2L, "each word here appears exactly once total"),  // all distinct
+      (3L, "ab"))                                          // too short to shingle
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TF.repetitionRatio(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 5.0 / 6.0) // 6 trigrams, 1 distinct
+    assert(r(2L) == 0.0 && r(3L) == 0.0)
+  }
+
+  test("PII redaction replaces emails, IPs, dashed phones with placeholders") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "contact bob.smith+x@corp.example.com or 10.0.255.1 or 555-123-4567 ok"))
+      .toDF("doc_id", "text")
+    val out = df.select(TF.redactPii(col("text"))).head.getString(0)
+    assert(out == "contact <EMAIL> or <IP> or <PHONE> ok", out)
+  }
+
+  test("deterministic sample: same rows every run and under repartition; ~fraction kept") {
+    import graft.operators.Splits
+    val ids = docs.select("doc_id")
+    val s1 = Splits.sample(ids, "doc_id", 0.1).collect().map(_.getLong(0)).toSet
+    val s2 = Splits.sample(ids.repartition(13), "doc_id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(s1.size > 20 && s1.size < 90, s"got ${s1.size} of 500") // ~50 expected
+    // different salt → different (independent) selection
+    val salted = Splits.sample(ids, "doc_id", 0.1, salt = "v2")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted != s1)
+  }
+
   // ---- similarity search ----
 
   test("ANN: LSH and IVF recall vs brute-force top-5") {
