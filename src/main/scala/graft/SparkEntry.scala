@@ -1101,6 +1101,100 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Capstone №2 — raw documents to packed training bins in ONE logical
+  // plan: quality + language-ID on a shared scan, repetition gate, exact
+  // dedup, deterministic train-split assignment, dense packing per
+  // predicted language. The oracle re-derives every stage in SQL; a
+  // row-level hash match on (lang, doc, bin, offset, len) certifies the
+  // whole composition, not the parts.
+  define("p4_training_corpus",
+    """WITH q AS (
+         SELECT doc_id, text,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+             + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) > 0.1 THEN 0.0
+                ELSE 1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0 END) * 0.3
+             + least(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS DOUBLE)
+                 / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
+           AS quality
+         FROM documents),
+       h AS (
+         SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], w))) AS h_de,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS h_en,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['el','la','los','y','es','una','que','no'], w))) AS h_es,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['le','la','les','et','est','une','que','pas'], w))) AS h_fr,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['de','le','shi','bu','wo','ni','ta','zai'], w))) AS h_zh
+         FROM documents),
+       l AS (
+         SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) <= 0 THEN 'en'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM h),
+       w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds
+             FROM documents),
+       rep AS (SELECT doc_id,
+           CASE WHEN len(wds) < 3 THEN 0.0
+                ELSE CAST(len(wds) - 2 - len(list_distinct(list_transform(
+                    generate_series(1, len(wds) - 2),
+                    i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])))
+                  AS DOUBLE) / (len(wds) - 2)
+           END AS rep_ratio
+         FROM w),
+       f AS (SELECT q.doc_id, q.n_tokens, q.text, l.pred_lang
+             FROM q JOIN l ON q.doc_id = l.doc_id
+                    JOIN rep ON q.doc_id = rep.doc_id
+             WHERE q.quality >= 0.5 AND rep.rep_ratio <= 0.2),
+       keep AS (SELECT min(doc_id) AS doc_id FROM f
+                GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))),
+       tr AS (SELECT f.doc_id, f.pred_lang, f.n_tokens
+              FROM f JOIN keep ON f.doc_id = keep.doc_id
+              WHERE ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4))::INT
+                      % 10 < 8
+                AND f.n_tokens > 0),
+       p AS (SELECT pred_lang, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pred_lang
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS s
+         FROM tr),
+       b AS (SELECT pred_lang, doc_id, n_tokens, s,
+         unnest(generate_series(s // 256, (s + n_tokens - 1) // 256)) AS bin
+         FROM p)
+       SELECT pred_lang, doc_id, bin,
+         greatest(s, bin * 256) - s AS offset,
+         least(s + n_tokens, (bin + 1) * 256) - greatest(s, bin * 256) AS len
+       FROM b""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{Dedup, Packing, Splits}
+    val scored = TF.withLangId(graft.operators.spread(
+        t(s, d, "documents").select("doc_id", "text")), "text")
+      .withColumn("quality", TF.qualityScoreRaw(col("text")))
+      .withColumn("rep_ratio", TF.repetitionRatio(col("text")))
+      .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+    val filtered = scored
+      .filter(col("quality") >= 0.5 && col("rep_ratio") <= 0.2)
+    val kept = Dedup.exact(filtered, "text", "doc_id").select("doc_id")
+    val train = Splits.assign(filtered.join(kept, "doc_id"), "doc_id")
+      .filter(col("split") === "train")
+    Packing.packSequencesDense(
+      train.select("pred_lang", "doc_id", "n_tokens"),
+      "pred_lang", "doc_id", "n_tokens", budget = 256L)
+  }
+
   // TF-IDF top-5 terms per document: tokenize → (doc,term) counts →
   // document frequency → ln(N/df) scoring → per-doc top-k via
   // row_number ≤ k (executes as WindowGroupLimit: per-partition partial
