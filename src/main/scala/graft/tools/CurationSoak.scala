@@ -78,6 +78,23 @@ object CurationSoak {
         .groupBy("split").count().count()
     }
 
+    time("dense_packing_100k") {
+      Packing.packSequencesDense(withN, "lang", "doc_id", "n", 256L).count()
+    }
+    time("repetition_ratio_100k") {
+      docs100k.select(graft.functions.TextFunctions
+        .repetitionRatio(col("text")).as("r"))
+        .agg(avg("r")).count()
+    }
+    time("redact_pii_100k") {
+      docs100k.select(graft.functions.TextFunctions
+        .redactPii(col("text")).as("c"))
+        .agg(sum(length(col("c")))).count()
+    }
+    time("deterministic_sample_100k") {
+      Splits.sample(docs100k.select("doc_id"), "doc_id", 0.1).count()
+    }
+
     // PQ vs brute vs LSH at 50k vectors, 25 queries
     val corpus50k = replicate(emb, "vec_id", 25)
     println(s"[soak] vectors: ${corpus50k.count()}")
