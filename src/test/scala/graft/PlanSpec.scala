@@ -140,6 +140,53 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hash split and deterministic sample are pure maps: no Exchange in the plan") {
+    val ids = Tables.load(spark, sf, "documents").select("doc_id")
+    val p1 = plan(graft.operators.Splits.assign(ids, "doc_id"))
+    val p2 = plan(graft.operators.Splits.sample(ids, "doc_id", 0.1))
+    assert(!p1.contains("Exchange") && !p2.contains("Exchange"),
+      s"split/sample should not shuffle:\n$p1\n$p2")
+  }
+
+  test("contamination plan: only equi-joins, heavy-shingle guard is a broadcast anti-join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.operators.Dedup.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), "text", "doc_id")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must never cross-join:\n$p")
+    assert(p.contains("LeftAnti"), s"missing anti-join guard:\n$p")
+  }
+
+  test("dense packing plan: one hash partitioning by group, no cross join") {
+    import graft.functions.{TextFunctions => TF}
+    val withN = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n"))
+    val p = plan(graft.operators.Packing.packSequencesDense(
+      withN, "lang", "doc_id", "n", 256L))
+    assert(p.contains("hashpartitioning(lang"), s"expected group hash:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unexpected cross join:\n$p")
+  }
+
+  test("PQ ADC plan: the only cross join is the broadcast query-table side") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val book = Similarity.pqTrain(c.limit(100), "embedding", dim = 64, m = 4, k = 4)
+    val codes = Similarity.pqEncode(c, book, "embedding", "vec_id", dim = 64, m = 4)
+    val p = plan(Similarity.pqTopK(q, c, codes, book, "embedding", "vec_id",
+      dim = 64, m = 4, k = 5, rerank = 16))
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cross join:\n$p")
+    // simple-mode rendering: "BroadcastNestedLoopJoin BuildRight, Cross"
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      s"ADC should broadcast the query tables:\n$p")
+  }
+
   test("custom CosineSimilarity participates in codegen (no fallback)") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = emb.select(graft.functions.VectorFunctions
