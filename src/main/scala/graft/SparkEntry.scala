@@ -1623,6 +1623,56 @@ object SparkEntry {
     graft.streaming.Streaming.statelessFilter(s, d, "st3_out")
   }
 
+  // Streaming curation: the BATCH curation Columns (quality, langid,
+  // redaction) applied unchanged to a document stream — the oracle is the
+  // same batch SQL as p1/t9's stages, so the hash match certifies
+  // streaming ≡ batch semantics row for row.
+  define("st9_stream_curate",
+    """WITH q AS (
+         SELECT doc_id, text,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+             + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) > 0.1 THEN 0.0
+                ELSE 1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0 END) * 0.3
+             + least(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS DOUBLE)
+                 / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
+           AS quality
+         FROM documents),
+       h AS (
+         SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], w))) AS h_de,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS h_en,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['el','la','los','y','es','una','que','no'], w))) AS h_es,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['le','la','les','et','est','une','que','pas'], w))) AS h_fr,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> list_contains(['de','le','shi','bu','wo','ni','ta','zai'], w))) AS h_zh
+         FROM documents),
+       l AS (
+         SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) <= 0 THEN 'en'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM h)
+       SELECT q.doc_id, l.pred_lang, q.n_tokens,
+         regexp_replace(regexp_replace(regexp_replace(q.text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g') AS clean
+       FROM q JOIN l ON q.doc_id = l.doc_id
+       WHERE q.quality >= 0.5""") { (s, d) =>
+    graft.streaming.Streaming.streamingCurate(s, d, "st9_out")
+  }
+
   // ==================================================================
   // Full-SQL passthrough (Engine.fullSql): what the faithful dialect
   // can't express. Same SQL text runs on both engines — Spark parses it

@@ -264,6 +264,43 @@ object Streaming {
     spark.table(name).agg(count(lit(1)).as("n_distinct"))
   }
 
+  /** Streaming curation: the BATCH curation Columns (quality score,
+    * language ID, PII redaction — all pure projections) applied unchanged
+    * to an unbounded document stream. This is the point of keeping the
+    * curation operators as `Column` functions rather than DataFrame-only
+    * code: the same expressions compile into a stateless streaming stage,
+    * so a corpus can be curated on ingest instead of in a later batch
+    * pass. Append mode through a FILE sink (executor-direct parquet,
+    * exactly-once via the checkpoint), then read back. */
+  def streamingCurate(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${name}_" + sfDir.replaceAll("[^0-9.]", ""))
+    deleteRecursively(base)
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+    val curated = TF.withLangId(stream, "text")
+      .withColumn("quality", TF.qualityScoreRaw(col("text")))
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("pred_lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.redactPii(col("text")).as("clean"))
+    val q = curated.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
