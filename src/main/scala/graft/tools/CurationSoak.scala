@@ -117,6 +117,12 @@ object CurationSoak {
       Similarity.pqTopK(queries, corpus50k, codes, book, "embedding", "vec_id",
         dim = 64, m = 16, k = 10, rerank = 192).count()
     }
+    // IVFPQ: label cells prune the ADC scan to nprobe/10 of the corpus
+    time("ann_ivfpq_50k_nprobe3") {
+      Similarity.ivfPqTopK(queries, corpus50k, codes, book, "embedding",
+        "vec_id", cellCol = "label", dim = 64, m = 16, k = 10,
+        nprobe = 3, rerank = 192).count()
+    }
     // persisted-index query path: signature pass skipped entirely
     val idxDir = java.nio.file.Files.createTempDirectory("graft_soak_idx_").toString
     time("lsh_index_build_50k") {
