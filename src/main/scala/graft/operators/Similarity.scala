@@ -249,25 +249,43 @@ object Similarity {
     } finally subvecs.unpersist()
   }
 
-  /** Encode each corpus vector as its per-subspace nearest-centroid codes.
-    * Output is long-form (id, sub, code) — the shape the ADC join consumes;
-    * at rest this is what you persist instead of the vectors (M codes of
-    * ≤8 bits vs D floats). The codebook side is broadcast; the corpus
-    * never shuffles. */
+  /** Encode each corpus vector as its per-subspace nearest-centroid codes:
+    * ONE row per vector with a `codes` array (position = subspace) — at
+    * rest this is what you persist instead of the vectors (M codes of
+    * ≤8 bits vs D floats; 32× at the defaults). The codebook is tiny
+    * (m·k·(dim/m) floats) and embeds as a LITERAL, so encoding is a
+    * single fused projection over the corpus scan — no join, no shuffle,
+    * no aggregation. (A first cut exploded (id, sub, subvec) through a
+    * broadcast join and argmin-grouped |corpus|·m·k rows back together —
+    * pure overhead relative to the closed-form per-row argmin.)
+    * Ties break toward the smaller code, deterministically. */
   def pqEncode(corpus: DataFrame, codebook: DataFrame,
                vecCol: String, idCol: String, dim: Int, m: Int): DataFrame = {
     val sub = dim / m
-    val subvecs = spread(corpus)
+    val book = codebook.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val kCodes = book.map(_._2).max + 1
+    // centroids[s][c] = centroid array, as a nested literal column
+    val byPos: Seq[Seq[Seq[Float]]] = (0 until m).map(s =>
+      (0 until kCodes).map(c =>
+        book.find(b => b._1 == s && b._2 == c)
+          .getOrElse(sys.error(s"codebook missing (sub=$s, code=$c)"))._3))
+    val centroids = typedLit(byPos)
+    val zero = struct(lit(-1).as("best"), lit(Double.MaxValue).as("bd"))
+    spread(corpus)
       .select(col(idCol).as("n_id"), unit(col(vecCol)).as("__nvec"))
       .select(col("n_id"),
-        posexplode(array((0 until m).map(s =>
-          slice(col("__nvec"), s * sub + 1, sub)): _*)).as(Seq("sub", "subvec")))
-    subvecs.join(broadcast(codebook), "sub")
-      .select(col("n_id"), col("sub"), col("code"),
-        VF.l2Squared(col("subvec"), col("centroid")).as("dist"))
-      .groupBy("n_id", "sub")
-      // argmin with deterministic tie-break on code
-      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val subvec = slice(col("__nvec"), s * sub + 1, lit(sub))
+          aggregate(sequence(lit(0), lit(kCodes - 1)), zero,
+            (acc, c) => {
+              val d = VF.l2Squared(subvec,
+                element_at(element_at(centroids, s + 1), c + 1))
+              when(d < acc.getField("bd"),
+                struct(c.as("best"), d.as("bd"))).otherwise(acc)
+            },
+            acc => acc.getField("best")).cast("int")
+        }).as("codes"))
   }
 
   /** ANN over PQ codes: per query, build the M×K table of subspace
@@ -291,7 +309,7 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
              codebook: DataFrame, vecCol: String, idCol: String,
              dim: Int, m: Int, k: Int, rerank: Int = 64): DataFrame = {
-    val adc = packedCodes(codes)
+    val adc = codes
       .crossJoin(broadcast(qAdcTables(queries, codebook, vecCol, idCol, dim, m)))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), adcDist(m).as("adc_dist"))
@@ -319,7 +337,7 @@ object Similarity {
     val probedTbl = probes
       .join(qAdcTables(queries, codebook, vecCol, idCol, dim, m), "q_id")
     val cells = corpus.select(col(idCol).as("n_id"), col(cellCol).as("cell"))
-    val adc = packedCodes(codes).join(cells, "n_id")
+    val adc = codes.join(cells, "n_id")
       .join(broadcast(probedTbl), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), adcDist(m).as("adc_dist"))
@@ -346,14 +364,6 @@ object Similarity {
         array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
         p => p.getField("d")).as("tbl"))
   }
-
-  /** Long-form (n_id, sub, code) → one array of M codes per vector,
-    * position = sub. */
-  private def packedCodes(codes: DataFrame): DataFrame =
-    codes.groupBy("n_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code")))),
-        p => p.getField("code")).as("codes"))
 
   /** ADC sum over `codes` against the flat `tbl`: M native lookups. */
   private def adcDist(m: Int): Column = {

@@ -385,10 +385,11 @@ class PipelineSpec extends AnyFunSuite {
     val book = Similarity.pqTrain(c, "embedding", dim = 64, m = 16, k = 16)
     assert(book.count() == 256) // m·k codebook rows
     val codes = Similarity.pqEncode(c, book, "embedding", "vec_id", dim = 64, m = 16)
-    // m rows per vector, every code within [0, k)
-    val perVec = codes.groupBy("n_id").count().select("count").distinct().collect()
-    assert(perVec.map(_.getLong(0)).toSeq == Seq(16L))
-    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    // one codes-array row per vector, m entries each, every code in [0, k)
+    assert(codes.count() == c.count())
+    assert(codes.filter(size(col("codes")) =!= 16).count() == 0)
+    assert(codes.filter(exists(col("codes"),
+      cd => cd < 0 || cd >= 16)).count() == 0)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
