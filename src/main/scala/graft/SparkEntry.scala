@@ -1623,6 +1623,30 @@ object SparkEntry {
     graft.streaming.Streaming.statelessFilter(s, d, "st3_out")
   }
 
+  // Streaming near-dup: candidates generated ONLINE by the stateful
+  // band-bucket stream (identical sketch kernel → identical candidate set
+  // as d2's batch self-join), then exact-verified in batch — so the d2
+  // oracle applies verbatim to an online pipeline.
+  define("st10_stream_neardup",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 2),
+           i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])) AS sh FROM w)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           AS jaccard
+       FROM sh a, sh b
+       WHERE a.doc_id < b.doc_id
+         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             >= 0.5""") { (s, d) =>
+    val cands = graft.streaming.Streaming
+      .streamingNearDupCandidates(s, d, "st10_out")
+    graft.operators.Dedup.verifyCandidates(t(s, d, "documents"), cands,
+      "text", "doc_id", threshold = 0.5)
+  }
+
   // Streaming curation: the BATCH curation Columns (quality, langid,
   // redaction) applied unchanged to a document stream — the oracle is the
   // same batch SQL as p1/t9's stages, so the hash match certifies

@@ -169,6 +169,21 @@ object Dedup {
     }
   }
 
+  /** Exact-Jaccard verification of EXTERNALLY generated candidate pairs —
+    * the batch half of the streaming near-dup pipeline
+    * ([[graft.streaming.Streaming.streamingNearDupCandidates]] emits
+    * band-bucket candidates online; this scores them): recompute shingle
+    * sets once and keep pairs at or above `threshold`. Same contract as
+    * the verify stage inside [[minHashLsh]]. */
+  def verifyCandidates(docs: DataFrame, pairs: DataFrame, textCol: String,
+                       idCol: String, threshold: Double,
+                       shingleSize: Int = 3): DataFrame = {
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
+        array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
+    verifyJaccard(pairs.select("a_id", "b_id"), sh, threshold)
+  }
+
   /** Exact word-shingle Jaccard for candidate pairs (a_id, b_id), joined
     * back to precomputed shingle sets (id, sh). Intersect/union are native
     * expressions. */

@@ -264,6 +264,73 @@ object Streaming {
     spark.table(name).agg(count(lit(1)).as("n_distinct"))
   }
 
+  /** Streaming MinHash near-dup candidate generation — the online half of
+    * the batch [[graft.operators.Dedup.minHashLsh]] pipeline. Each
+    * incoming document is sketched with the SAME banded-minhash kernel
+    * (same shingling, hashes, bands, seed), and a `flatMapGroupsWithState`
+    * keyed on (band, bucket) pairs it against every earlier document in
+    * the bucket: the emitted candidate set is therefore IDENTICAL to the
+    * batch band self-join's, so downstream exact verification
+    * ([[graft.operators.Dedup.verifyCandidates]]) reproduces the batch
+    * answer — which is how the st10 gate oracles an online pipeline with
+    * the same SQL as the batch one.
+    *
+    * State is one id list per occupied bucket (8 B per doc per band —
+    * the slim-index invariant, vectors/text never enter state), sharded
+    * across executors by the state store; training-corpus semantics keep
+    * it unbounded (see the RocksDB backend test for the >RAM
+    * configuration). Emission is deterministic as a SET; within-bucket
+    * arrival order only permutes which row of a same-batch pair is "new".
+    */
+  def streamingNearDupCandidates(spark: SparkSession, sfDir: String,
+                                 name: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+    val banded = stream
+      .select(col("doc_id"),
+        posexplode(VF.minhashBandHashes(
+          array_distinct(TF.shingles(col("text"), 3)), 128, 32))
+          .as(Seq("band", "bucket")))
+      .select(col("band").cast("int"), col("bucket"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    val pairs = banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val seen = scala.collection.mutable.ArrayBuffer[Long]()
+          seen ++= state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.map(_._3).toSeq.distinct.sorted.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach { e =>
+                out += ((math.min(e, id), math.max(e, id)))
+              }
+              seen += id
+            }
+          }
+          state.update(seen.toSeq)
+          out.result().iterator
+      }
+      .toDF("a_id", "b_id")
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the same pair can surface from several bands (and across batches) —
+    // collapse exactly like the batch path's candidate distinct()
+    spark.table(name).distinct()
+  }
+
   /** Streaming curation: the BATCH curation Columns (quality score,
     * language ID, PII redaction — all pure projections) applied unchanged
     * to an unbounded document stream. This is the point of keeping the

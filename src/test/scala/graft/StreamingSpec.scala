@@ -91,6 +91,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup candidates: cross-batch state pairs new docs against old") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val banded = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(VF.minhashBandHashes(
+          array_distinct(TF.shingles(col("text"), 3)), 128, 32))
+          .as(Seq("band", "bucket")))
+      .select(col("band").cast("int"), col("bucket"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    val pairs = banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val seen = scala.collection.mutable.ArrayBuffer[Long]()
+          seen ++= state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.map(_._3).toSeq.distinct.sorted.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach(e => out += ((math.min(e, id), math.max(e, id))))
+              seen += id
+            }
+          }
+          state.update(seen.toSeq)
+          out.result().iterator
+      }.toDF("a_id", "b_id")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_cands").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // batch 1: two near-identical docs + one unrelated
+    input.addData((1L, base), (2L, base + " extra"),
+      (3L, "completely different words entirely unrelated content here now"))
+    q.processAllAvailable()
+    // batch 2: a third variant must pair with docs from batch 1 via STATE
+    input.addData((4L, base + " more"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_cands").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"same-batch pair missing: $got")
+    assert(got.contains((1L, 4L)) && got.contains((2L, 4L)),
+      s"cross-batch pairs missing: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc should share no bucket: $got")
+  }
+
   test("time-scoped streaming dedup: in-watermark duplicates dropped, expired keys re-emit") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
