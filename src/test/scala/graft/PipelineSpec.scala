@@ -323,6 +323,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(salted != s1)
   }
 
+  test("typed facade: Dataset[Document] agrees with the untyped path; Column filters still push down") {
+    import spark.implicits._
+    val ds = Tables.documents(spark, sf)
+    // typed lambda semantics == untyped Column semantics
+    val typedCount = ds.filter(_.lang == "en").count()
+    val untypedCount = docs.filter(col("lang") === "en").count()
+    assert(typedCount == untypedCount && typedCount > 0)
+    // Column-based filters on the typed view keep scan pushdown (typed
+    // LAMBDAS would not — they deserialize; that trade is the documented
+    // contract)
+    // (the suite caches `docs`, so the cache manager may substitute the
+    // in-memory relation — the predicate must reach the scan either way)
+    val p = ds.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(lang,en)") ||
+      p.matches("(?s).*InMemoryTableScan.*\\(lang#\\d+ = en\\).*"),
+      s"pushdown lost through as[Document]:\n$p")
+    // typed embeddings round-trip the float vectors intact
+    val e = Tables.embeddings(spark, sf).head()
+    assert(e.embedding.length == 64)
+  }
+
   // ---- similarity search ----
 
   test("ANN: LSH and IVF recall vs brute-force top-5") {
