@@ -35,21 +35,30 @@ object Engine {
   // at query JIT time, /root/reference/src/jit.cpp:65-73 — not just once at
   // session start) ----
   @volatile private var watched: Option[(String, Long)] = None
+  @volatile private var watchBase: FunctionRegistry = FunctionRegistry.default()
 
   /** Watch a definitions file: every subsequent query entry point stats it
     * and, if the modification time changed, rebuilds the shared registry as
-    * builtins + the file's current definitions — edit the file, next query
-    * sees the new functions, exactly like dropping a new `custom.cu`.
-    * Pass the path of a file that may not exist yet; it is picked up when
-    * it appears. `unwatchFunctions()` stops the pickup. */
+    * the watch-time registry snapshot + the file's current definitions —
+    * edit the file, next query sees the new functions, exactly like
+    * dropping a new `custom.cu`. Definitions registered directly before the
+    * watch (e.g. the CLI's `--fns` load) are part of the snapshot and
+    * survive refreshes. Pass the path of a file that may not exist yet; it
+    * is picked up when it appears (and until then the registry is reset to
+    * the snapshot — a previous watch's definitions do not linger).
+    * `unwatchFunctions()` stops the pickup and restores the snapshot. */
   def watchFunctions(path: String): Unit = {
-    watched = Some((path, -1L))
+    watchBase = sharedRegistry.snapshot()
+    // Long.MinValue never equals a real mtime OR the missing-file -1, so
+    // the first refresh always rebuilds (a missing file must still clear
+    // the previous watch's definitions)
+    watched = Some((path, Long.MinValue))
     refreshFunctions()
   }
 
   def unwatchFunctions(): Unit = {
     watched = None
-    sharedRegistry = FunctionRegistry.default()
+    sharedRegistry = watchBase.snapshot()
   }
 
   private def refreshFunctions(): Unit = watched match {
@@ -60,7 +69,7 @@ object Engine {
         // re-check under the lock, then swap in a freshly built registry so
         // functions REMOVED from the file disappear too
         if (watched.contains((path, seen))) {
-          val r = FunctionRegistry.default()
+          val r = watchBase.snapshot()
           if (f.isFile) FunctionRegistry.loadFile(r, path)
           sharedRegistry = r
           watched = Some((path, mtime))

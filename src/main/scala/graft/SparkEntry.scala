@@ -811,7 +811,10 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, d, "embeddings")
     val corpus = emb.filter(col("vec_id") >= 5)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_${d.replaceAll("[^0-9.]", "")}"
+    // per-run unique dir: a fixed path would race a concurrent gate run's
+    // overwrite (Verify driver vs sbt test on the same box)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_lsh_idx_").toString
     Similarity.buildLshIndex(corpus, "embedding", "vec_id", idx)
     Similarity.lshTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
       "embedding", "vec_id", k = 5)

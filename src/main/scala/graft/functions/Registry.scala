@@ -24,6 +24,15 @@ class FunctionRegistry {
   def register(name: String, fn: Seq[Column] => Column): Unit =
     fns += (name.toLowerCase -> fn)
 
+  /** Independent copy of the current bindings — the rebuild baseline for
+    * [[graft.Engine.watchFunctions]], so definitions registered directly
+    * (e.g. the CLI's `--fns` load) survive watch-file refreshes. */
+  def snapshot(): FunctionRegistry = {
+    val r = new FunctionRegistry
+    r.fns = fns
+    r
+  }
+
   def lookup(name: String): Option[Seq[Column] => Column] =
     fns.get(name.toLowerCase)
 

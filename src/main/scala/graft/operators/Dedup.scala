@@ -177,10 +177,15 @@ object Dedup {
     * the verify stage inside [[minHashLsh]]. */
   def verifyCandidates(docs: DataFrame, pairs: DataFrame, textCol: String,
                        idCol: String, threshold: Double,
-                       shingleSize: Int = 3): DataFrame = {
-    val sh = spread(docs.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"),
-        array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
+                       shingleSize: Int = 3)
+                      (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    // cached: verifyJaccard joins the shingle frame TWICE (a_id and b_id
+    // sides) and the regex shingling would otherwise run once per side —
+    // the same double-scan the contamination cache eliminates (NOTES.md)
+    val sh = scope.cache(
+      spread(docs.select(col(idCol).as("id"), col(textCol)))
+        .select(col("id"),
+          array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh")))
     verifyJaccard(pairs.select("a_id", "b_id"), sh, threshold)
   }
 

@@ -238,7 +238,16 @@ object Similarity {
               .setK(k).setSeed(seed + s).setMaxIter(maxIter)
               .setFeaturesCol("__features").setPredictionCol("__c")
               .fit(subvecs.filter(col("sub") === s))
-            model.clusterCenters.zipWithIndex.map { case (ctr, code) =>
+            val centers = model.clusterCenters
+            // KMeans may return FEWER than k centers (a subspace with < k
+            // distinct subvectors). The flat sub·K+code ADC indexing needs
+            // a dense m×k book, so pad with copies of center 0 — a
+            // duplicate centroid is inert: the encode argmin's strict `<`
+            // tie-break always prefers the lower code, so padded codes are
+            // never assigned and their ADC entries never differ from
+            // center 0's.
+            val padded = centers ++ Array.fill(k - centers.length)(centers(0))
+            padded.zipWithIndex.map { case (ctr, code) =>
               (s, code, ctr.toArray.map(_.toFloat))
             }
           }

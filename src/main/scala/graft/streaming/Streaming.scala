@@ -282,24 +282,17 @@ object Streaming {
     * configuration). Emission is deterministic as a SET; within-bucket
     * arrival order only permutes which row of a same-batch pair is "new".
     */
-  def streamingNearDupCandidates(spark: SparkSession, sfDir: String,
-                                 name: String): DataFrame = {
+  /** The stateful pairing stage of the streaming near-dup path, shared
+    * with StreamingSpec's controlled-micro-batch test: rows are
+    * (band, bucket, doc_id); each new id in a (band, bucket) group is
+    * paired against the ids already accumulated in group state, then
+    * appended to it. */
+  def bandBucketPairs(banded: org.apache.spark.sql.Dataset[(Int, Long, Long)])
+      : DataFrame = {
+    val spark = banded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
-    val stream = spark.readStream
-      .schema(batch.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$sfDir/documents.*")
-    val banded = stream
-      .select(col("doc_id"),
-        posexplode(VF.minhashBandHashes(
-          array_distinct(TF.shingles(col("text"), 3)), 128, 32))
-          .as(Seq("band", "bucket")))
-      .select(col("band").cast("int"), col("bucket"), col("doc_id"))
-      .as[(Int, Long, Long)]
-    val pairs = banded
+    banded
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -319,7 +312,25 @@ object Streaming {
           out.result().iterator
       }
       .toDF("a_id", "b_id")
-    val q = pairs.writeStream
+  }
+
+  def streamingNearDupCandidates(spark: SparkSession, sfDir: String,
+                                 name: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+    val banded = stream
+      .select(col("doc_id"),
+        posexplode(VF.minhashBandHashes(
+          array_distinct(TF.shingles(col("text"), 3)), 128, 32))
+          .as(Seq("band", "bucket")))
+      .select(col("band").cast("int"), col("bucket"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    val q = bandBucketPairs(banded).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)

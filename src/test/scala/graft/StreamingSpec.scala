@@ -93,7 +93,6 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming near-dup candidates: cross-batch state pairs new docs against old") {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
@@ -104,22 +103,8 @@ class StreamingSpec extends AnyFunSuite {
           .as(Seq("band", "bucket")))
       .select(col("band").cast("int"), col("bucket"), col("doc_id"))
       .as[(Int, Long, Long)]
-    val pairs = banded.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state) =>
-          val seen = scala.collection.mutable.ArrayBuffer[Long]()
-          seen ++= state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[(Long, Long)]
-          rows.map(_._3).toSeq.distinct.sorted.foreach { id =>
-            if (!seen.contains(id)) {
-              seen.foreach(e => out += ((math.min(e, id), math.max(e, id))))
-              seen += id
-            }
-          }
-          state.update(seen.toSeq)
-          out.result().iterator
-      }.toDF("a_id", "b_id")
+    // exercises the SAME pairing kernel the production path runs
+    val pairs = graft.streaming.Streaming.bandBucketPairs(banded)
     val q = pairs.writeStream.outputMode("append")
       .format("memory").queryName("neardup_cands").start()
     val base = "the quick brown fox jumps over the lazy dog again and again today"
