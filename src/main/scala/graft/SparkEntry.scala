@@ -1342,6 +1342,20 @@ object SparkEntry {
       t(s, d, "documents").select("doc_id", "lang"), "doc_id", 0.1)
   }
 
+  // Domain-mix sampling: per-source keep rates in one scan (keep all of
+  // src0, half of src1, 10% of everything else) — the multi-source
+  // re-weighting pass, deterministic by the same md5 rule as t7/a10.
+  define("a11_domain_mix",
+    """SELECT doc_id, source FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 1000
+         < CASE WHEN source = 'src0' THEN 1000
+                WHEN source = 'src1' THEN 500
+                ELSE 100 END""") { (s, d) =>
+    graft.operators.Splits.domainMix(
+      t(s, d, "documents").select("doc_id", "source"), "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5), default = 0.1)
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus

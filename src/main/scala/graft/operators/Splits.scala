@@ -42,6 +42,27 @@ object Splits {
       math.round(fraction * 1000).toInt)
   }
 
+  /** Domain-mix sampling: per-stratum keep fractions over one corpus scan
+    * — the re-weighting pass of a multi-source training mix (downsample
+    * the crawl, keep all of the curated sources). Membership is the same
+    * pure key-hash rule as [[sample]], so the mix is reproducible anywhere
+    * and re-mixing with different fractions keeps maximal row overlap
+    * (a row kept at 0.2 is also kept at 0.5 — nested samples, useful for
+    * scaling-law subsets). Strata absent from `fractions` fall back to
+    * `default` (0 = drop unknown sources, 1 = keep them all). */
+  def domainMix(df: DataFrame, keyCol: String, strataCol: String,
+                fractions: Map[String, Double], default: Double = 0.0,
+                salt: String = ""): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val threshold = fractions.foldLeft(
+      lit(math.round(default * 1000).toInt)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum,
+        lit(math.round(f * 1000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 1000, salt) < threshold)
+  }
+
   /** Assign each row a `bucket` and a `split` label by hashing `keyCol`.
     * Weights are bucket counts out of `trainW + valW + testW` total —
     * the default 8/1/1 over 10 buckets is the standard 80/10/10. */

@@ -321,6 +321,20 @@ class PipelineSpec extends AnyFunSuite {
     val salted = Splits.sample(ids, "doc_id", 0.1, salt = "v2")
       .collect().map(_.getLong(0)).toSet
     assert(salted != s1)
+    // domain mix: nested-sample property — every row kept at a lower
+    // fraction is kept at a higher one (same hash rule, larger threshold)
+    val keyed = docs.select("doc_id", "source")
+    val low = Splits.domainMix(keyed, "doc_id", "source",
+      Map("src0" -> 0.2), default = 0.1).collect().map(_.getLong(0)).toSet
+    val high = Splits.domainMix(keyed, "doc_id", "source",
+      Map("src0" -> 0.6), default = 0.3).collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high), s"nested-sample violated: ${low -- high}")
+    // fraction 1.0 keeps a stratum completely; default 0 drops the rest
+    val onlySrc0 = Splits.domainMix(keyed, "doc_id", "source",
+      Map("src0" -> 1.0))
+    assert(onlySrc0.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("src0"))
+    assert(onlySrc0.count() == docs.filter(col("source") === "src0").count())
   }
 
   test("typed facade: Dataset[Document] agrees with the untyped path; Column filters still push down") {
