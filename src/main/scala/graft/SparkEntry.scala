@@ -1009,6 +1009,37 @@ object SparkEntry {
 
   // S7: ORC roundtrip (reference reads ORC via Arrow,
   // `/root/reference/src/arrow_loader.cpp:120-126`).
+  // Whole-file binary ingest: one .bin per document (UTF-8 text bytes as
+  // the stand-in payload), read back through the binaryFile source — the
+  // multimodal arrival path. The oracle recomputes the byte totals from
+  // the documents table (octet_length of the UTF-8 encoding), so the
+  // round-trip certifies both the write fan-out and the binary read.
+  define("src_binary",
+    """SELECT count(*) AS cnt,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       FROM documents WHERE doc_id < 100""") { (s, d) =>
+    import java.nio.file.{Files, Paths}
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_binary_${d.replaceAll("[^0-9.]", "")}"
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    Files.createDirectories(p)
+    // distributed fan-out: each task writes its partition's payload files
+    t(s, d, "documents").filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+    graft.sources.Sources.binaryFiles(s, dir, glob = Some("*.bin"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("content"))).as("total_bytes"))
+  }
+
   define("src_orc",
     """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

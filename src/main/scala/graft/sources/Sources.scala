@@ -63,6 +63,18 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Whole-file binary ingest (`binaryFile` source): one row per file with
+    * (path, modificationTime, length, content) — how a multimodal corpus
+    * actually arrives (image/audio files on object storage) before
+    * [[graft.operators.Multimodal]] decodes payloads. Spark parallelizes
+    * over files; `pathGlobFilter` narrows the listing without reading
+    * rejected files. */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
+
   /** Extension-based dispatch (`csv json ndjson parquet orc`; arrow/feather
     * have no built-in Spark file source — stored columnar data belongs in
     * parquet/orc; Arrow remains the in-flight interchange format). Unknown
