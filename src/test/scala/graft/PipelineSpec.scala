@@ -468,6 +468,30 @@ class PipelineSpec extends AnyFunSuite {
       s"recall=${(brute & probed).size.toDouble / brute.size}")
   }
 
+  test("binary ingest feeds multimodal decode: files → payload rows → features") {
+    import graft.sources.Sources
+    withTempDir("graft_bin_ingest_") { dir =>
+      docs.limit(20).select("doc_id", "text").collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      val ingested = Sources.binaryFiles(spark, dir, glob = Some("*.bin"))
+        .select(regexp_extract(col("path"), "(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+          col("content").as("payload"))
+      assert(ingested.count() == 20)
+      val features = Multimodal.decodeFeaturesColumnar(ingested, "doc_id")
+      // same deterministic features as the attachPayload path on the
+      // same 20 docs — the ingest route plugs into the pipeline unchanged
+      val viaAttach = Multimodal.decodeFeaturesColumnar(
+        Multimodal.attachPayload(docs.limit(20), "text", "image/fake"), "doc_id")
+        .select("doc_id", "width", "n_frames")
+      assert(features.select("doc_id", "width", "n_frames")
+        .exceptAll(viaAttach).count() == 0)
+    }
+  }
+
   // ---- multimodal plumbing ----
 
   test("batched decode matches columnar decode; height deterministic") {
