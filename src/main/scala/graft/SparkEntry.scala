@@ -981,7 +981,9 @@ object SparkEntry {
        max(CAST(l_tax AS REAL)) AS max_tax
        FROM lineitem""") { (s, d) =>
     import graft.sources.Sources
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^0-9.]", "")}"
+    // per-run unique dir: a fixed (sfDir)-derived path would race a
+    // concurrent gate run's overwrite (Verify driver vs sbt test)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
     t(s, d, "lineitem").select("l_quantity", "l_discount", "l_tax")
       .write.mode("overwrite").option("header", "true").csv(tmp)
     Sources.csv(s, tmp) // no schema → every column Float32 (reference default)
@@ -997,7 +999,7 @@ object SparkEntry {
        FROM events""") { (s, d) =>
     import graft.sources.Sources
     import org.apache.spark.sql.types._
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_${d.replaceAll("[^0-9.]", "")}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
     t(s, d, "events").select("event_id", "value")
       .write.mode("overwrite").json(tmp)
     val schema = StructType(Seq(StructField("event_id", LongType),
@@ -1018,13 +1020,10 @@ object SparkEntry {
     """SELECT count(*) AS cnt,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
        FROM documents WHERE doc_id < 100""") { (s, d) =>
-    import java.nio.file.{Files, Paths}
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_binary_${d.replaceAll("[^0-9.]", "")}"
-    val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-    Files.createDirectories(p)
+    import java.nio.file.Files
+    // per-run unique dir (no pre-clean needed): a fixed path raced
+    // concurrent gate runs deleting each other's payload files
+    val dir = Files.createTempDirectory("graft_binary_").toString
     // distributed fan-out: each task writes its partition's payload files
     t(s, d, "documents").filter(col("doc_id") < 100)
       .select("doc_id", "text")
@@ -1045,7 +1044,7 @@ object SparkEntry {
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
        FROM orders""") { (s, d) =>
     import graft.sources.Sources
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^0-9.]", "")}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     t(s, d, "orders").select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").orc(tmp)
     Sources.orc(s, tmp)
@@ -1060,7 +1059,7 @@ object SparkEntry {
        FROM lineitem WHERE l_quantity > 40""") { (s, d) =>
     import graft.sources.ArrowInterchange
     import org.apache.spark.sql.types._
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_arrow_${d.replaceAll("[^0-9.]", "")}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_").toString
     val src = t(s, d, "lineitem").filter(col("l_quantity") > 40)
       .select("l_orderkey", "l_extendedprice")
     ArrowInterchange.writeArrow(src, tmp)
@@ -1526,7 +1525,7 @@ object SparkEntry {
     """SELECT count(*) AS cnt, round(sum(value), 2) AS total,
        min(event_id) AS min_id
        FROM events WHERE event_type = 'click'""") { (s, d) =>
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_${d.replaceAll("[^0-9.]", "")}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
     t(s, d, "events").select("event_id", "event_type", "value")
       .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
     s.read.parquet(tmp).filter(col("event_type") === "click")

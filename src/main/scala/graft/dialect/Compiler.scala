@@ -77,9 +77,26 @@ final class Compiler(registry: FunctionRegistry, float32: Boolean) {
             else lv / rv
         }
       case FuncCall(name, args) =>
-        val fn = registry.lookup(name).getOrElse(
-          throw new IllegalArgumentException(s"Unknown function: $name"))
-        fn(args.map(value(_, env)))
+        registry.lookupDef(name) match {
+          // File-loaded definition: compile the stored AST with THIS
+          // compiler, so the body inherits the query's float32 setting —
+          // float32 literals and IEEE division inside `f(x) = x / 0`
+          // behave exactly like the same expression written inline
+          // (custom.cu parity: the reference JIT-compiles the dropped
+          // function into the same float32 kernel as the query).
+          case Some((params, body)) =>
+            require(args.length == params.length,
+              s"$name expects ${params.length} arguments, got ${args.length}")
+            val bodyEnv: Map[Expr, Column] =
+              params.zip(args.map(value(_, env))).map { case (p, a) =>
+                (ColRef(p): Expr) -> a
+              }.toMap
+            value(body, bodyEnv)
+          case None =>
+            val fn = registry.lookup(name).getOrElse(
+              throw new IllegalArgumentException(s"Unknown function: $name"))
+            fn(args.map(value(_, env)))
+        }
       case w: WindowAgg => windowed(w, env)
       case a: Agg =>
         throw new IllegalArgumentException(

@@ -20,9 +20,31 @@ import org.apache.spark.sql.functions._
   */
 class FunctionRegistry {
   private var fns: Map[String, Seq[Column] => Column] = Map.empty
+  private var defs: Map[String, (Seq[String], graft.dialect.Expr)] = Map.empty
 
   def register(name: String, fn: Seq[Column] => Column): Unit =
     fns += (name.toLowerCase -> fn)
+
+  /** Register a dialect-AST definition (a file-loaded `name(p,..) = expr`).
+    * The AST is kept so an invoking [[graft.dialect.Compiler]] can compile
+    * the body under ITS OWN float32 setting — a float32 query sees float32
+    * literals and IEEE division inside the function body, exactly as if the
+    * expression were written inline (the custom.cu parity contract). A
+    * natural-type `Column` builder is also registered for direct use
+    * outside any dialect query. */
+  def registerDef(name: String, params: Seq[String],
+                  body: graft.dialect.Expr): Unit = {
+    defs += (name.toLowerCase -> (params, body))
+    register(name, args => {
+      require(args.length == params.length,
+        s"$name expects ${params.length} arguments, got ${args.length}")
+      val env: Map[graft.dialect.Expr, Column] =
+        params.zip(args).map { case (p, a) =>
+          (graft.dialect.ColRef(p): graft.dialect.Expr) -> a
+        }.toMap
+      new graft.dialect.Compiler(this, float32 = false).value(body, env)
+    })
+  }
 
   /** Independent copy of the current bindings — the rebuild baseline for
     * [[graft.Engine.watchFunctions]], so definitions registered directly
@@ -30,11 +52,16 @@ class FunctionRegistry {
   def snapshot(): FunctionRegistry = {
     val r = new FunctionRegistry
     r.fns = fns
+    r.defs = defs
     r
   }
 
   def lookup(name: String): Option[Seq[Column] => Column] =
     fns.get(name.toLowerCase)
+
+  /** The stored AST of a file-loaded definition, if `name` is one. */
+  def lookupDef(name: String): Option[(Seq[String], graft.dialect.Expr)] =
+    defs.get(name.toLowerCase)
 
   def contains(name: String): Boolean = fns.contains(name.toLowerCase)
 }
@@ -72,9 +99,13 @@ object FunctionRegistry {
     * defined functions only — a body referencing itself, a later
     * definition, or an unknown name is rejected at load (deferring that to
     * invocation would turn `f(a) = f(a)` into a compile-time
-    * StackOverflowError). Bodies compute in the columns' natural types
-    * (like `sqrt` et al.); identifiers must all be parameters, and
-    * aggregates are rejected — a scalar function has no group context.
+    * StackOverflowError). Bodies compile under the INVOKING query's numeric
+    * mode — in a float32 dialect query the body's literals are float32 and
+    * `/` is IEEE (x/0 → ±Inf, 0/0 → NaN), identical to the same expression
+    * written inline; invoked directly as a Column builder (outside any
+    * dialect query) a body computes in the columns' natural types, like
+    * `sqrt` et al. Identifiers must all be parameters, and aggregates are
+    * rejected — a scalar function has no group context.
     *
     * Blank lines and `//`/`#` comments are skipped. Returns the names
     * registered, in file order.
@@ -90,15 +121,7 @@ object FunctionRegistry {
             s"$name: duplicate parameter in (${params.mkString(", ")})")
           val body = graft.dialect.Parser.parseExpression(bodySrc)
           validateBody(name, params, body, r)
-          r.register(name, args => {
-            require(args.length == params.length,
-              s"$name expects ${params.length} arguments, got ${args.length}")
-            val env: Map[graft.dialect.Expr, Column] =
-              params.zip(args).map { case (p, a) =>
-                (graft.dialect.ColRef(p): graft.dialect.Expr) -> a
-              }.toMap
-            new graft.dialect.Compiler(r, float32 = false).value(body, env)
-          })
+          r.registerDef(name, params, body)
           name
         case bad => throw new IllegalArgumentException(
           s"Bad function definition (want `name(p1, ...) = expr`): $bad")

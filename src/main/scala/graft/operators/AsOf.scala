@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   * right payload column is transparent — the fill carries the previous
   * non-null value past it (feature-store "null = no update" semantics);
   * encode explicit deletion as a sentinel value if needed.
+  *
+  * NULL keys follow SQL equality (and DuckDB ASOF JOIN, the oracle): a NULL
+  * key matches nothing. Right rows with a null key column are dropped before
+  * the union (window partitioning would otherwise group NULLs together and
+  * leak NULL-keyed right payloads into NULL-keyed left rows); left rows with
+  * a null key pass through with null payloads, like any unmatched left row.
   */
 object AsOf {
 
@@ -90,7 +96,12 @@ object AsOf {
           payloadCols.map(c =>
             lit(null).cast(rSchema(c).dataType).as(s"__r_$c")) :+
           lit(1).as("__side"))): _*)
-    val rAligned = right.select(
+    // SQL equality never matches a NULL key, but Window.partitionBy groups
+    // NULLs together — drop null-keyed right rows so they can't fill
+    // null-keyed left rows (which then surface as unmatched, payload null).
+    val rNonNullKeys = right.filter(
+      keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val rAligned = rNonNullKeys.select(
       keyCols.map(col) ++ (col(tsCol) +:
         (leftExtra.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
           payloadCols.map(c => col(c).as(s"__r_$c")) :+

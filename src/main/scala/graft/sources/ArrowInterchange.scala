@@ -47,12 +47,12 @@ object ArrowInterchange {
     *
     * The overwrite is staged: tasks write into a hidden `_staging-*` subdir
     * of `dir` (shared storage in a cluster), and only after the job succeeds
-    * does the driver delete the previous `.arrow` files and move the staged
-    * ones into place — a failed job leaves the prior export intact. (The
-    * swap itself is not a single atomic rename, but the destructive step
-    * happens strictly after all data is durably written.) Stale parts from a
-    * prior run with MORE partitions are removed in the swap, so readArrow
-    * never globs them back in.
+    * does the driver move the staged parts into place (replacing same-named
+    * old parts) and then delete stale extras a prior wider run left behind —
+    * so readArrow never globs them back in. A failed job leaves the prior
+    * export intact, and a failure mid-swap leaves a directory where every
+    * part is either a new file or a complete old one (the swap is not one
+    * atomic rename, but no destructive step precedes the data it replaces).
     */
   def writeArrow(df: DataFrame, dir: String, batchSize: Int = 4096): Long = {
     val schema = df.schema
@@ -100,15 +100,30 @@ object ArrowInterchange {
       }
       Iterator.single(total)
     }.collect().sum
-    // job succeeded — swap staged files into place, dropping prior contents
+    // Job succeeded — swap staged files into place. Order matters for crash
+    // safety: move the new parts in FIRST (replacing same-named old parts),
+    // THEN remove only the stale extras a prior wider run left behind — a
+    // mid-swap failure leaves a directory that is still fully readable
+    // (every part is either the new file or a complete old one). Cleanup of
+    // the staging dir is best-effort and swallowed, so it can never mask
+    // the real failure.
     try {
+      val stagedNames = Option(staging.toFile.listFiles())
+        .getOrElse(Array.empty[File]).map { f =>
+          Files.move(f.toPath, Paths.get(dir, f.getName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          f.getName
+        }.toSet
       Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
-        .filter(f => f.isFile && f.getName.endsWith(".arrow"))
+        .filter(f => f.isFile && f.getName.endsWith(".arrow") &&
+          !stagedNames.contains(f.getName))
         .foreach(f => Files.delete(f.toPath))
-      Option(staging.toFile.listFiles()).getOrElse(Array.empty[File])
-        .foreach(f => Files.move(f.toPath, Paths.get(dir, f.getName)))
     } finally {
-      Files.deleteIfExists(staging)
+      try {
+        Option(staging.toFile.listFiles()).getOrElse(Array.empty[File])
+          .foreach(f => Files.deleteIfExists(f.toPath))
+        Files.deleteIfExists(staging)
+      } catch { case _: java.io.IOException => () } // never mask the cause
     }
     counts
   }

@@ -80,8 +80,8 @@ object Streaming {
     * (`/root/reference/src/warpdb.cpp:544-590`). */
   def chunkedCsv(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_csv_" +
-      sfDir.replaceAll("[^0-9.]", "")
+    // per-run unique dir: a fixed path would race a concurrent gate run
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_csv_").toString
     // prepare chunked input: 4 CSV parts ≈ 4 chunks
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
@@ -214,11 +214,11 @@ object Streaming {
     * at scale. The checkpoint gives exactly-once file output; the read-back
     * at the end is just this helper returning its result. */
   def statelessFilter(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${name}_" + sfDir.replaceAll("[^0-9.]", ""))
-    // the file sink is append-only by contract — clear output + checkpoint
-    // so each invocation is a fresh, deterministic run
-    deleteRecursively(base)
+    // per-run unique dir: a fixed (name, sfDir)-derived path let two
+    // concurrent runs (Verify driver vs sbt test on the same box) delete
+    // each other's in-flight output/checkpoint; the append-only file sink
+    // also needs a fresh dir per invocation for determinism
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
     val outDir = base.resolve("data").toString
     val ckpt = base.resolve("ckpt").toString
     val out = readEventsStream(spark, sfDir)
@@ -352,9 +352,9 @@ object Streaming {
     * exactly-once via the checkpoint), then read back. */
   def streamingCurate(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${name}_" + sfDir.replaceAll("[^0-9.]", ""))
-    deleteRecursively(base)
+    // per-run unique dir — same concurrent-run race rationale as
+    // statelessFilter
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
     val outDir = base.resolve("data").toString
     val ckpt = base.resolve("ckpt").toString
     val batch = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -378,11 +378,4 @@ object Streaming {
     q.stop()
     spark.read.parquet(outDir)
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
 }

@@ -241,6 +241,34 @@ class DialectSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("file-drop functions: body compiles under the invoking query's float32 mode") {
+    import graft.functions.FunctionRegistry
+    val r = FunctionRegistry.default()
+    // x / (x - x) ≡ x / 0: float32 mode must give IEEE ±Inf/NaN, exactly
+    // like the same expression written inline (the custom.cu contract — the
+    // reference JITs the dropped function into the same float32 kernel);
+    // before the AST-threading fix the body compiled with a fixed
+    // float32=false and kept ANSI division semantics.
+    FunctionRegistry.loadDefinitions(r,
+      "inv0(x) = x / (x - x)\nscaled(p, f) = p * f + 0.1")
+    val cat = Tables.catalog(spark, sf)
+    val viaFn = Engine.sqlWith(r,
+      "SELECT inv0(l_quantity) AS v, scaled(l_extendedprice, l_discount) AS w FROM lineitem",
+      cat, float32 = true)
+    val inline = Engine.sqlWith(r,
+      "SELECT l_quantity / (l_quantity - l_quantity) AS v, l_extendedprice * l_discount + 0.1 AS w FROM lineitem",
+      cat, float32 = true)
+    // float32 literals inside the body: the output type is FloatType, and
+    // the values (incl. Inf where quantity > 0) are bit-identical to inline
+    import org.apache.spark.sql.types.FloatType
+    assert(viaFn.schema("v").dataType == FloatType)
+    assert(viaFn.schema("w").dataType == FloatType)
+    val a = viaFn.collect().toSeq
+    val b = inline.collect().toSeq
+    assert(a == b)
+    assert(a.exists(r0 => r0.getFloat(0).isInfinite))
+  }
+
   test("file-drop functions: bad definitions rejected at load time") {
     import graft.functions.FunctionRegistry
     def load(src: String) =

@@ -768,6 +768,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(edge.contains(7.0))
   }
 
+  test("asof join NULL keys: match nothing, like SQL equality (and the DuckDB oracle)") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    // window partitioning groups NULLs together, so without the right-side
+    // null-key filter the NULL-keyed right payload would leak into the
+    // NULL-keyed left row — SQL equality (and DuckDB ASOF JOIN) never
+    // matches NULL keys
+    val left = Seq(
+      (Option(1L), 10L, "keyed"), (Option.empty[Long], 10L, "nullkey"))
+      .toDF("k", "ts", "ev")
+    val right = Seq(
+      (Option(1L), 5L, 1.0), (Option.empty[Long], 5L, 99.0))
+      .toDF("k", "ts", "v")
+    val out = AsOf.join(left, right, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out == Map("keyed" -> Some(1.0), "nullkey" -> None))
+    // composite key: ANY null component disqualifies the right row
+    val out2 = AsOf.join(
+      Seq((Option(1L), "x", 10L, "e")).toDF("k1", "k2", "ts", "ev"),
+      Seq((Option(1L), null.asInstanceOf[String], 5L, 7.0),
+        (Option.empty[Long], "x", 5L, 8.0)).toDF("k1", "k2", "ts", "v"),
+      Seq("k1", "k2"), "ts", Seq("v"))
+      .collect().map(r => Option(r.get(4))).head
+    assert(out2.isEmpty)
+  }
+
   test("asof join composite key: both key columns must match") {
     import graft.operators.AsOf
     import spark.implicits._
