@@ -484,6 +484,34 @@ object SparkEntry {
     } finally Files.deleteIfExists(defsFile)
   }
 
+  // File-drop functions under the reference's ACTUAL numeric regime:
+  // float32 mode (q35 exercises natural-type mode only). The loaded body
+  // compiles with the invoking query's float32 setting, so literals are
+  // float32 and arithmetic is float arithmetic — here chosen float32-EXACT
+  // (integer-valued l_quantity, *2 and /4 are exact in binary), so the
+  // DuckDB REAL oracle matches without rounding: per-row values are exact
+  // in both float32 and double, the double-accumulated sums are exact, and
+  // the single final cast-to-REAL is deterministic on both engines.
+  define("q38_file_udf_f32",
+    """SELECT CAST(l_linenumber AS REAL) AS lineno,
+       CAST(sum(CAST(l_quantity AS REAL) * 2 + CAST(l_quantity AS REAL) / 4) AS REAL) AS boosted,
+       count(*) AS n
+       FROM lineitem GROUP BY l_linenumber ORDER BY lineno""") { (s, d) =>
+    import java.nio.file.Files
+    val defsFile = Files.createTempFile("graft_custom_f32_", ".fns")
+    Files.write(defsFile, "boosted(q) = q * 2 + q / 4\n".getBytes("UTF-8"))
+    try {
+      val r = graft.functions.FunctionRegistry.fromFile(defsFile.toString)
+      // all-float32 regime means the GROUP BY key is float32 too (string
+      // keys don't exist in the reference's one-type world)
+      Engine.sqlWith(r,
+        """SELECT l_linenumber AS lineno, SUM(boosted(l_quantity)) AS boosted,
+           COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber ORDER BY lineno""",
+        Tables.catalog(s, d), float32 = true)
+    } finally Files.deleteIfExists(defsFile)
+  }
+
   // Dialect join: dotted identifiers resolve across tables
   // (`sales.id` is ONE identifier in the reference tokenizer,
   // `/root/reference/src/expression.cpp:44-54`; join executed for real).
@@ -651,6 +679,36 @@ object SparkEntry {
              >= 0.5""") { (s, d) =>
     graft.operators.Dedup.minHashLsh(t(s, d, "documents"), "text", "doc_id",
       threshold = 0.5)
+  }
+
+  // Incremental dedup: corpus docs (doc_id % 5 != 0) are indexed once;
+  // the "ingest batch" (doc_id % 5 == 0) is scored against itself + the
+  // index without re-sketching history. Oracle: d2's exact cross-join
+  // answer restricted to pairs with at least one batch endpoint — the
+  // operator's contract (history-history pairs were reported when their
+  // batches arrived).
+  define("d9_incremental_neardup",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 2),
+           i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])) AS sh FROM w)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           AS jaccard
+       FROM sh a, sh b
+       WHERE a.doc_id < b.doc_id
+         AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             >= 0.5""") { (s, d) =>
+    import graft.operators.Dedup
+    val all = t(s, d, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx_").toString
+    val old = all.filter(col("doc_id") % 5 =!= 0)
+    Dedup.buildMinHashIndex(old, "text", "doc_id", dir)
+    Dedup.nearDupAgainstIndex(all.filter(col("doc_id") % 5 === 0), old,
+      dir, "text", "doc_id", threshold = 0.5)
   }
 
   // Exact n-gram (word-bigram) Jaccard via inverted-index join — no
@@ -844,6 +902,34 @@ object SparkEntry {
       dim = 64, m = 16)
     Similarity.pqTopK(queries, corpus, codes, book, "embedding", "vec_id",
       dim = 64, m = 16, k = 5, rerank = 192)
+      .select("q_id", "n_id", "rank")
+  }
+
+  // OPQ — eigenvalue-allocated rotation before the PQ split (Ge et al.
+  // CVPR'13, parametric). Candidates come from rotated-space ADC; the
+  // exact-cosine re-rank runs on the ORIGINAL vectors, so the s6 oracle
+  // argument transfers unchanged: at rerank=192 the candidates cover the
+  // true top-5 (cosine is rotation-invariant, and the rotation can only
+  // improve ADC resolution — PipelineSpec asserts brute-force equality and
+  // the MSE win on structured data).
+  define("s8_ann_opq",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val rot = Similarity.opqRotation(corpus, "embedding", dim = 64, m = 16)
+    val rc = Similarity.rotate(corpus, "embedding", rot)
+    val book = Similarity.pqTrain(rc, "embedding", dim = 64, m = 16, k = 16)
+    val codes = Similarity.pqEncode(rc, book, "embedding", "vec_id",
+      dim = 64, m = 16)
+    Similarity.opqTopK(queries, corpus, codes, book, rot, "embedding",
+      "vec_id", dim = 64, m = 16, k = 5, rerank = 192)
       .select("q_id", "n_id", "rank")
   }
 

@@ -169,6 +169,125 @@ object Dedup {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Persisted dedup index — the daily-ingest path
+  // ------------------------------------------------------------------
+
+  /** The (id, band, bucket) MinHash band table of a corpus — the slim
+    * candidate-generation state of [[minHashLsh]], factored out so it can be
+    * persisted. One row per (doc, band): 8-byte id + ints, independent of
+    * document length. */
+  private def minhashBandTable(docs: DataFrame, textCol: String, idCol: String,
+                               shingleSize: Int, numHashes: Int,
+                               bands: Int): DataFrame =
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .withColumn("sh", array_distinct(TF.shingles(col("text"), shingleSize)))
+      .select(col("id"),
+        posexplode(VF.minhashBandHashes(col("sh"), numHashes, bands))
+          .as(Seq("band", "bucket")))
+
+  /** Persist the MinHash band table of `docs` at `path` (parquet) — the
+    * historical-corpus half of incremental dedup. The corpus-wide shingling
+    * + sketching pass is paid ONCE; every later ingest batch joins its own
+    * (tiny) band table against the stored one instead of re-sketching
+    * 100 TB of history. A `_params` side table records (shingle_size,
+    * num_hashes, bands) so batch-side sketches are provably computed with
+    * the same hash family. Same layout stance as
+    * [[graft.operators.Similarity.buildLshIndex]]. */
+  def buildMinHashIndex(docs: DataFrame, textCol: String, idCol: String,
+                        path: String, shingleSize: Int = 3,
+                        numHashes: Int = 128, bands: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    minhashBandTable(docs, textCol, idCol, shingleSize, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/index")
+    Seq((shingleSize, numHashes, bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Append a new batch's band rows to an existing [[buildMinHashIndex]]
+    * index — run AFTER the batch has been deduped via
+    * [[nearDupAgainstIndex]], so the next batch sees it as history. Only
+    * the new documents pay the sketch pass (additional parquet part files;
+    * the indexed corpus is untouched). Stored `_params` are reused, so
+    * appended rows come from the same hash family by construction. The
+    * caller owns id uniqueness across appends. */
+  def appendToMinHashIndex(docs: DataFrame, textCol: String, idCol: String,
+                           path: String): Unit = {
+    val spark = docs.sparkSession
+    val p = spark.read.parquet(s"$path/_params").head()
+    minhashBandTable(docs, textCol, idCol, p.getAs[Int]("shingle_size"),
+        p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
+      .write.mode("append").parquet(s"$path/index")
+  }
+
+  /** Incremental near-dup: score a NEW ingest batch against itself AND the
+    * already-indexed corpus, without re-sketching the corpus — the shape a
+    * daily 100 TB pipeline actually runs (dedup the delta, then
+    * [[appendToMinHashIndex]] it).
+    *
+    * Output: exactly the [[minHashLsh]] pairs of (corpus ∪ batch) in which
+    * at least one endpoint is a batch document — (a_id, b_id, jaccard),
+    * a_id < b_id, jaccard ≥ threshold (batch-batch pairs and batch-history
+    * pairs; history-history pairs were reported when THEIR batches arrived).
+    * Candidates come from two equi-joins on (band, bucket): batch×batch
+    * self-join and batch×index join — the stored index is never
+    * self-joined, so per-batch cost is O(batch × history/bucket), not
+    * O(history²). Verification is exact Jaccard; only candidate ids' texts
+    * are fetched from `corpus` (id equi-join — the full history is never
+    * shingled again).
+    *
+    * Contract: `docs` must not already be in the index (dedup-then-append),
+    * and ids are unique across corpus ∪ batch. `corpus` must cover every
+    * indexed id (it supplies verification text by id).
+    */
+  def nearDupAgainstIndex(docs: DataFrame, corpus: DataFrame,
+                          indexPath: String, textCol: String, idCol: String,
+                          threshold: Double)
+                         (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = docs.sparkSession
+    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val (shingleSize, numHashes, bands) = (p.getAs[Int]("shingle_size"),
+      p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
+    // the batch's shingle sets feed BOTH the sketch and the verify stage —
+    // cache them (derived data, O(batch)) so the regex pass runs once
+    val newSh = scope.cache(
+      spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"),
+          array_distinct(TF.shingles(col("text"), shingleSize)).as("sh")))
+    // batch band table: consumed by the self-join (both sides) and the
+    // index join — three consumers, one tiny cached frame
+    val newBand = scope.cache(
+      newSh.select(col("id"),
+        posexplode(VF.minhashBandHashes(col("sh"), numHashes, bands))
+          .as(Seq("band", "bucket"))))
+    val idx = spark.read.parquet(s"$indexPath/index")
+      .select(col("id").as("o_id"), col("band"), col("bucket"))
+    val a = newBand.as("a")
+    val b = newBand.as("b")
+    val newSelf = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val newOld = newBand.join(idx,
+        newBand("band") === idx("band") && newBand("bucket") === idx("bucket"))
+      .select(least(col("id"), col("o_id")).as("a_id"),
+        greatest(col("id"), col("o_id")).as("b_id"))
+    val candidates = newSelf.unionByName(newOld).distinct()
+    // verification shingles: batch side from the cache; history side only
+    // for ids that actually appear in a candidate pair
+    val oldIds = candidates
+      .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+      .join(newSh.select("id"), Seq("id"), "left_anti")
+    val oldSh = spread(corpus.select(col(idCol).as("id"), col(textCol).as("text")))
+      .join(oldIds, "id")
+      .select(col("id"),
+        array_distinct(TF.shingles(col("text"), shingleSize)).as("sh"))
+    verifyJaccard(candidates, newSh.unionByName(oldSh), threshold)
+  }
+
   /** Exact-Jaccard verification of EXTERNALLY generated candidate pairs —
     * the batch half of the streaming near-dup pipeline
     * ([[graft.streaming.Streaming.streamingNearDupCandidates]] emits

@@ -353,6 +353,111 @@ object Similarity {
     exactRerank(adcCandidates(adc, rerank), queries, corpus, vecCol, idCol, k)
   }
 
+  // ================================================================
+  // Optimized product quantization (Ge/He/Ke/Sun, CVPR'13 — the
+  // parametric solution): learn an orthogonal rotation R before the
+  // subspace split. Plain PQ quantizes whatever D/M-dim slices the
+  // storage order happens to give it; when dimensions are correlated or
+  // variance is concentrated, some subspaces waste their codebook on
+  // near-constant data while others underfit. The parametric OPQ
+  // rotation eigendecomposes the corpus second-moment and allocates
+  // eigendirections to subspaces balancing the PRODUCT of eigenvalues
+  // (= balancing per-subspace quantization difficulty, optimal under
+  // the paper's Gaussian assumption) — recovering ADC resolution at
+  // identical (m, k) budget. Rotation is orthogonal, so it preserves
+  // norms and inner products: training/encoding/ADC run in rotated
+  // space, while the final exact re-rank uses the ORIGINAL vectors —
+  // output semantics identical to [[pqTopK]]'s.
+  // ================================================================
+
+  /** Learn the OPQ rotation from (a sample of) the corpus: rows of the
+    * returned D×D matrix are eigenvectors of the normalized corpus's
+    * second-moment matrix, ordered so subspace `s` takes rows
+    * [s·D/M, (s+1)·D/M) under eigenvalue allocation. The Gramian is one
+    * distributed pass (O(D²) accumulator per partition); the D×D
+    * eigendecomposition runs on the driver — D is a few hundred at most,
+    * negligible next to any corpus scan. At 100 TB, learn the rotation on
+    * `corpus.sample(...)` — like the codebooks, it saturates long before
+    * the full corpus is seen. */
+  def opqRotation(corpus: DataFrame, vecCol: String, dim: Int,
+                  m: Int): Seq[Seq[Float]] = {
+    require(dim % m == 0, "m must divide the vector dimension")
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = spread(corpus).select(unit(col(vecCol)).as("__nvec")).rdd
+      .map(r => OldVectors.dense(r.getSeq[Float](0).map(_.toDouble).toArray))
+    // non-central second moment (AᵀA/n), not covariance: PQ quantizes the
+    // vectors themselves, not their deviations from a mean that the encoder
+    // never subtracts
+    val n = rows.count().toDouble
+    val gram = new RowMatrix(rows).computeGramianMatrix()
+    val sigma = breeze.linalg.DenseMatrix.create(dim, dim,
+      gram.toArray.map(_ / n))
+    val es = breeze.linalg.eigSym(sigma)
+    // Eigenvalue allocation: balance the per-subspace PRODUCT of
+    // eigenvalues ⇔ balance sums of log λ. Every bucket receives exactly
+    // D/M values, so shifting all logs by a constant shifts every bucket
+    // sum equally — shift to non-negative and run the standard balanced
+    // multiway-partition greedy (largest weight first into the currently
+    // lightest non-full bucket). The paper's "min product, empty = 1"
+    // greedy is this same idea but silently degenerates when every λ < 1
+    // (always the case for unit-normalized vectors): the first assignment
+    // drops a bucket's product below the empty buckets' 1, so ALL the
+    // high-variance directions pile into one subspace.
+    val sub = dim / m
+    val logs = (0 until dim).map(i => math.log(math.max(es.eigenvalues(i), 1e-12)))
+    val shift = logs.min
+    val order = (0 until dim).sortBy(i => -logs(i))
+    val weight = Array.fill(m)(0.0)
+    val fill = Array.fill(m)(0)
+    val alloc = Array.fill(m)(List.newBuilder[Int])
+    order.foreach { i =>
+      val s = (0 until m).filter(fill(_) < sub)
+        .minBy(t => (weight(t), t)) // deterministic tie-break
+      alloc(s) += i
+      weight(s) += logs(i) - shift
+      fill(s) += 1
+    }
+    (0 until m).flatMap(s => alloc(s).result()).map { i =>
+      (0 until dim).map(j => es.eigenvectors(j, i).toFloat)
+    }
+  }
+
+  /** Apply a [[opqRotation]] rotation to `vecCol`: x → Rx, as one
+    * closed-form projection (the D×D matrix embeds as a literal; per-row
+    * cost is D² multiply-adds in a native HOF loop — no join, no shuffle,
+    * no UDF). Orthogonality preserves norms and cosines, so rotated
+    * vectors feed the standard [[pqTrain]]/[[pqEncode]] unchanged. */
+  def rotate(df: DataFrame, vecCol: String, rotation: Seq[Seq[Float]]): DataFrame = {
+    val rot = typedLit(rotation)
+    df.withColumn(vecCol,
+      transform(rot, row =>
+        aggregate(
+          zip_with(row, col(vecCol), (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x).cast("float")))
+  }
+
+  /** ANN over OPQ codes: ADC candidate generation in ROTATED space
+    * (`codes`/`codebook` from [[pqEncode]]/[[pqTrain]] over
+    * [[rotate]]-transformed corpus), exact-cosine re-rank against the
+    * ORIGINAL vectors — cosine is rotation-invariant, so the output is
+    * directly the [[pqTopK]]/[[bruteForceTopK]] contract on the raw
+    * corpus, with the rotation visible only as better ADC candidate
+    * quality. Same scale shape as [[pqTopK]]: query tables broadcast,
+    * corpus codes never shuffle, original vectors touched only by the
+    * re-rank equi-join. */
+  def opqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+              codebook: DataFrame, rotation: Seq[Seq[Float]],
+              vecCol: String, idCol: String,
+              dim: Int, m: Int, k: Int, rerank: Int = 64): DataFrame = {
+    val rq = rotate(queries, vecCol, rotation)
+    val adc = codes
+      .crossJoin(broadcast(qAdcTables(rq, codebook, vecCol, idCol, dim, m)))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adcDist(m).as("adc_dist"))
+    exactRerank(adcCandidates(adc, rerank), queries, corpus, vecCol, idCol, k)
+  }
+
   /** Flat per-query ADC lookup table (q_id, tbl): subspace distances to
     * every centroid, (sub, code)-sorted so the entry for (s, c) sits at
     * index s·K + c (codes are dense 0..K-1). */

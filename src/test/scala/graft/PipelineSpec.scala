@@ -78,6 +78,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("incremental neardup against a persisted index equals the batch answer on the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx_").toString
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.buildMinHashIndex(old, "text", "doc_id", dir)
+    val inc = Dedup.nearDupAgainstIndex(batch, old, dir, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full-batch answer on the union, restricted to pairs
+    // with at least one batch endpoint
+    val full = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+    // append the batch; a later batch must see it as history: dedup a
+    // byte-identical copy of one batch doc (fresh id) → J=1.0 pair
+    Dedup.appendToMinHashIndex(batch, "text", "doc_id", dir)
+    val probe = batch.limit(1)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val probeId = probe.collect().head.getLong(0)
+    val rep = Dedup.nearDupAgainstIndex(probe, docs, dir, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rep.exists(p => p._2 == probeId && p._3 == 1.0))
+  }
+
   test("minhash exact-dup collapse (groupExact) returns the ungrouped answer on a duplicated corpus") {
     // 2×-duplicated corpus: ids 100k+ carry identical text to ids below —
     // exercises within-group (J=1.0) AND cross-group expansion paths. Ids
@@ -439,6 +466,74 @@ class PipelineSpec extends AnyFunSuite {
       dim = 64, m = 16, k = 5, rerank = 16))
     assert((brute & tight).size.toDouble / brute.size >= 0.6,
       s"recall=${(brute & tight).size.toDouble / brute.size}")
+  }
+
+  test("ANN: OPQ rotation is orthogonal; rotated ADC+rerank reproduces brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val rot = Similarity.opqRotation(c, "embedding", dim = 64, m = 16)
+    // R is orthogonal: RᵀR = I (norms/cosines preserved — the premise that
+    // lets rotated-space ADC feed an original-space exact re-rank)
+    assert(rot.length == 64 && rot.forall(_.length == 64))
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = (0 until 64).map(t => rot(i)(t).toDouble * rot(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"RRᵀ[$i,$j] = $dot")
+    }
+    val rc = Similarity.rotate(c, "embedding", rot)
+    val book = Similarity.pqTrain(rc, "embedding", dim = 64, m = 16, k = 16)
+    val codes = Similarity.pqEncode(rc, book, "embedding", "vec_id", dim = 64, m = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5))
+    val opq = pairs(Similarity.opqTopK(q, c, codes, book, rot, "embedding",
+      "vec_id", dim = 64, m = 16, k = 5, rerank = 192))
+    assert(opq == brute, s"missing=${brute -- opq} extra=${opq -- brute}")
+  }
+
+  test("OPQ beats plain PQ on variance-concentrated data (eigenvalue allocation)") {
+    import spark.implicits._
+    // Corpus where nearly all variance lives in the FIRST subspace's two
+    // coords: plain PQ gives that subspace the same k codes as the
+    // near-constant ones (16 (a,b) combos, k=4 codes → forced error), while
+    // OPQ's eigenvalue allocation splits the two high-variance directions
+    // across different subspaces (4 levels each, k=4 → representable).
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val a = (rnd.nextInt(4) * 2 - 3).toFloat * 5 // ±5, ±15
+      val b = (rnd.nextInt(4) * 2 - 3).toFloat * 5
+      val noise = Array.fill(6)((rnd.nextFloat() - 0.5f) * 0.01f)
+      (i.toLong, Array(a, b) ++ noise)
+    }
+    val c = rows.toDF("vec_id", "embedding")
+    def reconMse(rotation: Option[Seq[Seq[Float]]]): Double = {
+      val base = rotation.map(Similarity.rotate(c, "embedding", _)).getOrElse(c)
+      val book = Similarity.pqTrain(base, "embedding", dim = 8, m = 4, k = 4)
+      val codes = Similarity.pqEncode(base, book, "embedding", "vec_id",
+        dim = 8, m = 4)
+      val bk = book.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+      // normalized vectors, as pqTrain/pqEncode see them
+      val vecs = base.select(col("vec_id"), col("embedding")).collect()
+        .map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble)
+          val n = math.sqrt(v.map(x => x * x).sum)
+          r.getLong(0) -> v.map(_ / n)
+        }.toMap
+      val errs = codes.collect().map { r =>
+        val v = vecs(r.getLong(0))
+        r.getSeq[Int](1).zipWithIndex.map { case (code, s) =>
+          val ctr = bk((s, code))
+          (0 until 2).map(t => math.pow(v(s * 2 + t) - ctr(t), 2)).sum
+        }.sum
+      }
+      errs.sum / errs.length
+    }
+    val pqMse = reconMse(None)
+    val opqMse = reconMse(Some(Similarity.opqRotation(c, "embedding", dim = 8, m = 4)))
+    assert(opqMse < pqMse * 0.5,
+      s"opq=$opqMse pq=$pqMse — rotation recovered no resolution")
   }
 
   test("ANN: IVFPQ equals flat PQ at nprobe=all; tighter probes hold a recall floor") {
