@@ -1472,6 +1472,114 @@ object SparkEntry {
       Map("src0" -> 1.0, "src1" -> 0.5), default = 0.1)
   }
 
+  // Corpus-trained unigram LM score (the "perplexity gate"): both sides
+  // estimate the same model from the same corpus inside the query, so the
+  // oracle is exact up to summation order — the per-doc average is the one
+  // accumulated double here, rounded to 6 (values are O(-10), noise O(1e-13)).
+  define("t10_lm_logprob",
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       vocab AS (SELECT w, sum(tf) AS c FROM tf GROUP BY w),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab)
+       SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(sum(tf.tf * ln(CAST(vocab.c AS DOUBLE) / tot.n))
+               / CAST(sum(tf.tf) AS DOUBLE), 6) AS lm_logprob
+       FROM tf JOIN vocab USING (w) CROSS JOIN tot
+       GROUP BY tf.doc_id""") { (s, d) =>
+    graft.operators.LanguageModel.unigramLogProb(
+      t(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lm_logprob"), 6).as("lm_logprob"))
+  }
+
+  // SemDeDup (cluster-scoped near-dup): duplicates are searched WITHIN
+  // embedding clusters only — cross-cluster pairs are skipped by design,
+  // which is what bounds candidates at corpus scale. The axis-sign
+  // quantizer keeps the cluster assignment SQL-expressible so this gate is
+  // exactly oracled; production swaps in k-means centroids (same operator,
+  // different `clusterOf` column).
+  define("d10_semantic_dedup",
+    """WITH c AS (
+         SELECT vec_id, embedding,
+           CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END AS INT) AS cluster
+         FROM embeddings)
+       SELECT a.cluster AS cluster, a.vec_id AS a_id, b.vec_id AS b_id
+       FROM c a JOIN c b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""") { (s, d) =>
+    graft.operators.Dedup.semanticDedup(
+      t(s, d, "embeddings"), "embedding", "vec_id", threshold = 0.4,
+      clusterOf = graft.operators.Dedup.signBitCluster(_, 3))
+      .select(col("cluster").cast("int").as("cluster"),
+        col("a_id"), col("b_id"))
+  }
+
+  // Deterministic shard manifest: per-shard doc/char/token totals under the
+  // cross-engine md5 shard rule (the export-layout summary a training job
+  // reads before claiming shards). The physical partitioned write + pruned
+  // read-back of the same assignment is exercised in PipelineSpec.
+  define("p5_shard_manifest",
+    """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 16
+           AS shard,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS sum_tokens
+       FROM documents GROUP BY 1""") { (s, d) =>
+    graft.operators.Splits.shard(t(s, d, "documents"), "doc_id", 16)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("sum_tokens"))
+  }
+
+  // Deterministic global training shuffle: each doc's position is its rank
+  // under the cross-engine md5 hash order — the SAME permutation on every
+  // engine, re-run, and cluster layout. The scale story is HOW the rank is
+  // assigned: range-exchange + two linear jobs (GlobalOrder), never a
+  // single-partition `row_number() OVER (ORDER BY …)`.
+  define("p6_shuffle_order",
+    """SELECT doc_id,
+         CAST(row_number()
+              OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS pos
+       FROM documents""") { (s, d) =>
+    graft.operators.GlobalOrder.shuffleOrder(
+      t(s, d, "documents").select("doc_id"), "doc_id")
+  }
+
+  // Token-budget selection: keep the highest-priority documents (longest
+  // first here; any scoring column plugs in) until the running token total
+  // spends the budget — a global cumulative sum, same two-phase scalable
+  // shape as p6.
+  define("p7_token_budget",
+    """WITH t AS (
+         SELECT doc_id, n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         FROM t)
+       SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM c WHERE cum_tokens <= 10000""") { (s, d) =>
+    graft.operators.GlobalOrder.budgetSelect(
+      t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens")),
+      Seq(col("n_chars").desc, col("doc_id")), "n_tokens",
+      budget = 10000L, cumCol = "cum_tokens")
+      .select("doc_id", "n_tokens", "cum_tokens")
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus

@@ -723,4 +723,54 @@ object Dedup {
         VF.cosineSimilarity(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into clusters, then find
+    * near-duplicate pairs ONLY within each cluster. Cross-cluster pairs are
+    * skipped *by design* — that is the scalability contract: candidate
+    * pairs are Σ_c n_c² instead of n², and each cluster's comparison runs
+    * independently after one shuffle on the cluster id. The paper clusters
+    * with k-means over the embeddings; here the assigner is pluggable
+    * (`clusterOf` is any deterministic Column over the vector — k-means
+    * cell ids via [[Similarity]]'s trained centroids, an LSH signature, or
+    * the axis-sign quantizer below), because the dedup semantics are
+    * orthogonal to how clusters were produced.
+    *
+    * Returns (cluster, a_id, b_id, cosine) for every intra-cluster pair
+    * with exact cosine ≥ threshold — exact verification, so within a
+    * cluster the output equals brute-force restricted to that cluster.
+    *
+    * At 100 TB: one shuffle of (id, vec, cluster) on cluster; the self-join
+    * is a sort-merge equi-join on the cluster id, so no all-pairs stage
+    * ever materializes. A pathological giant cluster is the skew case —
+    * cap it upstream (split clusters over `maxClusterSize` by a secondary
+    * hash, or raise k in the k-means) exactly as `ngramJaccard.maxDf`
+    * bounds hot shingles.
+    */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, clusterOf: Column => Column)
+                   (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val assigned = scope.cache(
+      spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+        .withColumn("cluster", clusterOf(col("vec"))))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.id").as("a_id"), col("b.id").as("b_id"),
+        VF.cosineSimilarity(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Axis-sign quantizer: cluster id from the sign bits of the first `bits`
+    * dimensions (an LSH family with axis-aligned hyperplanes). Deterministic
+    * and expressible in plain SQL — which is what makes the semantic-dedup
+    * gate exactly oracle-checkable; swap in k-means centroids for production
+    * clustering quality. */
+  def signBitCluster(vec: Column, bits: Int): Column = {
+    require(bits > 0 && bits < 31, "bits must be in [1, 30]")
+    (0 until bits).map(i =>
+      when(element_at(vec, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
 }

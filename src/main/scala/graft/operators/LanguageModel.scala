@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-trained unigram language-model scoring — the "perplexity gate" of
+  * a training-data pipeline: documents whose tokens are improbable under the
+  * corpus's own distribution (mojibake, boilerplate, hash dumps) score low
+  * and get filtered. The classic heavy version trains KenLM offline; the
+  * in-pipeline version used for first-pass filtering is exactly this — a
+  * unigram model estimated from the corpus itself in one aggregate.
+  *
+  * (The reference has no text operators — strings are load-only,
+  * `/root/reference/src/csv_loader.cpp:151-155`; this is part of the
+  * training-data extension surface required by the build brief.)
+  *
+  * Plan shape at 100 TB:
+  *   1. tokenize → per-(doc, token) term frequency: partial+final hash agg;
+  *      the shuffle carries (doc, token, tf) triples, never text.
+  *   2. vocabulary counts `c(w) = Σ tf`: a second map-side-combined
+  *      aggregate over the tf table — shuffle is O(vocab), not O(tokens).
+  *   3. total-token count N: one scalar aggregate, driver-held (same
+  *      pattern as [[TfIdf.topTerms]]'s doc count).
+  *   4. score join tf ⋈ vocab on token: the vocab side is tiny relative to
+  *      the corpus (Zipf: even web-scale corpora have ≤ billions of distinct
+  *      whitespace tokens vs trillions of occurrences), so AQE broadcasts it
+  *      at any realistic scale. Skew on "the" is pre-collapsed: after step 1
+  *      each document contributes a token at most ONCE, so the heaviest join
+  *      key carries O(docs-containing-w) rows, not O(occurrences).
+  *   5. per-doc weighted average: `Σ tf·ln(c/N) / Σ tf` — a final hash agg
+  *      whose shuffle is O(docs) (a doc's tf rows are co-located after the
+  *      step-1 aggregate, so partial aggregation collapses them map-side).
+  *
+  * No smoothing is needed: every scored token came from the corpus, so
+  * c(w) ≥ 1 by construction. To score a FOREIGN document against this model,
+  * join with `"left"` and coalesce missing counts to a floor — kept out of
+  * scope here because the gate's oracle covers the self-scoring semantics.
+  */
+object LanguageModel {
+
+  /** Per-document average unigram log-probability under the corpus's own
+    * empirical distribution. Returns (idCol, n_tokens, lm_logprob) with
+    * lm_logprob = Σ tf·ln(c(w)/N) / Σ tf over the document's tokens
+    * (natural log; tokens are lowercased whitespace tokens, matching
+    * [[TF.tokens]] of the lowercased text so results line up with
+    * `t1_token_count`'s n_tokens).
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String)
+                    (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val toks = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
+        explode(TF.tokens(lower(col(textCol)))).as("w"))
+    // cached: feeds the vocab aggregate, the total count, and the score join
+    val tf = scope.cache(
+      toks.groupBy("id", "w").agg(count(lit(1)).as("tf")))
+    val vocab = tf.groupBy("w").agg(sum("tf").as("c"))
+    // one scalar aggregate, driver-held (metadata-sized, like TfIdf's N)
+    val n = vocab.agg(sum("c")).head.getLong(0).toDouble
+    tf.join(vocab, "w")
+      .groupBy("id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        (sum(col("tf") * log(col("c").cast("double") / lit(n))) /
+          sum("tf").cast("double")).as("lm_logprob"))
+      .select(col("id").as(idCol), col("n_tokens"), col("lm_logprob"))
+  }
+}

@@ -77,4 +77,28 @@ object Splits {
           .when(col("bucket") < trainW + valW, "val")
           .otherwise("test"))
   }
+
+  /** Deterministic shard id in [0, shards): the export-layout counterpart of
+    * [[assign]]. Training jobs read shards independently (one worker per
+    * shard), so the assignment must be a pure key function — re-exports
+    * place every document in the SAME shard, and any consumer can compute
+    * shard membership without a manifest lookup. */
+  def shard(df: DataFrame, keyCol: String, shards: Int,
+            salt: String = ""): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    df.withColumn("shard", hashBucket(col(keyCol), shards, salt))
+  }
+
+  /** Export `df` as a shard-partitioned parquet dataset at `path`
+    * (`path/shard=K/…`). `repartition` on the shard column first so each
+    * shard's rows land in few files (without it, every task writes a
+    * sliver of every shard — shards × tasks small files, the classic
+    * metadata explosion at cluster scale); consumers then read one
+    * directory per worker and Spark readers get partition pruning on
+    * `shard` for free. */
+  def writeSharded(df: DataFrame, keyCol: String, shards: Int, path: String,
+                   salt: String = ""): Unit =
+    shard(df, keyCol, shards, salt)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -942,4 +942,132 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("event_type") === "purchase" && col("value") > 50)
     assert(streamed.count() == batch.count())
   }
+
+  // ---- language-model scoring ----
+
+  test("unigram LM logprob matches the hand-computed distribution on a tiny corpus") {
+    import spark.implicits._
+    val tiny = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = graft.operators.LanguageModel
+      .unigramLogProb(tiny, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus counts: x=2, y=2, z=1, N=5
+    val (na, la) = out(1L)
+    val (nb, lb) = out(2L)
+    assert(na == 3 && nb == 2)
+    assert(math.abs(la - math.log(2.0 / 5.0)) < 1e-12)
+    assert(math.abs(lb - (math.log(2.0 / 5.0) + math.log(1.0 / 5.0)) / 2.0) < 1e-12)
+  }
+
+  test("LM logprob on the corpus: scores negative, token counts line up with t1") {
+    val out = graft.operators.LanguageModel.unigramLogProb(docs, "text", "doc_id")
+    val t1 = docs.select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n"))
+    val joined = out.join(t1, "doc_id").cache()
+    try {
+      assert(joined.count() == docs.count())
+      // every token has corpus count < N, so ln(c/N) < 0 for every token
+      assert(joined.filter(col("lm_logprob") >= 0).count() == 0)
+      // lowercasing does not change whitespace tokenization
+      assert(joined.filter(col("n_tokens") =!= col("n")).count() == 0)
+    } finally joined.unpersist()
+  }
+
+  // ---- semantic dedup ----
+
+  test("semantic dedup equals brute-force near-dup restricted to intra-cluster pairs") {
+    val th = 0.3
+    val clusters = emb.select(col("vec_id"),
+      Dedup.signBitCluster(col("embedding"), 3).as("cluster"))
+    val brute = Dedup
+      .embeddingNearDup(emb, "embedding", "vec_id", th, bruteForce = true)
+      .select("a_id", "b_id").cache()
+    val expected = brute
+      .join(clusters.withColumnRenamed("vec_id", "a_id"), "a_id")
+      .join(clusters.withColumnRenamed("vec_id", "b_id")
+        .withColumnRenamed("cluster", "cluster_b"), "b_id")
+      .filter(col("cluster") === col("cluster_b"))
+      .select("a_id", "b_id")
+    val got = Dedup.semanticDedup(emb, "embedding", "vec_id", th,
+      Dedup.signBitCluster(_, 3)).select("a_id", "b_id")
+    try {
+      assert(got.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(got).count() == 0)
+      // never more than the global answer (cross-cluster pairs are skipped)
+      assert(got.count() <= brute.count())
+    } finally brute.unpersist()
+  }
+
+  test("signBitCluster: 3 bits span [0,8); deterministic across evaluations") {
+    val c = Dedup.signBitCluster(col("embedding"), 3)
+    val stats = emb.select(c.as("cluster"))
+      .agg(min("cluster"), max("cluster"), countDistinct("cluster")).head
+    assert(stats.getInt(0) >= 0 && stats.getInt(1) <= 7)
+    val again = emb.select(col("vec_id"), c.as("c1"))
+      .join(emb.select(col("vec_id"), c.as("c2")), "vec_id")
+      .filter(col("c1") =!= col("c2"))
+    assert(again.count() == 0)
+  }
+
+  // ---- global order ----
+
+  test("global shuffle order: exact permutation, stable under repartitioning") {
+    val out = graft.operators.GlobalOrder.shuffleOrder(
+      docs.select("doc_id"), "doc_id").cache()
+    try {
+      val n = docs.count()
+      assert(out.count() == n)
+      // positions are exactly 0..n-1, each used once
+      val stats = out.agg(min("pos"), max("pos"), countDistinct("pos")).head
+      assert(stats.getLong(0) == 0L && stats.getLong(1) == n - 1 &&
+        stats.getLong(2) == n)
+      // layout-independent: the same permutation from a different input
+      // partitioning (the operator's whole point)
+      val again = graft.operators.GlobalOrder.shuffleOrder(
+        docs.select("doc_id").repartition(7), "doc_id")
+        .withColumnRenamed("pos", "pos2")
+      assert(out.join(again, "doc_id")
+        .filter(col("pos") =!= col("pos2")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("runningTotal equals the single-partition window cumsum") {
+    val withN = docs.select(col("doc_id"), col("n_chars"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val got = graft.operators.GlobalOrder.runningTotal(
+      withN, Seq(col("n_chars").desc, col("doc_id")), "n_tokens")
+    // the naive spelling is fine at test scale — that is exactly the
+    // operator's claim: same numbers, scalable plan
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = withN.withColumn("cum2", sum("n_tokens").over(w))
+      .select("doc_id", "cum2")
+    assert(got.join(exp, "doc_id").filter(col("cum") =!= col("cum2"))
+      .count() == 0)
+  }
+
+  // ---- sharded export ----
+
+  test("sharded export: pure-hash layout, pruned read-back, stable re-export") {
+    withTempDir("graft_shards") { dir =>
+      val path = s"$dir/corpus"
+      graft.operators.Splits.writeSharded(docs, "doc_id", 8, path)
+      val back = spark.read.parquet(path)
+      assert(back.count() == docs.count())
+      val shardDirs = new java.io.File(path).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(shardDirs.nonEmpty && shardDirs.forall(_.startsWith("shard=")))
+      // membership is the pure md5 rule — recomputable without the manifest
+      val expected3 = docs
+        .filter(graft.operators.Splits.hashBucket(col("doc_id"), 8) === 3)
+        .select("doc_id")
+      val got3 = back.filter(col("shard") === 3).select("doc_id")
+      assert(got3.exceptAll(expected3).count() == 0 &&
+        expected3.exceptAll(got3).count() == 0)
+      // shard filter prunes directories at plan time (no full-corpus scan)
+      val p = back.filter(col("shard") === 3)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("shard"), p)
+    }
+  }
 }

@@ -197,4 +197,39 @@ class PlanSpec extends AnyFunSuite {
     // "*(1)" = fused into WholeStageCodegen stage 1 (no CodegenFallback)
     assert(plan(df).contains("*(1) Project"))
   }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // At cluster scale a fact⋈filtered-dim join is a shuffle join, and the
+    // rows the filter will discard should never enter the exchange. Spark's
+    // InjectRuntimeFilter builds a bloom filter from the selective (dim)
+    // side and applies `might_contain` on the fact side BEFORE its shuffle.
+    // Local test data is below every threshold, so pin the rewrite with the
+    // thresholds opened up and broadcast disabled (at 100 TB the defaults
+    // trigger it for real).
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
