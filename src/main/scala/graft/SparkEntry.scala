@@ -1496,6 +1496,36 @@ object SparkEntry {
         round(col("lm_logprob"), 6).as("lm_logprob"))
   }
 
+  // Bigram conditional LM score — the t10 gate upgraded to context-aware
+  // probabilities P(w2|w1) = c(w1,w2)/c(w1·), the shape real perplexity
+  // filters use. Bigrams come from one zip_with over the token array on
+  // the Spark side and list_transform(range) on the oracle side.
+  define("t11_bigram_logprob",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents),
+       bg AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS b
+         FROM t WHERE len(w) >= 2),
+       tfb AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
+       cb AS (SELECT b, sum(tf) AS c FROM tfb GROUP BY b),
+       ctx AS (SELECT split_part(b, ' ', 1) AS w1, sum(c) AS cc
+               FROM cb GROUP BY 1)
+       SELECT tfb.doc_id,
+         CAST(sum(tfb.tf) AS BIGINT) AS n_bigrams,
+         round(sum(tfb.tf * ln(CAST(cb.c AS DOUBLE) / CAST(ctx.cc AS DOUBLE)))
+               / CAST(sum(tfb.tf) AS DOUBLE), 6) AS lm2_logprob
+       FROM tfb JOIN cb USING (b)
+       JOIN ctx ON split_part(tfb.b, ' ', 1) = ctx.w1
+       GROUP BY tfb.doc_id""") { (s, d) =>
+    graft.operators.LanguageModel.bigramLogProb(
+      t(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lm2_logprob"), 6).as("lm2_logprob"))
+  }
+
   // SemDeDup (cluster-scoped near-dup): duplicates are searched WITHIN
   // embedding clusters only — cross-cluster pairs are skipped by design,
   // which is what bounds candidates at corpus scale. The axis-sign

@@ -749,14 +749,27 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
                     threshold: Double, clusterOf: Column => Column)
-                   (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+                   (implicit scope: CacheScope = CacheScope.global): DataFrame =
+    semanticDedupAssigned(
+      emb.select(col(idCol), col(vecCol))
+        .withColumn("__cluster", clusterOf(col(vecCol))),
+      vecCol, idCol, "__cluster", threshold)
+      .withColumnRenamed("__cluster", "cluster")
+
+  /** [[semanticDedup]] over a pre-assigned cluster column — the wiring for
+    * model-based assigners that are not a single Column expression, e.g.
+    * `Similarity.kmeansCells` (MLlib k-means `transform`, the paper's
+    * clustering). Output keeps `clusterCol`'s name. */
+  def semanticDedupAssigned(emb: DataFrame, vecCol: String, idCol: String,
+                            clusterCol: String, threshold: Double)
+                           (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val assigned = scope.cache(
-      spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
-        .withColumn("cluster", clusterOf(col("vec"))))
+      spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(clusterCol).as("cluster"))))
     val a = assigned.as("a")
     val b = assigned.as("b")
     a.join(b, col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-      .select(col("a.cluster").as("cluster"),
+      .select(col("a.cluster").as(clusterCol),
         col("a.id").as("a_id"), col("b.id").as("b_id"),
         VF.cosineSimilarity(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -66,4 +66,46 @@ object LanguageModel {
           sum("tf").cast("double")).as("lm_logprob"))
       .select(col("id").as(idCol), col("n_tokens"), col("lm_logprob"))
   }
+
+  /** Per-document average bigram conditional log-probability
+    * `Σ tf·ln(c(w1,w2)/c(w1·)) / Σ tf` where `c(w1·)` counts bigrams whose
+    * context is w1 — the maximum-likelihood bigram model, the shape real
+    * perplexity filters (KenLM-style) use. Documents with fewer than two
+    * tokens have no bigrams and are absent from the output.
+    *
+    * Same plan skeleton as [[unigramLogProb]] with one extra aggregate:
+    * bigrams come out of a single `zip_with` over the token array (codegen,
+    * no self-join), per-(doc, bigram) counts collapse map-side, the bigram
+    * vocabulary and its context marginals are two more O(vocab) aggregates,
+    * and the score join is again bounded by docs-per-bigram after the
+    * collapse. No smoothing for the same reason: every scored bigram came
+    * from the corpus.
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String)
+                   (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val toks = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), TF.tokens(lower(col(textCol))).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = toks.select(col("id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+    // cached: feeds the bigram vocab, the context marginals, and the join
+    val tfb = scope.cache(
+      bg.groupBy("id", "b").agg(count(lit(1)).as("tf")))
+    val cb = scope.cache(tfb.groupBy("b").agg(sum("tf").as("c")))
+    val ctx = cb
+      .groupBy(element_at(split(col("b"), " "), 1).as("w1"))
+      .agg(sum("c").as("cc"))
+    tfb.join(cb, "b")
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .join(ctx, "w1")
+      .groupBy("id")
+      .agg(
+        sum("tf").as("n_bigrams"),
+        (sum(col("tf") * log(col("c").cast("double") / col("cc").cast("double"))) /
+          sum("tf").cast("double")).as("lm2_logprob"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("lm2_logprob"))
+  }
 }

@@ -9,13 +9,19 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Packing, Similarity, Splits}
 
-/** Soak for the round-3 additions at 100k docs / 50k vectors (not part of
-  * the driver contract): transitive staged dedup, contamination, packing,
-  * PQ ANN vs brute/LSH. Numbers land in NOTES.md. Run with
-  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.CurationSoak"`. */
+/** Soak for the curation/ANN operators at 100k docs / 50k vectors (not part
+  * of the driver contract): transitive staged dedup, contamination, packing,
+  * PQ ANN vs brute/LSH, LM scoring, semantic dedup, global order, sharded
+  * export. Numbers land in NOTES.md. Run with
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.CurationSoak"`;
+  * `SPARK_GRAFT_SOAK_SECTIONS=dedup,text,ann,order` (comma list) selects
+  * sections, default all. */
 object CurationSoak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("dedup", "text", "ann", "order"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -50,87 +56,132 @@ object CurationSoak {
     val docs100k = replicate(docs, "doc_id", 20)
     println(s"[soak] corpus: ${docs100k.count()} docs")
 
-    // staged dedup keep-set: greedy one-hop vs transitive (adds the CC
-    // fixpoint over the near-dup graph inside the pipeline)
-    time("dedup_corpus_greedy_100k") {
-      Dedup.dedupCorpus(docs100k, "text", "doc_id", 0.5)
-        .filter(col("keep")).count()
-    }
-    time("dedup_corpus_transitive_100k") {
-      Dedup.dedupCorpus(docs100k, "text", "doc_id", 0.5, transitive = true)
-        .filter(col("keep")).count()
+    if (sections("dedup")) {
+      // staged dedup keep-set: greedy one-hop vs transitive (adds the CC
+      // fixpoint over the near-dup graph inside the pipeline)
+      time("dedup_corpus_greedy_100k") {
+        Dedup.dedupCorpus(docs100k, "text", "doc_id", 0.5)
+          .filter(col("keep")).count()
+      }
+      time("dedup_corpus_transitive_100k") {
+        Dedup.dedupCorpus(docs100k, "text", "doc_id", 0.5, transitive = true)
+          .filter(col("keep")).count()
+      }
+
+      // contamination: 100k-doc train side vs a 500-doc benchmark
+      val eval = docs.filter(col("doc_id") % 20 === 0)
+      time("contamination_100k_train") {
+        Dedup.contamination(docs100k, eval, "text", "doc_id", 0.5).count()
+      }
     }
 
-    // contamination: 100k-doc train side vs a 500-doc benchmark
-    val eval = docs.filter(col("doc_id") % 20 === 0)
-    time("contamination_100k_train") {
-      Dedup.contamination(docs100k, eval, "text", "doc_id", 0.5).count()
+    if (sections("text")) {
+      // packing + split at 100k docs (scan-dominated by construction)
+      val withN = docs100k.select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      time("sequence_packing_100k") {
+        Packing.packSequences(withN, "lang", "doc_id", "n", 256L).count()
+      }
+      time("hash_split_100k") {
+        Splits.assign(docs100k.select("doc_id"), "doc_id")
+          .groupBy("split").count().count()
+      }
+
+      time("dense_packing_100k") {
+        Packing.packSequencesDense(withN, "lang", "doc_id", "n", 256L).count()
+      }
+      time("repetition_ratio_100k") {
+        docs100k.select(graft.functions.TextFunctions
+          .repetitionRatio(col("text")).as("r"))
+          .agg(avg("r")).count()
+      }
+      time("redact_pii_100k") {
+        docs100k.select(graft.functions.TextFunctions
+          .redactPii(col("text")).as("c"))
+          .agg(sum(length(col("c")))).count()
+      }
+      time("deterministic_sample_100k") {
+        Splits.sample(docs100k.select("doc_id"), "doc_id", 0.1).count()
+      }
+
+      // corpus-trained LM scoring: map-side-combined aggregates,
+      // vocab-bounded joins
+      time("lm_unigram_100k") {
+        graft.operators.LanguageModel
+          .unigramLogProb(docs100k, "text", "doc_id").count()
+      }
+      time("lm_bigram_100k") {
+        graft.operators.LanguageModel
+          .bigramLogProb(docs100k, "text", "doc_id").count()
+      }
     }
 
-    // packing + split at 100k docs (scan-dominated by construction)
-    val withN = docs100k.select(col("lang"), col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).as("n"))
-    time("sequence_packing_100k") {
-      Packing.packSequences(withN, "lang", "doc_id", "n", 256L).count()
-    }
-    time("hash_split_100k") {
-      Splits.assign(docs100k.select("doc_id"), "doc_id")
-        .groupBy("split").count().count()
+    if (sections("ann")) {
+      // PQ vs brute vs LSH at 50k vectors, 25 queries
+      val corpus50k = replicate(emb, "vec_id", 25)
+      println(s"[soak] vectors: ${corpus50k.count()}")
+      val queries = emb.filter(col("vec_id") < 25)
+      time("ann_brute_50k") {
+        Similarity.bruteForceTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
+      }
+      time("ann_lsh_50k") {
+        Similarity.lshTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
+      }
+      var codes: DataFrame = null
+      var book: DataFrame = null
+      time("pq_train_encode_50k") {
+        book = Similarity.pqTrain(corpus50k, "embedding", dim = 64, m = 16, k = 16)
+        codes = Similarity.pqEncode(corpus50k, book, "embedding", "vec_id",
+          dim = 64, m = 16).cache()
+        codes.count()
+      }
+      time("pq_topk_50k") {
+        Similarity.pqTopK(queries, corpus50k, codes, book, "embedding", "vec_id",
+          dim = 64, m = 16, k = 10, rerank = 192).count()
+      }
+      // IVFPQ: label cells prune the ADC scan to nprobe/10 of the corpus
+      time("ann_ivfpq_50k_nprobe3") {
+        Similarity.ivfPqTopK(queries, corpus50k, codes, book, "embedding",
+          "vec_id", cellCol = "label", dim = 64, m = 16, k = 10,
+          nprobe = 3, rerank = 192).count()
+      }
+      // persisted-index query path: signature pass skipped entirely
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_soak_idx_").toString
+      time("lsh_index_build_50k") {
+        Similarity.buildLshIndex(corpus50k, "embedding", "vec_id", idxDir); 1L
+      }
+      time("ann_lsh_from_index_50k") {
+        Similarity.lshTopKFromIndex(queries, corpus50k, idxDir, "embedding",
+          "vec_id", 10).count()
+      }
+
+      // semantic dedup at 50k vectors: intra-cluster pairs only (the
+      // replicated corpus is duplicate-heavy by construction, hence the
+      // large pair count)
+      time("semantic_dedup_50k") {
+        Dedup.semanticDedup(corpus50k, "embedding", "vec_id", 0.4,
+          Dedup.signBitCluster(_, 6)).count()
+      }
     }
 
-    time("dense_packing_100k") {
-      Packing.packSequencesDense(withN, "lang", "doc_id", "n", 256L).count()
-    }
-    time("repetition_ratio_100k") {
-      docs100k.select(graft.functions.TextFunctions
-        .repetitionRatio(col("text")).as("r"))
-        .agg(avg("r")).count()
-    }
-    time("redact_pii_100k") {
-      docs100k.select(graft.functions.TextFunctions
-        .redactPii(col("text")).as("c"))
-        .agg(sum(length(col("c")))).count()
-    }
-    time("deterministic_sample_100k") {
-      Splits.sample(docs100k.select("doc_id"), "doc_id", 0.1).count()
-    }
+    if (sections("order")) {
+      // global order: position assignment + budget selection at 100k docs
+      time("shuffle_order_100k") {
+        graft.operators.GlobalOrder
+          .shuffleOrder(docs100k.select("doc_id"), "doc_id").count()
+      }
+      time("token_budget_100k") {
+        graft.operators.GlobalOrder.budgetSelect(
+          docs100k.select(col("doc_id"), length(col("text")).as("len"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n")),
+          Seq(col("len").desc, col("doc_id")), "n", budget = 1000000L).count()
+      }
 
-    // PQ vs brute vs LSH at 50k vectors, 25 queries
-    val corpus50k = replicate(emb, "vec_id", 25)
-    println(s"[soak] vectors: ${corpus50k.count()}")
-    val queries = emb.filter(col("vec_id") < 25)
-    time("ann_brute_50k") {
-      Similarity.bruteForceTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
-    }
-    time("ann_lsh_50k") {
-      Similarity.lshTopK(queries, corpus50k, "embedding", "vec_id", 10).count()
-    }
-    var codes: DataFrame = null
-    var book: DataFrame = null
-    time("pq_train_encode_50k") {
-      book = Similarity.pqTrain(corpus50k, "embedding", dim = 64, m = 16, k = 16)
-      codes = Similarity.pqEncode(corpus50k, book, "embedding", "vec_id",
-        dim = 64, m = 16).cache()
-      codes.count()
-    }
-    time("pq_topk_50k") {
-      Similarity.pqTopK(queries, corpus50k, codes, book, "embedding", "vec_id",
-        dim = 64, m = 16, k = 10, rerank = 192).count()
-    }
-    // IVFPQ: label cells prune the ADC scan to nprobe/10 of the corpus
-    time("ann_ivfpq_50k_nprobe3") {
-      Similarity.ivfPqTopK(queries, corpus50k, codes, book, "embedding",
-        "vec_id", cellCol = "label", dim = 64, m = 16, k = 10,
-        nprobe = 3, rerank = 192).count()
-    }
-    // persisted-index query path: signature pass skipped entirely
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_soak_idx_").toString
-    time("lsh_index_build_50k") {
-      Similarity.buildLshIndex(corpus50k, "embedding", "vec_id", idxDir); 1L
-    }
-    time("ann_lsh_from_index_50k") {
-      Similarity.lshTopKFromIndex(queries, corpus50k, idxDir, "embedding",
-        "vec_id", 10).count()
+      // sharded export of the full 100k corpus (write path)
+      val shardDir = java.nio.file.Files.createTempDirectory("graft_soak_sh_").toString
+      time("write_sharded_100k") {
+        Splits.writeSharded(docs100k, "doc_id", 32, s"$shardDir/corpus"); 1L
+      }
     }
     spark.stop()
   }

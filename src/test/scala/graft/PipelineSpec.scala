@@ -959,6 +959,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(lb - (math.log(2.0 / 5.0) + math.log(1.0 / 5.0)) / 2.0) < 1e-12)
   }
 
+  test("bigram LM logprob matches hand-computed conditional probabilities") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a c"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val out = graft.operators.LanguageModel.bigramLogProb(tiny, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // bigram counts: "a b"=2, "b a"=1, "a c"=1; contexts: a·=3, b·=1
+    assert(!out.contains(3L)) // single-token doc has no bigrams
+    val (n1, l1) = out(1L)
+    val (n2, l2) = out(2L)
+    assert(n1 == 3 && n2 == 1)
+    assert(math.abs(l1 - (math.log(2.0 / 3.0) + math.log(1.0 / 3.0)) / 3.0) < 1e-12)
+    assert(math.abs(l2 - math.log(2.0 / 3.0)) < 1e-12)
+  }
+
   test("LM logprob on the corpus: scores negative, token counts line up with t1") {
     val out = graft.operators.LanguageModel.unigramLogProb(docs, "text", "doc_id")
     val t1 = docs.select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n"))
@@ -995,6 +1009,31 @@ class PipelineSpec extends AnyFunSuite {
       // never more than the global answer (cross-cluster pairs are skipped)
       assert(got.count() <= brute.count())
     } finally brute.unpersist()
+  }
+
+  test("semantic dedup over k-means cells: subset of brute force; intra-cluster exact") {
+    val th = 0.3
+    val clustered = Similarity.kmeansCells(emb, "embedding", k = 4)
+    val got = Dedup
+      .semanticDedupAssigned(clustered, "embedding", "vec_id", "cell", th)
+      .select("a_id", "b_id").cache()
+    val brute = Dedup
+      .embeddingNearDup(emb, "embedding", "vec_id", th, bruteForce = true)
+      .select("a_id", "b_id").cache()
+    try {
+      // never invents a pair the global answer lacks
+      assert(got.exceptAll(brute).count() == 0)
+      // equals brute force restricted to co-clustered pairs
+      val cells = clustered.select(col("vec_id"), col("cell"))
+      val expected = brute
+        .join(cells.withColumnRenamed("vec_id", "a_id"), "a_id")
+        .join(cells.withColumnRenamed("vec_id", "b_id")
+          .withColumnRenamed("cell", "cell_b"), "b_id")
+        .filter(col("cell") === col("cell_b"))
+        .select("a_id", "b_id")
+      assert(got.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(got).count() == 0)
+    } finally { got.unpersist(); brute.unpersist() }
   }
 
   test("signBitCluster: 3 bits span [0,8); deterministic across evaluations") {
