@@ -411,6 +411,22 @@ object SparkEntry {
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
   }
 
+  // CUBE with GROUPING markers: all 2² grouping combinations in one pass
+  // (Spark expands to a single Expand + hash agg — one shuffle, not four
+  // queries); grouping() flags distinguish "NULL data" from "rolled up".
+  define("q39_cube",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""") { (s, d) =>
+    t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+  }
+
   // ==================================================================
   // §2.9 E2: the WarpDB dialect end-to-end (tokenizer → parser → Catalyst)
   // ==================================================================

@@ -759,16 +759,42 @@ object Dedup {
   /** [[semanticDedup]] over a pre-assigned cluster column — the wiring for
     * model-based assigners that are not a single Column expression, e.g.
     * `Similarity.kmeansCells` (MLlib k-means `transform`, the paper's
-    * clustering). Output keeps `clusterCol`'s name. */
+    * clustering). Output keeps `clusterCol`'s name.
+    *
+    * `maxClusterSize` is the skew guard: a cluster of n_c members costs
+    * n_c² comparisons, so one pathological mega-cluster (near-identical
+    * boilerplate, empty documents) can dominate the whole job. Clusters
+    * over the cap are SUBDIVIDED by a deterministic md5 hash of the id
+    * into ⌈n_c / cap⌉ sub-clusters, and pairs are only searched within a
+    * sub-cluster — bounded work per cluster, at a recall cost on exactly
+    * the clusters that are pathologically over-merged anyway (the same
+    * trade [[ngramJaccard]]'s `maxDf` makes for hot shingles). 0 = off.
+    * The sub-split is a pure function of (cluster size, id), so re-runs
+    * produce the same pairs. */
   def semanticDedupAssigned(emb: DataFrame, vecCol: String, idCol: String,
-                            clusterCol: String, threshold: Double)
+                            clusterCol: String, threshold: Double,
+                            maxClusterSize: Long = 0L)
                            (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    val assigned = scope.cache(
-      spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        col(clusterCol).as("cluster"))))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(clusterCol).as("cluster"))
+    val assigned = scope.cache(spread(
+      if (maxClusterSize <= 0) base.withColumn("sub", lit(0))
+      else {
+        // cluster sizes are O(#clusters) — a map-side-combined aggregate,
+        // broadcast back (tiny at any corpus scale)
+        val sizes = base.groupBy("cluster").agg(count(lit(1)).as("__n"))
+        val splits = ceil(col("__n").cast("double") / lit(maxClusterSize.toDouble))
+          .cast("int")
+        base.join(broadcast(sizes), "cluster")
+          .withColumn("sub",
+            when(col("__n") <= maxClusterSize, lit(0))
+              .otherwise(Splits.hashBucket(col("id"), 65536) % splits))
+          .drop("__n")
+      }))
     val a = assigned.as("a")
     val b = assigned.as("b")
-    a.join(b, col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+    a.join(b, col("a.cluster") === col("b.cluster") &&
+        col("a.sub") === col("b.sub") && col("a.id") < col("b.id"))
       .select(col("a.cluster").as(clusterCol),
         col("a.id").as("a_id"), col("b.id").as("b_id"),
         VF.cosineSimilarity(col("a.vec"), col("b.vec")).as("cosine"))

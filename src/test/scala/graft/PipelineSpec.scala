@@ -1036,6 +1036,31 @@ class PipelineSpec extends AnyFunSuite {
     } finally { got.unpersist(); brute.unpersist() }
   }
 
+  test("semantic dedup maxClusterSize: no-op above the sizes, subset + deterministic below") {
+    val th = 0.3
+    val clustered = emb.select(col("vec_id"), col("embedding"),
+      Dedup.signBitCluster(col("embedding"), 2).as("cl"))
+    val full = Dedup
+      .semanticDedupAssigned(clustered, "embedding", "vec_id", "cl", th)
+      .select("a_id", "b_id").cache()
+    try {
+      // a cap larger than any cluster changes nothing
+      val capped = Dedup.semanticDedupAssigned(clustered, "embedding",
+        "vec_id", "cl", th, maxClusterSize = 1000000L)
+        .select("a_id", "b_id")
+      assert(full.exceptAll(capped).count() == 0 &&
+        capped.exceptAll(full).count() == 0)
+      // a tight cap yields a subset, and the same subset on every run
+      val tight1 = Dedup.semanticDedupAssigned(clustered, "embedding",
+        "vec_id", "cl", th, maxClusterSize = 5L).select("a_id", "b_id")
+      val tight2 = Dedup.semanticDedupAssigned(clustered, "embedding",
+        "vec_id", "cl", th, maxClusterSize = 5L).select("a_id", "b_id")
+      assert(tight1.exceptAll(full).count() == 0)
+      assert(tight1.exceptAll(tight2).count() == 0 &&
+        tight2.exceptAll(tight1).count() == 0)
+    } finally full.unpersist()
+  }
+
   test("signBitCluster: 3 bits span [0,8); deterministic across evaluations") {
     val c = Dedup.signBitCluster(col("embedding"), 3)
     val stats = emb.select(c.as("cluster"))
@@ -1083,6 +1108,27 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id", "cum2")
     assert(got.join(exp, "doc_id").filter(col("cum") =!= col("cum2"))
       .count() == 0)
+  }
+
+  test("GlobalOrder edge cases: empty input, zero and unlimited budgets") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "n")
+    assert(graft.operators.GlobalOrder
+      .withPosition(empty, Seq(col("id"))).count() == 0)
+    assert(graft.operators.GlobalOrder
+      .runningTotal(empty, Seq(col("id")), "n").count() == 0)
+    val three = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "n")
+    // budget below the first row keeps nothing
+    assert(graft.operators.GlobalOrder
+      .budgetSelect(three, Seq(col("id")), "n", budget = 9L).count() == 0)
+    // budget at/above the total keeps everything
+    assert(graft.operators.GlobalOrder
+      .budgetSelect(three, Seq(col("id")), "n", budget = 60L).count() == 3)
+    // runningTotal rejects non-long value columns loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.GlobalOrder.runningTotal(
+        three.withColumn("d", col("n").cast("double")), Seq(col("id")), "d")
+    }
   }
 
   // ---- sharded export ----
