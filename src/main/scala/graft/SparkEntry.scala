@@ -1626,6 +1626,23 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "cum_tokens")
   }
 
+  // Weighted deterministic sampling: keep probability computed per row
+  // (length-damped here: weight = min(n_chars/400, 1)) under the same
+  // cross-engine md5 rule as a10/a11 — the "upsample quality, damp
+  // boilerplate" mix pass. The weight arithmetic is written in the SAME
+  // operation order on both sides (float-parity rule: identical IEEE
+  // sequences give bitwise-equal doubles, and both engines round half
+  // away from zero), so the threshold is unambiguous.
+  define("a12_weighted_sample",
+    """SELECT doc_id, n_chars FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 1000
+         < CAST(round(least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 1000)
+                AS INT)""") { (s, d) =>
+    graft.operators.Splits.sampleByWeight(
+      t(s, d, "documents").select("doc_id", "n_chars"), "doc_id",
+      least(col("n_chars").cast("double") / lit(400.0), lit(1.0)))
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus

@@ -63,6 +63,20 @@ object Splits {
     df.filter(hashBucket(col(keyCol), 1000, salt) < threshold)
   }
 
+  /** Weighted deterministic sampling: keep each row with probability given
+    * by `weight` (a per-row Column in [0, 1] — a quality score, a source
+    * temperature, a length damper). Same md5-bucket membership rule as
+    * [[sample]], so the decision is a pure function of (key, weight):
+    * re-runs and other engines keep the SAME rows, and raising a row's
+    * weight can only ADD it (nested-sample property per row). This is the
+    * "upsample high-quality, damp boilerplate" pass of a training mix,
+    * generalizing [[domainMix]] from per-stratum constants to a computed
+    * per-row probability. Resolution is 1/1000, like [[sample]]. */
+  def sampleByWeight(df: DataFrame, keyCol: String, weight: Column,
+                     salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(keyCol), 1000, salt) <
+      round(weight * lit(1000)).cast("int"))
+
   /** Assign each row a `bucket` and a `split` label by hashing `keyCol`.
     * Weights are bucket counts out of `trainW + valW + testW` total —
     * the default 8/1/1 over 10 buckets is the standard 80/10/10. */

@@ -1072,6 +1072,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.count() == 0)
   }
 
+  test("weighted sample: monotone in weight per row; constant weight equals sample()") {
+    val s = graft.operators.Splits
+    // per-row: raising every weight can only add rows (nested samples)
+    val low = s.sampleByWeight(docs.select("doc_id", "n_chars"), "doc_id",
+      least(col("n_chars").cast("double") / lit(800.0), lit(1.0)))
+    val high = s.sampleByWeight(docs.select("doc_id", "n_chars"), "doc_id",
+      least(col("n_chars").cast("double") / lit(400.0), lit(1.0)))
+    assert(low.select("doc_id").exceptAll(high.select("doc_id")).count() == 0)
+    // a constant weight IS the unweighted deterministic sample
+    val const = s.sampleByWeight(docs.select("doc_id"), "doc_id", lit(0.1))
+    val plain = s.sample(docs.select("doc_id"), "doc_id", 0.1)
+    assert(const.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(const).count() == 0)
+  }
+
   // ---- global order ----
 
   test("global shuffle order: exact permutation, stable under repartitioning") {
