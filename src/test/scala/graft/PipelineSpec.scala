@@ -1146,6 +1146,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: mergeSchema unions old and new part files; old rows null-fill") {
+    withTempDir("graft_evolve") { dir =>
+      val path = s"$dir/t"
+      // v1 writer: two columns
+      docs.select("doc_id", "text").limit(10)
+        .write.mode("append").parquet(path)
+      // v2 writer: adds a column (the normal corpus-lifecycle drift)
+      docs.select("doc_id", "text", "lang")
+        .filter(col("doc_id") >= 10).limit(10)
+        .write.mode("append").parquet(path)
+      val merged = spark.read.option("mergeSchema", "true").parquet(path)
+      assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+      assert(merged.count() == 20)
+      // v1 rows surface with lang = NULL — downstream gates must coalesce
+      assert(merged.filter(col("lang").isNull).count() == 10)
+    }
+  }
+
   // ---- sharded export ----
 
   test("sharded export: pure-hash layout, pruned read-back, stable re-export") {
