@@ -921,6 +921,30 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // Persisted PQ index: train+encode once to parquet (codebook + codes +
+  // _params), query from the stored codes — no per-batch train or encode.
+  // Same parameters as s6, so the same candidate-coverage argument makes
+  // the brute-force window oracle apply.
+  define("s9_ann_pq_persisted",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    // per-run unique dir: Verify and sbt test may race on the same box
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_").toString
+    Similarity.buildPqIndex(corpus, "embedding", "vec_id", idx,
+      dim = 64, m = 16, k = 16)
+    Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
+      "embedding", "vec_id", k = 5, rerank = 192)
+      .select("q_id", "n_id", "rank")
+  }
+
   // OPQ — eigenvalue-allocated rotation before the PQ split (Ge et al.
   // CVPR'13, parametric). Candidates come from rotated-space ADC; the
   // exact-cosine re-rank runs on the ORIGINAL vectors, so the s6 oracle

@@ -325,6 +325,57 @@ object Similarity {
     exactRerank(adcCandidates(adc, rerank), queries, corpus, vecCol, idCol, k)
   }
 
+  /** Persist a PQ index at `path` (parquet): `codebook` (m·k rows),
+    * `codes` (one slim row per vector), `_params` (dim, m, k, seed). The
+    * train+encode pass over the corpus is paid ONCE; every later query
+    * batch reads the stored codes (M bytes/vector) instead of re-encoding
+    * the vectors — the PQ counterpart of [[buildLshIndex]]. */
+  def buildPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                   path: String, dim: Int, m: Int, k: Int,
+                   seed: Long = 7L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val book = pqTrain(corpus, vecCol, dim, m, k, seed)
+    book.write.mode("overwrite").parquet(s"$path/codebook")
+    pqEncode(corpus, book, vecCol, idCol, dim, m)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    Seq((dim, m, k, seed)).toDF("dim", "m", "k", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Encode a new corpus partition with the index's FROZEN codebook and
+    * append its codes — the daily-ingest path. Freezing is standard PQ
+    * practice: codebooks train once on a representative sample, encode
+    * quality for in-distribution additions is unchanged, and retraining
+    * is an explicit rebuild on drift. Only the NEW vectors pay the encode
+    * pass; the stored params guarantee the same subspace split. The
+    * caller owns id uniqueness across appends (like [[appendToLshIndex]]). */
+  def appendToPqIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
+                      path: String): Unit = {
+    val spark = newCorpus.sparkSession
+    val p = spark.read.parquet(s"$path/_params").head()
+    val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
+    val book = spark.read.parquet(s"$path/codebook")
+    pqEncode(newCorpus, book, vecCol, idCol, dim, m)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** ANN against a [[buildPqIndex]]-persisted index: reads the stored
+    * codebook + codes (no train, no encode at query time) and runs
+    * [[pqTopK]]'s ADC + exact re-rank. `corpus` supplies vectors for the
+    * candidate re-rank only — candidate ids' vectors are the only vector
+    * payload touched per query batch. */
+  def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+                      indexPath: String, vecCol: String, idCol: String,
+                      k: Int, rerank: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
+    val book = spark.read.parquet(s"$indexPath/codebook")
+    pqTopK(queries, corpus, spark.read.parquet(s"$indexPath/codes"), book,
+      vecCol, idCol, dim, m, k, rerank)
+  }
+
   /** IVFPQ (the FAISS large-corpus layout): coarse cells prune which
     * vectors a query touches, PQ codes make each touched vector 8 bytes —
     * the composition that holds at 10⁸⁺ vectors where neither half does

@@ -563,6 +563,46 @@ class PipelineSpec extends AnyFunSuite {
       s"recall=${(brute & probed).size.toDouble / brute.size}")
   }
 
+  test("persisted PQ index reproduces on-the-fly PQ; frozen-codebook append") {
+    withTempDir("graft_pq_idx") { dir =>
+      val q = emb.filter(col("vec_id") < 5)
+      val c = emb.filter(col("vec_id") >= 5)
+      val full = s"$dir/full"
+      Similarity.buildPqIndex(c, "embedding", "vec_id", full,
+        dim = 64, m = 4, k = 4)
+      val fromIdx = Similarity.pqTopKFromIndex(q, c, full,
+        "embedding", "vec_id", k = 5, rerank = 16)
+        .select("q_id", "n_id", "rank")
+      val book = Similarity.pqTrain(c, "embedding", dim = 64, m = 4, k = 4)
+      val codes = Similarity.pqEncode(c, book, "embedding", "vec_id",
+        dim = 64, m = 4)
+      val direct = Similarity.pqTopK(q, c, codes, book, "embedding",
+        "vec_id", dim = 64, m = 4, k = 5, rerank = 16)
+        .select("q_id", "n_id", "rank")
+      assert(fromIdx.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(fromIdx).count() == 0)
+      // append path: build on half, append the rest — equals encoding the
+      // whole corpus with the half-trained (frozen) codebook
+      val cA = c.filter(col("vec_id") % 2 === 0)
+      val cB = c.filter(col("vec_id") % 2 === 1)
+      val half = s"$dir/half"
+      Similarity.buildPqIndex(cA, "embedding", "vec_id", half,
+        dim = 64, m = 4, k = 4)
+      Similarity.appendToPqIndex(cB, "embedding", "vec_id", half)
+      val appended = Similarity.pqTopKFromIndex(q, c, half,
+        "embedding", "vec_id", k = 5, rerank = 16)
+        .select("q_id", "n_id", "rank")
+      val bookA = Similarity.pqTrain(cA, "embedding", dim = 64, m = 4, k = 4)
+      val codesAll = Similarity.pqEncode(c, bookA, "embedding", "vec_id",
+        dim = 64, m = 4)
+      val expect = Similarity.pqTopK(q, c, codesAll, bookA, "embedding",
+        "vec_id", dim = 64, m = 4, k = 5, rerank = 16)
+        .select("q_id", "n_id", "rank")
+      assert(appended.exceptAll(expect).count() == 0 &&
+        expect.exceptAll(appended).count() == 0)
+    }
+  }
+
   test("binary ingest feeds multimodal decode: files → payload rows → features") {
     import graft.sources.Sources
     withTempDir("graft_bin_ingest_") { dir =>
