@@ -973,6 +973,29 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // Persisted OPQ index: rotation + codebook + rotated-space codes stored
+  // once; queries rotate themselves and read stored codes. Same
+  // parameters and re-rank as s8 (candidates from rotated ADC, exact
+  // cosine on ORIGINAL vectors), so s8's oracle argument transfers.
+  define("s10_ann_opq_persisted",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_opq_idx_").toString
+    Similarity.buildOpqIndex(corpus, "embedding", "vec_id", idx,
+      dim = 64, m = 16, k = 16)
+    Similarity.opqTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
+      "embedding", "vec_id", k = 5, rerank = 192)
+      .select("q_id", "n_id", "rank")
+  }
+
   // IVFPQ — coarse cells × PQ codes, the 10⁸⁺-vector layout. With nprobe
   // covering all 10 label cells the composition provably equals flat PQ
   // (PipelineSpec asserts it), whose candidates cover the true top-5 at

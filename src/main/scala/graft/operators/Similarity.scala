@@ -509,6 +509,62 @@ object Similarity {
     exactRerank(adcCandidates(adc, rerank), queries, corpus, vecCol, idCol, k)
   }
 
+  /** Persist an OPQ index at `path`: `rotation` (D rows of the orthogonal
+    * matrix, index-keyed), plus the [[buildPqIndex]] layout (codebook,
+    * codes, `_params`) trained and encoded in ROTATED space. Rotation,
+    * codebooks, and codes are all learned once at build time; query
+    * batches pay only their own D² rotation + ADC. */
+  def buildOpqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    path: String, dim: Int, m: Int, k: Int,
+                    seed: Long = 7L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rot = opqRotation(corpus, vecCol, dim, m)
+    rot.zipWithIndex.map { case (r, i) => (i, r) }.toDF("i", "row")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    val rotated = rotate(corpus.select(col(idCol), col(vecCol)), vecCol, rot)
+    val book = pqTrain(rotated, vecCol, dim, m, k, seed)
+    book.write.mode("overwrite").parquet(s"$path/codebook")
+    pqEncode(rotated, book, vecCol, idCol, dim, m)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    Seq((dim, m, k, seed)).toDF("dim", "m", "k", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readRotation(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Seq[Seq[Float]] =
+    spark.read.parquet(s"$path/rotation").orderBy("i").collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+
+  /** Append new vectors to a [[buildOpqIndex]] index: rotate with the
+    * stored matrix, encode with the frozen codebook, append the codes —
+    * only the NEW vectors pay any work (same freeze contract as
+    * [[appendToPqIndex]]). */
+  def appendToOpqIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
+                       path: String): Unit = {
+    val spark = newCorpus.sparkSession
+    val p = spark.read.parquet(s"$path/_params").head()
+    val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
+    val rotated = rotate(newCorpus.select(col(idCol), col(vecCol)), vecCol,
+      readRotation(spark, path))
+    pqEncode(rotated, spark.read.parquet(s"$path/codebook"), vecCol, idCol,
+      dim, m).write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** ANN against a [[buildOpqIndex]]-persisted index: stored rotation +
+    * codebook + codes feed [[opqTopK]] — rotated-space ADC candidates,
+    * exact-cosine re-rank on the ORIGINAL vectors. */
+  def opqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+                       indexPath: String, vecCol: String, idCol: String,
+                       k: Int, rerank: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
+    opqTopK(queries, corpus, spark.read.parquet(s"$indexPath/codes"),
+      spark.read.parquet(s"$indexPath/codebook"),
+      readRotation(spark, indexPath), vecCol, idCol, dim, m, k, rerank)
+  }
+
   /** Flat per-query ADC lookup table (q_id, tbl): subspace distances to
     * every centroid, (sub, code)-sorted so the entry for (s, c) sits at
     * index s·K + c (codes are dense 0..K-1). */

@@ -603,6 +603,56 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted OPQ index reproduces on-the-fly OPQ; rotated append") {
+    withTempDir("graft_opq_idx") { dir =>
+      val q = emb.filter(col("vec_id") < 5)
+      val c = emb.filter(col("vec_id") >= 5)
+      Similarity.buildOpqIndex(c, "embedding", "vec_id", dir,
+        dim = 64, m = 4, k = 4)
+      val fromIdx = Similarity.opqTopKFromIndex(q, c, dir,
+        "embedding", "vec_id", k = 5, rerank = 16)
+        .select("q_id", "n_id", "rank").cache()
+      try {
+        val rot = Similarity.opqRotation(c, "embedding", dim = 64, m = 4)
+        val rc = Similarity.rotate(c.select(col("vec_id"), col("embedding")),
+          "embedding", rot)
+        val book = Similarity.pqTrain(rc, "embedding", dim = 64, m = 4, k = 4)
+        val codes = Similarity.pqEncode(rc, book, "embedding", "vec_id",
+          dim = 64, m = 4)
+        val direct = Similarity.opqTopK(q, c, codes, book, rot, "embedding",
+          "vec_id", dim = 64, m = 4, k = 5, rerank = 16)
+          .select("q_id", "n_id", "rank")
+        assert(fromIdx.exceptAll(direct).count() == 0 &&
+          direct.exceptAll(fromIdx).count() == 0)
+        // append: codes for the appended half come from the stored
+        // rotation+codebook, so the merged index answers like a full
+        // build over the same frozen artifacts
+        val cA = c.filter(col("vec_id") % 2 === 0)
+        val cB = c.filter(col("vec_id") % 2 === 1)
+        val half = s"$dir/half"
+        Similarity.buildOpqIndex(cA, "embedding", "vec_id", half,
+          dim = 64, m = 4, k = 4)
+        Similarity.appendToOpqIndex(cB, "embedding", "vec_id", half)
+        val appended = Similarity.opqTopKFromIndex(q, c, half,
+          "embedding", "vec_id", k = 5, rerank = 16)
+          .select("q_id", "n_id", "rank")
+        val rotA = Similarity.opqRotation(cA, "embedding", dim = 64, m = 4)
+        val rcAll = Similarity.rotate(c.select(col("vec_id"), col("embedding")),
+          "embedding", rotA)
+        val bookA = Similarity.pqTrain(
+          Similarity.rotate(cA.select(col("vec_id"), col("embedding")),
+            "embedding", rotA), "embedding", dim = 64, m = 4, k = 4)
+        val codesAll = Similarity.pqEncode(rcAll, bookA, "embedding",
+          "vec_id", dim = 64, m = 4)
+        val expect = Similarity.opqTopK(q, c, codesAll, bookA, rotA,
+          "embedding", "vec_id", dim = 64, m = 4, k = 5, rerank = 16)
+          .select("q_id", "n_id", "rank")
+        assert(appended.exceptAll(expect).count() == 0 &&
+          expect.exceptAll(appended).count() == 0)
+      } finally fromIdx.unpersist()
+    }
+  }
+
   test("binary ingest feeds multimodal decode: files → payload rows → features") {
     import graft.sources.Sources
     withTempDir("graft_bin_ingest_") { dir =>
