@@ -198,6 +198,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(df).contains("*(1) Project"))
   }
 
+  test("semantic dedup plan: cluster equi-join only, never an all-pairs stage") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.operators.Dedup.semanticDedup(emb, "embedding", "vec_id",
+      threshold = 0.4, clusterOf = graft.operators.Dedup.signBitCluster(_, 3))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must join on the cluster id, not cross-join:\n$p")
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     // At cluster scale a fact⋈filtered-dim join is a shuffle join, and the
     // rows the filter will discard should never enter the exchange. Spark's
