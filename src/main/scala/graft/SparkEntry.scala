@@ -2002,6 +2002,28 @@ object SparkEntry {
   // redaction) applied unchanged to a document stream — the oracle is the
   // same batch SQL as p1/t9's stages, so the hash match certifies
   // streaming ≡ batch semantics row for row.
+  // Streaming LM scoring ≡ batch t10, certified by the SAME oracle SQL:
+  // the unigram model trains once on the static corpus, each arriving
+  // micro-batch scores its own documents via foreachBatch (per-doc token
+  // aggregation is complete within a batch because a document IS one row)
+  // with the vocab joined in as a broadcast static frame.
+  define("st11_stream_lm",
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       vocab AS (SELECT w, sum(tf) AS c FROM tf GROUP BY w),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab)
+       SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(sum(tf.tf * ln(CAST(vocab.c AS DOUBLE) / tot.n))
+               / CAST(sum(tf.tf) AS DOUBLE), 6) AS lm_logprob
+       FROM tf JOIN vocab USING (w) CROSS JOIN tot
+       GROUP BY tf.doc_id""") { (s, d) =>
+    graft.streaming.Streaming.streamingLmScore(s, d, "st11")
+  }
+
   define("st9_stream_curate",
     """WITH q AS (
          SELECT doc_id, text,

@@ -67,6 +67,38 @@ object LanguageModel {
       .select(col("id").as(idCol), col("n_tokens"), col("lm_logprob"))
   }
 
+  /** Train the unigram model alone: (vocab (w, c), N). The training pass
+    * is the same two map-side-combined aggregates as [[unigramLogProb]];
+    * splitting it out lets a STREAM score against a batch-trained model —
+    * the model is computed once at stream setup, each micro-batch pays
+    * only its own tokenization + the broadcast vocab join. */
+  def trainUnigram(docs: DataFrame, textCol: String): (DataFrame, Double) = {
+    val toks = spread(docs.select(col(textCol)))
+      .select(explode(TF.tokens(lower(col(textCol)))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = vocab.agg(sum("c")).head.getLong(0).toDouble
+    (vocab, n)
+  }
+
+  /** Score documents against an already-trained unigram model — the
+    * serving half of [[trainUnigram]]. Tokens absent from the vocabulary
+    * are DROPPED by the inner join (self-scoring never hits this; for
+    * foreign corpora add a smoothing floor with a left join upstream).
+    * Output schema matches [[unigramLogProb]]. */
+  def scoreWith(docs: DataFrame, textCol: String, idCol: String,
+                vocab: DataFrame, n: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TF.tokens(lower(col(textCol)))).as("w"))
+    val tf = toks.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(vocab), "w")
+      .groupBy("id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        (sum(col("tf") * log(col("c").cast("double") / lit(n))) /
+          sum("tf").cast("double")).as("lm_logprob"))
+      .select(col("id").as(idCol), col("n_tokens"), col("lm_logprob"))
+  }
+
   /** Per-document average bigram conditional log-probability
     * `Σ tf·ln(c(w1,w2)/c(w1·)) / Σ tf` where `c(w1·)` counts bigrams whose
     * context is w1 — the maximum-likelihood bigram model, the shape real

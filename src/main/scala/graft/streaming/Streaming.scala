@@ -378,4 +378,46 @@ object Streaming {
     q.stop()
     spark.read.parquet(outDir)
   }
+
+  /** Streaming LM scoring: documents arrive as a stream and are scored
+    * against a unigram model trained ONCE on the static corpus at stream
+    * setup — the online half of the t10 batch gate. The scoring needs a
+    * per-document aggregation over exploded tokens, which `foreachBatch`
+    * makes exact without watermark state: a document's tokens live inside
+    * its own micro-batch row, so the per-batch groupBy is complete by
+    * construction, and the model side joins in as a broadcast static
+    * frame. This is the standard production shape for stream×batch-model
+    * joins (model refresh = restart or a foreachBatch re-read, by choice).
+    * Streaming output ≡ the batch t10 answer — certified by the same
+    * oracle SQL. */
+  def streamingLmScore(spark: SparkSession, sfDir: String,
+                       name: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (vocabRaw, n) =
+      graft.operators.LanguageModel.trainUnigram(batchDocs, "text")
+    val vocab = vocabRaw.cache()
+    vocab.count() // materialize the model before the stream starts
+    try {
+      val stream = spark.readStream
+        .schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sfDir/documents.*")
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          graft.operators.LanguageModel
+            .scoreWith(mb, "text", "doc_id", vocab, n)
+            .select(col("doc_id"), col("n_tokens"),
+              round(col("lm_logprob"), 6).as("lm_logprob"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally vocab.unpersist()
+    spark.read.parquet(outDir)
+  }
 }

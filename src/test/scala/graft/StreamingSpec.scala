@@ -190,4 +190,13 @@ class StreamingSpec extends AnyFunSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("streaming LM scoring equals the batch unigram gate") {
+    val streamed = graft.streaming.Streaming
+      .streamingLmScore(spark, SparkSpec.sf, "spec_lm")
+    val batch = SparkEntry.queries("t10_lm_logprob")(spark, SparkSpec.sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
 }
