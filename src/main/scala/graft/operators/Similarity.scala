@@ -565,6 +565,44 @@ object Similarity {
       readRotation(spark, indexPath), vecCol, idCol, dim, m, k, rerank)
   }
 
+  /** Compact an appendable index ([[buildLshIndex]] / [[buildPqIndex]] /
+    * [[buildOpqIndex]]) in place: each append adds part files, and a
+    * daily-ingest index accumulates thousands of slivers — the classic
+    * small-file metadata explosion (every query pays file listing +
+    * footer reads per part). Rewrites the data table (`index` and/or
+    * `codes`, whichever exists) into `partitions` clean files via a
+    * staged swap: write to `<sub>.staging`, move the live dir aside,
+    * move staging in, drop the old dir. Contents are byte-equal rows —
+    * compaction never changes query results (pinned by test). The swap
+    * window is two directory renames; run compaction from the single
+    * writer that owns the index (the same ownership contract appends
+    * already require). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   partitions: Int = 0): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    def deleteRec(p: Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    val n = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    Seq("index", "codes").foreach { sub =>
+      val live = Paths.get(path, sub)
+      if (Files.isDirectory(live)) {
+        val staging = Paths.get(path, s"$sub.staging")
+        val old = Paths.get(path, s"$sub.old")
+        deleteRec(staging); deleteRec(old)
+        spark.read.parquet(live.toString)
+          .repartition(n)
+          .write.mode("overwrite").parquet(staging.toString)
+        Files.move(live, old)
+        Files.move(staging, live)
+        deleteRec(old)
+      }
+    }
+  }
+
   /** Flat per-query ADC lookup table (q_id, tbl): subspace distances to
     * every centroid, (sub, code)-sorted so the entry for (s, c) sits at
     * index s·K + c (codes are dense 0..K-1). */

@@ -653,6 +653,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("index compaction: fewer files, identical answers, params untouched") {
+    withTempDir("graft_compact") { dir =>
+      val q = emb.filter(col("vec_id") < 5)
+      val c = emb.filter(col("vec_id") >= 5)
+      // LSH index with several appends → many small part files
+      val third = (id: Int) => c.filter(col("vec_id") % 3 === id)
+      Similarity.buildLshIndex(third(0), "embedding", "vec_id", dir)
+      Similarity.appendToLshIndex(third(1), "embedding", "vec_id", dir)
+      Similarity.appendToLshIndex(third(2), "embedding", "vec_id", dir)
+      def parts() = new java.io.File(s"$dir/index").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val before = parts()
+      val answerBefore = Similarity.lshTopKFromIndex(q, c, dir,
+        "embedding", "vec_id", k = 5).select("q_id", "n_id", "rank").collect().toSet
+      Similarity.compactIndex(spark, dir, partitions = 2)
+      assert(parts() == 2 && parts() < before)
+      val answerAfter = Similarity.lshTopKFromIndex(q, c, dir,
+        "embedding", "vec_id", k = 5).select("q_id", "n_id", "rank").collect().toSet
+      assert(answerAfter == answerBefore)
+      // params survive (compaction only touches the data table)
+      assert(spark.read.parquet(s"$dir/_params").count() == 1)
+      // PQ index codes compact the same way
+      val pq = s"$dir/pq"
+      Similarity.buildPqIndex(third(0), "embedding", "vec_id", pq,
+        dim = 64, m = 4, k = 4)
+      Similarity.appendToPqIndex(third(1), "embedding", "vec_id", pq)
+      Similarity.appendToPqIndex(third(2), "embedding", "vec_id", pq)
+      val pqBefore = Similarity.pqTopKFromIndex(q, c, pq, "embedding",
+        "vec_id", k = 5, rerank = 16).select("q_id", "n_id", "rank").collect().toSet
+      Similarity.compactIndex(spark, pq, partitions = 2)
+      assert(new java.io.File(s"$pq/codes").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 2)
+      val pqAfter = Similarity.pqTopKFromIndex(q, c, pq, "embedding",
+        "vec_id", k = 5, rerank = 16).select("q_id", "n_id", "rank").collect().toSet
+      assert(pqAfter == pqBefore)
+    }
+  }
+
   test("binary ingest feeds multimodal decode: files → payload rows → features") {
     import graft.sources.Sources
     withTempDir("graft_bin_ingest_") { dir =>
