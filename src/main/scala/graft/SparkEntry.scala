@@ -747,11 +747,39 @@ object SparkEntry {
       threshold = 0.5, shingleSize = 2, maxDf = 1000000L)
   }
 
-  // SimHash near-dup: no SQL oracle (the 64-bit fingerprint hash is not
-  // expressible in DuckDB) → rows-only check; recall vs planted pairs is
-  // asserted in PipelineSpec.
-  defineNoOracle("d3_simhash") { (s, d) =>
-    graft.operators.Dedup.simHash(t(s, d, "documents"), "text", "doc_id")
+  // SimHash near-dup with the PORTABLE (md5-family, 60-bit) fingerprint:
+  // md5 is bit-identical across engines, so DuckDB recomputes the exact
+  // signatures and takes exact ALL-PAIRS hamming — a differential oracle
+  // for the whole pipeline (tokenize → fingerprint → pigeonhole blocking →
+  // hamming verify), since pigeonhole candidate recall is total by
+  // construction (Manku'07). The FNV fast path stays the production
+  // default; its pigeonhole exactness + guard are property-tested in
+  // PipelineSpec.
+  define("d3_simhash",
+    """WITH nrm AS (
+         SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         FROM documents),
+       tok AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(norm), '\s+')) AS tok
+         FROM nrm),
+       th AS (
+         SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),
+           p -> (strpos('0123456789abcdef', md5(tok)[p]) - 1)
+                * (1::BIGINT << (4*(15-p))))) AS BIGINT) AS h
+         FROM tok),
+       bits AS (
+         SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th, range(0, 60) t(i) GROUP BY doc_id, i),
+       sig AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+         FROM bits GROUP BY doc_id)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       FROM sig a, sig b
+       WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3""") { (s, d) =>
+    graft.operators.Dedup.simHashPortable(t(s, d, "documents"), "text", "doc_id")
   }
 
   // Embedding near-dup, exact path (threshold 0.47 sits in a gap of the
@@ -1020,24 +1048,45 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
-  defineNoOracle("s3_ann_ivf") { (s, d) =>
+  // IVF over the given label cells. At nprobe = cells (all 10 labels)
+  // every query probes every cell, so IVF degenerates to exact cosine over
+  // the full corpus with the same (cosine DESC, n_id) tie-break as
+  // bruteForceTopK — the s1 oracle therefore applies EXACTLY, no recall
+  // argument needed. The nprobe < cells recall trade (the production
+  // configuration) is property-tested in PipelineSpec, mirroring how
+  // s7/s9/s10 pin their recall-traded variants.
+  define("s3_ann_ivf",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
     val emb = t(s, d, "embeddings")
     graft.operators.Similarity.ivfTopK(
       emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
-      "embedding", "vec_id", cellCol = "label", k = 5, nprobe = 3)
+      "embedding", "vec_id", cellCol = "label", k = 5, nprobe = 10)
       .select("q_id", "n_id", "rank")
   }
 
   // IVF with k-means-TRAINED cells (MLlib, seeded) instead of the given
-  // label column — the end-to-end trained-index path.
-  defineNoOracle("s4_ann_ivf_kmeans") { (s, d) =>
+  // label column — the end-to-end trained-index path. Same nprobe = cells
+  // ≡ brute-force argument as s3: whichever cells k-means learns, probing
+  // all of them scores the whole corpus exactly.
+  define("s4_ann_ivf_kmeans",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
     import graft.operators.Similarity
     val emb = t(s, d, "embeddings")
     val corpus = Similarity.kmeansCells(
       emb.filter(col("vec_id") >= 5), "embedding", k = 10)
     Similarity.ivfTopK(
       emb.filter(col("vec_id") < 5), corpus,
-      "embedding", "vec_id", cellCol = "cell", k = 5, nprobe = 3)
+      "embedding", "vec_id", cellCol = "cell", k = 5, nprobe = 10)
       .select("q_id", "n_id", "rank")
   }
 

@@ -350,19 +350,68 @@ object Dedup {
   def simHash(docs: DataFrame, textCol: String, idCol: String,
               maxHamming: Int = 3, maxBucket: Long = 100000L)
              (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 63,
-      s"maxHamming must be in [0, 63], got $maxHamming")
+    val withSig = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), VF.simhash64(TF.tokens(TF.normText(col(textCol)))).as("sig"))
+    chunkBlockPairs(withSig, bits = 64, maxHamming, maxBucket)
+  }
+
+  /** [[simHash]] with a PORTABLE fingerprint: the per-token hash is the
+    * top 60 bits of `md5(token)` (via built-in `md5`/`conv` — no custom
+    * expression), so the exact fingerprint — and therefore the exact pair
+    * set — is reproducible in any engine that has md5, which is what lets
+    * the d3 gate carry a hard DuckDB oracle (an independent engine
+    * computes the same signatures and takes exact all-pairs hamming).
+    * 60 bits keeps the value positive in a signed 64-bit integer on both
+    * engines. Same pigeonhole blocking, guards, and scale shape as
+    * [[simHash]]; the FNV fast path remains the production default (one
+    * 64-bit hash per token vs an md5 per token here). */
+  def simHashPortable(docs: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3, maxBucket: Long = 100000L)
+                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val withSig = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
+        portableSimhash60(TF.tokens(TF.normText(col(textCol)))).as("sig"))
+    chunkBlockPairs(withSig, bits = 60, maxHamming, maxBucket)
+  }
+
+  /** 60-bit md5-family SimHash of a token array, composed entirely from
+    * built-in higher-order functions (one md5 per token, then native array
+    * folds — single codegen'd projection, no shuffle). */
+  private def portableSimhash60(tokens: Column): Column = {
+    val idx = sequence(lit(0), lit(59))
+    // one md5 per token, materialized before the per-bit fold
+    val hs = transform(tokens, t =>
+      conv(substr(md5(t), lit(1), lit(15)), 16, 10).cast("long"))
+    val counters = aggregate(hs, array_repeat(lit(0), 60),
+      (acc, h) => zip_with(acc,
+        transform(idx, i =>
+          when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1, 1)
+            .otherwise(-1)),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counters, idx, (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** Shared pigeonhole blocking over a (id, sig) fingerprint frame — the
+    * Manku/Jain/Sarma chunk machinery of [[simHash]], parameterized by the
+    * fingerprint width so the 64-bit FNV and 60-bit portable families use
+    * identical candidate generation and guards. */
+  private def chunkBlockPairs(withSig: DataFrame, bits: Int,
+                              maxHamming: Int, maxBucket: Long)
+                             (implicit scope: CacheScope): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, ${bits - 1}], got $maxHamming")
     val nChunks = maxHamming + 1
-    val base = 64 / nChunks
-    val rem = 64 % nChunks
+    val base = bits / nChunks
+    val rem = bits % nChunks
     val widths = Seq.tabulate(nChunks)(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
     val chunkCols = offsets.zip(widths).map { case (off, w) =>
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftrightunsigned(col("sig"), off).bitwiseAND(lit(mask))
     }
-    val withSig = spread(docs.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), VF.simhash64(TF.tokens(TF.normText(col(textCol)))).as("sig"))
     // both sides of the chunk self-join consume this — cache (24 bytes/row
     // × nChunks) so the normalize+tokenize+simhash pass runs once
     val chunked = scope.cache(withSig.select(col("id"), col("sig"),

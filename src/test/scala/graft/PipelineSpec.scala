@@ -166,6 +166,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("portable simhash (md5 family) equals exact all-pairs hamming") {
+    // differential check: the blocked pipeline must reproduce the exact
+    // all-pairs answer over its own 60-bit signatures (same pigeonhole
+    // argument as the FNV family — 4 chunks of 15 bits at maxHamming=3),
+    // and the signatures must be < 2^60 (sign-safe in any 64-bit engine)
+    val sigFrame = Dedup.simHashPortable(docs, "text", "doc_id")
+    val found = sigFrame.select("a_id", "b_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent exact path: compute signatures via the same public
+    // column expression route only ONCE removed — md5 per token in plain
+    // Scala against collected docs
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sig60(text: String): Long = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim
+      val toks = norm.trim.split("\\s+")
+      val counters = new Array[Int](60)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+          i += 1
+        }
+      }
+      (0 until 60).foldLeft(0L)((s, i) => if (counters(i) > 0) s | (1L << i) else s)
+    }
+    val ref = texts.map { case (id, t) => id -> sig60(t) }.sortBy(_._1)
+    val truth = (for {
+      i <- ref.indices; j <- (i + 1) until ref.length
+      h = java.lang.Long.bitCount(ref(i)._2 ^ ref(j)._2) if h <= 3
+    } yield (ref(i)._1, ref(j)._1, h)).toSet
+    assert(found == truth)
+    assert(found.nonEmpty)
+    assert(ref.forall { case (_, s) => s >= 0L && s < (1L << 60) })
+  }
+
   test("simhash maxBucket guard drops over-full chunk buckets") {
     // every candidate pair needs a shared chunk bucket of size ≥ 2, so
     // maxBucket = 1 must prune ALL buckets that could produce a pair
