@@ -34,6 +34,30 @@ object SparkEntry {
     defs(name) = (fn, None)
   private def q(name: String): Q = defs(name)._1
 
+  // Per-JVM persisted-index dirs for the s5/s9/s10 gates: the index build
+  // job runs ONCE per (gate, sfDir) and repeated query constructions in
+  // the same session (Verify, Bench warm-ups, the Plans EXPLAIN audit)
+  // reuse it instead of leaking a fresh temp dir + paying a rebuild each
+  // time. Dirs are removed by a JVM shutdown hook (best-effort — temp
+  // space, not durable state). Keyed on sfDir too: Verify and sbt test
+  // may touch different scale factors in one JVM.
+  private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sessionIndexDir(key: String)(build: String => Unit): String =
+    indexDirs.computeIfAbsent(key, { _ =>
+      val p = java.nio.file.Files.createTempDirectory(
+        "graft_idx_" + key.replaceAll("[^A-Za-z0-9_]", "_") + "_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }))
+      build(p.toString)
+      p.toString
+    })
+
   // ==================================================================
   // §2.4 Aggregations
   // ==================================================================
@@ -913,11 +937,9 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, d, "embeddings")
     val corpus = emb.filter(col("vec_id") >= 5)
-    // per-run unique dir: a fixed path would race a concurrent gate run's
-    // overwrite (Verify driver vs sbt test on the same box)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_lsh_idx_").toString
-    Similarity.buildLshIndex(corpus, "embedding", "vec_id", idx)
+    val idx = sessionIndexDir(s"s5_$d") { p =>
+      Similarity.buildLshIndex(corpus, "embedding", "vec_id", p)
+    }
     Similarity.lshTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
       "embedding", "vec_id", k = 5)
       .select("q_id", "n_id", "rank")
@@ -963,11 +985,10 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, d, "embeddings")
     val corpus = emb.filter(col("vec_id") >= 5)
-    // per-run unique dir: Verify and sbt test may race on the same box
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_pq_idx_").toString
-    Similarity.buildPqIndex(corpus, "embedding", "vec_id", idx,
-      dim = 64, m = 16, k = 16)
+    val idx = sessionIndexDir(s"s9_$d") { p =>
+      Similarity.buildPqIndex(corpus, "embedding", "vec_id", p,
+        dim = 64, m = 16, k = 16)
+    }
     Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
       "embedding", "vec_id", k = 5, rerank = 192)
       .select("q_id", "n_id", "rank")
@@ -1015,10 +1036,10 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, d, "embeddings")
     val corpus = emb.filter(col("vec_id") >= 5)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_opq_idx_").toString
-    Similarity.buildOpqIndex(corpus, "embedding", "vec_id", idx,
-      dim = 64, m = 16, k = 16)
+    val idx = sessionIndexDir(s"s10_$d") { p =>
+      Similarity.buildOpqIndex(corpus, "embedding", "vec_id", p,
+        dim = 64, m = 16, k = 16)
+    }
     Similarity.opqTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
       "embedding", "vec_id", k = 5, rerank = 192)
       .select("q_id", "n_id", "rank")
@@ -1604,6 +1625,42 @@ object SparkEntry {
        GROUP BY tf.doc_id""") { (s, d) =>
     graft.operators.LanguageModel.unigramLogProb(
       t(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lm_logprob"), 6).as("lm_logprob"))
+  }
+
+  // Foreign-corpus LM scoring (train/serve split + OOV smoothing): the
+  // model trains on one slice, scores a DIFFERENT corpus carrying tokens
+  // the model never saw (the synthetic corpus's 31-token vocabulary covers
+  // every doc, so the scored side appends a marker token — guaranteeing
+  // every scored doc exercises the OOV path). Out-of-vocabulary counts
+  // coalesce to the 0.5 pseudo-count floor via scoreWith's left join; OOV
+  // tokens still count in the n_tokens denominator.
+  define("t12_lm_foreign",
+    """WITH ttok AS (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents WHERE doc_id < 400),
+       vocab AS (SELECT w, count(*) AS c FROM ttok GROUP BY w),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+       stok AS (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text || ' zzqx')), '\s+')) AS w
+         FROM documents WHERE doc_id >= 400),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM stok GROUP BY doc_id, w)
+       SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(sum(tf.tf * ln(coalesce(CAST(vocab.c AS DOUBLE), 0.5) / tot.n))
+               / CAST(sum(tf.tf) AS DOUBLE), 6) AS lm_logprob
+       FROM tf LEFT JOIN vocab USING (w) CROSS JOIN tot
+       GROUP BY tf.doc_id""") { (s, d) =>
+    import graft.operators.LanguageModel
+    val docs = t(s, d, "documents")
+    val (vocab, n) = LanguageModel.trainUnigram(
+      docs.filter(col("doc_id") < 400), "text")
+    val foreign = docs.filter(col("doc_id") >= 400)
+      .withColumn("text", concat(col("text"), lit(" zzqx")))
+    LanguageModel.scoreWith(foreign, "text", "doc_id", vocab, n,
+        oovFloor = Some(0.5))
       .select(col("doc_id"), col("n_tokens"),
         round(col("lm_logprob"), 6).as("lm_logprob"))
   }

@@ -55,7 +55,9 @@ object GlobalOrder {
   /** Append `cumCol`: the inclusive running total of `valueCol` under the
     * `sortCols` total order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW).
     * Same two-phase shape as [[withPosition]] with per-partition SUMS as
-    * the offsets. */
+    * the offsets. NULL values count as 0 (the row keeps its position and
+    * carries the running total unchanged) — matching SQL's `SUM() OVER`,
+    * which ignores NULLs, rather than failing mid-task on the first NULL. */
   def runningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
                    cumCol: String = "cum")
                   (implicit scope: CacheScope = CacheScope.global): DataFrame = {
@@ -72,7 +74,7 @@ object GlobalOrder {
     // phase 2: P partial sums to the driver (metadata-sized)
     val partSums = base.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
+      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
       Iterator((pid, s))
     }.collect().toMap
     val nParts = base.getNumPartitions
@@ -82,7 +84,7 @@ object GlobalOrder {
     val rdd = base.mapPartitionsWithIndex { (pid, it) =>
       var run = offsets(pid)
       it.map { r =>
-        run += r.getLong(vIdx)
+        if (!r.isNullAt(vIdx)) run += r.getLong(vIdx)
         Row.fromSeq(r.toSeq :+ run)
       }
     }

@@ -33,10 +33,13 @@ import graft.functions.{TextFunctions => TF}
   *      whose shuffle is O(docs) (a doc's tf rows are co-located after the
   *      step-1 aggregate, so partial aggregation collapses them map-side).
   *
-  * No smoothing is needed: every scored token came from the corpus, so
-  * c(w) ≥ 1 by construction. To score a FOREIGN document against this model,
-  * join with `"left"` and coalesce missing counts to a floor — kept out of
-  * scope here because the gate's oracle covers the self-scoring semantics.
+  * No smoothing is needed for SELF-scoring: every scored token came from
+  * the corpus, so c(w) ≥ 1 by construction. Scoring a FOREIGN corpus
+  * against the model — the real quality-filter deployment, where held-out
+  * text is scored against a reference model — goes through [[scoreWith]]'s
+  * `oovFloor`: a left join whose missing counts coalesce to a pseudo-count
+  * floor, so out-of-vocabulary tokens contribute ln(floor/N) instead of
+  * silently dropping out of both numerator and denominator.
   */
 object LanguageModel {
 
@@ -56,8 +59,10 @@ object LanguageModel {
     val tf = scope.cache(
       toks.groupBy("id", "w").agg(count(lit(1)).as("tf")))
     val vocab = tf.groupBy("w").agg(sum("tf").as("c"))
-    // one scalar aggregate, driver-held (metadata-sized, like TfIdf's N)
-    val n = vocab.agg(sum("c")).head.getLong(0).toDouble
+    // one scalar aggregate, driver-held (metadata-sized, like TfIdf's N);
+    // sum over zero rows is NULL — an empty corpus scores an empty frame,
+    // not an NPE (n is then never read: tf is empty too)
+    val n = totalCount(vocab)
     tf.join(vocab, "w")
       .groupBy("id")
       .agg(
@@ -76,25 +81,52 @@ object LanguageModel {
     val toks = spread(docs.select(col(textCol)))
       .select(explode(TF.tokens(lower(col(textCol)))).as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val n = vocab.agg(sum("c")).head.getLong(0).toDouble
-    (vocab, n)
+    (vocab, totalCount(vocab))
   }
 
+  /** N = Σ c over the vocab — NULL-safe: an empty corpus yields 0.0
+    * (sum over zero rows is NULL; getLong would NPE). */
+  private def totalCount(vocab: DataFrame): Double =
+    Option(vocab.agg(sum("c")).head.get(0))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+
   /** Score documents against an already-trained unigram model — the
-    * serving half of [[trainUnigram]]. Tokens absent from the vocabulary
-    * are DROPPED by the inner join (self-scoring never hits this; for
-    * foreign corpora add a smoothing floor with a left join upstream).
+    * serving half of [[trainUnigram]].
+    *
+    * `oovFloor = None` (default) keeps the self-scoring semantics: tokens
+    * absent from the vocabulary are dropped by the inner join. For a
+    * FOREIGN corpus pass `Some(floor)`: the join turns into a LEFT join
+    * and out-of-vocabulary counts coalesce to the pseudo-count `floor`
+    * (e.g. 0.5 — half an observation), so OOV tokens contribute
+    * ln(floor/N) and still count in the `n_tokens` denominator — the
+    * smoothing a held-out-perplexity filter needs.
+    *
+    * The vocab side carries no broadcast hint by default: self-trained
+    * vocabularies are Zipf-small, but this is the serving path for
+    * ARBITRARY models, and a forced broadcast of a huge vocab would OOM
+    * the driver. AQE broadcasts small vocabs on its own; callers that
+    * KNOW the vocab is tiny (e.g. the per-micro-batch streaming scorer)
+    * pass `hintBroadcast = true`.
     * Output schema matches [[unigramLogProb]]. */
   def scoreWith(docs: DataFrame, textCol: String, idCol: String,
-                vocab: DataFrame, n: Double): DataFrame = {
+                vocab: DataFrame, n: Double,
+                oovFloor: Option[Double] = None,
+                hintBroadcast: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TF.tokens(lower(col(textCol)))).as("w"))
     val tf = toks.groupBy("id", "w").agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(vocab), "w")
+    val v = if (hintBroadcast) broadcast(vocab) else vocab
+    val withC = oovFloor match {
+      case Some(floor) => tf.join(v, Seq("w"), "left")
+        .withColumn("__c", coalesce(col("c").cast("double"), lit(floor)))
+      case None => tf.join(v, Seq("w"))
+        .withColumn("__c", col("c").cast("double"))
+    }
+    withC
       .groupBy("id")
       .agg(
         sum("tf").as("n_tokens"),
-        (sum(col("tf") * log(col("c").cast("double") / lit(n))) /
+        (sum(col("tf") * log(col("__c") / lit(n))) /
           sum("tf").cast("double")).as("lm_logprob"))
       .select(col("id").as(idCol), col("n_tokens"), col("lm_logprob"))
   }

@@ -408,7 +408,9 @@ object Streaming {
       val q = stream.writeStream
         .foreachBatch { (mb: DataFrame, _: Long) =>
           graft.operators.LanguageModel
-            .scoreWith(mb, "text", "doc_id", vocab, n)
+            // hintBroadcast: this vocab is the stream's own cached
+            // Zipf-small model — known tiny, skip AQE's estimate
+            .scoreWith(mb, "text", "doc_id", vocab, n, hintBroadcast = true)
             .select(col("doc_id"), col("n_tokens"),
               round(col("lm_logprob"), 6).as("lm_logprob"))
             .write.mode("append").parquet(outDir)

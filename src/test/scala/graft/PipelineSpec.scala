@@ -1155,6 +1155,32 @@ class PipelineSpec extends AnyFunSuite {
     } finally joined.unpersist()
   }
 
+  test("scoreWith: OOV floor smoothing and empty-corpus guard") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val train = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val (vocab, n) = LanguageModel.trainUnigram(train, "text")
+    assert(n == 5.0) // x=2, y=2, z=1
+    // foreign doc: one in-vocab token, one OOV token
+    val foreign = Seq((9L, "x qqq")).toDF("doc_id", "text")
+    // default (inner join): OOV token drops from numerator AND denominator
+    val strict = LanguageModel.scoreWith(foreign, "text", "doc_id", vocab, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(strict.head == ((9L, 1L, math.log(2.0 / 5.0))))
+    // oovFloor: left join, missing count -> 0.5, denominator counts both
+    val smoothed = LanguageModel.scoreWith(foreign, "text", "doc_id", vocab, n,
+        oovFloor = Some(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (math.log(2.0 / 5.0) + math.log(0.5 / 5.0)) / 2.0
+    assert(smoothed.head._1 == 9L && smoothed.head._2 == 2L)
+    assert(math.abs(smoothed.head._3 - expected) < 1e-12)
+    // empty corpus: empty result frames, no NPE (sum over zero rows is NULL)
+    val empty = train.filter(col("doc_id") < 0)
+    val (ev, en) = LanguageModel.trainUnigram(empty, "text")
+    assert(ev.count() == 0 && en == 0.0)
+    assert(LanguageModel.unigramLogProb(empty, "text", "doc_id").count() == 0)
+  }
+
   // ---- semantic dedup ----
 
   test("semantic dedup equals brute-force near-dup restricted to intra-cluster pairs") {
@@ -1313,6 +1339,13 @@ class PipelineSpec extends AnyFunSuite {
       graft.operators.GlobalOrder.runningTotal(
         three.withColumn("d", col("n").cast("double")), Seq(col("id")), "d")
     }
+    // NULL values count as 0 (SQL SUM() OVER semantics), never NPE
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "n")
+    val cums = graft.operators.GlobalOrder
+      .runningTotal(withNull, Seq(col("id")), "n")
+      .orderBy("id").select("cum").collect().map(_.getLong(0)).toSeq
+    assert(cums == Seq(10L, 10L, 40L))
   }
 
   test("schema evolution: mergeSchema unions old and new part files; old rows null-fill") {
