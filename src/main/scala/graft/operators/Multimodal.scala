@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * operators.
   *
   * The Spark-side shape is real and tested — binary payload column, metadata
-  * struct, batched per-partition processing, explode-based frame sampling —
-  * while the actual media decode is a STUB (this container has no image/
-  * audio codecs): `fakeDecode` derives deterministic pseudo-metadata from the
-  * byte content. Swapping in a real decoder changes ONE function, not the
-  * pipeline.
+  * struct, batched per-partition processing, explode-based frame sampling.
+  * [[Multimodal.ImageHeaderDecoder]] is a REAL pure-JVM decoder for PNG/JPEG
+  * header metadata (dimensions from IHDR / SOFn); full pixel decode remains
+  * a STUB (this container has no codec libraries): `fakeDecode` derives
+  * deterministic pseudo-metadata from the byte content. Swapping in a full
+  * codec changes ONE function, not the pipeline.
   *
   * Scale design: payloads stay distributed end-to-end (no collect); decode
   * runs per-partition in batches of `batchSize` (the mapInPandas/mapInArrow
@@ -45,6 +46,64 @@ object Multimodal {
   object FakeDecoder extends PayloadDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, Int) = fakeDecode(bytes)
   }
+
+  /** REAL header decoder for the two ubiquitous still-image formats,
+    * implemented pure-JVM (no codec library): PNG dimensions come from the
+    * IHDR chunk (always the first chunk after the 8-byte signature,
+    * width/height big-endian at offsets 16/20 — PNG spec §11.2.2), JPEG
+    * dimensions from the first SOFn frame-header segment (height/width
+    * big-endian at segment offsets 5/7 — ITU T.81 §B.2.2), walking the
+    * marker-segment chain and skipping the non-frame 0xC4/0xC8/0xCC
+    * markers that share the SOF numbering. Payloads that are neither
+    * format fall through to `fallback` (the stub by default), so mixed
+    * corpora decode what is decodable instead of failing the task.
+    * Still images report nFrames = 1. */
+  class ImageHeaderDecoder(fallback: PayloadDecoder = FakeDecoder)
+      extends PayloadDecoder {
+    private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
+    private def be16(b: Array[Byte], o: Int): Int = (u8(b, o) << 8) | u8(b, o + 1)
+    private def be32(b: Array[Byte], o: Int): Int =
+      (u8(b, o) << 24) | (u8(b, o + 1) << 16) | (u8(b, o + 2) << 8) | u8(b, o + 3)
+
+    private val pngSig =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      if (bytes.length >= 24 && bytes.take(8).sameElements(pngSig) &&
+          bytes(12) == 'I' && bytes(13) == 'H' &&
+          bytes(14) == 'D' && bytes(15) == 'R')
+        (be32(bytes, 16), be32(bytes, 20), 1)
+      else if (bytes.length >= 4 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
+        jpegSof(bytes).getOrElse(fallback.decode(bytes))
+      else fallback.decode(bytes)
+    }
+
+    /** Walk JPEG marker segments to the first SOFn; None on truncation. */
+    private def jpegSof(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None // desynced — not a marker chain
+        val m = u8(b, i + 1)
+        if (m == 0xff) { i += 1 } // fill bytes before a marker are legal
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) { i += 2 } // standalone
+        else {
+          val segLen = be16(b, i + 2)
+          if (segLen < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (i + 8 >= b.length) return None
+            return Some((be16(b, i + 7), be16(b, i + 5), 1)) // (width, height)
+          }
+          i += 2 + segLen
+        }
+      }
+      None
+    }
+  }
+
+  /** Shared instance with the stub fallback. */
+  object ImageHeaderDecoder extends ImageHeaderDecoder(FakeDecoder)
 
   /** Deterministic stand-in for a real decoder: width/height/duration are
     * pure functions of the payload bytes. Replace with a codec call in a

@@ -93,6 +93,7 @@ object Similarity {
                     seed: Long = 7L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    dropStalePointer(path, "index") // a rebuild starts a fresh lineage
     bandedSignatures(corpus, vecCol, idCol, "n_id", bits, bands, seed)
       .write.mode("overwrite").parquet(s"$path/index")
     Seq((bits, bands, seed)).toDF("bits", "bands", "seed")
@@ -114,7 +115,7 @@ object Similarity {
     val (bits, bands, seed) =
       (p.getAs[Int]("bits"), p.getAs[Int]("bands"), p.getAs[Long]("seed"))
     bandedSignatures(newCorpus, vecCol, idCol, "n_id", bits, bands, seed)
-      .write.mode("append").parquet(s"$path/index")
+      .write.mode("append").parquet(resolveDataDir(path, "index"))
   }
 
   /** ANN against a [[buildLshIndex]]-persisted index: reads the stored
@@ -130,7 +131,7 @@ object Similarity {
     val p = spark.read.parquet(s"$indexPath/_params").head()
     val (bits, bands, seed) =
       (p.getAs[Int]("bits"), p.getAs[Int]("bands"), p.getAs[Long]("seed"))
-    val index = spark.read.parquet(s"$indexPath/index")
+    val index = spark.read.parquet(resolveDataDir(indexPath, "index"))
     lshTopKWithIndex(queries, corpus, index, vecCol, idCol, k,
       bits, bands, seed, multiProbe)
   }
@@ -335,6 +336,7 @@ object Similarity {
                    seed: Long = 7L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    dropStalePointer(path, "codes") // a rebuild starts a fresh lineage
     val book = pqTrain(corpus, vecCol, dim, m, k, seed)
     book.write.mode("overwrite").parquet(s"$path/codebook")
     pqEncode(corpus, book, vecCol, idCol, dim, m)
@@ -357,7 +359,7 @@ object Similarity {
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val book = spark.read.parquet(s"$path/codebook")
     pqEncode(newCorpus, book, vecCol, idCol, dim, m)
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append").parquet(resolveDataDir(path, "codes"))
   }
 
   /** ANN against a [[buildPqIndex]]-persisted index: reads the stored
@@ -372,7 +374,8 @@ object Similarity {
     val p = spark.read.parquet(s"$indexPath/_params").head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val book = spark.read.parquet(s"$indexPath/codebook")
-    pqTopK(queries, corpus, spark.read.parquet(s"$indexPath/codes"), book,
+    pqTopK(queries, corpus,
+      spark.read.parquet(resolveDataDir(indexPath, "codes")), book,
       vecCol, idCol, dim, m, k, rerank)
   }
 
@@ -519,6 +522,7 @@ object Similarity {
                     seed: Long = 7L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    dropStalePointer(path, "codes") // a rebuild starts a fresh lineage
     val rot = opqRotation(corpus, vecCol, dim, m)
     rot.zipWithIndex.map { case (r, i) => (i, r) }.toDF("i", "row")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
@@ -548,7 +552,7 @@ object Similarity {
     val rotated = rotate(newCorpus.select(col(idCol), col(vecCol)), vecCol,
       readRotation(spark, path))
     pqEncode(rotated, spark.read.parquet(s"$path/codebook"), vecCol, idCol,
-      dim, m).write.mode("append").parquet(s"$path/codes")
+      dim, m).write.mode("append").parquet(resolveDataDir(path, "codes"))
   }
 
   /** ANN against a [[buildOpqIndex]]-persisted index: stored rotation +
@@ -560,26 +564,58 @@ object Similarity {
     val spark = queries.sparkSession
     val p = spark.read.parquet(s"$indexPath/_params").head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
-    opqTopK(queries, corpus, spark.read.parquet(s"$indexPath/codes"),
+    opqTopK(queries, corpus,
+      spark.read.parquet(resolveDataDir(indexPath, "codes")),
       spark.read.parquet(s"$indexPath/codebook"),
       readRotation(spark, indexPath), vecCol, idCol, dim, m, k, rerank)
   }
 
+  /** Resolve the live data directory for an index's `sub` table
+    * ("index" or "codes"): if a `<sub>.ptr` pointer file exists (written
+    * atomically by [[compactIndex]]) it names the current generation
+    * directory under `path`; otherwise the plain `<sub>` dir written by
+    * the builders is live. This is the ONE rule every reader and
+    * appender follows, which is what makes compaction crash-safe: the
+    * pointer flips atomically between fully-written generations, so no
+    * crash point leaves the index unreadable. */
+  def resolveDataDir(path: String, sub: String): String = {
+    import java.nio.file.{Files, Paths}
+    val ptr = Paths.get(path, s"$sub.ptr")
+    if (Files.exists(ptr))
+      Paths.get(path, new String(Files.readAllBytes(ptr), "UTF-8").trim).toString
+    else Paths.get(path, sub).toString
+  }
+
+  /** A full REBUILD at an existing index path must not leave a pointer
+    * targeting a generation of the previous lineage: drop it so the
+    * plain `<sub>` dir the builder writes becomes live again. */
+  private def dropStalePointer(path: String, sub: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.deleteIfExists(Paths.get(path, s"$sub.ptr"))
+  }
+
   /** Compact an appendable index ([[buildLshIndex]] / [[buildPqIndex]] /
-    * [[buildOpqIndex]]) in place: each append adds part files, and a
-    * daily-ingest index accumulates thousands of slivers — the classic
-    * small-file metadata explosion (every query pays file listing +
-    * footer reads per part). Rewrites the data table (`index` and/or
-    * `codes`, whichever exists) into `partitions` clean files via a
-    * staged swap: write to `<sub>.staging`, move the live dir aside,
-    * move staging in, drop the old dir. Contents are byte-equal rows —
-    * compaction never changes query results (pinned by test). The swap
-    * window is two directory renames; run compaction from the single
-    * writer that owns the index (the same ownership contract appends
-    * already require). */
+    * [[buildOpqIndex]]): each append adds part files, and a daily-ingest
+    * index accumulates thousands of slivers — the classic small-file
+    * metadata explosion (every query pays file listing + footer reads
+    * per part). Rewrites the data table (`index` and/or `codes`,
+    * whichever exists) into `partitions` clean files as a NEW generation
+    * directory (`<sub>.gNNNN`), then commits it by atomically renaming a
+    * one-line pointer file (`<sub>.ptr`) that [[resolveDataDir]] reads.
+    * Contents are byte-equal rows — compaction never changes query
+    * results (pinned by test).
+    *
+    * Crash safety: the only commit point is the atomic pointer rename.
+    * A crash before it leaves the pointer (or the builder's plain dir)
+    * targeting the previous fully-written generation — queries keep
+    * working and the half-written generation is swept as an orphan on
+    * the next compaction. A crash after it leaves the new generation
+    * live and the previous one as a sweepable orphan. Single-writer
+    * ownership (the contract appends already require) still governs
+    * CONCURRENT writers; readers need no coordination at all. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    partitions: Int = 0): Unit = {
-    import java.nio.file.{Files, Paths, Path}
+    import java.nio.file.{Files, Paths, Path, StandardCopyOption}
     def deleteRec(p: Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse
@@ -588,17 +624,40 @@ object Similarity {
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
     Seq("index", "codes").foreach { sub =>
-      val live = Paths.get(path, sub)
+      val live = Paths.get(resolveDataDir(path, sub))
       if (Files.isDirectory(live)) {
-        val staging = Paths.get(path, s"$sub.staging")
-        val old = Paths.get(path, s"$sub.old")
-        deleteRec(staging); deleteRec(old)
+        val liveName = live.getFileName.toString
+        // sweep orphans: generation dirs no pointer targets (crashed
+        // compactions), plus the legacy staging/old dirs of the previous
+        // two-rename scheme — never the live dir itself
+        val genRe = (java.util.regex.Pattern.quote(sub) + "\\.g\\d+").r
+        val root = Paths.get(path)
+        import scala.jdk.CollectionConverters._
+        Files.list(root).iterator().asScala.toSeq.foreach { p =>
+          val nm = p.getFileName.toString
+          val orphanGen = genRe.matches(nm) && nm != liveName
+          // a crash AFTER the pointer flip leaves the superseded plain
+          // builder dir; the pointer outranks it, so it is sweepable too
+          val orphanPlain = nm == sub && liveName != sub
+          val legacyTmp = nm == s"$sub.staging" || nm == s"$sub.old"
+          if (orphanGen || orphanPlain || legacyTmp) deleteRec(p)
+        }
+        // next generation id from the live dir's name (plain dir = g0)
+        val gen = liveName match {
+          case s if s.startsWith(s"$sub.g") =>
+            f"$sub.g${s.stripPrefix(s"$sub.g").toInt + 1}%04d"
+          case _ => f"$sub.g${1}%04d"
+        }
+        val genDir = Paths.get(path, gen)
         spark.read.parquet(live.toString)
           .repartition(n)
-          .write.mode("overwrite").parquet(staging.toString)
-        Files.move(live, old)
-        Files.move(staging, live)
-        deleteRec(old)
+          .write.mode("overwrite").parquet(genDir.toString)
+        // commit: write the pointer beside its final name, atomic rename
+        val tmp = Paths.get(path, s"$sub.ptr.tmp")
+        Files.write(tmp, gen.getBytes("UTF-8"))
+        Files.move(tmp, Paths.get(path, s"$sub.ptr"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        deleteRec(live)
       }
     }
   }

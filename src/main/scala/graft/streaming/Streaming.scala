@@ -286,9 +286,21 @@ object Streaming {
     * with StreamingSpec's controlled-micro-batch test: rows are
     * (band, bucket, doc_id); each new id in a (band, bucket) group is
     * paired against the ids already accumulated in group state, then
-    * appended to it. */
-  def bandBucketPairs(banded: org.apache.spark.sql.Dataset[(Int, Long, Long)])
-      : DataFrame = {
+    * appended to it.
+    *
+    * State per bucket is a SORTED id array: membership is a binary
+    * search, so a hot bucket on a long-lived stream costs O(log n) per
+    * already-seen id instead of the linear scan that would degrade
+    * quadratically BEYOND the inherent pair output. `maxBucket` mirrors
+    * the batch guards ([[graft.operators.Dedup.simHash]]'s bucket cap):
+    * once a bucket holds that many ids it saturates — further ids in it
+    * are ignored (no pairs, no state growth), the streaming analog of
+    * batch dropping over-full buckets, and the same argument applies: a
+    * bucket shared by a huge fraction of the corpus carries no near-dup
+    * signal, only quadratic cost. The default keeps the st10 gate's
+    * batch-equivalence intact (no test-scale bucket comes close). */
+  def bandBucketPairs(banded: org.apache.spark.sql.Dataset[(Int, Long, Long)],
+                      maxBucket: Int = 100000): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -297,18 +309,38 @@ object Streaming {
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state) =>
-          val seen = scala.collection.mutable.ArrayBuffer[Long]()
-          seen ++= state.getOption.getOrElse(Seq.empty)
+          val seen: Array[Long] =
+            state.getOption.map(_.toArray).getOrElse(Array.empty)
+          // batch ids, deduped+sorted; drop already-seen via binary search
+          val fresh = rows.map(_._3).toSeq.distinct.sorted
+            .filter(id => java.util.Arrays.binarySearch(seen, id) < 0)
+          // saturation cap: accept only up to the bucket's remaining room
+          val accepted = fresh.take(math.max(0, maxBucket - seen.length))
           val out = Seq.newBuilder[(Long, Long)]
-          rows.map(_._3).toSeq.distinct.sorted.foreach { id =>
-            if (!seen.contains(id)) {
-              seen.foreach { e =>
-                out += ((math.min(e, id), math.max(e, id)))
-              }
-              seen += id
+          accepted.zipWithIndex.foreach { case (id, i) =>
+            seen.foreach(e => out += ((math.min(e, id), math.max(e, id))))
+            // same-batch pairs: earlier accepted ids count as seen
+            var j = 0
+            while (j < i) {
+              val e = accepted(j)
+              out += ((math.min(e, id), math.max(e, id)))
+              j += 1
             }
           }
-          state.update(seen.toSeq)
+          if (accepted.nonEmpty) {
+            // linear merge of two sorted runs keeps the state sorted
+            val merged = new Array[Long](seen.length + accepted.size)
+            var a = 0; var b = 0; var k = 0
+            val acc = accepted.toArray
+            while (a < seen.length && b < acc.length) {
+              if (seen(a) <= acc(b)) { merged(k) = seen(a); a += 1 }
+              else { merged(k) = acc(b); b += 1 }
+              k += 1
+            }
+            while (a < seen.length) { merged(k) = seen(a); a += 1; k += 1 }
+            while (b < acc.length) { merged(k) = acc(b); b += 1; k += 1 }
+            state.update(merged.toSeq)
+          }
           out.result().iterator
       }
       .toDF("a_id", "b_id")

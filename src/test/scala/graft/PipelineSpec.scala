@@ -703,18 +703,28 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.buildLshIndex(third(0), "embedding", "vec_id", dir)
       Similarity.appendToLshIndex(third(1), "embedding", "vec_id", dir)
       Similarity.appendToLshIndex(third(2), "embedding", "vec_id", dir)
-      def parts() = new java.io.File(s"$dir/index").listFiles()
-        .count(_.getName.endsWith(".parquet"))
+      def parts() =
+        new java.io.File(Similarity.resolveDataDir(dir, "index")).listFiles()
+          .count(_.getName.endsWith(".parquet"))
       val before = parts()
       val answerBefore = Similarity.lshTopKFromIndex(q, c, dir,
         "embedding", "vec_id", k = 5).select("q_id", "n_id", "rank").collect().toSet
       Similarity.compactIndex(spark, dir, partitions = 2)
+      // the live dir is now a generation dir committed via the pointer
+      assert(Similarity.resolveDataDir(dir, "index") == s"$dir/index.g0001")
+      assert(!new java.io.File(s"$dir/index").exists())
       assert(parts() == 2 && parts() < before)
       val answerAfter = Similarity.lshTopKFromIndex(q, c, dir,
         "embedding", "vec_id", k = 5).select("q_id", "n_id", "rank").collect().toSet
       assert(answerAfter == answerBefore)
       // params survive (compaction only touches the data table)
       assert(spark.read.parquet(s"$dir/_params").count() == 1)
+      // appends land in the live generation; a second compaction advances
+      // it and sweeps the previous one
+      Similarity.appendToLshIndex(third(1), "embedding", "vec_id", dir)
+      Similarity.compactIndex(spark, dir, partitions = 2)
+      assert(Similarity.resolveDataDir(dir, "index") == s"$dir/index.g0002")
+      assert(!new java.io.File(s"$dir/index.g0001").exists())
       // PQ index codes compact the same way
       val pq = s"$dir/pq"
       Similarity.buildPqIndex(third(0), "embedding", "vec_id", pq,
@@ -724,11 +734,44 @@ class PipelineSpec extends AnyFunSuite {
       val pqBefore = Similarity.pqTopKFromIndex(q, c, pq, "embedding",
         "vec_id", k = 5, rerank = 16).select("q_id", "n_id", "rank").collect().toSet
       Similarity.compactIndex(spark, pq, partitions = 2)
-      assert(new java.io.File(s"$pq/codes").listFiles()
+      assert(new java.io.File(Similarity.resolveDataDir(pq, "codes")).listFiles()
         .count(_.getName.endsWith(".parquet")) == 2)
       val pqAfter = Similarity.pqTopKFromIndex(q, c, pq, "embedding",
         "vec_id", k = 5, rerank = 16).select("q_id", "n_id", "rank").collect().toSet
       assert(pqAfter == pqBefore)
+    }
+  }
+
+  test("compaction crash-safety: uncommitted generation leaves the index readable") {
+    withTempDir("graft_crash") { dir =>
+      val q = emb.filter(col("vec_id") < 5)
+      val c = emb.filter(col("vec_id") >= 5)
+      Similarity.buildLshIndex(c, "embedding", "vec_id", dir)
+      val expected = Similarity.lshTopKFromIndex(q, c, dir,
+        "embedding", "vec_id", k = 5).select("q_id", "n_id", "rank").collect().toSet
+      // simulate a compaction that died mid-write: a half-written
+      // generation dir exists but the pointer was NEVER flipped
+      val orphan = java.nio.file.Paths.get(dir, "index.g0001")
+      java.nio.file.Files.createDirectories(orphan)
+      java.nio.file.Files.write(orphan.resolve("part-garbage.parquet"),
+        Array[Byte](1, 2, 3))
+      // readers still resolve the old live dir — answers unchanged
+      assert(Similarity.resolveDataDir(dir, "index") == s"$dir/index")
+      val got = Similarity.lshTopKFromIndex(q, c, dir,
+        "embedding", "vec_id", k = 5).select("q_id", "n_id", "rank").collect().toSet
+      assert(got == expected)
+      // the next compaction sweeps the orphan and commits cleanly
+      Similarity.compactIndex(spark, dir, partitions = 2)
+      val live = Similarity.resolveDataDir(dir, "index")
+      assert(new java.io.File(live).isDirectory)
+      assert(!java.nio.file.Files.exists(orphan.resolve("part-garbage.parquet"))
+        || live == orphan.toString) // orphan either swept or replaced by a real gen
+      val after = Similarity.lshTopKFromIndex(q, c, dir,
+        "embedding", "vec_id", k = 5).select("q_id", "n_id", "rank").collect().toSet
+      assert(after == expected)
+      // a rebuild at the same path drops the stale pointer
+      Similarity.buildLshIndex(c, "embedding", "vec_id", dir)
+      assert(Similarity.resolveDataDir(dir, "index") == s"$dir/index")
     }
   }
 
@@ -784,6 +827,41 @@ class PipelineSpec extends AnyFunSuite {
       })
     assert(custom.select("width", "height").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2)))
+  }
+
+  test("ImageHeaderDecoder reads real PNG and JPEG bytes; unknown falls back") {
+    import Multimodal.ImageHeaderDecoder
+    // REAL bytes: the JDK's ImageIO writes actual PNG/JPEG files
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = imageBytes("png", 37, 21)
+    val jpg = imageBytes("jpg", 64, 48)
+    assert(ImageHeaderDecoder.decode(png) == ((37, 21, 1)))
+    assert(ImageHeaderDecoder.decode(jpg) == ((64, 48, 1)))
+    // non-image payloads fall back to the stub, not an exception
+    val text = "not an image".getBytes("UTF-8")
+    assert(ImageHeaderDecoder.decode(text) == Multimodal.fakeDecode(text))
+    // truncated PNG signature → fallback, truncated JPEG chain → fallback
+    assert(ImageHeaderDecoder.decode(png.take(10)) ==
+      Multimodal.fakeDecode(png.take(10)))
+    assert(ImageHeaderDecoder.decode(jpg.take(3)) ==
+      Multimodal.fakeDecode(jpg.take(3)))
+    // and the decoder flows through BOTH distributed decode paths
+    import spark.implicits._
+    val frame = Seq((1L, png), (2L, jpg)).toDF("doc_id", "payload")
+    for (decoded <- Seq(
+        Multimodal.decodeFeatures(frame, "doc_id", decoder = ImageHeaderDecoder),
+        Multimodal.decodeFeaturesArrow(frame, "doc_id", ImageHeaderDecoder))) {
+      val got = decoded.collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(got == Map(1L -> ((37, 21, 1)), 2L -> ((64, 48, 1))))
+    }
   }
 
   test("frame sampling keeps every stride-th frame") {
@@ -1229,6 +1307,38 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.exceptAll(expected).count() == 0 &&
         expected.exceptAll(got).count() == 0)
     } finally { got.unpersist(); brute.unpersist() }
+  }
+
+  test("one kmeansCells pass serves BOTH ivfTopK and semanticDedupAssigned") {
+    // the composition a daily pipeline wants: pay the k-means train+assign
+    // ONCE, reuse the (vec_id, cell) frame as the IVF coarse partition AND
+    // the SemDeDup cluster scope — both must equal the results computed
+    // from their own independent clustering pass (seeded k-means is
+    // deterministic, so equality is exact, not approximate)
+    val th = 0.3
+    val shared = Similarity.kmeansCells(emb, "embedding", k = 4).cache()
+    try {
+      val q = shared.filter(col("vec_id") < 5)
+      val c = shared.filter(col("vec_id") >= 5)
+      val annShared = Similarity.ivfTopK(q, c, "embedding", "vec_id",
+        cellCol = "cell", k = 5, nprobe = 2).select("q_id", "n_id", "rank")
+      val dedupShared = Dedup.semanticDedupAssigned(shared, "embedding",
+        "vec_id", "cell", th).select("a_id", "b_id")
+      // independent path: cluster again from scratch for each operator
+      val fresh = Similarity.kmeansCells(emb, "embedding", k = 4)
+      val annFresh = Similarity.ivfTopK(
+        fresh.filter(col("vec_id") < 5), fresh.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", cellCol = "cell", k = 5, nprobe = 2)
+        .select("q_id", "n_id", "rank")
+      val dedupFresh = Dedup.semanticDedupAssigned(fresh, "embedding",
+        "vec_id", "cell", th).select("a_id", "b_id")
+      assert(annShared.exceptAll(annFresh).count() == 0 &&
+        annFresh.exceptAll(annShared).count() == 0)
+      assert(dedupShared.exceptAll(dedupFresh).count() == 0 &&
+        dedupFresh.exceptAll(dedupShared).count() == 0)
+      // and the dedup half actually found something at this threshold
+      assert(dedupShared.count() > 0)
+    } finally shared.unpersist()
   }
 
   test("semantic dedup maxClusterSize: no-op above the sizes, subset + deterministic below") {

@@ -125,6 +125,29 @@ class StreamingSpec extends AnyFunSuite {
       s"unrelated doc should share no bucket: $got")
   }
 
+  test("bandBucketPairs: hot bucket saturates at maxBucket, cold buckets unaffected") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Int, Long, Long)] // (band, bucket, doc_id)
+    val pairs = graft.streaming.Streaming
+      .bandBucketPairs(input.toDS(), maxBucket = 3)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("hot_bucket").start()
+    // batch 1 fills the hot bucket exactly to the cap
+    input.addData((0, 7L, 1L), (0, 7L, 2L), (0, 7L, 3L))
+    q.processAllAvailable()
+    // batch 2: hot bucket is saturated — ids 4,5 must emit nothing and
+    // not grow state; a different bucket still pairs normally; and a
+    // re-sent already-seen id stays a no-op
+    input.addData((0, 7L, 4L), (0, 7L, 5L), (0, 7L, 2L),
+      (0, 8L, 10L), (0, 8L, 11L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hot_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)), s"got $got")
+  }
+
   test("time-scoped streaming dedup: in-watermark duplicates dropped, expired keys re-emit") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
