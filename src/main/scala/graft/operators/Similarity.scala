@@ -204,59 +204,163 @@ object Similarity {
   /** Train per-subspace codebooks: split `vecCol` (dim D) into `m` equal
     * subvectors and fit a seeded K-means (K=`k`) to each. Returns the
     * codebook as a tiny DataFrame (sub, code, centroid) of m·k rows —
-    * broadcastable everywhere it is used. At 100 TB, train on a sample
-    * (`corpus.sample(...)`) — the codebook quality saturates long before
-    * the full corpus is seen. */
+    * broadcastable everywhere it is used.
+    *
+    * Training runs IN-MEMORY on a bounded sample (`trainSample` vectors,
+    * collected after the normalization projection): PQ codebooks train on
+    * a learning sample by design (Jégou PAMI'11 §V uses ~100k learning
+    * vectors regardless of corpus size; FAISS trains the same way), so at
+    * ANY corpus scale the collect is a few MB — `trainSample`·D floats —
+    * and the m tiny (D/m)-dimensional fits are pure arithmetic. The
+    * previous MLlib path spent its time on distributed-scheduler fixed
+    * costs (~14 tiny jobs per fit × m fits), not math: measured 11.4 s →
+    * 1.4 s for the s6 train+encode+query bench at sf0.1 (NOTES.md). The
+    * fit itself is seeded k-means++ + Lloyd — deterministic for a given
+    * (corpus, seed). */
   def pqTrain(corpus: DataFrame, vecCol: String, dim: Int,
               m: Int, k: Int, seed: Long = 7L,
-              maxIter: Int = 10): DataFrame = {
+              maxIter: Int = 10, trainSample: Int = 65536): DataFrame = {
     require(dim % m == 0, "m must divide the vector dimension")
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
-    val subvecs = spread(corpus)
+    // bounded, deterministic learning sample: normalize in Spark (one
+    // fused projection), take the first trainSample vectors
+    val sample = spread(corpus)
       .select(unit(col(vecCol)).as("__nvec"))
-      .select(posexplode(array((0 until m).map(s =>
-        slice(col("__nvec"), s * sub + 1, sub)): _*)).as(Seq("sub", "subvec")))
-      .withColumn("__features", array_to_vector(col("subvec")))
-      .cache()
-    try {
-      subvecs.count() // materialize once before the concurrent fits
-      // the m fits are independent Spark jobs — run them concurrently
-      // (fair-scheduled within the session) instead of serially; each fit
-      // is seeded per-subspace, so the result is identical either way.
-      // Measured 55–88 s serial → 42 s at the 50k×16 train+encode soak
-      // (encode is not parallelized; ambient-load noisy — NOTES.md).
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      val books =
-        try Await.result(Future.sequence((0 until m).map { s =>
-          Future {
-            val model = new org.apache.spark.ml.clustering.KMeans()
-              .setK(k).setSeed(seed + s).setMaxIter(maxIter)
-              .setFeaturesCol("__features").setPredictionCol("__c")
-              .fit(subvecs.filter(col("sub") === s))
-            val centers = model.clusterCenters
-            // KMeans may return FEWER than k centers (a subspace with < k
-            // distinct subvectors). The flat sub·K+code ADC indexing needs
-            // a dense m×k book, so pad with copies of center 0 — a
-            // duplicate centroid is inert: the encode argmin's strict `<`
-            // tie-break always prefers the lower code, so padded codes are
-            // never assigned and their ADC entries never differ from
-            // center 0's.
-            val padded = centers ++ Array.fill(k - centers.length)(centers(0))
-            padded.zipWithIndex.map { case (ctr, code) =>
-              (s, code, ctr.toArray.map(_.toFloat))
-            }
+      .limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqTrain on an empty corpus")
+    val books = (0 until m).flatMap { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      // duplicate centroids (sample smaller than k, or converged-early
+      // empties) are inert: the encode argmin's strict `<` tie-break
+      // always prefers the lower code, so duplicated codes are never
+      // assigned and their ADC entries never differ from the original's
+      localKMeans(pts, k, seed + s, maxIter).zipWithIndex.map {
+        case (ctr, code) => (s, code, ctr.toSeq)
+      }
+    }
+    books.toDF("sub", "code", "centroid").coalesce(1)
+  }
+
+  /** Seeded in-memory k-means with multi-restart: `restarts` independent
+    * k-means++ + Lloyd runs, keeping the lowest-inertia result — the
+    * quality lever that replaces MLlib's k-means|| oversampled init
+    * (measured: single-restart recall@rerank=16 0.48 vs ≥0.6 with 4; the
+    * rerank=192 gate premise holds either way). Deterministic for a
+    * given seed. */
+  private def localKMeans(points: Array[Array[Float]], k: Int, seed: Long,
+                          maxIter: Int, restarts: Int = 4): Array[Array[Float]] = {
+    var best: Array[Array[Float]] = null
+    var bestInertia = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      val centers = localKMeansOnce(points, k, seed + 7919L * r, maxIter)
+      var inertia = 0.0
+      var i = 0
+      while (i < points.length) {
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var d = 0
+          while (d < points(i).length) {
+            val dd = points(i)(d).toDouble - centers(c)(d); s += dd * dd; d += 1
           }
-        }), Duration.Inf)
-        finally pool.shutdown()
-      spark.createDataFrame(books.flatten).toDF("sub", "code", "centroid")
-        .coalesce(1)
-    } finally subvecs.unpersist()
+          if (s < bd) bd = s
+          c += 1
+        }
+        inertia += bd
+        i += 1
+      }
+      if (inertia < bestInertia) { bestInertia = inertia; best = centers }
+      r += 1
+    }
+    best
+  }
+
+  /** One seeded k-means++ + Lloyd run. Always returns exactly `k` centers
+    * (possibly duplicated on degenerate samples — see [[pqTrain]]'s
+    * tie-break note). */
+  private def localKMeansOnce(points: Array[Array[Float]], k: Int, seed: Long,
+                              maxIter: Int): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    val n = points.length
+    val dim = points(0).length
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding: each next center drawn ∝ distance² to the
+    // nearest already-chosen center
+    val centers = new Array[Array[Float]](k)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var tot = 0.0
+      var i = 0
+      while (i < n) {
+        val d = d2(points(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        tot += minD(i)
+        i += 1
+      }
+      centers(c) =
+        if (tot == 0.0) points(rnd.nextInt(n)).clone() // all points covered
+        else {
+          var r = rnd.nextDouble() * tot
+          var j = 0
+          while (j < n - 1 && r > minD(j)) { r -= minD(j); j += 1 }
+          points(j).clone()
+        }
+      c += 1
+    }
+    // Lloyd iterations; empty clusters keep their previous center
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bd = d2(points(i), centers(0))
+        var cc = 1
+        while (cc < k) {
+          val d = d2(points(i), centers(cc))
+          if (d < bd) { bd = d; best = cc } // strict < : ties to lower code
+          cc += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Int](k)
+        var i2 = 0
+        while (i2 < n) {
+          val a = assign(i2)
+          counts(a) += 1
+          var d = 0
+          while (d < dim) { sums(a)(d) += points(i2)(d); d += 1 }
+          i2 += 1
+        }
+        var cc = 0
+        while (cc < k) {
+          if (counts(cc) > 0) {
+            val ctr = new Array[Float](dim)
+            var d = 0
+            while (d < dim) { ctr(d) = (sums(cc)(d) / counts(cc)).toFloat; d += 1 }
+            centers(cc) = ctr
+          }
+          cc += 1
+        }
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Encode each corpus vector as its per-subspace nearest-centroid codes:
