@@ -1111,6 +1111,30 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // Persisted IVF index: k-means cells + slim (n_id, cell) inverted file
+  // + member-mean centroids stored once; queries probe stored centroids
+  // and touch only probed cells' rows. At nprobe = cells the probe covers
+  // every row, so the result provably equals brute force (same argument
+  // as s3/s4) and s1's oracle transfers. Frozen-centroid appends and the
+  // nprobe < cells recall trade are property-tested in PipelineSpec.
+  define("s11_ann_ivf_persisted",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val idx = sessionIndexDir(s"s11_$d") { p =>
+      Similarity.buildIvfIndex(corpus, "embedding", "vec_id", p, cells = 10)
+    }
+    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
+      "embedding", "vec_id", k = 5, nprobe = 10)
+      .select("q_id", "n_id", "rank")
+  }
+
   // ==================================================================
   // Multimodal columns (operators.Multimodal)
   // ==================================================================
@@ -1716,6 +1740,68 @@ object SparkEntry {
       clusterOf = graft.operators.Dedup.signBitCluster(_, 3))
       .select(col("cluster").cast("int").as("cluster"),
         col("a_id"), col("b_id"))
+  }
+
+  // Semantic dedup driven by a PERSISTED IVF index: one clustering pass
+  // serves both ANN coarse search and SemDeDup — the gate builds the index
+  // with the SQL-expressible axis-sign quantizer (production uses the
+  // k-means default), then dedups strictly from the stored inverted file,
+  // so the whole build → parquet → read-back → dedup path is exactly
+  // oracle-checked against d10's direct-assignment SQL.
+  define("d12_semantic_dedup_indexed",
+    """WITH c AS (
+         SELECT vec_id, embedding,
+           CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END AS INT) AS cell
+         FROM embeddings)
+       SELECT a.cell AS cell, a.vec_id AS a_id, b.vec_id AS b_id
+       FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""") { (s, d) =>
+    import graft.operators.{Dedup, Similarity}
+    val emb = t(s, d, "embeddings")
+    val idx = sessionIndexDir(s"d12_$d") { p =>
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", p, cells = 8,
+        assignExpr = Some(Dedup.signBitCluster(col("embedding"), 3)))
+    }
+    Dedup.semanticDedupFromIndex(emb, "embedding", "vec_id", idx,
+      threshold = 0.4)
+      .select(col("cell").cast("int").as("cell"), col("a_id"), col("b_id"))
+  }
+
+  // Corpus-wide keep-first line dedup (CCNet-style): documents are split
+  // into fixed 5-word "lines" (the corpus has no newlines; the operator is
+  // unit-agnostic — any array<string> of lines works) and every line that
+  // repeats anywhere in the corpus survives only at its smallest
+  // (doc_id, pos). The oracle ranks occurrences per line string; Spark
+  // ranks per xxhash64 — identical output absent 64-bit collisions.
+  define("d11_line_dedup",
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       l0 AS (
+         SELECT doc_id, w,
+           unnest(generate_series(0,
+             CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS g
+         FROM toks),
+       lines AS (
+         SELECT doc_id, g AS pos,
+           array_to_string(w[g*5+1 : g*5+5], ' ') AS line
+         FROM l0),
+       ranked AS (
+         SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         FROM lines)
+       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       FROM ranked WHERE rn = 1 GROUP BY doc_id""") { (s, d) =>
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    graft.operators.Dedup.keepFirstLines(
+      t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+      "lines", "doc_id")
+      .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
   }
 
   // Deterministic shard manifest: per-shard doc/char/token totals under the

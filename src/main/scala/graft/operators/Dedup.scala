@@ -850,6 +850,26 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup over the cluster assignment a persisted IVF index already
+    * paid for ([[Similarity.buildIvfIndex]]): the stored inverted file's
+    * (n_id, cell) rows ARE the clusters, so one clustering pass serves
+    * both ANN coarse search and semantic dedup — at 100 TB the k-means
+    * train + full-corpus assignment is the expensive step, and this reads
+    * it back instead of re-running it. Vectors ride in from `emb` by id
+    * equi-join (the index stores only slim assignment rows); ids absent
+    * from the index are ignored — append them first
+    * ([[Similarity.appendToIvfIndex]]) for full coverage. */
+  def semanticDedupFromIndex(emb: DataFrame, vecCol: String, idCol: String,
+                             indexPath: String, threshold: Double,
+                             maxClusterSize: Long = 0L)
+                            (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val cells = emb.sparkSession.read
+      .parquet(Similarity.resolveDataDir(indexPath, "cells"))
+    semanticDedupAssigned(
+      emb.join(cells, emb(idCol) === cells("n_id")).drop("n_id"),
+      vecCol, idCol, "cell", threshold, maxClusterSize)
+  }
+
   /** Axis-sign quantizer: cluster id from the sign bits of the first `bits`
     * dimensions (an LSH family with axis-aligned hyperplanes). Deterministic
     * and expressible in plain SQL — which is what makes the semantic-dedup
@@ -861,4 +881,69 @@ object Dedup {
       when(element_at(vec, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
   }
+
+  // ------------------------------------------------------------------
+  // Line-level dedup (the CCNet / RefinedWeb "remove duplicated lines
+  // across the corpus" stage — finer-grained than whole-document dedup,
+  // coarser than shingles: boilerplate headers/footers/navigation repeat
+  // per-line across millions of pages while the documents differ)
+  // ------------------------------------------------------------------
+
+  /** Corpus-wide keep-first line dedup: every line that occurs more than
+    * once across the whole corpus survives ONLY at its first occurrence —
+    * the smallest (id, position) — and is dropped everywhere else. Blank
+    * (whitespace-only) lines are document structure, not content, and are
+    * always kept. `df(linesCol)` is an `array<string>` of lines per
+    * document in whatever unit the caller split by (newline, sentence,
+    * fixed word window); `idCol` must be non-null and orderable. The
+    * output replaces `linesCol` with the surviving lines (original order
+    * preserved, other columns untouched); documents whose every line was
+    * dropped disappear.
+    *
+    * 100 TB design — document text never rides a shuffle:
+    *  - occurrences explode to slim (xxhash64(line), id, pos) triples:
+    *    ~24 B/line regardless of line length;
+    *  - the per-line winner is a map-side-combined `min(struct(id, pos))`
+    *    aggregate — the shuffle is O(distinct lines), not O(occurrences);
+    *  - surviving positions re-aggregate per doc (O(kept) ints) and
+    *    equi-join back to the ORIGINAL one-row-per-doc table, where a
+    *    fused (element, index) array filter drops losing lines in place.
+    *    The only full-text movement is the join relocating whole doc
+    *    rows — the text itself is never exploded into a shuffle.
+    * Two distinct lines sharing an xxhash64 would collapse to one winner
+    * (expected collisions n²/2⁶⁵ — zero in practice at any corpus size
+    * where line dedup is meaningful).
+    */
+  def keepFirstLines(df: DataFrame, linesCol: String,
+                     idCol: String): DataFrame = {
+    val occ = spread(
+      df.select(col(idCol).as("__kid"),
+          posexplode(col(linesCol)).as(Seq("__pos", "__line")))
+        .select(col("__kid"), col("__pos"),
+          xxhash64(col("__line")).as("__h"),
+          (trim(col("__line")) === "").as("__blank")))
+    val winners = occ.filter(!col("__blank"))
+      .groupBy("__h")
+      .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))
+    val keptPos = occ.join(winners, Seq("__h"), "left")
+      .filter(col("__blank") ||
+        struct(col("__kid"), col("__pos")) === col("__w"))
+      .groupBy("__kid")
+      .agg(collect_list(col("__pos")).as("__keep"))
+    df.join(keptPos, col(idCol) === col("__kid"))
+      .withColumn(linesCol,
+        filter(col(linesCol), (_, i) => array_contains(col("__keep"), i)))
+      .drop("__kid", "__keep")
+  }
+
+  /** Text-in/text-out wrapper over [[keepFirstLines]]: split `textCol` on
+    * the literal `delim`, keep-first dedup across the corpus, rejoin
+    * surviving lines with `delim`. */
+  def dropDuplicateLines(docs: DataFrame, textCol: String, idCol: String,
+                         delim: String = "\n"): DataFrame =
+    keepFirstLines(
+      docs.withColumn(textCol,
+        split(col(textCol), java.util.regex.Pattern.quote(delim))),
+      textCol, idCol)
+      .withColumn(textCol, array_join(col(textCol), delim))
 }

@@ -34,7 +34,16 @@ object GlobalOrder {
 
   /** Append `posCol`: the row's 0-based rank under `sortCols` (which must
     * reach a total order — include a unique tiebreaker). Two linear jobs,
-    * one range exchange, never a single-partition stage. */
+    * one range exchange, never a single-partition stage.
+    *
+    * Fully columnar (stays in Tungsten/whole-stage codegen end-to-end —
+    * no RDD round-trip, no Row boxing): after the range sort,
+    * `monotonically_increasing_id` yields the within-partition row index
+    * in its low 33 bits (ids are assigned in row-stream order, which IS
+    * the sorted order), a P-row aggregate collects per-partition counts,
+    * and the global position is `offset(partition) + local index` via a
+    * tiny exclusive-prefix literal — the same zipWithIndex algorithm the
+    * RDD spelling used, minus the per-row deserialize/re-plan cost. */
   def withPosition(df: DataFrame, sortCols: Seq[Column],
                    posCol: String = "pos")
                   (implicit scope: CacheScope = CacheScope.global): DataFrame = {
@@ -44,12 +53,21 @@ object GlobalOrder {
     val sorted = scope.cache(
       df.repartitionByRange(p, sortCols: _*)
         .sortWithinPartitions(sortCols: _*))
-    // zipWithIndex = count-job + offset map; partition order follows the
-    // range partitioner, so indices are the global sort rank
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rdd, sorted.schema.add(posCol, LongType, nullable = false))
+    // phase 2: P partition counts to the driver (metadata-sized)
+    val counts = sorted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p)
+      .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
+    val offLit = typedLit(offsets.take(p))
+    // phase 3: one fused projection — partition offset + local row index
+    sorted
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn(posCol,
+        (element_at(offLit, spark_partition_id() + 1) +
+          col("__mono").bitwiseAND(lit((1L << 33) - 1))).as(posCol))
+      .drop("__mono")
   }
 
   /** Append `cumCol`: the inclusive running total of `valueCol` under the

@@ -727,7 +727,7 @@ object Similarity {
     }
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    Seq("index", "codes").foreach { sub =>
+    Seq("index", "codes", "cells").foreach { sub =>
       val live = Paths.get(resolveDataDir(path, sub))
       if (Files.isDirectory(live)) {
         val liveName = live.getFileName.toString
@@ -835,6 +835,91 @@ object Similarity {
     // score only rows in probed cells
     val c = spread(corpus).select(col(cellCol).as("cell"), col(idCol).as("n_id"),
       col(vecCol).as("n_vec"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        VF.cosineSimilarity(col("q_vec"), col("n_vec")).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persist an IVF index at `path` (parquet): `cells` (one slim
+    * (n_id, cell) assignment row per vector — the inverted file),
+    * `centroids` (k rows), `_params` (cells, seed). The k-means train +
+    * full-corpus assignment is paid ONCE; every later query batch probes
+    * the stored centroids and touches only the probed cells' rows —
+    * completing the build/append/query/compact index lifecycle for the
+    * IVF family (LSH: [[buildLshIndex]], PQ: [[buildPqIndex]], OPQ:
+    * [[buildOpqIndex]]). At 100 TB the `cells` table is what you'd
+    * bucket/partition the corpus by at write time. */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    path: String, cells: Int = 16, seed: Long = 7L,
+                    assignExpr: Option[Column] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    dropStalePointer(path, "cells") // a rebuild starts a fresh lineage
+    // assignExpr overrides the k-means train with an explicit quantizer
+    // (e.g. Dedup.signBitCluster) — same stored layout, caller-chosen
+    // geometry; centroids are still the member means of the assignment
+    val assigned = assignExpr match {
+      case Some(e) => corpus.withColumn("cell", e.cast("int"))
+      case None    => kmeansCells(corpus, vecCol, cells, seed)
+    }
+    assigned.select(col(idCol).as("n_id"), col("cell"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+    // member-mean centroids of the stored assignment: self-consistent with
+    // what queries probe and what appends assign against
+    cellCentroids(assigned, vecCol, "cell")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((cells, seed)).toDF("cells", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Append new vectors to a [[buildIvfIndex]] index: assign each to its
+    * max-cosine stored centroid (FROZEN centroids — the same freeze
+    * contract as [[appendToPqIndex]]'s codebooks: cells train once on a
+    * representative corpus, re-clustering is an explicit rebuild on
+    * drift) and append the slim (n_id, cell) rows. The centroid argmax
+    * embeds the k×D centroid table as a LITERAL, so assignment is one
+    * fused projection over the new vectors — no join, no shuffle. */
+  def appendToIvfIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
+                       path: String): Unit = {
+    val spark = newCorpus.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val cellIds = typedLit(cents.map(_._1).toSeq)
+    val cvecs = typedLit(cents.map(_._2).toSeq)
+    val zero = struct(lit(-1).as("best"), lit(Double.MinValue).as("bs"))
+    spread(newCorpus)
+      .select(col(idCol).as("n_id"),
+        element_at(cellIds,
+          aggregate(sequence(lit(0), lit(cents.length - 1)), zero,
+            (acc, i) => {
+              val s = VF.cosineSimilarity(col(vecCol), element_at(cvecs, i + 1))
+              when(s > acc.getField("bs"),
+                struct(i.as("best"), s.as("bs"))).otherwise(acc)
+            }).getField("best") + 1).as("cell"))
+      .write.mode("append").parquet(resolveDataDir(path, "cells"))
+  }
+
+  /** ANN against a [[buildIvfIndex]]-persisted index: stored centroids
+    * are probed (no per-query centroid recompute over the corpus), the
+    * stored inverted file restricts scoring to probed cells' rows, and
+    * `corpus` supplies vectors by id equi-join. With `nprobe` ≥ cells
+    * this provably equals [[bruteForceTopK]] (every row scored, same
+    * tie-break) — the oracle argument the s11 gate uses. */
+  def ivfTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+                       indexPath: String, vecCol: String, idCol: String,
+                       k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val cells = spark.read.parquet(resolveDataDir(indexPath, "cells"))
+    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
+    val c = spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(cells, "n_id")
     val scored = c.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),

@@ -27,6 +27,63 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("keepFirstLines: keep-first across corpus, blanks kept, empty docs vanish, order preserved") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, Seq("alpha", "boiler", "  ", "alpha", "tail1")),   // intra-doc dup of alpha
+      (2L, Seq("boiler", "beta", "", "beta")),                // boiler loses to doc 1
+      (3L, Seq("boiler", "alpha")))                           // every line loses
+      .toDF("doc_id", "lines")
+    val out = Dedup.keepFirstLines(in, "lines", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // doc 1: first "alpha" and "boiler" win; blank kept; second "alpha" dropped
+    assert(out(1L) == Seq("alpha", "boiler", "  ", "tail1"))
+    // doc 2: "boiler" lost to doc 1; first "beta" wins, second drops; blank kept
+    assert(out(2L) == Seq("beta", ""))
+    // doc 3 lost every line and has no blanks → gone
+    assert(!out.contains(3L))
+    // wrapper: text in / text out on a delimiter
+    val txt = Dedup.dropDuplicateLines(
+      Seq((10L, "x\ny\nx"), (11L, "y\nz")).toDF("doc_id", "text"),
+      "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(txt(10L) == "x\ny")
+    assert(txt(11L) == "z")
+  }
+
+  test("semanticDedupFromIndex: equals an independent within-cell oracle; append extends coverage") {
+    withTempDir("graft_semdedup_idx") { dir =>
+      // build on one half, frozen-centroid append the other: the dedup
+      // must cover the union exactly as the stored assignment dictates
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250),
+        "embedding", "vec_id", dir, cells = 6)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 250),
+        "embedding", "vec_id", dir)
+      val got = Dedup.semanticDedupFromIndex(emb, "embedding", "vec_id",
+        dir, threshold = 0.3)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // independent oracle: stored cells + driver-side exact cosine
+      val cells = spark.read.parquet(Similarity.resolveDataDir(dir, "cells"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val vecs = emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+      }
+      val ids = vecs.keys.toSeq.sorted
+      val want = (for {
+        i <- ids; j <- ids if i < j
+        if cells(i) == cells(j) && cos(vecs(i), vecs(j)) >= 0.3
+      } yield (i, j)).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    }
+  }
+
   // ---- custom expressions ----
 
   test("CosineSimilarity: correct value, interpreted and codegen agree") {
@@ -476,6 +533,39 @@ class PipelineSpec extends AnyFunSuite {
       assert(inc.select("q_id", "n_id", "rank")
         .exceptAll(full.select("q_id", "n_id", "rank")).count() == 0)
       assert(inc.count() == 25)
+    }
+  }
+
+  test("persisted IVF index: nprobe=all equals brute force; frozen-centroid append; cells compact") {
+    withTempDir("graft_ivf_idx") { dir =>
+      val q = emb.filter(col("vec_id") < 5)
+      val c = emb.filter(col("vec_id") >= 5)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "n_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5))
+      // build on one half, append the other: the stored inverted file
+      // covers the union, and probing all cells reproduces brute force
+      Similarity.buildIvfIndex(c.filter(col("vec_id") < 250), "embedding",
+        "vec_id", dir, cells = 8)
+      Similarity.appendToIvfIndex(c.filter(col("vec_id") >= 250), "embedding",
+        "vec_id", dir)
+      val full = pairs(Similarity.ivfTopKFromIndex(q, c, dir, "embedding",
+        "vec_id", k = 5, nprobe = 8))
+      assert(full == brute)
+      // tighter probes: a subset with a recall floor (the production trade)
+      val tight = Similarity.ivfTopKFromIndex(q, c, dir, "embedding",
+        "vec_id", k = 5, nprobe = 3).select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteIds = brute.map(t => (t._1, t._2))
+      assert(tight.subsetOf(bruteIds) ||
+        (tight & bruteIds).size.toDouble / bruteIds.size >= 0.5)
+      assert((tight & bruteIds).size.toDouble / bruteIds.size >= 0.5)
+      // the cells table compacts through the same generation machinery
+      Similarity.compactIndex(spark, dir, partitions = 2)
+      assert(Similarity.resolveDataDir(dir, "cells") == s"$dir/cells.g0001")
+      assert(pairs(Similarity.ivfTopKFromIndex(q, c, dir, "embedding",
+        "vec_id", k = 5, nprobe = 8)) == brute)
     }
   }
 
