@@ -2216,6 +2216,21 @@ object SparkEntry {
     graft.streaming.Streaming.streamingLmScore(s, d, "st11")
   }
 
+  // Streaming ANN serving: query vectors arrive as a stream and each
+  // micro-batch probes the SAME persisted IVF index (built once, before
+  // the stream). Per-query independence makes the micro-batch union equal
+  // the full-batch answer, so s11's brute-force-equality oracle transfers
+  // verbatim (nprobe = cells covers every corpus row).
+  define("st12_stream_ann",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    graft.streaming.Streaming.streamingAnnFromIndex(s, d, "st12")
+  }
+
   define("st9_stream_curate",
     """WITH q AS (
          SELECT doc_id, text,

@@ -914,14 +914,17 @@ object Dedup {
     * (expected collisions n²/2⁶⁵ — zero in practice at any corpus size
     * where line dedup is meaningful).
     */
-  def keepFirstLines(df: DataFrame, linesCol: String,
-                     idCol: String): DataFrame = {
-    val occ = spread(
+  def keepFirstLines(df: DataFrame, linesCol: String, idCol: String)
+                    (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    // persisted: both the winner aggregate and the keep-join consume the
+    // exploded triples — one explode pass, not two (slim rows, ~24 B/line,
+    // MEMORY_AND_DISK so a 100 TB corpus spills instead of re-scanning)
+    val occ = scope.cache(spread(
       df.select(col(idCol).as("__kid"),
           posexplode(col(linesCol)).as(Seq("__pos", "__line")))
         .select(col("__kid"), col("__pos"),
           xxhash64(col("__line")).as("__h"),
-          (trim(col("__line")) === "").as("__blank")))
+          (trim(col("__line")) === "").as("__blank"))))
     val winners = occ.filter(!col("__blank"))
       .groupBy("__h")
       .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))

@@ -454,4 +454,49 @@ object Streaming {
     } finally vocab.unpersist()
     spark.read.parquet(outDir)
   }
+
+  /** Streaming ANN serving against a persisted IVF index
+    * ([[graft.operators.Similarity.buildIvfIndex]]): the index is built
+    * ONCE before the stream starts (the corpus-side cost — at scale a
+    * separate build job owns it), then each micro-batch of query vectors
+    * probes the stored centroids and scores only probed cells' rows via
+    * the same batch operator the s11 gate oracles. Per-query results are
+    * independent, so the union over micro-batches equals the full-batch
+    * answer — which is what makes the streaming gate exactly
+    * oracle-checkable. This is the retrieval-service lookup shape:
+    * embedding stream in, top-k neighbor ids out, corpus never reshuffled
+    * per request. */
+  def streamingAnnFromIndex(spark: SparkSession, sfDir: String,
+                            name: String): DataFrame = {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idxDir = base.resolve("ivf").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 5).cache()
+    corpus.count() // materialize before the stream starts
+    try {
+      Similarity.buildIvfIndex(corpus, "embedding", "vec_id", idxDir,
+        cells = 10)
+      val stream = spark.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sfDir/embeddings.*")
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          val queries = mb.filter(col("vec_id") < 5)
+          if (!queries.isEmpty)
+            Similarity.ivfTopKFromIndex(queries, corpus, idxDir,
+              "embedding", "vec_id", k = 5, nprobe = 10)
+              .select("q_id", "n_id", "rank")
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally corpus.unpersist()
+    spark.read.parquet(outDir)
+  }
 }

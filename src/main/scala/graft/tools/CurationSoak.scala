@@ -21,7 +21,7 @@ object CurationSoak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("dedup", "text", "ann", "order"))
+      .getOrElse(Set("dedup", "text", "ann", "order", "r5"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -181,6 +181,38 @@ object CurationSoak {
       val shardDir = java.nio.file.Files.createTempDirectory("graft_soak_sh_").toString
       time("write_sharded_100k") {
         Splits.writeSharded(docs100k, "doc_id", 32, s"$shardDir/corpus"); 1L
+      }
+    }
+    if (sections("r5")) {
+      // corpus-wide keep-first line dedup at 100k docs: ~11 lines/doc of
+      // 5-word chunks; shuffle should carry (hash, id, pos) triples + the
+      // final doc-row relocation, never exploded text
+      val toks = split(trim(col("text")), "\\s+")
+      val lines = transform(
+        sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+        g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+      time("line_dedup_100k") {
+        Dedup.keepFirstLines(
+          docs100k.select(col("doc_id"), lines.as("lines")),
+          "lines", "doc_id").count()
+      }
+
+      // persisted IVF at 50k vectors: build once, then probe-pruned query
+      // and index-driven semantic dedup off the SAME stored clustering
+      val corpus50k = replicate(emb, "vec_id", 25)
+      val queries = emb.filter(col("vec_id") < 25)
+      val ivfDir = java.nio.file.Files.createTempDirectory("graft_soak_ivf_").toString
+      time("ivf_index_build_50k") {
+        Similarity.buildIvfIndex(corpus50k, "embedding", "vec_id", ivfDir,
+          cells = 16); 1L
+      }
+      time("ann_ivf_from_index_50k_nprobe3") {
+        Similarity.ivfTopKFromIndex(queries, corpus50k, ivfDir, "embedding",
+          "vec_id", k = 10, nprobe = 3).count()
+      }
+      time("semantic_dedup_from_index_50k") {
+        Dedup.semanticDedupFromIndex(corpus50k, "embedding", "vec_id",
+          ivfDir, threshold = 0.4, maxClusterSize = 20000L).count()
       }
     }
     spark.stop()
