@@ -1804,6 +1804,48 @@ object SparkEntry {
       .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
   }
 
+  // Incremental line dedup against a PERSISTED hash index: docs < 250 are
+  // history (their line hashes are the stored index — 8 B/row, the only
+  // state the continuous pipeline carries); docs >= 250 are the ingest
+  // batch, deduped against history AND keep-first within themselves. Six
+  // history-saturated docs vanish entirely at sf0.01.
+  define("d13_line_dedup_incremental",
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       l0 AS (
+         SELECT doc_id, w,
+           unnest(generate_series(0,
+             CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS g
+         FROM toks),
+       lines AS (
+         SELECT doc_id, g AS pos,
+           array_to_string(w[g*5+1 : g*5+5], ' ') AS line
+         FROM l0),
+       h1 AS (SELECT DISTINCT line FROM lines WHERE doc_id < 250),
+       r AS (
+         SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         FROM lines WHERE doc_id >= 250)
+       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       FROM r WHERE rn = 1
+         AND NOT EXISTS (SELECT 1 FROM h1 WHERE h1.line = r.line)
+       GROUP BY doc_id""") { (s, d) =>
+    import graft.operators.Dedup
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    val prepped = t(s, d, "documents")
+      .select(col("doc_id"), lines.as("lines"))
+    val idx = sessionIndexDir(s"d13_$d") { p =>
+      Dedup.buildLineIndex(prepped.filter(col("doc_id") < 250), "lines", p)
+    }
+    Dedup.dedupLinesAgainstIndex(prepped.filter(col("doc_id") >= 250),
+      "lines", "doc_id", idx)
+      .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
+  }
+
   // Deterministic shard manifest: per-shard doc/char/token totals under the
   // cross-engine md5 shard rule (the export-layout summary a training job
   // reads before claiming shards). The physical partitioned write + pruned

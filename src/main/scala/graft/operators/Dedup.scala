@@ -916,18 +916,32 @@ object Dedup {
     */
   def keepFirstLines(df: DataFrame, linesCol: String, idCol: String)
                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    // persisted: both the winner aggregate and the keep-join consume the
-    // exploded triples — one explode pass, not two (slim rows, ~24 B/line,
-    // MEMORY_AND_DISK so a 100 TB corpus spills instead of re-scanning)
-    val occ = scope.cache(spread(
+    val occ = lineOccurrences(df, linesCol, idCol)
+    val winners = occ.filter(!col("__blank"))
+      .groupBy("__h")
+      .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))
+    keepByWinners(df, linesCol, idCol, occ, winners)
+  }
+
+  /** Exploded (id, pos, xxhash64(line), isBlank) triples — persisted: both
+    * the winner aggregate and the keep-join consume them, so the explode
+    * runs once (slim rows, ~24 B/line, MEMORY_AND_DISK: a 100 TB corpus
+    * spills instead of re-scanning). */
+  private def lineOccurrences(df: DataFrame, linesCol: String, idCol: String)
+                             (implicit scope: CacheScope): DataFrame =
+    scope.cache(spread(
       df.select(col(idCol).as("__kid"),
           posexplode(col(linesCol)).as(Seq("__pos", "__line")))
         .select(col("__kid"), col("__pos"),
           xxhash64(col("__line")).as("__h"),
           (trim(col("__line")) === "").as("__blank"))))
-    val winners = occ.filter(!col("__blank"))
-      .groupBy("__h")
-      .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))
+
+  /** Join the winner table back and filter each original doc row's lines
+    * in place: positions that are blank or hold the winning occurrence
+    * survive; a non-blank line with NO winner row (claimed by history in
+    * the incremental path) drops everywhere. */
+  private def keepByWinners(df: DataFrame, linesCol: String, idCol: String,
+                            occ: DataFrame, winners: DataFrame): DataFrame = {
     val keptPos = occ.join(winners, Seq("__h"), "left")
       .filter(col("__blank") ||
         struct(col("__kid"), col("__pos")) === col("__w"))
@@ -937,6 +951,59 @@ object Dedup {
       .withColumn(linesCol,
         filter(col(linesCol), (_, i) => array_contains(col("__keep"), i)))
       .drop("__kid", "__keep")
+  }
+
+  /** Persist a line-dedup index at `path` (parquet): the distinct
+    * xxhash64 of every non-blank line the corpus has already claimed —
+    * 8 B/row, the ONLY state continuous line dedup needs (at 100 TB of
+    * text the index is ~1/1000th the corpus). The line unit is whatever
+    * the caller split by; `_params` pins the hash family. Blank lines are
+    * never indexed (they are always kept, never claimable). */
+  def buildLineIndex(df: DataFrame, linesCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
+      .filter(trim(col("__line")) =!= "")
+      .select(xxhash64(col("__line")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$path/lines")
+    Seq(("xxhash64", 42)).toDF("family", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Append a new batch's distinct line hashes to a [[buildLineIndex]]
+    * index — run AFTER the batch was deduped via
+    * [[dedupLinesAgainstIndex]], so the next batch sees it as history.
+    * Membership is checked by anti-join, so hash rows duplicated across
+    * appends are harmless (append the batch's RAW lines for exactly-once
+    * keep-first semantics: every line the batch carried, kept or dropped,
+    * is claimed for all later batches). */
+  def appendToLineIndex(df: DataFrame, linesCol: String, path: String): Unit =
+    df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
+      .filter(trim(col("__line")) =!= "")
+      .select(xxhash64(col("__line")).as("h")).distinct()
+      .write.mode("append").parquet(s"$path/lines")
+
+  /** Incremental [[keepFirstLines]]: dedup a NEW ingest batch against
+    * itself AND the already-indexed history, without touching history
+    * text — the shape a continuous 100 TB pipeline runs (dedup the
+    * delta, then [[appendToLineIndex]] it). Lines claimed by the index
+    * drop everywhere in the batch; unclaimed lines keep-first within the
+    * batch. Processing batches in id order this way yields EXACTLY the
+    * full-batch [[keepFirstLines]] output (pinned by test). Per-batch
+    * cost: one explode of the batch + an anti-join against the stored
+    * hashes — O(batch lines + index), never O(history²) and never a
+    * re-scan of history text. */
+  def dedupLinesAgainstIndex(batch: DataFrame, linesCol: String,
+                             idCol: String, indexPath: String)
+                            (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = batch.sparkSession
+    val hist = spark.read.parquet(s"$indexPath/lines")
+    val occ = lineOccurrences(batch, linesCol, idCol)
+    val winners = occ.filter(!col("__blank"))
+      .join(hist, occ("__h") === hist("h"), "left_anti")
+      .groupBy("__h")
+      .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))
+    keepByWinners(batch, linesCol, idCol, occ, winners)
   }
 
   /** Text-in/text-out wrapper over [[keepFirstLines]]: split `textCol` on

@@ -51,6 +51,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(txt(11L) == "z")
   }
 
+  test("line index: batch-at-a-time dedup+append reproduces full-batch keepFirstLines exactly") {
+    import spark.implicits._
+    withTempDir("graft_line_idx") { dir =>
+      // synthetic corpus with cross-batch, intra-batch, and intra-doc dups
+      val corpus = Seq(
+        (1L, Seq("a", "b", "x1")), (2L, Seq("b", "c", "", "c")),
+        (3L, Seq("a", "c", "x3")), (4L, Seq("d", "d", "x4")),
+        (5L, Seq("x1", "d", "e")), (6L, Seq("e", "  ", "a", "x6")))
+        .toDF("doc_id", "lines")
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val full = m(Dedup.keepFirstLines(corpus, "lines", "doc_id"))
+      // replay as three id-ordered batches through the index
+      val batches = Seq(corpus.filter(col("doc_id") <= 2),
+        corpus.filter(col("doc_id") === 3 || col("doc_id") === 4),
+        corpus.filter(col("doc_id") >= 5))
+      Dedup.buildLineIndex(batches.head.limit(0), "lines", dir) // empty history
+      val incr = batches.map { b =>
+        val kept = m(Dedup.dedupLinesAgainstIndex(b, "lines", "doc_id", dir))
+        Dedup.appendToLineIndex(b, "lines", dir) // claim RAW lines
+        kept
+      }.reduce(_ ++ _)
+      assert(incr == full)
+      // the blank-only survivors and full-drop docs behaved identically too
+      assert(full.keySet == incr.keySet)
+    }
+  }
+
   test("semanticDedupFromIndex: equals an independent within-cell oracle; append extends coverage") {
     withTempDir("graft_semdedup_idx") { dir =>
       // build on one half, frozen-centroid append the other: the dedup
