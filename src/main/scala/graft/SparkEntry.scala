@@ -451,6 +451,63 @@ object SparkEntry {
         round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
   }
 
+  // Pivot (long → wide): one output column per status value. The value
+  // list is EXPLICIT (Seq("F","O","P")) — at 100 TB the implicit form's
+  // extra distinct-values job over the fact table is a full scan you
+  // didn't ask for, and explicit values keep the output schema stable.
+  define("q40_pivot",
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+       FROM orders GROUP BY 1""") { (s, d) =>
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      // empty pivot cells are NULL in Spark but 0 under SQL's FILTER
+      // counts — align on 0
+      .na.fill(0L, Seq("F", "O", "P"))
+  }
+
+  // Unpivot (wide → long): the inverse reshape, one row per (key, metric).
+  // Pure projection+explode under the hood — no shuffle beyond the
+  // source aggregate.
+  define("q41_unpivot",
+    """WITH a AS (
+         SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+       UNION ALL
+       SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a""") { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+  }
+
+  // Bounded window frame (ROWS BETWEEN): per-customer 3-order moving
+  // average — the sliding-frame spec none of the other window gates
+  // exercise. One shuffle on the partition key; the frame itself is a
+  // per-partition streaming pass.
+  define("q42_moving_avg",
+    """SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+       FROM orders""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(avg("o_totalprice").over(w), 4).as("mavg3"))
+  }
+
   // ==================================================================
   // §2.9 E2: the WarpDB dialect end-to-end (tokenizer → parser → Catalyst)
   // ==================================================================
@@ -2271,6 +2328,33 @@ object SparkEntry {
            ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
          FROM q, c) WHERE rank <= 5""") { (s, d) =>
     graft.streaming.Streaming.streamingAnnFromIndex(s, d, "st12")
+  }
+
+  // Streaming corpus-wide line dedup: the persisted line-hash index is
+  // the cross-batch state (dedup-against-history, then append — 8 B per
+  // distinct line on durable storage, not in the state store). Id-ordered
+  // batch replay provably equals full-batch keepFirstLines (PipelineSpec
+  // 3-batch replay), so d11's oracle transfers to the stream verbatim.
+  define("st13_stream_line_dedup",
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       l0 AS (
+         SELECT doc_id, w,
+           unnest(generate_series(0,
+             CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS g
+         FROM toks),
+       lines AS (
+         SELECT doc_id, g AS pos,
+           array_to_string(w[g*5+1 : g*5+5], ' ') AS line
+         FROM l0),
+       ranked AS (
+         SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         FROM lines)
+       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       FROM ranked WHERE rn = 1 GROUP BY doc_id""") { (s, d) =>
+    graft.streaming.Streaming.streamingLineDedup(s, d, "st13")
   }
 
   define("st9_stream_curate",

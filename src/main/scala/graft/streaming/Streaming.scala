@@ -499,4 +499,59 @@ object Streaming {
     } finally corpus.unpersist()
     spark.read.parquet(outDir)
   }
+
+  /** Streaming corpus-wide keep-first line dedup: the persisted line-hash
+    * index ([[graft.operators.Dedup.buildLineIndex]]) is the cross-batch
+    * state — each micro-batch is deduped against history
+    * ([[graft.operators.Dedup.dedupLinesAgainstIndex]]) and then appended
+    * as new history, so lines claimed by ANY earlier batch never survive a
+    * later one. Because batch replay in id order provably equals the
+    * full-batch [[graft.operators.Dedup.keepFirstLines]] (PipelineSpec
+    * pins the 3-batch replay), the batch d11 oracle transfers to the
+    * stream. State is 8 B per distinct line on durable storage — not
+    * executor memory — which is what lets this run forever at 100 TB:
+    * the state a `flatMapGroupsWithState` spelling would pin in the state
+    * store lives in parquet instead. Docs are chunked into `wordsPerLine`
+    * word lines (the gate's corpus has no newlines). */
+  def streamingLineDedup(spark: SparkSession, sfDir: String, name: String,
+                         wordsPerLine: Int = 5): DataFrame = {
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idxDir = base.resolve("lineidx").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0),
+        ceil(size(toks) / lit(wordsPerLine.toDouble)).cast("int") - 1),
+      g => array_join(slice(toks, g * wordsPerLine + 1, lit(wordsPerLine)), " "))
+    Dedup.buildLineIndex(
+      batchDocs.limit(0).select(col("doc_id"), lines.as("lines")),
+      "lines", idxDir) // empty history: the stream IS the corpus
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        // per-batch cache scope: the exploded triples persist for the two
+        // consumers within the batch, then release — a forever-stream must
+        // not accumulate cached frames across triggers
+        implicit val batchScope: graft.operators.CacheScope =
+          new graft.operators.CacheScope
+        try {
+          val prepped = mb.select(col("doc_id"), lines.as("lines"))
+          Dedup.dedupLinesAgainstIndex(prepped, "lines", "doc_id", idxDir)
+            .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
+            .write.mode("append").parquet(outDir)
+          Dedup.appendToLineIndex(prepped, "lines", idxDir)
+        } finally batchScope.release()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
 }
