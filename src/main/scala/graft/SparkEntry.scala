@@ -1528,6 +1528,68 @@ object SparkEntry {
       "pred_lang", "doc_id", "n_tokens", budget = 256L)
   }
 
+  // Capstone №3 — the round-5 operators composed end-to-end: corpus-wide
+  // keep-first LINE dedup (boilerplate removal) → token-count gate → LM
+  // scoring where the model TRAINS ON THE CLEANED CORPUS it scores (the
+  // perplexity-filter shape) → deterministic md5 shard assignment. Every
+  // stage has real selectivity at sf0.01 (500 → 494 line-dedup survivors
+  // → 375 past the token gate → 209 past the LM gate, spread over all 16
+  // shards); the row-level oracle re-derives the whole composition in
+  // SQL, certifying the pipeline, not the parts.
+  define("p8_curation_v2",
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       l0 AS (
+         SELECT doc_id, w,
+           unnest(generate_series(0,
+             CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS g
+         FROM toks),
+       lines AS (
+         SELECT doc_id, g AS pos,
+           array_to_string(w[g*5+1 : g*5+5], ' ') AS line
+         FROM l0),
+       ranked AS (
+         SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         FROM lines),
+       cleaned AS (
+         SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
+         FROM ranked WHERE rn = 1 GROUP BY doc_id),
+       tok2 AS (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS wd
+         FROM cleaned),
+       tf AS (SELECT doc_id, wd, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+       vocab AS (SELECT wd, sum(tf) AS c FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+       scored AS (
+         SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * ln(CAST(vocab.c AS DOUBLE) / tot.n))
+                 / CAST(sum(tf.tf) AS DOUBLE), 6) AS lm_logprob
+         FROM tf JOIN vocab USING (wd) CROSS JOIN tot GROUP BY tf.doc_id)
+       SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 16
+           AS shard,
+         n_tokens, lm_logprob
+       FROM scored WHERE n_tokens >= 30 AND lm_logprob >= -3.402""") { (s, d) =>
+    import graft.operators.{Dedup, LanguageModel, Splits}
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    val cleaned = Dedup.keepFirstLines(
+      t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+      "lines", "doc_id")
+      .select(col("doc_id"), array_join(col("lines"), " ").as("text"))
+    val scored = LanguageModel.unigramLogProb(cleaned, "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lm_logprob"), 6).as("lm_logprob"))
+      .filter(col("n_tokens") >= 30 && col("lm_logprob") >= -3.402)
+    Splits.shard(scored, "doc_id", 16)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("lm_logprob"))
+  }
+
   // TF-IDF top-5 terms per document: tokenize → (doc,term) counts →
   // document frequency → ln(N/df) scoring → per-doc top-k via
   // row_number ≤ k (executes as WindowGroupLimit: per-partition partial
