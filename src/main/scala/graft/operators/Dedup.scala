@@ -958,10 +958,14 @@ object Dedup {
     * 8 B/row, the ONLY state continuous line dedup needs (at 100 TB of
     * text the index is ~1/1000th the corpus). The line unit is whatever
     * the caller split by; `_params` pins the hash family. Blank lines are
-    * never indexed (they are always kept, never claimable). */
+    * never indexed (they are always kept, never claimable). The `lines`
+    * table participates in [[Similarity.compactIndex]]'s staged-swap
+    * generations — a per-trigger appender (st13) accumulates one part-set
+    * per batch, and compaction folds them without changing membership. */
   def buildLineIndex(df: DataFrame, linesCol: String, path: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    Similarity.dropStalePointer(path, "lines") // rebuild = fresh lineage
     df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
       .filter(trim(col("__line")) =!= "")
       .select(xxhash64(col("__line")).as("h")).distinct()
@@ -981,7 +985,7 @@ object Dedup {
     df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
       .filter(trim(col("__line")) =!= "")
       .select(xxhash64(col("__line")).as("h")).distinct()
-      .write.mode("append").parquet(s"$path/lines")
+      .write.mode("append").parquet(Similarity.resolveDataDir(path, "lines"))
 
   /** Incremental [[keepFirstLines]]: dedup a NEW ingest batch against
     * itself AND the already-indexed history, without touching history
@@ -997,7 +1001,7 @@ object Dedup {
                              idCol: String, indexPath: String)
                             (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val spark = batch.sparkSession
-    val hist = spark.read.parquet(s"$indexPath/lines")
+    val hist = spark.read.parquet(Similarity.resolveDataDir(indexPath, "lines"))
     val occ = lineOccurrences(batch, linesCol, idCol)
     val winners = occ.filter(!col("__blank"))
       .join(hist, occ("__h") === hist("h"), "left_anti")

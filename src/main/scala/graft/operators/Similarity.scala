@@ -693,7 +693,7 @@ object Similarity {
   /** A full REBUILD at an existing index path must not leave a pointer
     * targeting a generation of the previous lineage: drop it so the
     * plain `<sub>` dir the builder writes becomes live again. */
-  private def dropStalePointer(path: String, sub: String): Unit = {
+  private[operators] def dropStalePointer(path: String, sub: String): Unit = {
     import java.nio.file.{Files, Paths}
     Files.deleteIfExists(Paths.get(path, s"$sub.ptr"))
   }
@@ -727,7 +727,7 @@ object Similarity {
     }
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    Seq("index", "codes", "cells").foreach { sub =>
+    Seq("index", "codes", "cells", "lines").foreach { sub =>
       val live = Paths.get(resolveDataDir(path, sub))
       if (Files.isDirectory(live)) {
         val liveName = live.getFileName.toString

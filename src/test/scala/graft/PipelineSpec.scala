@@ -76,6 +76,14 @@ class PipelineSpec extends AnyFunSuite {
       assert(incr == full)
       // the blank-only survivors and full-drop docs behaved identically too
       assert(full.keySet == incr.keySet)
+      // per-batch appends leave part-slivers; compaction folds them into a
+      // new generation without changing membership (a fresh batch that
+      // repeats already-claimed lines still loses everything non-unique)
+      Similarity.compactIndex(spark, dir, partitions = 1)
+      assert(Similarity.resolveDataDir(dir, "lines") == s"$dir/lines.g0001")
+      val b4 = Seq((7L, Seq("a", "e", "x7"))).toDF("doc_id", "lines")
+      val kept4 = m(Dedup.dedupLinesAgainstIndex(b4, "lines", "doc_id", dir))
+      assert(kept4(7L) == Seq("x7"))
     }
   }
 
