@@ -914,26 +914,45 @@ object Dedup {
     * (expected collisions n²/2⁶⁵ — zero in practice at any corpus size
     * where line dedup is meaningful).
     */
-  def keepFirstLines(df: DataFrame, linesCol: String, idCol: String)
+  /** Identity default for the `normalize` hooks below: lines match on
+    * their exact text. Swap in [[normalizeLine]] (or any Column
+    * transform) to match case-/punctuation-insensitively while still
+    * OUTPUTTING the original lines — the CCNet preprocessing rule.
+    * Build/append/query of a shared line index must all use the same
+    * normalizer (it is part of the hash family, like `_params`' seed). */
+  val rawLine: Column => Column = identity
+
+  /** CCNet-style line canonicalization for dedup matching: lowercase,
+    * strip everything but letters/digits/whitespace, collapse runs of
+    * whitespace, trim. Pure codegen'd Column expression. */
+  def normalizeLine(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]+", ""), "\\s+", " "))
+
+  def keepFirstLines(df: DataFrame, linesCol: String, idCol: String,
+                     normalize: Column => Column = rawLine)
                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    val occ = lineOccurrences(df, linesCol, idCol)
+    val occ = lineOccurrences(df, linesCol, idCol, normalize)
     val winners = occ.filter(!col("__blank"))
       .groupBy("__h")
       .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))
     keepByWinners(df, linesCol, idCol, occ, winners)
   }
 
-  /** Exploded (id, pos, xxhash64(line), isBlank) triples — persisted: both
-    * the winner aggregate and the keep-join consume them, so the explode
-    * runs once (slim rows, ~24 B/line, MEMORY_AND_DISK: a 100 TB corpus
-    * spills instead of re-scanning). */
-  private def lineOccurrences(df: DataFrame, linesCol: String, idCol: String)
+  /** Exploded (id, pos, xxhash64(normalize(line)), isBlank) triples —
+    * persisted: both the winner aggregate and the keep-join consume them,
+    * so the explode runs once (slim rows, ~24 B/line, MEMORY_AND_DISK: a
+    * 100 TB corpus spills instead of re-scanning). Blankness is judged on
+    * the RAW line (a line the normalizer empties still carries its
+    * original content and competes under its normalized hash). */
+  private def lineOccurrences(df: DataFrame, linesCol: String, idCol: String,
+                              normalize: Column => Column)
                              (implicit scope: CacheScope): DataFrame =
     scope.cache(spread(
       df.select(col(idCol).as("__kid"),
           posexplode(col(linesCol)).as(Seq("__pos", "__line")))
         .select(col("__kid"), col("__pos"),
-          xxhash64(col("__line")).as("__h"),
+          xxhash64(normalize(col("__line"))).as("__h"),
           (trim(col("__line")) === "").as("__blank"))))
 
   /** Join the winner table back and filter each original doc row's lines
@@ -962,13 +981,14 @@ object Dedup {
     * table participates in [[Similarity.compactIndex]]'s staged-swap
     * generations — a per-trigger appender (st13) accumulates one part-set
     * per batch, and compaction folds them without changing membership. */
-  def buildLineIndex(df: DataFrame, linesCol: String, path: String): Unit = {
+  def buildLineIndex(df: DataFrame, linesCol: String, path: String,
+                     normalize: Column => Column = rawLine): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     Similarity.dropStalePointer(path, "lines") // rebuild = fresh lineage
     df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
       .filter(trim(col("__line")) =!= "")
-      .select(xxhash64(col("__line")).as("h")).distinct()
+      .select(xxhash64(normalize(col("__line"))).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$path/lines")
     Seq(("xxhash64", 42)).toDF("family", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
@@ -981,10 +1001,11 @@ object Dedup {
     * appends are harmless (append the batch's RAW lines for exactly-once
     * keep-first semantics: every line the batch carried, kept or dropped,
     * is claimed for all later batches). */
-  def appendToLineIndex(df: DataFrame, linesCol: String, path: String): Unit =
+  def appendToLineIndex(df: DataFrame, linesCol: String, path: String,
+                        normalize: Column => Column = rawLine): Unit =
     df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
       .filter(trim(col("__line")) =!= "")
-      .select(xxhash64(col("__line")).as("h")).distinct()
+      .select(xxhash64(normalize(col("__line"))).as("h")).distinct()
       .write.mode("append").parquet(Similarity.resolveDataDir(path, "lines"))
 
   /** Incremental [[keepFirstLines]]: dedup a NEW ingest batch against
@@ -998,11 +1019,12 @@ object Dedup {
     * hashes — O(batch lines + index), never O(history²) and never a
     * re-scan of history text. */
   def dedupLinesAgainstIndex(batch: DataFrame, linesCol: String,
-                             idCol: String, indexPath: String)
+                             idCol: String, indexPath: String,
+                             normalize: Column => Column = rawLine)
                             (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val spark = batch.sparkSession
     val hist = spark.read.parquet(Similarity.resolveDataDir(indexPath, "lines"))
-    val occ = lineOccurrences(batch, linesCol, idCol)
+    val occ = lineOccurrences(batch, linesCol, idCol, normalize)
     val winners = occ.filter(!col("__blank"))
       .join(hist, occ("__h") === hist("h"), "left_anti")
       .groupBy("__h")
@@ -1014,10 +1036,11 @@ object Dedup {
     * the literal `delim`, keep-first dedup across the corpus, rejoin
     * surviving lines with `delim`. */
   def dropDuplicateLines(docs: DataFrame, textCol: String, idCol: String,
-                         delim: String = "\n"): DataFrame =
+                         delim: String = "\n",
+                         normalize: Column => Column = rawLine): DataFrame =
     keepFirstLines(
       docs.withColumn(textCol,
         split(col(textCol), java.util.regex.Pattern.quote(delim))),
-      textCol, idCol)
+      textCol, idCol, normalize)
       .withColumn(textCol, array_join(col(textCol), delim))
 }

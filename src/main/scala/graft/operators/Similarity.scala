@@ -930,6 +930,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Calibrate the IVF recall/cost knob by measurement: the smallest
+    * nprobe on a doubling ladder (1, 2, 4, … cells) whose recall@k on a
+    * SAMPLE of queries, measured against exact brute force, meets
+    * `recallTarget`. The production trade nprobe controls is real work
+    * skipped — probing 3 of 16 cells scores ~3/16 of the corpus — so the
+    * right value is an empirical property of the data's clusterability,
+    * not something to guess. Calibration cost: one brute-force pass over
+    * sampleSize queries plus ≤ log₂(cells) IVF passes — paid once at
+    * deploy time, never per serving batch. Returns `cells` (exact
+    * coverage) when the target is unreachable below it. */
+  def calibrateNprobe(queries: DataFrame, corpus: DataFrame,
+                      indexPath: String, vecCol: String, idCol: String,
+                      k: Int, recallTarget: Double,
+                      sampleSize: Int = 32): Int = {
+    require(recallTarget > 0 && recallTarget <= 1, "recallTarget in (0, 1]")
+    val spark = queries.sparkSession
+    val cells = spark.read.parquet(s"$indexPath/centroids").count().toInt
+    val sample = queries.limit(sampleSize).cache()
+    try {
+      def pairs(df: DataFrame): Set[(Any, Any)] =
+        df.select("q_id", "n_id").collect()
+          .map(r => (r.get(0), r.get(1))).toSet
+      val brute = pairs(bruteForceTopK(sample, corpus, vecCol, idCol, k))
+      if (brute.isEmpty) 1
+      else {
+        var np = 1
+        var found = -1
+        while (found < 0 && np < cells) {
+          val got = pairs(ivfTopKFromIndex(sample, corpus, indexPath,
+            vecCol, idCol, k, np))
+          if ((got & brute).size.toDouble / brute.size >= recallTarget)
+            found = np
+          else np = math.min(cells, np * 2)
+        }
+        if (found > 0) found else cells
+      }
+    } finally sample.unpersist()
+  }
+
   /** Per-cell centroid (cell, centroid): elementwise mean via posexplode +
     * groupBy (cell, dim) — map-side-combined, shuffle O(cells·dims). */
   private def cellCentroids(corpus: DataFrame, vecCol: String,

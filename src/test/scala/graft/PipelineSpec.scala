@@ -51,6 +51,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(txt(11L) == "z")
   }
 
+  test("keepFirstLines normalization: case/punct-insensitive matching, original lines survive") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, Seq("Hello, World!", "unique-one")),
+      (2L, Seq("hello   world", "Unique two")),
+      (3L, Seq("HELLO WORLD.")))
+      .toDF("doc_id", "lines")
+    val out = Dedup.keepFirstLines(in, "lines", "doc_id",
+        normalize = Dedup.normalizeLine)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // all three spellings normalize to "hello world" → doc 1's ORIGINAL
+    // spelling survives, the others drop; doc 3 vanishes entirely
+    assert(out(1L) == Seq("Hello, World!", "unique-one"))
+    assert(out(2L) == Seq("Unique two"))
+    assert(!out.contains(3L))
+    // the index path honors the same normalizer
+    withTempDir("graft_norm_idx") { dir =>
+      Dedup.buildLineIndex(in.filter(col("doc_id") === 1), "lines", dir,
+        normalize = Dedup.normalizeLine)
+      val b = Seq((9L, Seq("  HELLO -- world  ", "fresh line"))).toDF("doc_id", "lines")
+      val kept = Dedup.dedupLinesAgainstIndex(b, "lines", "doc_id", dir,
+          normalize = Dedup.normalizeLine)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(kept(9L) == Seq("fresh line"))
+    }
+  }
+
   test("line index: batch-at-a-time dedup+append reproduces full-batch keepFirstLines exactly") {
     import spark.implicits._
     withTempDir("graft_line_idx") { dir =>
@@ -602,6 +629,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(Similarity.resolveDataDir(dir, "cells") == s"$dir/cells.g0001")
       assert(pairs(Similarity.ivfTopKFromIndex(q, c, dir, "embedding",
         "vec_id", k = 5, nprobe = 8)) == brute)
+    }
+  }
+
+  test("calibrateNprobe: measured recall meets the target; looser targets need no more probes") {
+    withTempDir("graft_nprobe_cal") { dir =>
+      val q = emb.filter(col("vec_id") < 8)
+      val c = emb.filter(col("vec_id") >= 8)
+      Similarity.buildIvfIndex(c, "embedding", "vec_id", dir, cells = 8)
+      val npExact = Similarity.calibrateNprobe(q, c, dir, "embedding",
+        "vec_id", k = 5, recallTarget = 1.0)
+      val npLoose = Similarity.calibrateNprobe(q, c, dir, "embedding",
+        "vec_id", k = 5, recallTarget = 0.3)
+      assert(npExact >= 1 && npExact <= 8)
+      assert(npLoose <= npExact)
+      // independent check: the calibrated nprobe really delivers the target
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5))
+      val got = pairs(Similarity.ivfTopKFromIndex(q, c, dir, "embedding",
+        "vec_id", k = 5, nprobe = npExact))
+      assert((got & brute).size.toDouble / brute.size >= 1.0)
     }
   }
 
