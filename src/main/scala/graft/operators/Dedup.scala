@@ -889,31 +889,6 @@ object Dedup {
   // per-line across millions of pages while the documents differ)
   // ------------------------------------------------------------------
 
-  /** Corpus-wide keep-first line dedup: every line that occurs more than
-    * once across the whole corpus survives ONLY at its first occurrence —
-    * the smallest (id, position) — and is dropped everywhere else. Blank
-    * (whitespace-only) lines are document structure, not content, and are
-    * always kept. `df(linesCol)` is an `array<string>` of lines per
-    * document in whatever unit the caller split by (newline, sentence,
-    * fixed word window); `idCol` must be non-null and orderable. The
-    * output replaces `linesCol` with the surviving lines (original order
-    * preserved, other columns untouched); documents whose every line was
-    * dropped disappear.
-    *
-    * 100 TB design — document text never rides a shuffle:
-    *  - occurrences explode to slim (xxhash64(line), id, pos) triples:
-    *    ~24 B/line regardless of line length;
-    *  - the per-line winner is a map-side-combined `min(struct(id, pos))`
-    *    aggregate — the shuffle is O(distinct lines), not O(occurrences);
-    *  - surviving positions re-aggregate per doc (O(kept) ints) and
-    *    equi-join back to the ORIGINAL one-row-per-doc table, where a
-    *    fused (element, index) array filter drops losing lines in place.
-    *    The only full-text movement is the join relocating whole doc
-    *    rows — the text itself is never exploded into a shuffle.
-    * Two distinct lines sharing an xxhash64 would collapse to one winner
-    * (expected collisions n²/2⁶⁵ — zero in practice at any corpus size
-    * where line dedup is meaningful).
-    */
   /** Identity default for the `normalize` hooks below: lines match on
     * their exact text. Swap in [[normalizeLine]] (or any Column
     * transform) to match case-/punctuation-insensitively while still
@@ -929,6 +904,31 @@ object Dedup {
     trim(regexp_replace(
       regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]+", ""), "\\s+", " "))
 
+  /** Corpus-wide keep-first line dedup: every line that occurs more than
+    * once across the whole corpus (matching under `normalize`) survives
+    * ONLY at its first occurrence — the smallest (id, position) — and is
+    * dropped everywhere else. Blank (whitespace-only) lines are document
+    * structure, not content, and are always kept. `df(linesCol)` is an
+    * `array<string>` of lines per document in whatever unit the caller
+    * split by (newline, sentence, fixed word window); `idCol` must be
+    * non-null and orderable. The output replaces `linesCol` with the
+    * surviving lines (original order preserved, other columns
+    * untouched); documents whose every line was dropped disappear.
+    *
+    * 100 TB design — document text never rides a shuffle:
+    *  - occurrences explode to slim (xxhash64(line), id, pos) triples:
+    *    ~24 B/line regardless of line length;
+    *  - the per-line winner is a map-side-combined `min(struct(id, pos))`
+    *    aggregate — the shuffle is O(distinct lines), not O(occurrences);
+    *  - surviving positions re-aggregate per doc (O(kept) ints) and
+    *    equi-join back to the ORIGINAL one-row-per-doc table, where a
+    *    fused (element, index) array filter drops losing lines in place.
+    *    The only full-text movement is the join relocating whole doc
+    *    rows — the text itself is never exploded into a shuffle.
+    * Two distinct lines sharing an xxhash64 would collapse to one winner
+    * (expected collisions n²/2⁶⁵ — zero in practice at any corpus size
+    * where line dedup is meaningful).
+    */
   def keepFirstLines(df: DataFrame, linesCol: String, idCol: String,
                      normalize: Column => Column = rawLine)
                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
