@@ -197,6 +197,21 @@ object CurationSoak {
           "lines", "doc_id").count()
       }
 
+      // incremental path: 50k docs of history in the persisted hash
+      // index, a 50k-doc ingest batch deduped against it — the per-batch
+      // cost profile st13 pays every trigger
+      val prepped100k = docs100k.select(col("doc_id"), lines.as("lines"))
+      val lineIdxDir = java.nio.file.Files.createTempDirectory("graft_soak_li_").toString
+      time("line_index_build_50k") {
+        Dedup.buildLineIndex(prepped100k.filter(col("doc_id") < 10000000L),
+          "lines", lineIdxDir); 1L
+      }
+      time("line_dedup_incremental_50k") {
+        Dedup.dedupLinesAgainstIndex(
+          prepped100k.filter(col("doc_id") >= 10000000L),
+          "lines", "doc_id", lineIdxDir).count()
+      }
+
       // persisted IVF at 50k vectors: build once, then probe-pruned query
       // and index-driven semantic dedup off the SAME stored clustering
       val corpus50k = replicate(emb, "vec_id", 25)
