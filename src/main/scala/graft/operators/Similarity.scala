@@ -871,9 +871,17 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/cells")
     // member-mean centroids of the stored assignment: self-consistent with
     // what queries probe and what appends assign against
-    cellCentroids(assigned, vecCol, "cell")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((cells, seed)).toDF("cells", "seed")
+    val cents = cellCentroids(assigned, vecCol, "cell")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // baseline quantization error (mean 1 − cosine to the assigned cell's
+    // centroid) — the reference point [[ivfDriftCheck]] compares new
+    // batches against
+    val baseErr = Option(
+      assigned.join(broadcast(cents), "cell")
+        .agg(avg(lit(1.0) - VF.cosineSimilarity(col(vecCol), col("centroid"))))
+        .head.get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    Seq((cells, seed, baseErr)).toDF("cells", "seed", "base_err")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
@@ -885,25 +893,65 @@ object Similarity {
     * embeds the k×D centroid table as a LITERAL, so assignment is one
     * fused projection over the new vectors — no join, no shuffle. */
   def appendToIvfIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
-                       path: String): Unit = {
-    val spark = newCorpus.sparkSession
+                       path: String): Unit =
+    nearestStoredCentroid(spread(newCorpus), vecCol, path)
+      .select(col(idCol).as("n_id"), col("cell"))
+      .write.mode("append").parquet(resolveDataDir(path, "cells"))
+
+  /** Nearest STORED centroid per row: the k×D centroid table embeds as a
+    * LITERAL, so the argmax is one fused projection over the input — no
+    * join, no shuffle. Output: the input columns plus `cell` (argmax
+    * cell id) and `__cos` (its cosine). */
+  private def nearestStoredCentroid(df: DataFrame, vecCol: String,
+                                    path: String): DataFrame = {
+    val spark = df.sparkSession
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     val cellIds = typedLit(cents.map(_._1).toSeq)
     val cvecs = typedLit(cents.map(_._2).toSeq)
     val zero = struct(lit(-1).as("best"), lit(Double.MinValue).as("bs"))
-    spread(newCorpus)
-      .select(col(idCol).as("n_id"),
-        element_at(cellIds,
-          aggregate(sequence(lit(0), lit(cents.length - 1)), zero,
-            (acc, i) => {
-              val s = VF.cosineSimilarity(col(vecCol), element_at(cvecs, i + 1))
-              when(s > acc.getField("bs"),
-                struct(i.as("best"), s.as("bs"))).otherwise(acc)
-            }).getField("best") + 1).as("cell"))
-      .write.mode("append").parquet(resolveDataDir(path, "cells"))
+    val best = aggregate(sequence(lit(0), lit(cents.length - 1)), zero,
+      (acc, i) => {
+        val s = VF.cosineSimilarity(col(vecCol), element_at(cvecs, i + 1))
+        when(s > acc.getField("bs"),
+          struct(i.as("best"), s.as("bs"))).otherwise(acc)
+      })
+    df.withColumn("__best", best)
+      .withColumn("cell", element_at(cellIds, col("__best").getField("best") + 1))
+      .withColumn("__cos", col("__best").getField("bs"))
+      .drop("__best")
   }
+
+  /** Quantization-drift probe for a [[buildIvfIndex]] index: the mean
+    * 1 − cosine of a new batch to its nearest STORED centroid, compared
+    * to the error the index had over its own build corpus (`base_err` in
+    * `_params`). Appends assign against FROZEN centroids, so as the data
+    * distribution drifts away from the build corpus this ratio grows —
+    * treat a sustained ratio well above 1 as the rebuild tripwire the
+    * freeze contract defers to. One fused projection + one scalar
+    * aggregate over the batch (or a sample of it): cheap enough to run
+    * on every ingest batch before [[appendToIvfIndex]]. */
+  def ivfDriftCheck(batch: DataFrame, vecCol: String,
+                    indexPath: String): DriftReport = {
+    val spark = batch.sparkSession
+    val params = spark.read.parquet(s"$indexPath/_params")
+    require(params.schema.fieldNames.contains("base_err"),
+      s"index at $indexPath predates drift baselines — rebuild it with " +
+        "buildIvfIndex to record base_err")
+    val baseErr = params.head.getAs[Double]("base_err")
+    val batchErr = Option(
+      nearestStoredCentroid(spread(batch), vecCol, indexPath)
+        .agg(avg(lit(1.0) - col("__cos"))).head.get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    DriftReport(baseErr, batchErr, batchErr / math.max(baseErr, 1e-12))
+  }
+
+  /** Result of [[ivfDriftCheck]]: build-time quantization error, the new
+    * batch's error against the same frozen centroids, and their ratio
+    * (~1 = same distribution; ≫1 = drifted, rebuild). */
+  final case class DriftReport(baseErr: Double, batchErr: Double,
+                               ratio: Double)
 
   /** ANN against a [[buildIvfIndex]]-persisted index: stored centroids
     * are probed (no per-query centroid recompute over the corpus), the

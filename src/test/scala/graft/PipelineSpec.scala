@@ -654,6 +654,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfDriftCheck: same-corpus ratio ≤ 1, centroid batch near zero, shifted batch degrades") {
+    withTempDir("graft_drift") { dir =>
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, cells = 8)
+      val same = Similarity.ivfDriftCheck(emb, "embedding", dir)
+      assert(same.baseErr > 0)
+      // nearest-centroid-by-cosine can only improve on the stored k-means
+      // (Euclidean) assignment, so the same corpus lands at or just below 1
+      assert(same.ratio > 0.5 && same.ratio <= 1.01)
+      // a batch of the stored centroids themselves: ~zero quantization error
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .withColumnRenamed("centroid", "embedding")
+      assert(Similarity.ivfDriftCheck(cents, "embedding", dir).ratio < 0.5)
+      // distribution shift: reflect alternating dimensions — vectors
+      // decorrelate from the frozen centroids and the error ratio grows
+      val shifted = emb.withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => when(i % 2 === 0, -x).otherwise(x)))
+      val drifted = Similarity.ivfDriftCheck(shifted, "embedding", dir)
+      // margin is relative: this corpus clusters weakly (baseErr close to
+      // the 1.0 ceiling), so even full decorrelation caps the ratio near
+      // 1/baseErr — what matters is the ordering and a clear gap
+      assert(drifted.ratio > 1.0 && drifted.ratio > same.ratio * 1.05)
+      assert(drifted.batchErr > same.batchErr)
+    }
+  }
+
   test("ANN: PQ codes compress to m small codes; ADC+rerank reproduces brute force") {
     // m=16 of 64 dims, k=16 codes: 16×4-bit codes = 8 B/vector vs 256 B
     // float32 — 32× compression. Recall@rerank measured by tools.PqSweep:
