@@ -886,8 +886,20 @@ object SparkEntry {
        FROM embeddings a, embeddings b
        WHERE a.vec_id < b.vec_id
          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.47""") { (s, d) =>
+    // 64 bits / 32 two-bit bands (vs the operator's 16/8 default): at this
+    // gate's low threshold (0.47 → band-agreement prob ≈ 0.43) the default
+    // misses an at-threshold pair with p ≈ 1.1% per pair — a visible loss
+    // once the corpus is big enough to carry dozens of near-threshold
+    // pairs (4/57 at sf0.1). At 32 bands the miss is ~1e-8: the
+    // exact-cosine verify sees a full candidate superset at every test
+    // SF. Production calls at τ ≥ 0.8 keep the leaner default — band
+    // count is the recall/cost knob and low thresholds need more of it.
+    // (Chasing this miss also exposed the biased uniform hyperplane
+    // family — see RandomHyperplaneSignature.coeff — whose per-pair
+    // agreement could sit far below 1 − θ/π; now Gaussian.)
     graft.operators.Dedup.embeddingNearDup(t(s, d, "embeddings"),
-      "embedding", "vec_id", threshold = 0.47, bruteForce = false)
+      "embedding", "vec_id", threshold = 0.47, bruteForce = false,
+      bits = 64, bands = 32)
       .select("a_id", "b_id")
   }
 

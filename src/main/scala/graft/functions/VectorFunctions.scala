@@ -233,10 +233,24 @@ object RandomHyperplaneSignature {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic plane coefficient in [-1, 1). */
+  /** Deterministic standard-Gaussian plane coefficient (Box–Muller over
+    * two splitmix64 streams). Gaussian normals make the hyperplane
+    * directions spherically symmetric, which is what gives sign-LSH its
+    * PER-PAIR guarantee P(bit agrees) = 1 − θ/π (Goemans–Williamson):
+    * a non-symmetric family can realize agreement far from that
+    * expectation on structured pairs and silently gut recall. The
+    * previous uniform variant was also biased — `(h >>> 11)` is 53 bits
+    * over a 2⁵² divisor, mapping to [-1, 3) — so every hyperplane leaned
+    * toward the all-positive orthant; a cosine-0.47 pair in the sf0.1
+    * embeddings realized 0.19 bit agreement (expected 0.66) and survived
+    * 32 bands of LSH dedup. */
   def coeff(seed: Long, bit: Int, dim: Int): Double = {
-    val h = mix(seed ^ (bit.toLong << 32) ^ dim.toLong)
-    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    val h1 = mix(seed ^ (bit.toLong << 32) ^ dim.toLong)
+    val h2 = mix(h1 ^ 0x6a09e667f3bcc909L)
+    // u1 ∈ (0, 1] (never 0: the log stays finite), u2 ∈ [0, 1)
+    val u1 = ((h1 >>> 11) + 1).toDouble / (1L << 53).toDouble
+    val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
   def compute(v: ArrayData, bits: Int, seed: Long): Long = {

@@ -908,6 +908,9 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"index at $path has no centroids (built from an empty corpus?) — " +
+        "rebuild it before appending or probing")
     val cellIds = typedLit(cents.map(_._1).toSeq)
     val cvecs = typedLit(cents.map(_._2).toSeq)
     val zero = struct(lit(-1).as("best"), lit(Double.MinValue).as("bs"))
