@@ -1035,8 +1035,15 @@ object SparkEntry {
     val book = Similarity.pqTrain(corpus, "embedding", dim = 64, m = 16, k = 16)
     val codes = Similarity.pqEncode(corpus, book, "embedding", "vec_id",
       dim = 64, m = 16)
+    // rerank = 1024 (was 192) across the five ADC gates: the re-rank
+    // budget is the PQ recall knob, and a FIXED budget that blankets a
+    // 500-vector corpus is only 4% of sf0.1's — the cross-SF sweep showed
+    // ADC's top-192 dropping true top-5 neighbors there. 1024 covers
+    // sf0.01 outright and 20% of sf0.1 (verified full-recall by sweep);
+    // production sizes rerank to corpus count and recall target, not a
+    // constant.
     Similarity.pqTopK(queries, corpus, codes, book, "embedding", "vec_id",
-      dim = 64, m = 16, k = 5, rerank = 192)
+      dim = 64, m = 16, k = 5, rerank = 1024)
       .select("q_id", "n_id", "rank")
   }
 
@@ -1059,7 +1066,7 @@ object SparkEntry {
         dim = 64, m = 16, k = 16)
     }
     Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
-      "embedding", "vec_id", k = 5, rerank = 192)
+      "embedding", "vec_id", k = 5, rerank = 1024)
       .select("q_id", "n_id", "rank")
   }
 
@@ -1087,7 +1094,7 @@ object SparkEntry {
     val codes = Similarity.pqEncode(rc, book, "embedding", "vec_id",
       dim = 64, m = 16)
     Similarity.opqTopK(queries, corpus, codes, book, rot, "embedding",
-      "vec_id", dim = 64, m = 16, k = 5, rerank = 192)
+      "vec_id", dim = 64, m = 16, k = 5, rerank = 1024)
       .select("q_id", "n_id", "rank")
   }
 
@@ -1110,7 +1117,7 @@ object SparkEntry {
         dim = 64, m = 16, k = 16)
     }
     Similarity.opqTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
-      "embedding", "vec_id", k = 5, rerank = 192)
+      "embedding", "vec_id", k = 5, rerank = 1024)
       .select("q_id", "n_id", "rank")
   }
 
@@ -1134,7 +1141,7 @@ object SparkEntry {
     val codes = Similarity.pqEncode(corpus, book, "embedding", "vec_id",
       dim = 64, m = 16)
     Similarity.ivfPqTopK(queries, corpus, codes, book, "embedding", "vec_id",
-      cellCol = "label", dim = 64, m = 16, k = 5, nprobe = 10, rerank = 192)
+      cellCol = "label", dim = 64, m = 16, k = 5, nprobe = 10, rerank = 1024)
       .select("q_id", "n_id", "rank")
   }
 
