@@ -981,6 +981,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Calibrate the ADC re-rank budget by measurement: the smallest
+    * rerank on a doubling ladder (`start`, 2·start, … `maxRerank`) whose
+    * recall@k on a SAMPLE of queries, measured against exact brute
+    * force, meets `recallTarget`. The budget is the PQ recall knob the
+    * cross-SF sweep showed must scale with the corpus — a constant that
+    * blankets a small corpus silently under-covers a big one. Same cost
+    * shape as [[calibrateNprobe]]: one brute pass over the sample plus
+    * ≤ log₂(maxRerank/start) ADC passes, paid once at deploy time.
+    * Returns `maxRerank` when the target is unreachable below it (raise
+    * the ceiling, or the codebooks are too coarse — retrain). */
+  def calibrateRerank(queries: DataFrame, corpus: DataFrame,
+                      codes: DataFrame, codebook: DataFrame,
+                      vecCol: String, idCol: String,
+                      dim: Int, m: Int, k: Int, recallTarget: Double,
+                      sampleSize: Int = 32, start: Int = 64,
+                      maxRerank: Int = 4096): Int = {
+    require(recallTarget > 0 && recallTarget <= 1, "recallTarget in (0, 1]")
+    require(start >= k && start <= maxRerank, "need k <= start <= maxRerank")
+    val sample = queries.limit(sampleSize).cache()
+    try {
+      def pairs(df: DataFrame): Set[(Any, Any)] =
+        df.select("q_id", "n_id").collect()
+          .map(r => (r.get(0), r.get(1))).toSet
+      val brute = pairs(bruteForceTopK(sample, corpus, vecCol, idCol, k))
+      if (brute.isEmpty) start
+      else {
+        var budget = start
+        var found = -1
+        while (found < 0 && budget < maxRerank) {
+          val got = pairs(pqTopK(sample, corpus, codes, codebook,
+            vecCol, idCol, dim, m, k, budget))
+          if ((got & brute).size.toDouble / brute.size >= recallTarget)
+            found = budget
+          else budget = math.min(maxRerank, budget * 2)
+        }
+        if (found > 0) found else maxRerank
+      }
+    } finally sample.unpersist()
+  }
+
   /** Calibrate the IVF recall/cost knob by measurement: the smallest
     * nprobe on a doubling ladder (1, 2, 4, … cells) whose recall@k on a
     * SAMPLE of queries, measured against exact brute force, meets

@@ -654,6 +654,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrateRerank: calibrated budget delivers the recall target; looser targets need no more") {
+    val q = emb.filter(col("vec_id") < 8)
+    val c = emb.filter(col("vec_id") >= 8)
+    val book = Similarity.pqTrain(c, "embedding", dim = 64, m = 16, k = 16)
+    val codes = Similarity.pqEncode(c, book, "embedding", "vec_id",
+      dim = 64, m = 16).cache()
+    try {
+      val exact = Similarity.calibrateRerank(q, c, codes, book, "embedding",
+        "vec_id", dim = 64, m = 16, k = 5, recallTarget = 1.0)
+      val loose = Similarity.calibrateRerank(q, c, codes, book, "embedding",
+        "vec_id", dim = 64, m = 16, k = 5, recallTarget = 0.5)
+      assert(loose <= exact && exact <= 4096)
+      // independent check: the calibrated budget really reproduces brute force
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5))
+      val got = pairs(Similarity.pqTopK(q, c, codes, book, "embedding",
+        "vec_id", dim = 64, m = 16, k = 5, rerank = exact))
+      assert(got == brute)
+    } finally codes.unpersist()
+  }
+
   test("ivfDriftCheck: same-corpus ratio ≤ 1, centroid batch near zero, shifted batch degrades") {
     withTempDir("graft_drift") { dir =>
       Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, cells = 8)
