@@ -50,8 +50,9 @@ object SparkEntry {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         try {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          val walk = java.nio.file.Files.walk(p)
+          val all = try walk.iterator().asScala.toSeq finally walk.close()
+          all.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
         } catch { case scala.util.control.NonFatal(_) => () }
       }))
       build(p.toString)
@@ -1206,8 +1207,34 @@ object SparkEntry {
     val idx = sessionIndexDir(s"s11_$d") { p =>
       Similarity.buildIvfIndex(corpus, "embedding", "vec_id", p, cells = 10)
     }
-    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
+    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5), idx,
       "embedding", "vec_id", k = 5, nprobe = 10)
+      .select("q_id", "n_id", "rank")
+  }
+
+  // Persisted IVFPQ index — the FAISS production layout as ONE stored
+  // index: coarse cells + PQ codes + refinement vectors in a single
+  // cell-partitioned table; a serving batch partition-prunes to probed
+  // cells AND scores M-byte codes within them. Oracle: at nprobe = cells
+  // every cell is probed, so the composition equals flat PQ (s6's shape),
+  // whose rerank=1024 candidates cover the true top-5 (sweep-verified at
+  // sf0.001/0.01/0.1) — the brute-force window oracle applies.
+  define("s12_ann_ivfpq_persisted",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val idx = sessionIndexDir(s"s12_$d") { p =>
+      Similarity.buildIvfPqIndex(corpus, "embedding", "vec_id", p,
+        dim = 64, m = 16, cells = 10, k = 16)
+    }
+    Similarity.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5), idx,
+      "embedding", "vec_id", k = 5, nprobe = 10, rerank = 1024)
       .select("q_id", "n_id", "rank")
   }
 
@@ -2409,6 +2436,25 @@ object SparkEntry {
            ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
          FROM q, c) WHERE rank <= 5""") { (s, d) =>
     graft.streaming.Streaming.streamingAnnFromIndex(s, d, "st12")
+  }
+
+  // Streaming ANN with the index lifecycle interleaved per micro-batch
+  // (serve-while-ingest): first corpus batch BUILDS the persisted IVF
+  // index, later batches drift-check + frozen-centroid APPEND, and every
+  // batch serves the fixed queries against all vectors ingested so far —
+  // later batches retrieve earlier batches' vectors. Each serve
+  // overwrites the output, so the surviving answer is the full-corpus
+  // one regardless of batch order, and at nprobe = cells it provably
+  // equals brute force whatever batch trained the centroids — s11's
+  // oracle transfers exactly.
+  define("st14_stream_ann_ingest",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    graft.streaming.Streaming.streamingAnnIngestServe(s, d, "st14")
   }
 
   // Streaming corpus-wide line dedup: the persisted line-hash index is

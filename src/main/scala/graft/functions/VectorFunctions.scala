@@ -226,6 +226,14 @@ case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long)
 }
 
 object RandomHyperplaneSignature {
+  /** Hash-FAMILY tag recorded in persisted LSH index `_params` and
+    * validated on every read/append: signatures from different coefficient
+    * families are incomparable (same bits/bands/seed notwithstanding), and
+    * a cross-family probe does not fail — it silently collapses recall.
+    * Bump this whenever [[coeff]]'s distribution or derivation changes
+    * (it was bumped for the uniform→Gaussian cutover). */
+  val family: String = "rhp-gauss-boxmuller-v2"
+
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -863,8 +863,12 @@ object Dedup {
                              indexPath: String, threshold: Double,
                              maxClusterSize: Long = 0L)
                             (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    // only (n_id, cell) — the v2 layout also stores vectors in the index,
+    // which this path gets from `emb`; selecting the slim pair keeps
+    // parquet column pruning in charge of not reading them twice
     val cells = emb.sparkSession.read
       .parquet(Similarity.resolveDataDir(indexPath, "cells"))
+      .select("n_id", "cell")
     semanticDedupAssigned(
       emb.join(cells, emb(idCol) === cells("n_id")).drop("n_id"),
       vecCol, idCol, "cell", threshold, maxClusterSize)

@@ -86,8 +86,14 @@ object Similarity {
     * corpus-wide signature pass is paid ONCE, and every later query batch
     * joins against the stored (id, band, bucket) table instead of
     * recomputing signatures over 100 TB of vectors. A `_params` side table
-    * records (bits, bands, seed) so query-side signatures are provably
-    * computed with the same hyperplanes. */
+    * records (bits, bands, seed, family) so query-side signatures are
+    * provably computed with the same hyperplanes — `family` names the
+    * hash-function FAMILY, not just its parameters: stored signatures are
+    * only comparable to query signatures drawn from the identical
+    * coefficient family, so readers/appenders refuse an index whose
+    * recorded family differs from the code's (a silent mismatch would not
+    * fail — it would quietly collapse recall, every bucket probe landing
+    * beside the stored buckets). */
   def buildLshIndex(corpus: DataFrame, vecCol: String, idCol: String,
                     path: String, bits: Int = 16, bands: Int = 8,
                     seed: Long = 7L): Unit = {
@@ -96,8 +102,29 @@ object Similarity {
     dropStalePointer(path, "index") // a rebuild starts a fresh lineage
     bandedSignatures(corpus, vecCol, idCol, "n_id", bits, bands, seed)
       .write.mode("overwrite").parquet(s"$path/index")
-    Seq((bits, bands, seed)).toDF("bits", "bands", "seed")
+    Seq((bits, bands, seed, graft.functions.RandomHyperplaneSignature.family))
+      .toDF("bits", "bands", "seed", "family")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Read + validate a [[buildLshIndex]] `_params` table: the recorded
+    * hyperplane family must match the code's current family. An untagged
+    * index (written before family tags) is by definition from a superseded
+    * family — rebuilding is the only safe path. */
+  private def lshParams(spark: org.apache.spark.sql.SparkSession,
+                        path: String): (Int, Int, Long) = {
+    val df = spark.read.parquet(s"$path/_params")
+    val p = df.head()
+    val fam =
+      if (df.schema.fieldNames.contains("family")) p.getAs[String]("family")
+      else "<untagged pre-family index>"
+    val cur = graft.functions.RandomHyperplaneSignature.family
+    require(fam == cur,
+      s"LSH index at $path was built with hyperplane family '$fam' but " +
+        s"this build computes '$cur' — querying or appending across " +
+        "families silently collapses recall; rebuild the index with " +
+        "buildLshIndex")
+    (p.getAs[Int]("bits"), p.getAs[Int]("bands"), p.getAs[Long]("seed"))
   }
 
   /** Append a new corpus partition's signatures to an existing
@@ -111,9 +138,7 @@ object Similarity {
   def appendToLshIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
                        path: String): Unit = {
     val spark = newCorpus.sparkSession
-    val p = spark.read.parquet(s"$path/_params").head()
-    val (bits, bands, seed) =
-      (p.getAs[Int]("bits"), p.getAs[Int]("bands"), p.getAs[Long]("seed"))
+    val (bits, bands, seed) = lshParams(spark, path)
     bandedSignatures(newCorpus, vecCol, idCol, "n_id", bits, bands, seed)
       .write.mode("append").parquet(resolveDataDir(path, "index"))
   }
@@ -128,9 +153,7 @@ object Similarity {
                        indexPath: String, vecCol: String, idCol: String,
                        k: Int, multiProbe: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
-    val p = spark.read.parquet(s"$indexPath/_params").head()
-    val (bits, bands, seed) =
-      (p.getAs[Int]("bits"), p.getAs[Int]("bands"), p.getAs[Long]("seed"))
+    val (bits, bands, seed) = lshParams(spark, indexPath)
     val index = spark.read.parquet(resolveDataDir(indexPath, "index"))
     lshTopKWithIndex(queries, corpus, index, vecCol, idCol, k,
       bits, bands, seed, multiProbe)
@@ -224,10 +247,17 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
-    // bounded, deterministic learning sample: normalize in Spark (one
-    // fused projection), take the first trainSample vectors
+    // bounded, deterministic, UNBIASED learning sample: normalize in Spark
+    // (one fused projection), then take the trainSample lowest-hash vectors
+    // — hash order is a seeded pseudo-random permutation, so the sample is
+    // representative even when the corpus is sorted/clustered by content
+    // (a plain limit() takes the first parquet rows, which after dedup or
+    // sharding are a biased slice and train biased codebooks). The sort is
+    // TakeOrderedAndProject — per-partition partial top-N + driver merge,
+    // never a full shuffle.
     val sample = spread(corpus)
       .select(unit(col(vecCol)).as("__nvec"))
+      .orderBy(xxhash64(col("__nvec"), lit(seed)))
       .limit(trainSample).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "pqTrain on an empty corpus")
@@ -374,7 +404,20 @@ object Similarity {
     * pure overhead relative to the closed-form per-row argmin.)
     * Ties break toward the smaller code, deterministically. */
   def pqEncode(corpus: DataFrame, codebook: DataFrame,
-               vecCol: String, idCol: String, dim: Int, m: Int): DataFrame = {
+               vecCol: String, idCol: String, dim: Int, m: Int): DataFrame =
+    spread(corpus)
+      .select(col(idCol).as("n_id"), unit(col(vecCol)).as("__nvec"))
+      .select(col("n_id"),
+        pqCodesColumn(codebook, col("__nvec"), dim, m).as("codes"))
+
+  /** The fused PQ encode projection: codebook collected (m·k tiny rows)
+    * and embedded as a nested LITERAL, per-subspace argmin as a native
+    * `aggregate` — no join anywhere. `nvec` must already be normalized
+    * (callers project [[unit]] once so codegen computes the norm once).
+    * Factored out so composite builds ([[buildIvfPqIndex]]) can fuse the
+    * encode with other per-row columns in ONE projection. */
+  private def pqCodesColumn(codebook: DataFrame, nvec: Column,
+                            dim: Int, m: Int): Column = {
     val sub = dim / m
     val book = codebook.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
@@ -386,20 +429,17 @@ object Similarity {
           .getOrElse(sys.error(s"codebook missing (sub=$s, code=$c)"))._3))
     val centroids = typedLit(byPos)
     val zero = struct(lit(-1).as("best"), lit(Double.MaxValue).as("bd"))
-    spread(corpus)
-      .select(col(idCol).as("n_id"), unit(col(vecCol)).as("__nvec"))
-      .select(col("n_id"),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val subvec = slice(col("__nvec"), s * sub + 1, lit(sub))
-          aggregate(sequence(lit(0), lit(kCodes - 1)), zero,
-            (acc, c) => {
-              val d = VF.l2Squared(subvec,
-                element_at(element_at(centroids, s + 1), c + 1))
-              when(d < acc.getField("bd"),
-                struct(c.as("best"), d.as("bd"))).otherwise(acc)
-            },
-            acc => acc.getField("best")).cast("int")
-        }).as("codes"))
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val subvec = slice(nvec, s * sub + 1, lit(sub))
+      aggregate(sequence(lit(0), lit(kCodes - 1)), zero,
+        (acc, c) => {
+          val d = VF.l2Squared(subvec,
+            element_at(element_at(centroids, s + 1), c + 1))
+          when(d < acc.getField("bd"),
+            struct(c.as("best"), d.as("bd"))).otherwise(acc)
+        },
+        acc => acc.getField("best")).cast("int")
+    })
   }
 
   /** ANN over PQ codes: per query, build the M×K table of subspace
@@ -716,14 +756,29 @@ object Similarity {
     * the next compaction. A crash after it leaves the new generation
     * live and the previous one as a sweepable orphan. Single-writer
     * ownership (the contract appends already require) still governs
-    * CONCURRENT writers; readers need no coordination at all. */
+    * CONCURRENT writers; readers need no coordination at all — which is
+    * also why the SUPERSEDED generation is not deleted here: Spark reads
+    * are lazy, so a reader that resolved the old directory just before
+    * the flip may execute its scan after this call returns. The old
+    * generation is left as an orphan and reclaimed by the NEXT
+    * compaction's sweep, by which point any such reader has long
+    * finished (grace period = one full compaction cycle).
+    *
+    * Cell-partitioned tables (the IVF/IVFPQ v2 layouts) are rewritten
+    * preserving their hive `cell=` directory structure — compaction must
+    * not undo the partition pruning the layout exists for — with each
+    * cell's slivers folded into one file (`repartition(col("cell"))`:
+    * whole cells hash to one task). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    partitions: Int = 0): Unit = {
     import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    // materialize listings BEFORE mutating, and close the JDK streams
+    // (Files.walk/list leak directory handles otherwise)
     def deleteRec(p: Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(f => Files.deleteIfExists(f))
     }
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
@@ -732,12 +787,16 @@ object Similarity {
       if (Files.isDirectory(live)) {
         val liveName = live.getFileName.toString
         // sweep orphans: generation dirs no pointer targets (crashed
-        // compactions), plus the legacy staging/old dirs of the previous
-        // two-rename scheme — never the live dir itself
+        // compactions and generations superseded by earlier compactions),
+        // plus the legacy staging/old dirs of the previous two-rename
+        // scheme — never the live dir itself
         val genRe = (java.util.regex.Pattern.quote(sub) + "\\.g\\d+").r
         val root = Paths.get(path)
-        import scala.jdk.CollectionConverters._
-        Files.list(root).iterator().asScala.toSeq.foreach { p =>
+        val listing = {
+          val s = Files.list(root)
+          try s.iterator().asScala.toSeq finally s.close()
+        }
+        listing.foreach { p =>
           val nm = p.getFileName.toString
           val orphanGen = genRe.matches(nm) && nm != liveName
           // a crash AFTER the pointer flip leaves the superseded plain
@@ -753,15 +812,20 @@ object Similarity {
           case _ => f"$sub.g${1}%04d"
         }
         val genDir = Paths.get(path, gen)
-        spark.read.parquet(live.toString)
-          .repartition(n)
-          .write.mode("overwrite").parquet(genDir.toString)
+        val df = spark.read.parquet(live.toString)
+        if (df.columns.contains("cell"))
+          df.repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(genDir.toString)
+        else
+          df.repartition(n).write.mode("overwrite").parquet(genDir.toString)
         // commit: write the pointer beside its final name, atomic rename
         val tmp = Paths.get(path, s"$sub.ptr.tmp")
         Files.write(tmp, gen.getBytes("UTF-8"))
         Files.move(tmp, Paths.get(path, s"$sub.ptr"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        deleteRec(live)
+        // the superseded `live` dir is deliberately NOT deleted here —
+        // see the scaladoc's reader-grace argument; next sweep reclaims it
       }
     }
   }
@@ -845,15 +909,28 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Persist an IVF index at `path` (parquet): `cells` (one slim
-    * (n_id, cell) assignment row per vector — the inverted file),
-    * `centroids` (k rows), `_params` (cells, seed). The k-means train +
-    * full-corpus assignment is paid ONCE; every later query batch probes
-    * the stored centroids and touches only the probed cells' rows —
-    * completing the build/append/query/compact index lifecycle for the
-    * IVF family (LSH: [[buildLshIndex]], PQ: [[buildPqIndex]], OPQ:
-    * [[buildOpqIndex]]). At 100 TB the `cells` table is what you'd
-    * bucket/partition the corpus by at write time. */
+  /** Layout tag for cell-partitioned persisted IVF indexes; recorded in
+    * `_params` and validated by every reader/appender (an old slim-layout
+    * index has no vectors inside — probing it as v2 would not fail, it
+    * would return nothing). */
+  private[operators] val IvfLayoutV2 = "ivf-cells-partitioned-v2"
+
+  /** Persist an IVF index at `path` (parquet): `cells` — the inverted
+    * file, one (n_id, vec) row per vector, HIVE-PARTITIONED BY `cell` —
+    * plus `centroids` (k rows) and `_params` (cells, seed, base_err,
+    * layout). The k-means train + full-corpus assignment + ONE shuffle
+    * into cell-partitioned layout are paid at build time; every later
+    * query batch probes the stored centroids and then READS ONLY the
+    * probed cells' directories via parquet partition pruning — a serving
+    * batch at nprobe=2 of 1024 cells lists 2 directories, not the corpus.
+    * This is what makes the index an index at 10⁹ vectors: the previous
+    * slim (n_id, cell) layout still joined the FULL corpus on n_id per
+    * serving batch (nprobe pruned scoring, not IO/shuffle). The vectors
+    * living inside the index is the FAISS inverted-list layout — the
+    * index IS the serving copy of the corpus, laid out for probes.
+    * Completes the build/append/query/compact lifecycle for the IVF
+    * family (LSH: [[buildLshIndex]], PQ: [[buildPqIndex]], OPQ:
+    * [[buildOpqIndex]]). */
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
                     path: String, cells: Int = 16, seed: Long = 7L,
                     assignExpr: Option[Column] = None): Unit = {
@@ -867,8 +944,11 @@ object Similarity {
       case Some(e) => corpus.withColumn("cell", e.cast("int"))
       case None    => kmeansCells(corpus, vecCol, cells, seed)
     }
-    assigned.select(col(idCol).as("n_id"), col("cell"))
-      .write.mode("overwrite").parquet(s"$path/cells")
+    // one shuffle on cell groups whole cells per task → one file per cell
+    // (slivers from later appends fold back in via compactIndex)
+    assigned.select(col(idCol).as("n_id"), col(vecCol).as("vec"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     // member-mean centroids of the stored assignment: self-consistent with
     // what queries probe and what appends assign against
     val cents = cellCentroids(assigned, vecCol, "cell")
@@ -881,22 +961,43 @@ object Similarity {
         .agg(avg(lit(1.0) - VF.cosineSimilarity(col(vecCol), col("centroid"))))
         .head.get(0))
       .map(_.asInstanceOf[Double]).getOrElse(0.0)
-    Seq((cells, seed, baseErr)).toDF("cells", "seed", "base_err")
+    Seq((cells, seed, baseErr, IvfLayoutV2))
+      .toDF("cells", "seed", "base_err", "layout")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Validate that the index at `path` carries the expected `layout` tag
+    * in `_params`; untagged = pre-v2 slim layout, whose stored table has
+    * no vectors — unusable by v2 readers/appenders. */
+  private def requireLayout(spark: org.apache.spark.sql.SparkSession,
+                            path: String, expected: String): Unit = {
+    val df = spark.read.parquet(s"$path/_params")
+    val got =
+      if (df.schema.fieldNames.contains("layout"))
+        df.head.getAs[String]("layout")
+      else "<untagged slim layout>"
+    require(got == expected,
+      s"index at $path has layout '$got' but this operation needs " +
+        s"'$expected' — rebuild the index")
   }
 
   /** Append new vectors to a [[buildIvfIndex]] index: assign each to its
     * max-cosine stored centroid (FROZEN centroids — the same freeze
     * contract as [[appendToPqIndex]]'s codebooks: cells train once on a
     * representative corpus, re-clustering is an explicit rebuild on
-    * drift) and append the slim (n_id, cell) rows. The centroid argmax
-    * embeds the k×D centroid table as a LITERAL, so assignment is one
-    * fused projection over the new vectors — no join, no shuffle. */
+    * drift) and append (n_id, vec) rows into the cell-partitioned store.
+    * The centroid argmax embeds the k×D centroid table as a LITERAL, so
+    * assignment is one fused projection over the new vectors — no join,
+    * no shuffle; the partitioned append adds one sliver file per touched
+    * cell ([[compactIndex]] folds them). */
   def appendToIvfIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
-                       path: String): Unit =
+                       path: String): Unit = {
+    requireLayout(newCorpus.sparkSession, path, IvfLayoutV2)
     nearestStoredCentroid(spread(newCorpus), vecCol, path)
-      .select(col(idCol).as("n_id"), col("cell"))
-      .write.mode("append").parquet(resolveDataDir(path, "cells"))
+      .select(col(idCol).as("n_id"), col(vecCol).as("vec"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(resolveDataDir(path, "cells"))
+  }
 
   /** Nearest STORED centroid per row: the k×D centroid table embeds as a
     * LITERAL, so the argmax is one fused projection over the input — no
@@ -956,29 +1057,144 @@ object Similarity {
   final case class DriftReport(baseErr: Double, batchErr: Double,
                                ratio: Double)
 
-  /** ANN against a [[buildIvfIndex]]-persisted index: stored centroids
-    * are probed (no per-query centroid recompute over the corpus), the
-    * stored inverted file restricts scoring to probed cells' rows, and
-    * `corpus` supplies vectors by id equi-join. With `nprobe` ≥ cells
-    * this provably equals [[bruteForceTopK]] (every row scored, same
-    * tie-break) — the oracle argument the s11 gate uses. */
-  def ivfTopKFromIndex(queries: DataFrame, corpus: DataFrame,
-                       indexPath: String, vecCol: String, idCol: String,
+  /** ANN against a [[buildIvfIndex]]-persisted index. The serving batch
+    * touches NO table but the index: stored centroids are probed (tiny,
+    * broadcast), the distinct probed cell ids (≤ min(|Q|·nprobe, cells)
+    * ints — a deliberate, bounded driver collect) become an `IN`
+    * predicate on the partition column, so the scan LISTS AND READS ONLY
+    * the probed `cell=` directories (PartitionFilters — pinned by
+    * PlanSpec), and stored vectors score in place against the broadcast
+    * query probes. No corpus-side argument, no corpus-wide join, no
+    * shuffle of anything corpus-sized — per batch the IO is
+    * Σ(probed cell sizes) and the only exchange is the per-query top-k
+    * window over scored rows. With `nprobe` ≥ cells every partition is
+    * probed and this provably equals [[bruteForceTopK]] (every row
+    * scored, same tie-break) — the oracle argument the s11 gate uses. */
+  def ivfTopKFromIndex(queries: DataFrame, indexPath: String,
+                       vecCol: String, idCol: String,
                        k: Int, nprobe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
+    requireLayout(spark, indexPath, IvfLayoutV2)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
-    val cells = spark.read.parquet(resolveDataDir(indexPath, "cells"))
     val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
-    val c = spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .join(cells, "n_id")
-    val scored = c.join(broadcast(probes), Seq("cell"))
+    // bounded collect: the probed-cell id set, capped by the cell count
+    val probed = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stored = spark.read.parquet(resolveDataDir(indexPath, "cells"))
+      .filter(col("cell").isin(probed: _*))
+    val scored = stored.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        VF.cosineSimilarity(col("q_vec"), col("n_vec")).as("cosine"))
+        VF.cosineSimilarity(col("q_vec"), col("vec")).as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Layout tag for cell-partitioned persisted IVFPQ indexes. */
+  private[operators] val IvfPqLayoutV1 = "ivfpq-cells-partitioned-v1"
+
+  /** Persist an IVFPQ index at `path` — the FAISS production layout as
+    * ONE index: coarse cells AND PQ codes stored together, so a serving
+    * batch both prunes IO (partition pruning to probed `cell=` dirs) and
+    * scores M-byte codes instead of D-float vectors within them. Tables:
+    * `codes` — one (n_id, vec, codes) row per vector, HIVE-PARTITIONED BY
+    * `cell`; `centroids` (coarse, cells rows); `codebook` (m·k rows);
+    * `_params`. The stored `vec` is the refinement store for the exact
+    * re-rank (FAISS's IVFPQR shape, riding in the same partitioned table
+    * so re-rank IO is pruned identically); a deployment that re-ranks
+    * against an external flat store would drop the column and keep pure
+    * M-byte rows. s7's on-the-fly [[ivfPqTopK]] is the same composition
+    * without the persistence; this pays coarse train + PQ train + encode
+    * + the one partitioning shuffle ONCE. Lifecycle: build /
+    * [[appendToIvfPqIndex]] frozen append / [[ivfPqTopKFromIndex]] query /
+    * [[compactIndex]] sliver fold (partition-preserving). */
+  def buildIvfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                      path: String, dim: Int, m: Int,
+                      cells: Int = 16, k: Int = 256, seed: Long = 7L,
+                      assignExpr: Option[Column] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    dropStalePointer(path, "codes") // a rebuild starts a fresh lineage
+    val assigned = assignExpr match {
+      case Some(e) => corpus.withColumn("cell", e.cast("int"))
+      case None    => kmeansCells(corpus, vecCol, cells, seed)
+    }
+    val book = pqTrain(corpus, vecCol, dim, m, k, seed)
+    book.write.mode("overwrite").parquet(s"$path/codebook")
+    cellCentroids(assigned, vecCol, "cell")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // cell assignment + PQ encode fused in one projection over the corpus,
+    // then the one shuffle into cell-partitioned layout
+    assigned
+      .select(col(idCol).as("n_id"), col(vecCol).as("vec"), col("cell"))
+      .withColumn("__nvec", unit(col("vec")))
+      .select(col("n_id"), col("vec"),
+        pqCodesColumn(book, col("__nvec"), dim, m).as("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    Seq((cells, dim, m, k, seed, IvfPqLayoutV1))
+      .toDF("cells", "dim", "m", "k", "seed", "layout")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Append new vectors to a [[buildIvfPqIndex]] index under the freeze
+    * contract: coarse assignment against FROZEN stored centroids and PQ
+    * encode against the FROZEN stored codebook, fused in one projection
+    * (both embed as literals — no join, no shuffle), appended as sliver
+    * files into the touched `cell=` dirs. [[ivfDriftCheck]] is the
+    * rebuild tripwire for both frozen artifacts; [[compactIndex]] folds
+    * the slivers. */
+  def appendToIvfPqIndex(newCorpus: DataFrame, vecCol: String,
+                         idCol: String, path: String): Unit = {
+    val spark = newCorpus.sparkSession
+    requireLayout(spark, path, IvfPqLayoutV1)
+    val p = spark.read.parquet(s"$path/_params").head()
+    val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
+    val book = spark.read.parquet(s"$path/codebook")
+    nearestStoredCentroid(spread(newCorpus), vecCol, path)
+      .withColumn("__nvec", unit(col(vecCol)))
+      .select(col(idCol).as("n_id"), col(vecCol).as("vec"),
+        pqCodesColumn(book, col("__nvec"), dim, m).as("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(resolveDataDir(path, "codes"))
+  }
+
+  /** ANN against a [[buildIvfPqIndex]] index. Per serving batch: probe
+    * the stored coarse centroids (broadcast), partition-prune the scan to
+    * the probed `cell=` dirs (the bounded driver collect of probed cell
+    * ids becomes the `IN` partition predicate), ADC-score ONLY those
+    * cells' codes against the broadcast per-query lookup tables, and
+    * exact-cosine re-rank the `rerank` best against the stored refinement
+    * vectors — read from the SAME pruned partitions. No argument but the
+    * queries touches data; nothing corpus-sized shuffles. With `nprobe` ≥
+    * cells and `rerank` covering the true top-k's ADC positions this
+    * equals [[bruteForceTopK]] — the same exactness transfer s7/s9/s10
+    * use, which is how the s12 gate oracles it. */
+  def ivfPqTopKFromIndex(queries: DataFrame, indexPath: String,
+                         vecCol: String, idCol: String, k: Int,
+                         nprobe: Int = 2, rerank: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    requireLayout(spark, indexPath, IvfPqLayoutV1)
+    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val book = spark.read.parquet(s"$indexPath/codebook")
+    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
+    val probed = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stored = spark.read.parquet(resolveDataDir(indexPath, "codes"))
+      .filter(col("cell").isin(probed: _*))
+    // (q_id, cell, tbl): |Q|·nprobe rows — broadcastable
+    val probedTbl = probes.select("q_id", "cell")
+      .join(qAdcTables(queries, book, vecCol, idCol, dim, m), "q_id")
+    val adc = stored.join(broadcast(probedTbl), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adcDist(m).as("adc_dist"))
+    exactRerank(adcCandidates(adc, rerank), queries,
+      stored.select(col("n_id").as(idCol), col("vec").as(vecCol)),
+      vecCol, idCol, k)
   }
 
   /** Calibrate the ADC re-rank budget by measurement: the smallest
@@ -1049,7 +1265,7 @@ object Similarity {
         var np = 1
         var found = -1
         while (found < 0 && np < cells) {
-          val got = pairs(ivfTopKFromIndex(sample, corpus, indexPath,
+          val got = pairs(ivfTopKFromIndex(sample, indexPath,
             vecCol, idCol, k, np))
           if ((got & brute).size.toDouble / brute.size >= recallTarget)
             found = np

@@ -309,8 +309,24 @@ object Streaming {
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state) =>
-          val seen: Array[Long] =
-            state.getOption.map(_.toArray).getOrElse(Array.empty)
+          val seen: Array[Long] = {
+            val arr = state.getOption.map(_.toArray).getOrElse(Array.empty[Long])
+            // the binary search below REQUIRES sorted state, but a
+            // checkpoint written by the pre-sorted-state version of this
+            // operator holds insertion-ordered arrays — silently feeding
+            // those to binarySearch would re-emit pairs for already-seen
+            // ids. One O(n) sortedness check per trigger buys resumability
+            // across the state-shape change; the sort itself only ever
+            // fires on the first trigger after such a resume.
+            var i = 1
+            var sorted = true
+            while (sorted && i < arr.length) {
+              if (arr(i - 1) > arr(i)) sorted = false
+              i += 1
+            }
+            if (!sorted) java.util.Arrays.sort(arr)
+            arr
+          }
           // batch ids, deduped+sorted; drop already-seen via binary search
           val fresh = rows.map(_._3).toSeq.distinct.sorted
             .filter(id => java.util.Arrays.binarySearch(seen, id) < 0)
@@ -487,7 +503,7 @@ object Streaming {
         .foreachBatch { (mb: DataFrame, _: Long) =>
           val queries = mb.filter(col("vec_id") < 5)
           if (!queries.isEmpty)
-            Similarity.ivfTopKFromIndex(queries, corpus, idxDir,
+            Similarity.ivfTopKFromIndex(queries, idxDir,
               "embedding", "vec_id", k = 5, nprobe = 10)
               .select("q_id", "n_id", "rank")
               .write.mode("append").parquet(outDir)
@@ -497,6 +513,75 @@ object Streaming {
       q.processAllAvailable()
       q.stop()
     } finally corpus.unpersist()
+    spark.read.parquet(outDir)
+  }
+
+  /** Streaming ANN with the FULL index lifecycle interleaved per
+    * micro-batch — serve-while-ingest, the shape a live retrieval service
+    * actually runs: the first corpus batch BUILDS the persisted IVF index
+    * ([[graft.operators.Similarity.buildIvfIndex]]); every later batch
+    * runs the drift tripwire ([[graft.operators.Similarity.ivfDriftCheck]]
+    * — its report is appended to a side log rather than acted on, the
+    * deployment decision being a rebuild policy, not an operator) and
+    * frozen-centroid APPENDS its vectors
+    * ([[graft.operators.Similarity.appendToIvfIndex]]); then the fixed
+    * query set is served against everything ingested SO FAR — later
+    * batches retrieve earlier batches' vectors through the index, which
+    * is the property st12's frozen pre-built index never exercises.
+    *
+    * Determinism under unordered file streaming: each serve OVERWRITES
+    * the output, so the surviving result is the one computed after the
+    * LAST batch — the fully-ingested corpus — regardless of arrival
+    * order; and at nprobe = cells the probe covers every partition, so
+    * that final answer provably equals brute force over the whole corpus
+    * no matter which batch's vectors trained the centroids. The batch
+    * s11 oracle therefore transfers exactly. The corpus is staged into
+    * `ingestFiles` parquet files so the lifecycle genuinely iterates
+    * (build, then ≥1 drift+append rounds) instead of collapsing into one
+    * build-only batch. */
+  def streamingAnnIngestServe(spark: SparkSession, sfDir: String,
+                              name: String, ingestFiles: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idxDir = base.resolve("ivf").toString
+    val driftLog = base.resolve("drift").toString
+    val ingestDir = base.resolve("ingest").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val cells = 8
+    // stage the corpus as N files = N micro-batches under maxFilesPerTrigger=1
+    emb.filter(col("vec_id") >= 5).repartition(ingestFiles)
+      .write.mode("overwrite").parquet(ingestDir)
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        if (!mb.isEmpty) {
+          if (!new java.io.File(s"$idxDir/centroids").exists())
+            Similarity.buildIvfIndex(mb, "embedding", "vec_id", idxDir,
+              cells = cells)
+          else {
+            val drift = Similarity.ivfDriftCheck(mb, "embedding", idxDir)
+            import spark.implicits._
+            Seq((drift.baseErr, drift.batchErr, drift.ratio))
+              .toDF("base_err", "batch_err", "ratio")
+              .write.mode("append").parquet(driftLog)
+            Similarity.appendToIvfIndex(mb, "embedding", "vec_id", idxDir)
+          }
+          Similarity.ivfTopKFromIndex(queries, idxDir,
+            "embedding", "vec_id", k = 5, nprobe = cells)
+            .select("q_id", "n_id", "rank")
+            .write.mode("overwrite").parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
     spark.read.parquet(outDir)
   }
 

@@ -222,7 +222,7 @@ object CurationSoak {
           cells = 16); 1L
       }
       time("ann_ivf_from_index_50k_nprobe3") {
-        Similarity.ivfTopKFromIndex(queries, corpus50k, ivfDir, "embedding",
+        Similarity.ivfTopKFromIndex(queries, ivfDir, "embedding",
           "vec_id", k = 10, nprobe = 3).count()
       }
       time("semantic_dedup_from_index_50k") {

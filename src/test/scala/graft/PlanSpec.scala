@@ -140,6 +140,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-IVF serving scan prunes to the probed cell partitions") {
+    // The scale contract of the v2 cell-partitioned layout: a serving
+    // batch must LIST AND READ only probed `cell=` directories — the
+    // probe predicate in PartitionFilters (directory metadata), never a
+    // corpus-wide join. Mirrors the hive-prune pin above, on the index.
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_prune_").toString
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree
+      val emb = Tables.load(spark, sf, "embeddings")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", tmp, cells = 8)
+      val df = Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") === 0),
+        tmp, "embedding", "vec_id", k = 3, nprobe = 2)
+      df.count()
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val idxScan = scans.filter(_.partitionFilters.nonEmpty)
+      assert(idxScan.nonEmpty,
+        s"no scan carries PartitionFilters — serving is not partition-pruned:\n${plan(df)}")
+      val dirs = idxScan.head.relation.location
+        .listFiles(idxScan.head.partitionFilters, Nil).length
+      assert(dirs <= 2, s"expected ≤ nprobe=2 partition dirs listed, got $dirs")
+      assert(dirs < 8, "pruning read every cell — no better than a full scan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("hash split and deterministic sample are pure maps: no Exchange in the plan") {
     val ids = Tables.load(spark, sf, "documents").select("doc_id")
     val p1 = plan(graft.operators.Splits.assign(ids, "doc_id"))
