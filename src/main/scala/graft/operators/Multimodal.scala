@@ -47,17 +47,26 @@ object Multimodal {
     def decode(bytes: Array[Byte]): (Int, Int, Int) = fakeDecode(bytes)
   }
 
-  /** REAL header decoder for the two ubiquitous still-image formats,
-    * implemented pure-JVM (no codec library): PNG dimensions come from the
-    * IHDR chunk (always the first chunk after the 8-byte signature,
-    * width/height big-endian at offsets 16/20 — PNG spec §11.2.2), JPEG
-    * dimensions from the first SOFn frame-header segment (height/width
-    * big-endian at segment offsets 5/7 — ITU T.81 §B.2.2), walking the
-    * marker-segment chain and skipping the non-frame 0xC4/0xC8/0xCC
-    * markers that share the SOF numbering. Payloads that are neither
-    * format fall through to `fallback` (the stub by default), so mixed
-    * corpora decode what is decodable instead of failing the task.
-    * Still images report nFrames = 1. */
+  /** REAL header decoder for the ubiquitous still-image and video
+    * container formats, implemented pure-JVM (no codec library):
+    *  - PNG dimensions from the IHDR chunk (always the first chunk after
+    *    the 8-byte signature, width/height big-endian at offsets 16/20 —
+    *    PNG spec §11.2.2);
+    *  - JPEG dimensions from the first SOFn frame-header segment
+    *    (height/width big-endian at segment offsets 5/7 — ITU T.81
+    *    §B.2.2), walking the marker-segment chain and skipping the
+    *    non-frame 0xC4/0xC8/0xCC markers that share the SOF numbering;
+    *  - MP4/ISO-BMFF (ISO/IEC 14496-12) via a box walk: descend
+    *    `moov` → `trak` → `tkhd` for the first video track's 16.16-fixed
+    *    width/height, and that track's `mdia`→`minf`→`stbl`→`stsz`
+    *    sample count for nFrames — the pure-structure metadata a
+    *    faststart byte PREFIX already carries (the walk clamps every box
+    *    to the available bytes, so a prefix whose `moov` is complete
+    *    parses even with `mdat` truncated, which is exactly the
+    *    first-N-bytes shape a 100 TB ingest hands the decoder).
+    * Payloads in none of these formats fall through to `fallback` (the
+    * stub by default), so mixed corpora decode what is decodable instead
+    * of failing the task. Still images report nFrames = 1. */
   class ImageHeaderDecoder(fallback: PayloadDecoder = FakeDecoder)
       extends PayloadDecoder {
     private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
@@ -75,7 +84,79 @@ object Multimodal {
         (be32(bytes, 16), be32(bytes, 20), 1)
       else if (bytes.length >= 4 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
         jpegSof(bytes).getOrElse(fallback.decode(bytes))
+      else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+               bytes(6) == 'y' && bytes(7) == 'p')
+        mp4Header(bytes).getOrElse(fallback.decode(bytes))
       else fallback.decode(bytes)
+    }
+
+    /** Flat box listing of [from, to): (type, contentStart, contentEnd).
+      * Handles 64-bit largesize (size==1) and to-end boxes (size==0);
+      * clamps to the available bytes; stops at the first corrupt size. */
+    private def boxList(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var i = from
+      var done = false
+      while (!done && i + 8 <= to) {
+        val size32 = be32(b, i).toLong & 0xffffffffL
+        val tpe = new String(b, i + 4, 4, "ISO-8859-1")
+        val (size, header): (Long, Int) =
+          if (size32 == 1 && i + 16 <= to)
+            (((be32(b, i + 8).toLong & 0xffffffffL) << 32) |
+              (be32(b, i + 12).toLong & 0xffffffffL), 16)
+          else if (size32 == 0) ((to - i).toLong, 8)
+          else (size32, 8)
+        if (size < header) done = true // corrupt — keep what we have
+        else {
+          out += ((tpe, i + header, math.min(to.toLong, i + size).toInt))
+          if (i + size >= to) done = true else i = (i + size).toInt
+        }
+      }
+      out.result()
+    }
+
+    private def child(boxes: Seq[(String, Int, Int)],
+                      name: String): Option[(Int, Int)] =
+      boxes.collectFirst { case (t, s, e) if t == name => (s, e) }
+
+    /** moov→trak→tkhd dims + that trak's stbl→stsz sample count. */
+    private def mp4Header(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      val top = boxList(b, 0, b.length)
+      if (child(top, "ftyp").isEmpty) return None
+      child(top, "moov").flatMap { case (ms, me) =>
+        val inMoov = boxList(b, ms, me)
+        val tracks = inMoov.collect { case ("trak", s, e) => (s, e) }
+        tracks.iterator.flatMap { case (ts, te) =>
+          val inTrak = boxList(b, ts, te)
+          child(inTrak, "tkhd").flatMap { case (hs, he) =>
+            // tkhd: version(1)+flags(3), then v0 fixed fields = 72 bytes
+            // (creation/modification/track_ID/reserved/duration 4B each,
+            // reserved 8, layer/alt_group/volume/reserved 2B each,
+            // matrix 36) → width at +76; v1 widens the three time fields
+            // to 8B → width at +88. Width/height are 16.16 fixed-point.
+            val dimOff = hs + (if (u8(b, hs) == 1) 88 else 76)
+            if (dimOff + 8 > he) None
+            else {
+              val w = be32(b, dimOff) >>> 16
+              val h = be32(b, dimOff + 4) >>> 16
+              if (w == 0 || h == 0) None // audio/hint track — keep looking
+              else {
+                // frame count = the video track's sample count:
+                // stsz content is version+flags(4), sample_size(4),
+                // sample_count(4) — sample_count at +8 in both layouts
+                val frames = for {
+                  (mdS, mdE) <- child(inTrak, "mdia")
+                  (mfS, mfE) <- child(boxList(b, mdS, mdE), "minf")
+                  (sbS, sbE) <- child(boxList(b, mfS, mfE), "stbl")
+                  (szS, szE) <- child(boxList(b, sbS, sbE), "stsz")
+                  if szS + 12 <= szE
+                } yield be32(b, szS + 8)
+                Some((w, h, math.max(1, frames.getOrElse(1))))
+              }
+            }
+          }
+        }.nextOption()
+      }
     }
 
     /** Walk JPEG marker segments to the first SOFn; None on truncation. */

@@ -1186,9 +1186,12 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val stored = spark.read.parquet(resolveDataDir(indexPath, "codes"))
       .filter(col("cell").isin(probed: _*))
-    // (q_id, cell, tbl): |Q|·nprobe rows — broadcastable
+    // (q_id, cell, tbl): |Q|·nprobe rows — broadcastable; the ADC-table
+    // side is |Q| rows, so hint it broadcast too (both sides are
+    // query-sized — without the hint Catalyst's size-unknown default is a
+    // sort-merge join inside this tiny query-side subtree)
     val probedTbl = probes.select("q_id", "cell")
-      .join(qAdcTables(queries, book, vecCol, idCol, dim, m), "q_id")
+      .join(broadcast(qAdcTables(queries, book, vecCol, idCol, dim, m)), "q_id")
     val adc = stored.join(broadcast(probedTbl), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), adcDist(m).as("adc_dist"))

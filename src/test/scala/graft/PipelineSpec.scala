@@ -1213,6 +1213,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageHeaderDecoder parses MP4 (ISO-BMFF) headers: dims, frame count, prefix tolerance") {
+    import Multimodal.ImageHeaderDecoder
+    // Build a REAL minimal MP4 by the ISO/IEC 14496-12 box layout —
+    // faststart ordering (moov before mdat), an audio trak FIRST (zero
+    // tkhd dims, must be skipped), then the video trak with 16.16-fixed
+    // 640×360 dims and an stsz sample count of 120.
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, content: Array[Byte]*): Array[Byte] = {
+      val body = content.flatten.toArray
+      be32(8 + body.length) ++ tpe.getBytes("ISO-8859-1") ++ body
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      box("tkhd", Array.fill[Byte](4)(0), // version 0 + flags
+        Array.fill[Byte](72)(0),          // v0 fixed fields through matrix
+        be32(w << 16), be32(h << 16))     // 16.16 fixed dims
+    def stszBox(n: Int): Array[Byte] =
+      box("stsz", Array.fill[Byte](4)(0), be32(0), be32(n))
+    val audioTrak = box("trak", tkhd(0, 0))
+    val videoTrak = box("trak", tkhd(640, 360),
+      box("mdia", box("minf", box("stbl", stszBox(120)))))
+    val mvhd = box("mvhd", Array.fill[Byte](4)(0), be32(0), be32(0),
+      be32(1000), be32(42000)) // timescale 1000, duration 42 s
+    val moov = box("moov", mvhd, audioTrak, videoTrak)
+    val ftyp = box("ftyp", "isom".getBytes, be32(512), "isomiso2".getBytes)
+    val mdat = box("mdat", Array.fill[Byte](256)(7))
+    val mp4 = ftyp ++ moov ++ mdat
+    assert(ImageHeaderDecoder.decode(mp4) == ((640, 360, 120)))
+    // the first-N-bytes ingest shape: moov complete, mdat truncated
+    val prefix = mp4.take(ftyp.length + moov.length + 12)
+    assert(ImageHeaderDecoder.decode(prefix) == ((640, 360, 120)))
+    // a prefix cut INSIDE moov cannot resolve a video track → fallback
+    val torn = mp4.take(ftyp.length + 20)
+    assert(ImageHeaderDecoder.decode(torn) == Multimodal.fakeDecode(torn))
+    // audio-only container (no nonzero-dim trak) → fallback, no throw
+    val audioOnly = ftyp ++ box("moov", mvhd, audioTrak)
+    assert(ImageHeaderDecoder.decode(audioOnly) ==
+      Multimodal.fakeDecode(audioOnly))
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val decoded = Multimodal.decodeFeaturesColumnar(
       Multimodal.attachPayload(docs, "text", "image/fake"), "doc_id")
