@@ -2206,13 +2206,17 @@ object SparkEntry {
          ON p.user_id = b.user_id AND p.ts = b.pts
        ORDER BY b.event_id""") { (s, d) =>
     import graft.operators.AsOf
-    val ev = t(s, d, "events")
+    // normalize ts to epoch-nanos up front: joinWithin's freshness check
+    // subtracts ts values and compares to maxAge, which needs a numeric ts
+    // under either physical encoding (ns-long / µs-timestamp)
+    val ev0 = t(s, d, "events")
+    val ev = ev0.withColumn("ts", graft.Tables.tsNanos(ev0))
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id", "ts").agg(max("value").as("pv"))
     AsOf.joinWithin(clicks, purchases, Seq("user_id"), "ts", Seq("pv"),
-        maxAge = 3600L * 1000000000L) // 1 h in nanos (events.ts is long nanos)
+        maxAge = 3600L * 1000000000L) // 1 h in nanos (ts normalized above)
       .filter(col("pv").isNotNull)
       .select(col("event_id"), col("user_id"),
         round(col("pv"), 2).as("recent_purchase"))
@@ -2319,7 +2323,11 @@ object SparkEntry {
        GROUP BY user_id""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    t(s, d, "events").select(col("user_id"), col("event_id"), col("ts"))
+    val ev = t(s, d, "events")
+    // epoch-nanos view: the 30-min gap constant is in nanos, and the gate
+    // must hold under either ts physical encoding (ns-long / µs-timestamp)
+    ev.select(col("user_id"), col("event_id"),
+        graft.Tables.tsNanos(ev).as("ts"))
       .withColumn("is_new",
         when(col("ts") - lag("ts", 1).over(w) > 1800000000000L ||
           lag("ts", 1).over(w).isNull, 1L).otherwise(0L))

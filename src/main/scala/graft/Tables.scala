@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over the driver-generated parquet test tables.
   *
@@ -23,6 +25,45 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---- events.ts physical-encoding normalizers -------------------------
+  // The generated `events.parquet` has shipped with two different physical
+  // encodings for `ts`: TIMESTAMP(NANOS) (loaded as epoch-nanos LongType
+  // under spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+  // isAdjustedToUTC=false (loaded as TIMESTAMP_NTZ). Any code doing unit
+  // arithmetic on ts MUST go through one of these schema-driven views so it
+  // is correct under either encoding — never assume the physical type.
+  // Session timezone is pinned to UTC in every entrypoint builder, so the
+  // NTZ→instant interpretation matches the oracle's naive-as-UTC semantics.
+
+  /** `ts` as epoch-nanoseconds (LongType), whatever the physical encoding.
+    * Gap/age constants in nanos (e.g. 30 min = 1800000000000L) work
+    * unchanged against this view. */
+  def tsNanos(df: DataFrame, colName: String = "ts"): Column =
+    df.schema(colName).dataType match {
+      case LongType => col(colName) // ns-physical parquet under nanosAsLong
+      case TimestampNTZType =>
+        // cast interprets the naive value in the session tz (pinned UTC)
+        unix_micros(col(colName).cast(TimestampType)) * lit(1000L)
+      case TimestampType => unix_micros(col(colName)) * lit(1000L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unsupported physical type for $colName: $other")
+    }
+
+  /** `ts` as a µs-precision TIMESTAMP (the type watermarks/windows need),
+    * whatever the physical encoding. Integer `div`, NOT `/`, for the nanos
+    * case: `/` routes through double, lossy above 2^53 ns. */
+  def tsTimestamp(df: DataFrame, colName: String = "ts"): Column =
+    df.schema(colName).dataType match {
+      case LongType =>
+        timestamp_micros(expr(s"$colName div 1000"))
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case TimestampType => col(colName)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unsupported physical type for $colName: $other")
+    }
 
   /** Lazy catalog for the dialect front-end's FROM/JOIN resolution. */
   def catalog(spark: SparkSession, sfDir: String): String => DataFrame =

@@ -18,10 +18,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally graft.operators.CacheScope.global.release()
@@ -41,6 +43,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Coverage tripwire, part 1: the full defined-gate list, so the oracle
+    // compare can fail loudly when a gate produced no output instead of
+    // silently checking fewer gates (r6 shipped 111/118 with zero alarms).
+    val allGates = SparkEntry.queries.keys.toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      allGates.map(q).mkString("[", ",", "]"))
     spark.stop()
+    // Coverage tripwire, part 2: a failed gate fails the RUN, not just a
+    // stderr line someone has to notice.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size}/${allGates.size} gates FAILED: " +
+          failed.sorted.mkString(", "))
+      sys.exit(1)
+    }
+    println(s"[verify] all ${allGates.size} gates dumped OK")
   }
 }

@@ -59,6 +59,13 @@ object AsOf {
                  tsCol: String, payloadCols: Seq[String],
                  maxAge: Long): DataFrame = {
     require(maxAge >= 0, "maxAge must be non-negative")
+    // fail fast on a timestamp-typed ts: timestamp − timestamp is an
+    // INTERVAL, not comparable to the numeric maxAge — normalize first
+    // (e.g. graft.Tables.tsNanos) so maxAge's unit is well-defined
+    require(left.schema(tsCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"joinWithin needs a numeric $tsCol (same unit as maxAge); " +
+        s"got ${left.schema(tsCol).dataType} — normalize ts first")
     // carry the matched right ts through as an extra payload, then expire
     val rTs = "__asof_rts"
     val out = join(left, right.withColumn(rTs, col(tsCol)),

@@ -26,11 +26,10 @@ object Streaming {
       // the table is a single parquet FILE; the file-stream source accepts
       // only directories or globs, so address it via a glob pattern
       .parquet(s"$sfDir/events.*")
-    // events.ts is nanosecond-precision parquet, read as long nanos under
-    // spark.sql.legacy.parquet.nanosAsLong → convert to a µs timestamp.
-    // Integer division (`div`), NOT `/`: the latter routes through double,
-    // which is lossy above 2^53 and can shift a value across a µs boundary.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // events.ts has shipped as both ns-longs and µs-TIMESTAMP_NTZ across
+    // testdata generations — normalize schema-driven (graft.Tables) so the
+    // stream is correct under either physical encoding.
+    raw.withColumn("ts", graft.Tables.tsTimestamp(batch))
   }
 
   /** Running aggregate over the stream (complete mode): per-event-type
@@ -116,8 +115,8 @@ object Streaming {
     * O(users), independent of event volume.
     *
     * A new session starts when the gap to the previous event exceeds
-    * `gapNanos` (timestamps arrive as long nanos under the nanosAsLong
-    * reader). Each micro-batch emits the updated (user, n_sessions,
+    * `gapNanos` (timestamps are normalized to epoch-nanos via
+    * `Tables.tsNanos`, whatever the parquet physical encoding). Each micro-batch emits the updated (user, n_sessions,
     * n_events); the memory sink accumulates updates, so the caller takes the
     * per-user max (counts grow monotonically).
     *
@@ -136,7 +135,8 @@ object Streaming {
       .schema(batch.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$sfDir/events.*")
-      .select(col("user_id"), col("ts"))
+      // epoch-nanos whatever the physical encoding — gapNanos stays valid
+      .select(col("user_id"), graft.Tables.tsNanos(batch).as("ts"))
       .as[(Long, Long)]
     val updated = stream.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
@@ -185,9 +185,7 @@ object Streaming {
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${idAs}_user"),
           col("event_id").as(idAs),
-          // integer division: `/` would round-trip through double (lossy
-          // above 2^53 ns) and could shift µs boundaries
-          timestamp_micros(expr("ts div 1000")).as(tsAs))
+          graft.Tables.tsTimestamp(batch).as(tsAs))
         .withWatermark(tsAs, "2 hours")
     val clicks = side("click", "click_id", "c_ts")
     val purchases = side("purchase", "purchase_id", "p_ts")

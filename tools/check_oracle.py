@@ -16,7 +16,23 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 bad = 0
+# Coverage tripwire: every DEFINED gate (queries.json, written by Verify)
+# must have produced a result dump — a gate that errored out upstream must
+# fail the compare, not silently shrink the checked set (r6 shipped 111/118
+# with zero alarms). Gates without oracle SQL still need their dump present.
+try:
+    defined = set(json.load(open(f"{out}/queries.json")))
+except FileNotFoundError:
+    defined = set(oracles)  # older dump dirs predate queries.json
+import os as _os
+missing = sorted(n for n in defined
+                 if not _os.path.isdir(f"{out}/{n}"))
+for name in missing:
+    print(f"{name}: MISSING OUTPUT (gate defined but no result dump)")
+    bad += 1
 for name in sorted(oracles):
+    if name in missing:
+        continue  # already reported MISSING OUTPUT above
     try:
         got = pd.read_parquet(f"{out}/{name}")
         exp = con.sql(oracles[name]).df()
@@ -44,5 +60,6 @@ for name in sorted(oracles):
     except Exception as e:
         print(f"{name}: ERROR {type(e).__name__}: {e}")
         bad += 1
-print(f"--- {len(oracles) - bad}/{len(oracles)} oracle-checked queries OK ---")
+total = len(oracles) + len([m for m in missing if m not in oracles])
+print(f"--- {total - bad}/{total} oracle-checked queries OK ---")
 sys.exit(1 if bad else 0)
