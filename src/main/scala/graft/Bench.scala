@@ -98,10 +98,28 @@ object Bench {
       if (ok.isEmpty) -1.0
       else ok.sorted.apply(ok.size / 2)
     }
-    val results = headline.map(n => n -> median(Seq.fill(reps)(runOnce(n, sfDir))))
+    // Contention legibility: a shared box can inflate a wall-clock reading
+    // severalfold with zero code change, and a bare median cannot prove it.
+    // Record every rep AND the 1-min system load before/after the run, so a
+    // contaminated artifact is self-diagnosing (spiky reps / high loadavg)
+    // instead of needing an idle-box re-measurement to adjudicate.
+    def loadAvg(): Double = {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(v * 100) / 100.0
+    }
+    val loadBefore = loadAvg()
+    val allReps = headline.map(n => n -> Seq.fill(reps)(runOnce(n, sfDir)))
+    val loadAfter = loadAvg()
+    val results = allReps.map { case (n, rs) => n -> median(rs) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repsJson = allReps.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val minTotal = allReps.map(_._2.filter(_ >= 0))
+      .collect { case rs if rs.nonEmpty => rs.min }.sum
     val legacyTotal = results.filter(r => legacy.contains(r._1))
       .map(_._2).filter(_ >= 0).sum
     // round-5's 23-query headline, for like-for-like round-over-round
@@ -110,7 +128,7 @@ object Bench {
       "s6_ann_pq", "p6_shuffle_order")
     val r5Total = results.filter(r => r5Set.contains(r._1))
       .map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacyTotal,"r5_total":$r5Total,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacyTotal,"r5_total":$r5Total,"min_total":$minTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$qs,"reps":$repsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

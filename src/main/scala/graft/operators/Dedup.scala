@@ -217,7 +217,7 @@ object Dedup {
   def appendToMinHashIndex(docs: DataFrame, textCol: String, idCol: String,
                            path: String): Unit = {
     val spark = docs.sparkSession
-    val p = spark.read.parquet(s"$path/_params").head()
+    val p = Similarity.readParams(spark, path).head()
     minhashBandTable(docs, textCol, idCol, p.getAs[Int]("shingle_size"),
         p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
       .write.mode("append").parquet(s"$path/index")
@@ -248,7 +248,7 @@ object Dedup {
                           threshold: Double)
                          (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val spark = docs.sparkSession
-    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val p = Similarity.readParams(spark, indexPath).head()
     val (shingleSize, numHashes, bands) = (p.getAs[Int]("shingle_size"),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
     // the batch's shingle sets feed BOTH the sketch and the verify stage —

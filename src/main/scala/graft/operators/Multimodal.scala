@@ -119,8 +119,12 @@ object Multimodal {
                       name: String): Option[(Int, Int)] =
       boxes.collectFirst { case (t, s, e) if t == name => (s, e) }
 
-    /** moov→trak→tkhd dims + that trak's stbl→stsz sample count. */
-    private def mp4Header(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    /** First VIDEO track (nonzero tkhd dims — audio/hint traks report
+      * zero and are skipped): its 16.16-fixed dims plus, when the
+      * mdia→minf→stbl chain resolves within the available bytes, the
+      * stbl content range. The shared walk behind [[mp4Header]] (stsz
+      * frame count) and [[videoCodec]] (stsd sample-entry fourcc). */
+    private def videoTrack(b: Array[Byte]): Option[(Int, Int, Option[(Int, Int)])] = {
       val top = boxList(b, 0, b.length)
       if (child(top, "ftyp").isEmpty) return None
       child(top, "moov").flatMap { case (ms, me) =>
@@ -141,23 +145,51 @@ object Multimodal {
               val h = be32(b, dimOff + 4) >>> 16
               if (w == 0 || h == 0) None // audio/hint track — keep looking
               else {
-                // frame count = the video track's sample count:
-                // stsz content is version+flags(4), sample_size(4),
-                // sample_count(4) — sample_count at +8 in both layouts
-                val frames = for {
+                val stbl = for {
                   (mdS, mdE) <- child(inTrak, "mdia")
                   (mfS, mfE) <- child(boxList(b, mdS, mdE), "minf")
                   (sbS, sbE) <- child(boxList(b, mfS, mfE), "stbl")
-                  (szS, szE) <- child(boxList(b, sbS, sbE), "stsz")
-                  if szS + 12 <= szE
-                } yield be32(b, szS + 8)
-                Some((w, h, math.max(1, frames.getOrElse(1))))
+                } yield (sbS, sbE)
+                Some((w, h, stbl))
               }
             }
           }
         }.nextOption()
       }
     }
+
+    /** moov→trak→tkhd dims + that trak's stbl→stsz sample count. */
+    private def mp4Header(b: Array[Byte]): Option[(Int, Int, Int)] =
+      videoTrack(b).map { case (w, h, stbl) =>
+        // frame count = the video track's sample count: stsz content is
+        // version+flags(4), sample_size(4), sample_count(4) —
+        // sample_count at +8 in both layouts
+        val frames = for {
+          (sbS, sbE) <- stbl
+          (szS, szE) <- child(boxList(b, sbS, sbE), "stsz")
+          if szS + 12 <= szE
+        } yield be32(b, szS + 8)
+        (w, h, math.max(1, frames.getOrElse(1)))
+      }
+
+    /** Codec fourcc of the first video track's first stsd sample entry
+      * ("avc1", "hev1", "vp09", "av01", …) — the codec identity a
+      * training-data pipeline routes decode work by, readable from the
+      * same faststart byte prefix as the dims. stsd content is
+      * version+flags(4) + entry_count(4), then sample-entry boxes whose
+      * own header is size(4) + format-fourcc(4), so the fourcc sits at
+      * content +12 (ISO/IEC 14496-12 §8.5.2). None for non-MP4 payloads,
+      * audio-only containers, or prefixes cut before the stsd. */
+    def videoCodec(bytes: Array[Byte]): Option[String] =
+      if (!(bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+            bytes(6) == 'y' && bytes(7) == 'p')) None
+      else videoTrack(bytes).flatMap { case (_, _, stbl) =>
+        for {
+          (sdS, sdE) <- stbl.flatMap { case (s, e) =>
+            child(boxList(bytes, s, e), "stsd") }
+          if sdS + 16 <= sdE
+        } yield new String(bytes, sdS + 12, 4, "ISO-8859-1")
+      }
 
     /** Walk JPEG marker segments to the first SOFn; None on truncation. */
     private def jpegSof(b: Array[Byte]): Option[(Int, Int, Int)] = {

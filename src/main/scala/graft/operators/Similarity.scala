@@ -113,7 +113,7 @@ object Similarity {
     * family — rebuilding is the only safe path. */
   private def lshParams(spark: org.apache.spark.sql.SparkSession,
                         path: String): (Int, Int, Long) = {
-    val df = spark.read.parquet(s"$path/_params")
+    val df = readParams(spark, path)
     val p = df.head()
     val fam =
       if (df.schema.fieldNames.contains("family")) p.getAs[String]("family")
@@ -499,7 +499,7 @@ object Similarity {
   def appendToPqIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
                       path: String): Unit = {
     val spark = newCorpus.sparkSession
-    val p = spark.read.parquet(s"$path/_params").head()
+    val p = readParams(spark, path).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val book = spark.read.parquet(s"$path/codebook")
     pqEncode(newCorpus, book, vecCol, idCol, dim, m)
@@ -515,7 +515,7 @@ object Similarity {
                       indexPath: String, vecCol: String, idCol: String,
                       k: Int, rerank: Int = 64): DataFrame = {
     val spark = queries.sparkSession
-    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val p = readParams(spark, indexPath).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val book = spark.read.parquet(s"$indexPath/codebook")
     pqTopK(queries, corpus,
@@ -691,7 +691,7 @@ object Similarity {
   def appendToOpqIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
                        path: String): Unit = {
     val spark = newCorpus.sparkSession
-    val p = spark.read.parquet(s"$path/_params").head()
+    val p = readParams(spark, path).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val rotated = rotate(newCorpus.select(col(idCol), col(vecCol)), vecCol,
       readRotation(spark, path))
@@ -706,7 +706,7 @@ object Similarity {
                        indexPath: String, vecCol: String, idCol: String,
                        k: Int, rerank: Int = 64): DataFrame = {
     val spark = queries.sparkSession
-    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val p = readParams(spark, indexPath).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     opqTopK(queries, corpus,
       spark.read.parquet(resolveDataDir(indexPath, "codes")),
@@ -728,6 +728,27 @@ object Similarity {
     if (Files.exists(ptr))
       Paths.get(path, new String(Files.readAllBytes(ptr), "UTF-8").trim).toString
     else Paths.get(path, sub).toString
+  }
+
+  /** Read an index's `_params` side table. The underscore prefix keeps
+    * the table invisible to readers of the index ROOT (Spark's
+    * hidden-path filter skips `_`-prefixed children) — but NAMING the
+    * directory directly trips the same filter: `DataSource.
+    * checkAndGlobPathIfNecessary` drops the root and logs an "All paths
+    * were ignored" WARN on every read, which is per-micro-batch noise in
+    * any streaming job that consults the index. Listing the part files
+    * explicitly (their names are filter-clean) reads the same rows
+    * silently. Hadoop FS listing so the index can live on any FileSystem
+    * scheme, not just local disk. */
+  def readParams(spark: org.apache.spark.sql.SparkSession,
+                 indexPath: String): org.apache.spark.sql.DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_params")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    require(parts.nonEmpty, s"no _params part files under $indexPath")
+    spark.read.parquet(parts.toIndexedSeq: _*)
   }
 
   /** A full REBUILD at an existing index path must not leave a pointer
@@ -970,16 +991,33 @@ object Similarity {
     * in `_params`; untagged = pre-v2 slim layout, whose stored table has
     * no vectors — unusable by v2 readers/appenders. */
   private def requireLayout(spark: org.apache.spark.sql.SparkSession,
-                            path: String, expected: String): Unit = {
-    val df = spark.read.parquet(s"$path/_params")
+                            path: String, expected: String): Unit =
+    requireLayoutIn(readParams(spark, path).head(), path, expected)
+
+  /** [[requireLayout]] over an already-read `_params` row — serving paths
+    * read the side table once and validate + resolve knobs from the same
+    * row instead of re-listing the directory per check. */
+  private def requireLayoutIn(p: org.apache.spark.sql.Row, path: String,
+                              expected: String): Unit = {
     val got =
-      if (df.schema.fieldNames.contains("layout"))
-        df.head.getAs[String]("layout")
+      if (p.schema.fieldNames.contains("layout")) p.getAs[String]("layout")
       else "<untagged slim layout>"
     require(got == expected,
       s"index at $path has layout '$got' but this operation needs " +
         s"'$expected' — rebuild the index")
   }
+
+  /** Resolve a serving knob: an explicit positive argument wins; the
+    * sentinel 0 defers to the calibrated value stored in `_params` (by
+    * [[calibrateIvfIndex]] / [[calibrateIvfPqIndex]]), falling back to
+    * `dflt` on an uncalibrated index. At scale the calibrated value IS
+    * index metadata — the builder measured it against brute force, so
+    * serving code passing literals is second-guessing the measurement. */
+  private def resolveKnob(p: org.apache.spark.sql.Row, arg: Int,
+                          stored: String, dflt: Int): Int =
+    if (arg > 0) arg
+    else if (p.schema.fieldNames.contains(stored)) p.getAs[Int](stored)
+    else dflt
 
   /** Append new vectors to a [[buildIvfIndex]] index: assign each to its
     * max-cosine stored centroid (FROZEN centroids — the same freeze
@@ -1039,7 +1077,7 @@ object Similarity {
   def ivfDriftCheck(batch: DataFrame, vecCol: String,
                     indexPath: String): DriftReport = {
     val spark = batch.sparkSession
-    val params = spark.read.parquet(s"$indexPath/_params")
+    val params = readParams(spark, indexPath)
     require(params.schema.fieldNames.contains("base_err"),
       s"index at $indexPath predates drift baselines — rebuild it with " +
         "buildIvfIndex to record base_err")
@@ -1069,14 +1107,21 @@ object Similarity {
     * Σ(probed cell sizes) and the only exchange is the per-query top-k
     * window over scored rows. With `nprobe` ≥ cells every partition is
     * probed and this provably equals [[bruteForceTopK]] (every row
-    * scored, same tie-break) — the oracle argument the s11 gate uses. */
+    * scored, same tie-break) — the oracle argument the s11 gate uses.
+    *
+    * `nprobe = 0` (the default) serves with the nprobe the index was
+    * CALIBRATED to ([[calibrateIvfIndex]] stored it in `_params`);
+    * a positive argument overrides, an uncalibrated index falls back
+    * to 2. */
   def ivfTopKFromIndex(queries: DataFrame, indexPath: String,
                        vecCol: String, idCol: String,
-                       k: Int, nprobe: Int = 2): DataFrame = {
+                       k: Int, nprobe: Int = 0): DataFrame = {
     val spark = queries.sparkSession
-    requireLayout(spark, indexPath, IvfLayoutV2)
+    val p = readParams(spark, indexPath).head()
+    requireLayoutIn(p, indexPath, IvfLayoutV2)
+    val np = resolveKnob(p, nprobe, "cal_nprobe", dflt = 2)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
-    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
+    val probes = probeCells(queries, centroids, vecCol, idCol, np)
     // bounded collect: the probed-cell id set, capped by the cell count
     val probed = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -1150,7 +1195,7 @@ object Similarity {
                          idCol: String, path: String): Unit = {
     val spark = newCorpus.sparkSession
     requireLayout(spark, path, IvfPqLayoutV1)
-    val p = spark.read.parquet(s"$path/_params").head()
+    val p = readParams(spark, path).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val book = spark.read.parquet(s"$path/codebook")
     nearestStoredCentroid(spread(newCorpus), vecCol, path)
@@ -1171,17 +1216,24 @@ object Similarity {
     * queries touches data; nothing corpus-sized shuffles. With `nprobe` ≥
     * cells and `rerank` covering the true top-k's ADC positions this
     * equals [[bruteForceTopK]] — the same exactness transfer s7/s9/s10
-    * use, which is how the s12 gate oracles it. */
+    * use, which is how the s12 gate oracles it.
+    *
+    * `nprobe = 0` / `rerank = 0` (the defaults) serve with the values
+    * the index was CALIBRATED to ([[calibrateIvfPqIndex]] stored them in
+    * `_params`); positive arguments override, an uncalibrated index
+    * falls back to nprobe 2 / rerank 64. */
   def ivfPqTopKFromIndex(queries: DataFrame, indexPath: String,
                          vecCol: String, idCol: String, k: Int,
-                         nprobe: Int = 2, rerank: Int = 64): DataFrame = {
+                         nprobe: Int = 0, rerank: Int = 0): DataFrame = {
     val spark = queries.sparkSession
-    requireLayout(spark, indexPath, IvfPqLayoutV1)
-    val p = spark.read.parquet(s"$indexPath/_params").head()
+    val p = readParams(spark, indexPath).head()
+    requireLayoutIn(p, indexPath, IvfPqLayoutV1)
+    val np = resolveKnob(p, nprobe, "cal_nprobe", dflt = 2)
+    val rr = resolveKnob(p, rerank, "cal_rerank", dflt = 64)
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val centroids = spark.read.parquet(s"$indexPath/centroids")
     val book = spark.read.parquet(s"$indexPath/codebook")
-    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
+    val probes = probeCells(queries, centroids, vecCol, idCol, np)
     val probed = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     val stored = spark.read.parquet(resolveDataDir(indexPath, "codes"))
@@ -1195,7 +1247,7 @@ object Similarity {
     val adc = stored.join(broadcast(probedTbl), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), adcDist(m).as("adc_dist"))
-    exactRerank(adcCandidates(adc, rerank), queries,
+    exactRerank(adcCandidates(adc, rr), queries,
       stored.select(col("n_id").as(idCol), col("vec").as(vecCol)),
       vecCol, idCol, k)
   }
@@ -1276,6 +1328,107 @@ object Similarity {
         }
         if (found > 0) found else cells
       }
+    } finally sample.unpersist()
+  }
+
+  /** Merge `extra` (name → value) into an index's one-row `_params` side
+    * table: existing columns are preserved (base_err feeds the drift
+    * probe, dim/m feed appenders), same-named columns are replaced — so
+    * re-calibration overwrites prior calibration without touching the
+    * build-time record. */
+  private def upsertParams(spark: org.apache.spark.sql.SparkSession,
+                           path: String, extra: Seq[(String, Any)]): Unit = {
+    import org.apache.spark.sql.types._
+    val df = readParams(spark, path)
+    val row = df.head()
+    val keep = df.schema.fields.filterNot(f => extra.exists(_._1 == f.name))
+    def typ(v: Any): DataType = v match {
+      case _: Int     => IntegerType
+      case _: Long    => LongType
+      case _: Double  => DoubleType
+      case _: String  => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported _params value type: ${other.getClass}")
+    }
+    val schema = StructType(keep.toSeq ++
+      extra.map { case (n, v) => StructField(n, typ(v), nullable = false) })
+    val values = keep.toSeq.map(f => row.getAs[Any](f.name)) ++ extra.map(_._2)
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(values: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Calibrate a [[buildIvfIndex]] index IN PLACE: measure the smallest
+    * nprobe meeting `recallTarget` ([[calibrateNprobe]], against brute
+    * force over the index's OWN stored vectors — no external corpus
+    * argument, the index is the serving copy) and store it in `_params`
+    * (`cal_nprobe`, with the k and target it was measured at).
+    * [[ivfTopKFromIndex]] then serves with the stored value by default:
+    * at 100 TB the calibrated knob is index METADATA, set once by
+    * measurement at build/deploy time, not a literal each caller guesses.
+    * Returns the stored nprobe. */
+  def calibrateIvfIndex(queries: DataFrame, indexPath: String,
+                        vecCol: String, idCol: String, k: Int,
+                        recallTarget: Double, sampleSize: Int = 32): Int = {
+    val spark = queries.sparkSession
+    requireLayout(spark, indexPath, IvfLayoutV2)
+    val corpus = spark.read.parquet(resolveDataDir(indexPath, "cells"))
+      .select(col("n_id").as(idCol), col("vec").as(vecCol))
+    val np = calibrateNprobe(queries, corpus, indexPath, vecCol, idCol,
+      k, recallTarget, sampleSize)
+    upsertParams(spark, indexPath, Seq(
+      "cal_nprobe" -> np, "cal_k" -> k, "cal_recall" -> recallTarget))
+    np
+  }
+
+  /** Calibrate a [[buildIvfPqIndex]] index IN PLACE, both knobs: the
+    * smallest nprobe meeting `recallTarget` at the rerank CEILING (coarse
+    * coverage first — no rerank budget recovers a neighbor whose cell was
+    * never probed), then the smallest rerank at that nprobe (ADC-ordering
+    * slack second). Both measured on a query sample against brute force
+    * over the index's stored refinement vectors, stored in `_params`
+    * (`cal_nprobe`, `cal_rerank`), and served as [[ivfPqTopKFromIndex]]'s
+    * defaults. Returns (nprobe, rerank); when the target is unreachable
+    * the ceilings (cells, maxRerank) are stored — exact coverage. */
+  def calibrateIvfPqIndex(queries: DataFrame, indexPath: String,
+                          vecCol: String, idCol: String, k: Int,
+                          recallTarget: Double, sampleSize: Int = 32,
+                          rerankStart: Int = 64,
+                          maxRerank: Int = 4096): (Int, Int) = {
+    require(recallTarget > 0 && recallTarget <= 1, "recallTarget in (0, 1]")
+    require(rerankStart >= k && rerankStart <= maxRerank,
+      "need k <= rerankStart <= maxRerank")
+    val spark = queries.sparkSession
+    requireLayout(spark, indexPath, IvfPqLayoutV1)
+    val cells = spark.read.parquet(s"$indexPath/centroids").count().toInt
+    val corpus = spark.read.parquet(resolveDataDir(indexPath, "codes"))
+      .select(col("n_id").as(idCol), col("vec").as(vecCol))
+    val sample = queries.limit(sampleSize).cache()
+    try {
+      def pairs(df: DataFrame): Set[(Any, Any)] =
+        df.select("q_id", "n_id").collect()
+          .map(r => (r.get(0), r.get(1))).toSet
+      val brute = pairs(bruteForceTopK(sample, corpus, vecCol, idCol, k))
+      def recallAt(np: Int, rr: Int): Double = {
+        val got = pairs(ivfPqTopKFromIndex(sample, indexPath,
+          vecCol, idCol, k, np, rr))
+        (got & brute).size.toDouble / brute.size
+      }
+      val (np, rr) =
+        if (brute.isEmpty) (1, rerankStart)
+        else {
+          var np = 1
+          while (np < cells && recallAt(np, maxRerank) < recallTarget)
+            np = math.min(cells, np * 2)
+          var rr = rerankStart
+          while (rr < maxRerank && recallAt(np, rr) < recallTarget)
+            rr = math.min(maxRerank, rr * 2)
+          (np, rr)
+        }
+      upsertParams(spark, indexPath, Seq(
+        "cal_nprobe" -> np, "cal_rerank" -> rr,
+        "cal_k" -> k, "cal_recall" -> recallTarget))
+      (np, rr)
     } finally sample.unpersist()
   }
 

@@ -706,7 +706,7 @@ class PipelineSpec extends AnyFunSuite {
       // refused by the v2 reader/appender, not silently return nothing
       val ivf = s"$dir/ivf"
       Similarity.buildIvfIndex(emb, "embedding", "vec_id", ivf, cells = 4)
-      val ip = spark.read.parquet(s"$ivf/_params").head()
+      val ip = Similarity.readParams(spark, ivf).head()
       Seq((ip.getAs[Int]("cells"), ip.getAs[Long]("seed"),
         ip.getAs[Double]("base_err")))
         .toDF("cells", "seed", "base_err")
@@ -787,6 +787,52 @@ class PipelineSpec extends AnyFunSuite {
         "vec_id", dim = 64, m = 16, k = 5, rerank = exact))
       assert(got == brute)
     } finally codes.unpersist()
+  }
+
+  test("calibrated persisted indexes: knobs stored in _params, served as defaults, build record preserved") {
+    withTempDir("graft_cal_idx") { dir =>
+      val q = emb.filter(col("vec_id") < 8)
+      val c = emb.filter(col("vec_id") >= 8)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5))
+      // IVF: calibrate writes cal_nprobe into _params; the no-knob serve
+      // uses it; the build-time record survives the _params rewrite
+      val ivf = s"$dir/ivf"
+      Similarity.buildIvfIndex(c, "embedding", "vec_id", ivf, cells = 8)
+      val np = Similarity.calibrateIvfIndex(q, ivf, "embedding", "vec_id",
+        k = 5, recallTarget = 1.0)
+      val ip = Similarity.readParams(spark, ivf).head()
+      assert(ip.getAs[Int]("cal_nprobe") == np)
+      assert(ip.getAs[Int]("cal_k") == 5 && ip.getAs[Double]("cal_recall") == 1.0)
+      assert(pairs(Similarity.ivfTopKFromIndex(q, ivf, "embedding", "vec_id",
+        k = 5)) == brute) // default knob = stored value, calibrated to 1.0
+      // base_err survived the rewrite: the drift probe still works
+      assert(Similarity.ivfDriftCheck(c, "embedding", ivf).ratio <= 1.0 + 1e-9)
+      // IVFPQ: both knobs stored and served as defaults; appender params
+      // (dim, m) preserved
+      val ivfpq = s"$dir/ivfpq"
+      Similarity.buildIvfPqIndex(c, "embedding", "vec_id", ivfpq,
+        dim = 64, m = 16, cells = 8, k = 16)
+      val (np2, rr2) = Similarity.calibrateIvfPqIndex(q, ivfpq, "embedding",
+        "vec_id", k = 5, recallTarget = 1.0)
+      val pp = Similarity.readParams(spark, ivfpq).head()
+      assert(pp.getAs[Int]("cal_nprobe") == np2 &&
+        pp.getAs[Int]("cal_rerank") == rr2)
+      assert(pp.getAs[Int]("dim") == 64 && pp.getAs[Int]("m") == 16)
+      assert(pairs(Similarity.ivfPqTopKFromIndex(q, ivfpq, "embedding",
+        "vec_id", k = 5)) == brute)
+      // re-calibration REPLACES the stored knobs (still one _params row,
+      // no duplicate columns); a looser target never needs more probes
+      val (np3, rr3) = Similarity.calibrateIvfPqIndex(q, ivfpq, "embedding",
+        "vec_id", k = 5, recallTarget = 0.3)
+      val pp2 = Similarity.readParams(spark, ivfpq)
+      assert(pp2.count() == 1)
+      assert(pp2.head.getAs[Int]("cal_nprobe") == np3 &&
+        pp2.head.getAs[Int]("cal_rerank") == rr3)
+      assert(np3 <= np2)
+    }
   }
 
   test("ivfDriftCheck: same-corpus ratio ≤ 1, centroid batch near zero, shifted batch degrades") {
@@ -1233,8 +1279,13 @@ class PipelineSpec extends AnyFunSuite {
     def stszBox(n: Int): Array[Byte] =
       box("stsz", Array.fill[Byte](4)(0), be32(0), be32(n))
     val audioTrak = box("trak", tkhd(0, 0))
+    // stsd: version+flags(4), entry_count(4), then one avc1 sample entry
+    // (its own size(4) + fourcc(4) header suffices for codec extraction)
+    def stsdBox(fourcc: String): Array[Byte] =
+      box("stsd", Array.fill[Byte](4)(0), be32(1),
+        box(fourcc, Array.fill[Byte](8)(0)))
     val videoTrak = box("trak", tkhd(640, 360),
-      box("mdia", box("minf", box("stbl", stszBox(120)))))
+      box("mdia", box("minf", box("stbl", stsdBox("avc1"), stszBox(120)))))
     val mvhd = box("mvhd", Array.fill[Byte](4)(0), be32(0), be32(0),
       be32(1000), be32(42000)) // timescale 1000, duration 42 s
     val moov = box("moov", mvhd, audioTrak, videoTrak)
@@ -1242,16 +1293,23 @@ class PipelineSpec extends AnyFunSuite {
     val mdat = box("mdat", Array.fill[Byte](256)(7))
     val mp4 = ftyp ++ moov ++ mdat
     assert(ImageHeaderDecoder.decode(mp4) == ((640, 360, 120)))
+    // stsd sample-entry fourcc: the codec identity, from the same walk
+    assert(ImageHeaderDecoder.videoCodec(mp4) == Some("avc1"))
     // the first-N-bytes ingest shape: moov complete, mdat truncated
     val prefix = mp4.take(ftyp.length + moov.length + 12)
     assert(ImageHeaderDecoder.decode(prefix) == ((640, 360, 120)))
+    assert(ImageHeaderDecoder.videoCodec(prefix) == Some("avc1"))
     // a prefix cut INSIDE moov cannot resolve a video track → fallback
     val torn = mp4.take(ftyp.length + 20)
     assert(ImageHeaderDecoder.decode(torn) == Multimodal.fakeDecode(torn))
+    assert(ImageHeaderDecoder.videoCodec(torn).isEmpty)
     // audio-only container (no nonzero-dim trak) → fallback, no throw
     val audioOnly = ftyp ++ box("moov", mvhd, audioTrak)
     assert(ImageHeaderDecoder.decode(audioOnly) ==
       Multimodal.fakeDecode(audioOnly))
+    assert(ImageHeaderDecoder.videoCodec(audioOnly).isEmpty)
+    // non-MP4 payloads: None, no throw
+    assert(ImageHeaderDecoder.videoCodec("not a video".getBytes).isEmpty)
   }
 
   test("frame sampling keeps every stride-th frame") {
