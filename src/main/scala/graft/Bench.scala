@@ -128,7 +128,19 @@ object Bench {
       "s6_ann_pq", "p6_shuffle_order")
     val r5Total = results.filter(r => r5Set.contains(r._1))
       .map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacyTotal,"r5_total":$r5Total,"min_total":$minTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$qs,"reps":$repsJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacyTotal,"r5_total":$r5Total,"min_total":$minTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$qs,"reps":$repsJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line: the stdout copy rides a log stream that WARN
+    // noise and tail-truncation can eat (r6's artifact survived only
+    // inside a 2000-char tail) — the file copy is always machine-readable.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench JSON file: $e")
+    }
     spark.stop()
   }
 }
