@@ -18,6 +18,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Staged corpus for the substring-dedup gates (d14/d15): every even
+    * doc gains a replica (id + 100000) of its full text plus a unique
+    * tail, giving each replica one known duplicated prefix span whose
+    * winner is the original. Mirrors the oracle SQL's corpus CTE. */
+  private def stagedSpanCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zzu"), col("doc_id").cast("string"))
+          .as("text")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -2023,6 +2035,107 @@ object SparkEntry {
     Dedup.dedupLinesAgainstIndex(prepped.filter(col("doc_id") >= 250),
       "lines", "doc_id", idx)
       .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
+  }
+
+  // Substring dedup (Lee et al.'22), detection half: maximal duplicated
+  // >=8-token spans via sliding window hashing — the distributed stand-in
+  // for their corpus-wide suffix array. Staged corpus: every even doc
+  // gains a replica (id+100000) whose text is the original plus a unique
+  // tail, so each replica carries one known full-prefix span and the
+  // originals (global-order winners) carry none. The oracle groups by the
+  // gram TEXT while the engine groups by xxhash64 of it — a hash
+  // collision would surface as a gate mismatch, not hide.
+  define("d14_duplicate_spans",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text || ' zzu' || CAST(doc_id AS VARCHAR)
+         FROM documents WHERE doc_id % 2 = 0),
+       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM corpus),
+       wins AS (
+         SELECT doc_id, pos, array_to_string(w[pos+1 : pos+8], chr(1)) AS gram
+         FROM (SELECT doc_id, w,
+                 unnest(generate_series(0, len(w) - 8)) AS pos
+               FROM toks)),
+       dup AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS c,
+             min(doc_id * 1073741824 + pos) OVER (PARTITION BY gram) AS wmin
+           FROM wins)
+         WHERE c > 1 AND doc_id * 1073741824 + pos <> wmin),
+       isl AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1) THEN 1 ELSE 0 END AS ni
+         FROM dup),
+       grp AS (
+         SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM isl)
+       SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
+       FROM grp GROUP BY doc_id, g""") { (s, d) =>
+    graft.operators.Dedup.duplicateWindowSpans(
+      stagedSpanCorpus(t(s, d, "documents")), "text", "doc_id",
+      windowTokens = 8)
+  }
+
+  // Substring dedup, removal half: the spans cut out of their documents,
+  // first occurrence kept (winners are never marked) — the full Lee et
+  // al. pass as one operator. Surviving tokens single-space joined on
+  // both engines, so untouched docs round-trip token-identically.
+  define("d15_remove_spans",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text || ' zzu' || CAST(doc_id AS VARCHAR)
+         FROM documents WHERE doc_id % 2 = 0),
+       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM corpus),
+       wins AS (
+         SELECT doc_id, pos, array_to_string(w[pos+1 : pos+8], chr(1)) AS gram
+         FROM (SELECT doc_id, w,
+                 unnest(generate_series(0, len(w) - 8)) AS pos
+               FROM toks)),
+       dup AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS c,
+             min(doc_id * 1073741824 + pos) OVER (PARTITION BY gram) AS wmin
+           FROM wins)
+         WHERE c > 1 AND doc_id * 1073741824 + pos <> wmin),
+       isl AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1) THEN 1 ELSE 0 END AS ni
+         FROM dup),
+       grp AS (
+         SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM isl),
+       spans AS (
+         SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+         FROM grp GROUP BY doc_id, g),
+       tokpos AS (
+         SELECT doc_id, unnest(w) AS tok,
+           unnest(generate_series(0, len(w) - 1)) AS pos
+         FROM toks),
+       dropped AS (
+         SELECT DISTINCT t.doc_id, t.pos FROM tokpos t JOIN spans s
+         ON t.doc_id = s.doc_id AND t.pos >= s.s AND t.pos < s.e)
+       SELECT k.doc_id,
+         coalesce(string_agg(k.tok, ' ' ORDER BY k.pos)
+           FILTER (WHERE dp.pos IS NULL), '') AS text
+       FROM tokpos k LEFT JOIN dropped dp
+         ON k.doc_id = dp.doc_id AND k.pos = dp.pos
+       GROUP BY k.doc_id""") { (s, d) =>
+    graft.operators.Dedup.removeDuplicateSpans(
+      stagedSpanCorpus(t(s, d, "documents")), "text", "doc_id",
+      windowTokens = 8)
   }
 
   // Deterministic shard manifest: per-shard doc/char/token totals under the

@@ -1047,4 +1047,118 @@ object Dedup {
         split(col(textCol), java.util.regex.Pattern.quote(delim))),
       textCol, idCol, normalize)
       .withColumn(textCol, array_join(col(textCol), delim))
+
+  // ------------------------------------------------------------------
+  // Substring-level dedup (Lee et al.'22 "Deduplicating Training Data
+  // Makes Language Models Better": remove every repeated substring of
+  // >= L tokens, keeping one copy). Their single-machine construction
+  // is a corpus-wide suffix array — which does not distribute; the
+  // standard distributed form used here is sliding window hashing:
+  // a substring of >= L tokens repeats iff ALL its length-L windows
+  // repeat, so marking non-first occurrences of duplicated L-windows
+  // and merging overlapping marked windows recovers exactly the
+  // repeated regions (with boundary resolution L tokens coarse).
+  // ------------------------------------------------------------------
+
+  /** Global-order encoding of an occurrence (id, pos) as one long, so
+    * the per-window winner is a plain `min` (map-side combinable)
+    * rather than a struct compare. Caps pos at <2³⁰ per doc — beyond
+    * any real document's token count. */
+  private def occEnc(id: Column, pos: Column): Column =
+    id * lit(1L << 30) + pos
+
+  /** Maximal duplicated token spans: every L-token window of every doc
+    * is hashed; windows whose hash occurs more than once corpus-wide
+    * mark all NON-FIRST occurrences (first = least (id, pos) in global
+    * order); overlapping/adjacent marked windows merge into maximal
+    * spans per doc. Returns (idCol, span_start, span_len) in 0-based
+    * token coordinates — the regions [[removeDuplicateSpans]] cuts.
+    * Intra-document repeats count: a doc repeating its own passage
+    * marks the later copy.
+    *
+    * 100 TB design — the corpus text never rides a shuffle:
+    *  - windows explode to slim (xxhash64(window), id, pos) triples
+    *    (~20 B/token) computed in ONE fused projection (`transform` over
+    *    a per-doc position sequence, then posexplode) — no per-window
+    *    re-tokenization;
+    *  - the duplicated-window table is a map-side-combined groupBy on
+    *    the hash: shuffle O(distinct windows), and only hashes with
+    *    count > 1 survive into the mark join (at a typical 10-20% dup
+    *    rate the join's build side is a small fraction of the corpus);
+    *  - span merge is a per-doc sort of MARKED positions only
+    *    (shuffle O(duplicated windows), gaps-and-islands via running
+    *    max — no corpus-wide sort).
+    * Window hashing joins on xxhash64 equality, not gram text: two
+    * distinct L-grams colliding would merge winners (n²/2⁶⁵ — zero in
+    * practice); the gate's oracle groups by the gram text itself, so a
+    * collision would surface as a mismatch. */
+  def duplicateWindowSpans(docs: DataFrame, textCol: String, idCol: String,
+                           windowTokens: Int = 8)
+                          (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val toks = TF.tokens(col(textCol))
+    val L = windowTokens
+    // (id, pos, h): one row per window start; tokens joined on a
+    // U+0001 separator so boundaries can't alias ("ab"+"c" vs "a"+"bc")
+    val wins = scope.cache(spread(
+      docs.filter(size(toks) >= L)
+        .select(col(idCol).as("__kid"),
+          posexplode(transform(
+            sequence(lit(0), size(toks) - L),
+            p => xxhash64(concat_ws("\u0001", slice(toks, p + 1, lit(L))))))
+            .as(Seq("__pos", "__h")))))
+    val dupWins = wins.groupBy("__h")
+      .agg(count(lit(1)).as("__c"), min(occEnc(col("__kid"), col("__pos"))).as("__w"))
+      .filter(col("__c") > 1)
+      .select("__h", "__w")
+    val marked = wins.join(dupWins, "__h")
+      .filter(occEnc(col("__kid"), col("__pos")) =!= col("__w"))
+      .select(col("__kid"), col("__pos"))
+    // gaps-and-islands: a marked window at pos covers tokens [pos, pos+L);
+    // a new span starts where pos clears the running max end of all
+    // earlier marked windows in the doc
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("__kid").orderBy("__pos")
+    val prevEnd = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = marked
+      .withColumn("__newSpan",
+        when(col("__pos") > coalesce(
+          max(col("__pos") + lit(L)).over(prevEnd), lit(-1L)), 1).otherwise(0))
+      .withColumn("__span",
+        sum("__newSpan").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("__kid", "__span")
+      .agg(min("__pos").as("span_start"),
+        (max(col("__pos") + lit(L)) - min("__pos")).cast("int").as("span_len"))
+    spans.select(col("__kid").as(idCol),
+      col("span_start").cast("int").as("span_start"), col("span_len"))
+  }
+
+  /** Cut every [[duplicateWindowSpans]] span out of its document,
+    * keeping the first occurrence of each repeated region (winners are
+    * never marked) — the whole Lee et al. pass as one operator. Output:
+    * (idCol, textCol) with surviving tokens single-space joined (docs
+    * shorter than the window, or with nothing repeated, pass through
+    * token-identical). The spans table is O(duplicated regions) ≪
+    * corpus, so the join back broadcasts under AQE and the cut itself
+    * is one fused (token, index) array filter per doc row — the corpus
+    * again never shuffles. */
+  def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                           windowTokens: Int = 8)
+                          (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val perDoc = duplicateWindowSpans(docs, textCol, idCol, windowTokens)
+      .groupBy(idCol)
+      .agg(collect_list(struct(
+        col("span_start").as("s"),
+        (col("span_start") + col("span_len")).as("e"))).as("__spans"))
+    val toks = TF.tokens(col(textCol))
+    docs.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        // null __spans (nothing repeated) keeps every token: TRUE OR NULL
+        // is TRUE, so the isNull arm decides before exists sees the null
+        concat_ws(" ", filter(toks, (_, i) =>
+          col("__spans").isNull ||
+            !exists(col("__spans"), s =>
+              i >= s.getField("s") && i < s.getField("e"))))
+          .as(textCol))
+  }
 }

@@ -721,6 +721,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateWindowSpans/removeDuplicateSpans: winners kept, overlaps merge, map-side combine") {
+    import spark.implicits._
+    // A (12 tokens) is the winner; B repeats A's tokens 0-11 inside its own
+    // text (one merged span, not several windows); C is unique; D repeats
+    // A twice (two disjoint spans in one doc); E is shorter than the window
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val in = Seq(
+      (1L, a),                                      // winner
+      (2L, s"pre1 pre2 $a post1 post2"),            // span [2, 14)
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),           // unique, no spans
+      (4L, s"$a mid1 mid2 mid3 $a"),                // spans [0,12) + [15,27)
+      (5L, "s1 s2 s3")                              // < L tokens
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateWindowSpans(in, "text", "doc_id",
+      windowTokens = 8)
+    val got = spans.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((2L, 2, 12), (4L, 0, 12), (4L, 15, 12)))
+    // winner agg must partial-aggregate before the shuffle (the d-family
+    // invariant: shuffle O(distinct windows), not O(occurrences))
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"window-winner aggregate lost its map-side combine:\n$plan")
+    // removal: spans cut, winner + unique + short docs token-identical
+    val cleaned = Dedup.removeDuplicateSpans(in, "text", "doc_id",
+      windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == a)
+    assert(cleaned(2L) == "pre1 pre2 post1 post2")
+    assert(cleaned(3L) == "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    assert(cleaned(4L) == "mid1 mid2 mid3")
+    assert(cleaned(5L) == "s1 s2 s3")
+  }
+
   test("keepFirstLines under a pathologically hot line: correct, and the winner agg stays map-side combined") {
     import spark.implicits._
     // one boilerplate line repeated in EVERY doc (the 10⁹-copies shape at
