@@ -2138,6 +2138,57 @@ object SparkEntry {
       windowTokens = 8)
   }
 
+  // Substring dedup, incremental half: the persisted window-hash index
+  // (8 B/row) is the cross-batch state — history text is never re-read.
+  // History = the original documents (indexed once); batch = the replicas.
+  // A batch window claimed by the index marks EVERY batch occurrence
+  // (history wins); an index-free window repeating within the batch marks
+  // non-first. With every history id below every batch id this equals the
+  // full-batch d14 spans restricted to batch docs, which is exactly what
+  // the oracle computes (d14's SQL + a final batch-id filter).
+  define("d16_spans_incremental",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text || ' zzu' || CAST(doc_id AS VARCHAR)
+         FROM documents WHERE doc_id % 2 = 0),
+       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM corpus),
+       wins AS (
+         SELECT doc_id, pos, array_to_string(w[pos+1 : pos+8], chr(1)) AS gram
+         FROM (SELECT doc_id, w,
+                 unnest(generate_series(0, len(w) - 8)) AS pos
+               FROM toks)),
+       dup AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS c,
+             min(doc_id * 1073741824 + pos) OVER (PARTITION BY gram) AS wmin
+           FROM wins)
+         WHERE c > 1 AND doc_id * 1073741824 + pos <> wmin),
+       isl AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1) THEN 1 ELSE 0 END AS ni
+         FROM dup),
+       grp AS (
+         SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM isl)
+       SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
+       FROM grp WHERE doc_id >= 100000 GROUP BY doc_id, g""") { (s, d) =>
+    import graft.operators.Dedup
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val idx = sessionIndexDir(s"d16_$d") { p =>
+      Dedup.buildWindowIndex(docs, "text", p, windowTokens = 8)
+    }
+    Dedup.duplicateWindowSpansAgainstIndex(
+      stagedSpanCorpus(docs).filter(col("doc_id") >= 100000L),
+      "text", "doc_id", idx)
+  }
+
   // Deterministic shard manifest: per-shard doc/char/token totals under the
   // cross-engine md5 shard rule (the export-layout summary a training job
   // reads before claiming shards). The physical partitioned write + pruned

@@ -1095,18 +1095,7 @@ object Dedup {
   def duplicateWindowSpans(docs: DataFrame, textCol: String, idCol: String,
                            windowTokens: Int = 8)
                           (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    require(windowTokens >= 2, "windowTokens must be >= 2")
-    val toks = TF.tokens(col(textCol))
-    val L = windowTokens
-    // (id, pos, h): one row per window start; tokens joined on a
-    // U+0001 separator so boundaries can't alias ("ab"+"c" vs "a"+"bc")
-    val wins = scope.cache(spread(
-      docs.filter(size(toks) >= L)
-        .select(col(idCol).as("__kid"),
-          posexplode(transform(
-            sequence(lit(0), size(toks) - L),
-            p => xxhash64(concat_ws("\u0001", slice(toks, p + 1, lit(L))))))
-            .as(Seq("__pos", "__h")))))
+    val wins = windowOccurrences(docs, textCol, idCol, windowTokens)
     val dupWins = wins.groupBy("__h")
       .agg(count(lit(1)).as("__c"), min(occEnc(col("__kid"), col("__pos"))).as("__w"))
       .filter(col("__c") > 1)
@@ -1114,13 +1103,40 @@ object Dedup {
     val marked = wins.join(dupWins, "__h")
       .filter(occEnc(col("__kid"), col("__pos")) =!= col("__w"))
       .select(col("__kid"), col("__pos"))
-    // gaps-and-islands: a marked window at pos covers tokens [pos, pos+L);
-    // a new span starts where pos clears the running max end of all
-    // earlier marked windows in the doc
+    mergeSpans(marked, idCol, windowTokens)
+  }
+
+  /** Exploded (id, pos, xxhash64(L-token window)) rows, one per window
+    * start, computed in ONE fused projection (`transform` over a per-doc
+    * position sequence, then posexplode — no per-window re-tokenization)
+    * and persisted: the winner aggregate and the mark join both consume
+    * them. Tokens joined on a U+0001 separator so boundaries can't alias
+    * ("ab"+"c" vs "a"+"bc"). */
+  private def windowOccurrences(docs: DataFrame, textCol: String,
+                                idCol: String, windowTokens: Int)
+                               (implicit scope: CacheScope): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val toks = TF.tokens(col(textCol))
+    val L = windowTokens
+    scope.cache(spread(
+      docs.filter(size(toks) >= L)
+        .select(col(idCol).as("__kid"),
+          posexplode(transform(
+            sequence(lit(0), size(toks) - L),
+            p => xxhash64(concat_ws("\u0001", slice(toks, p + 1, lit(L))))))
+            .as(Seq("__pos", "__h")))))
+  }
+
+  /** Merge marked (id, pos) windows — each covering tokens [pos, pos+L)
+    * — into maximal per-doc spans, gaps-and-islands style: a new span
+    * starts where pos clears the running max end of all earlier marked
+    * windows in the doc. Sorts MARKED positions only (shuffle
+    * O(duplicated windows), never a corpus-wide sort). */
+  private def mergeSpans(marked: DataFrame, idCol: String, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("__kid").orderBy("__pos")
     val prevEnd = byDoc.rowsBetween(Window.unboundedPreceding, -1)
-    val spans = marked
+    marked
       .withColumn("__newSpan",
         when(col("__pos") > coalesce(
           max(col("__pos") + lit(L)).over(prevEnd), lit(-1L)), 1).otherwise(0))
@@ -1129,8 +1145,8 @@ object Dedup {
       .groupBy("__kid", "__span")
       .agg(min("__pos").as("span_start"),
         (max(col("__pos") + lit(L)) - min("__pos")).cast("int").as("span_len"))
-    spans.select(col("__kid").as(idCol),
-      col("span_start").cast("int").as("span_start"), col("span_len"))
+      .select(col("__kid").as(idCol),
+        col("span_start").cast("int").as("span_start"), col("span_len"))
   }
 
   /** Cut every [[duplicateWindowSpans]] span out of its document,
@@ -1144,8 +1160,17 @@ object Dedup {
     * again never shuffles. */
   def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
                            windowTokens: Int = 8)
-                          (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    val perDoc = duplicateWindowSpans(docs, textCol, idCol, windowTokens)
+                          (implicit scope: CacheScope = CacheScope.global): DataFrame =
+    cutSpans(docs, duplicateWindowSpans(docs, textCol, idCol, windowTokens),
+      textCol, idCol)
+
+  /** Cut a (idCol, span_start, span_len) table out of its documents:
+    * spans collect per doc (tiny, broadcastable under AQE) and one fused
+    * (token, index) array filter drops covered tokens in place —
+    * the corpus never shuffles. Surviving tokens single-space joined. */
+  private def cutSpans(docs: DataFrame, spans: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val perDoc = spans
       .groupBy(idCol)
       .agg(collect_list(struct(
         col("span_start").as("s"),
@@ -1161,4 +1186,98 @@ object Dedup {
               i >= s.getField("s") && i < s.getField("e"))))
           .as(textCol))
   }
+
+  /** Persist a window-hash index at `path` (parquet): the distinct
+    * xxhash64 of every L-token window the corpus has claimed — 8 B/row,
+    * the only state continuous substring dedup needs (distinct window
+    * hashes are a small fraction of a 100 TB corpus). `_params` pins the
+    * window size and hash family: querying with a different L would hash
+    * different grams and silently match nothing, so readers validate
+    * both. The `wins` table participates in [[Similarity.compactIndex]]'s
+    * staged-swap generations, same as the line index. */
+  def buildWindowIndex(df: DataFrame, textCol: String, path: String,
+                       windowTokens: Int = 8)
+                      (implicit scope: CacheScope = CacheScope.global): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Similarity.dropStalePointer(path, "wins") // rebuild = fresh lineage
+    windowOccurrences(df.select(lit(0L).as("__id0"), col(textCol)),
+        textCol, "__id0", windowTokens)
+      .select(col("__h").as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$path/wins")
+    Seq((windowTokens, "xxhash64-cat1")).toDF("window_tokens", "family")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Read + validate a [[buildWindowIndex]] `_params` table: the stored
+    * hash family must match the code's; returns the stored window size. */
+  private def windowIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Int = {
+    val p = Similarity.readParams(spark, path).head()
+    require(p.getAs[String]("family") == "xxhash64-cat1",
+      s"window index at $path uses hash family '${p.getAs[String]("family")}'" +
+        " but this build computes 'xxhash64-cat1' — rebuild the index")
+    p.getAs[Int]("window_tokens")
+  }
+
+  /** Append a new batch's distinct window hashes to a
+    * [[buildWindowIndex]] index — run AFTER the batch was processed
+    * against it, so the next batch sees this one as history. Append the
+    * batch's RAW text (pre-removal): every window the batch carried,
+    * kept or cut, is claimed for all later batches — the same
+    * exactly-once keep-first convention as [[appendToLineIndex]].
+    * Membership is checked by joins, so hash rows duplicated across
+    * appends are harmless; [[Similarity.compactIndex]] folds sliver
+    * files. */
+  def appendToWindowIndex(df: DataFrame, textCol: String, path: String)
+                         (implicit scope: CacheScope = CacheScope.global): Unit = {
+    val spark = df.sparkSession
+    val l = windowIndexParams(spark, path)
+    windowOccurrences(df.select(lit(0L).as("__id0"), col(textCol)),
+        textCol, "__id0", l)
+      .select(col("__h").as("h")).distinct()
+      .write.mode("append").parquet(Similarity.resolveDataDir(path, "wins"))
+  }
+
+  /** Incremental [[duplicateWindowSpans]]: spans for a NEW ingest batch
+    * against itself AND the already-indexed history, without touching
+    * history text. A batch window is marked when its hash is claimed by
+    * the index (history always wins — EVERY batch occurrence marks,
+    * including the batch-first) or when it repeats within the batch and
+    * is not the batch-first occurrence. Processing batches in id order
+    * this way yields exactly the full-batch spans restricted to each
+    * batch's ids (pinned by test) — the replay-equivalence contract of
+    * [[dedupLinesAgainstIndex]]. Per-batch cost: one window explode of
+    * the batch + joins against the stored hashes — O(batch tokens +
+    * index), never a re-scan of history text. */
+  def duplicateWindowSpansAgainstIndex(batch: DataFrame, textCol: String,
+                                       idCol: String, indexPath: String)
+                                      (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = batch.sparkSession
+    val l = windowIndexParams(spark, indexPath)
+    val wins = windowOccurrences(batch, textCol, idCol, l)
+    val hist = spark.read.parquet(Similarity.resolveDataDir(indexPath, "wins"))
+    val markedByHistory = wins.join(hist, wins("__h") === hist("h"),
+      "left_semi").select("__kid", "__pos")
+    val batchDup = wins.join(hist, wins("__h") === hist("h"), "left_anti")
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__c"), min(occEnc(col("__kid"), col("__pos"))).as("__w"))
+      .filter(col("__c") > 1)
+      .select("__h", "__w")
+    val markedInBatch = wins.join(batchDup, "__h")
+      .filter(occEnc(col("__kid"), col("__pos")) =!= col("__w"))
+      .select("__kid", "__pos")
+    mergeSpans(markedByHistory.union(markedInBatch), idCol, l)
+  }
+
+  /** Incremental [[removeDuplicateSpans]]: cut a new batch's
+    * [[duplicateWindowSpansAgainstIndex]] spans out of its documents.
+    * Follow with [[appendToWindowIndex]] on the RAW batch so later
+    * batches see it as history. */
+  def removeDuplicateSpansAgainstIndex(batch: DataFrame, textCol: String,
+                                       idCol: String, indexPath: String)
+                                      (implicit scope: CacheScope = CacheScope.global): DataFrame =
+    cutSpans(batch,
+      duplicateWindowSpansAgainstIndex(batch, textCol, idCol, indexPath),
+      textCol, idCol)
 }

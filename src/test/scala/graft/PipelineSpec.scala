@@ -755,6 +755,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned(5L) == "s1 s2 s3")
   }
 
+  test("window index: batch replay in id order equals full-batch spans; family guard; removal composes") {
+    import spark.implicits._
+    withTempDir("graft_win_idx") { dir =>
+      val a = (1 to 12).map(i => s"w$i").mkString(" ")
+      val in = Seq(
+        (1L, a),
+        (2L, s"pre1 pre2 $a post1 post2"),
+        (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        (4L, s"$a mid1 mid2 mid3 $a"),
+        (5L, "s1 s2 s3"),
+        (6L, s"lead1 $a"),                         // marked via history
+        (7L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v1 v2 v3 v4 v5 v6 v7 v8 v9")
+      ).toDF("doc_id", "text")
+      def spanSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val full = spanSet(Dedup.duplicateWindowSpans(in, "text", "doc_id", 8))
+      // replay in three id-ordered batches against the persisted index
+      Dedup.buildWindowIndex(in.limit(0), "text", dir, windowTokens = 8)
+      val batches = Seq(in.filter(col("doc_id") <= 2),
+        in.filter(col("doc_id") > 2 && col("doc_id") <= 5),
+        in.filter(col("doc_id") > 5))
+      val replayed = batches.flatMap { b =>
+        val spans = spanSet(
+          Dedup.duplicateWindowSpansAgainstIndex(b, "text", "doc_id", dir))
+        Dedup.appendToWindowIndex(b, "text", dir)
+        spans
+      }.toSet
+      assert(replayed == full,
+        s"replay diverged: extra=${replayed -- full} missing=${full -- replayed}")
+      // incremental removal on a fresh batch claimed entirely by history
+      val cut = Dedup.removeDuplicateSpansAgainstIndex(
+        Seq((8L, s"$a tail1")).toDF("doc_id", "text"), "text", "doc_id", dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(cut(8L) == "tail1")
+      // a mismatched hash family is refused, not silently recall-collapsed
+      Seq((8, "other-family")).toDF("window_tokens", "family")
+        .write.mode("overwrite").parquet(s"$dir/_params")
+      assert(intercept[IllegalArgumentException] {
+        Dedup.duplicateWindowSpansAgainstIndex(in, "text", "doc_id", dir)
+      }.getMessage.contains("family"))
+    }
+  }
+
   test("keepFirstLines under a pathologically hot line: correct, and the winner agg stays map-side combined") {
     import spark.implicits._
     // one boilerplate line repeated in EVERY doc (the 10⁹-copies shape at
