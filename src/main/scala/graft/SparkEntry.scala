@@ -2670,6 +2670,43 @@ object SparkEntry {
     graft.streaming.Streaming.streamingLineDedup(s, d, "st13")
   }
 
+  // Streaming substring dedup: the persisted window-hash index is the
+  // cross-batch state (spans-against-history, then append). Id-ordered
+  // batch replay provably equals full-batch duplicateWindowSpans
+  // (PipelineSpec replay pin), so d14's oracle shape — here over the raw
+  // corpus, natural repeats only — transfers to the stream verbatim.
+  define("st15_stream_span_dedup",
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       wins AS (
+         SELECT doc_id, pos, array_to_string(w[pos+1 : pos+8], chr(1)) AS gram
+         FROM (SELECT doc_id, w,
+                 unnest(generate_series(0, len(w) - 8)) AS pos
+               FROM toks)),
+       dup AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS c,
+             min(doc_id * 1073741824 + pos) OVER (PARTITION BY gram) AS wmin
+           FROM wins)
+         WHERE c > 1 AND doc_id * 1073741824 + pos <> wmin),
+       isl AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1) THEN 1 ELSE 0 END AS ni
+         FROM dup),
+       grp AS (
+         SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM isl)
+       SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
+       FROM grp GROUP BY doc_id, g""") { (s, d) =>
+    graft.streaming.Streaming.streamingSpanDedup(s, d, "st15")
+  }
+
   define("st9_stream_curate",
     """WITH q AS (
          SELECT doc_id, text,

@@ -596,6 +596,53 @@ object Streaming {
     * the state a `flatMapGroupsWithState` spelling would pin in the state
     * store lives in parquet instead. Docs are chunked into `wordsPerLine`
     * word lines (the gate's corpus has no newlines). */
+  /** Streaming substring dedup: the persisted window-hash index
+    * ([[graft.operators.Dedup.buildWindowIndex]]) is the cross-batch
+    * state — each micro-batch's duplicated spans are computed against
+    * history ([[graft.operators.Dedup.duplicateWindowSpansAgainstIndex]])
+    * and the batch is then claimed as new history, so a passage any
+    * earlier batch carried marks every later recurrence. Id-ordered
+    * batch replay provably equals the full-batch
+    * [[graft.operators.Dedup.duplicateWindowSpans]] (PipelineSpec pins
+    * the replay), so the batch d14 oracle shape transfers to the
+    * stream. State is 8 B per distinct window on durable storage — not
+    * executor memory — the same forever-stream argument as
+    * [[streamingLineDedup]]. */
+  def streamingSpanDedup(spark: SparkSession, sfDir: String, name: String,
+                         windowTokens: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idxDir = base.resolve("winidx").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Dedup.buildWindowIndex(batchDocs.limit(0), "text", idxDir,
+      windowTokens) // empty history: the stream IS the corpus
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        // per-batch cache scope: the window explode persists for the
+        // mark joins within the batch, then releases — a forever-stream
+        // must not accumulate cached frames across triggers
+        implicit val batchScope: graft.operators.CacheScope =
+          new graft.operators.CacheScope
+        try {
+          val b = mb.select(col("doc_id"), col("text"))
+          Dedup.duplicateWindowSpansAgainstIndex(b, "text", "doc_id", idxDir)
+            .write.mode("append").parquet(outDir)
+          Dedup.appendToWindowIndex(b, "text", idxDir)
+        } finally batchScope.release()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   def streamingLineDedup(spark: SparkSession, sfDir: String, name: String,
                          wordsPerLine: Int = 5): DataFrame = {
     import graft.operators.Dedup
