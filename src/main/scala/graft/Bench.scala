@@ -45,7 +45,10 @@ object Bench {
   val headline: Seq[String] = legacy ++ Seq(
     "t10_lm_logprob", "d10_semantic_dedup", "s6_ann_pq", "p6_shuffle_order",
     "s11_ann_ivf_persisted", "s12_ann_ivfpq_persisted",
-    "d11_line_dedup", "d13_line_dedup_incremental")
+    "d11_line_dedup", "d13_line_dedup_incremental",
+    // round-7: substring dedup — full-batch span detection and the
+    // incremental per-batch serve against the persisted window index
+    "d14_duplicate_spans", "d16_spans_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -21,7 +21,7 @@ object CurationSoak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("dedup", "text", "ann", "order", "r5"))
+      .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -90,15 +90,18 @@ object CurationSoak {
       time("dense_packing_100k") {
         Packing.packSequencesDense(withN, "lang", "doc_id", "n", 256L).count()
       }
+      // NOTE: force the aggregate VALUE (head), never count() a global
+      // aggregate — its row count is statically 1, so Catalyst prunes
+      // the aggregated expression and the timed body measures nothing
       time("repetition_ratio_100k") {
         docs100k.select(graft.functions.TextFunctions
           .repetitionRatio(col("text")).as("r"))
-          .agg(avg("r")).count()
+          .agg(avg("r")).head.getDouble(0).toLong
       }
       time("redact_pii_100k") {
         docs100k.select(graft.functions.TextFunctions
           .redactPii(col("text")).as("c"))
-          .agg(sum(length(col("c")))).count()
+          .agg(sum(length(col("c")))).head.getLong(0)
       }
       time("deterministic_sample_100k") {
         Splits.sample(docs100k.select("doc_id"), "doc_id", 0.1).count()
@@ -181,6 +184,29 @@ object CurationSoak {
       val shardDir = java.nio.file.Files.createTempDirectory("graft_soak_sh_").toString
       time("write_sharded_100k") {
         Splits.writeSharded(docs100k, "doc_id", 32, s"$shardDir/corpus"); 1L
+      }
+    }
+    if (sections("spans")) {
+      // substring dedup at 100k docs: full-batch span detection +
+      // removal, then the incremental 50k-history/50k-batch shape (the
+      // st15 per-trigger cost). The replicated corpus is the worst case:
+      // every replica's full text is one giant duplicated span.
+      time("span_detect_100k") {
+        Dedup.duplicateWindowSpans(docs100k, "text", "doc_id", 8).count()
+      }
+      time("span_remove_100k") {
+        Dedup.removeDuplicateSpans(docs100k, "text", "doc_id", 8)
+          .agg(sum(length(col("text")))).head.getLong(0)
+      }
+      val winIdxDir = java.nio.file.Files.createTempDirectory("graft_soak_wi_").toString
+      time("window_index_build_50k") {
+        Dedup.buildWindowIndex(docs100k.filter(col("doc_id") < 10000000L),
+          "text", winIdxDir, 8); 1L
+      }
+      time("span_incremental_50k") {
+        Dedup.duplicateWindowSpansAgainstIndex(
+          docs100k.filter(col("doc_id") >= 10000000L),
+          "text", "doc_id", winIdxDir).count()
       }
     }
     if (sections("r5")) {
