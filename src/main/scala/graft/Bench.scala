@@ -48,7 +48,12 @@ object Bench {
     "d11_line_dedup", "d13_line_dedup_incremental",
     // round-7: substring dedup — full-batch span detection and the
     // incremental per-batch serve against the persisted window index
-    "d14_duplicate_spans", "d16_spans_incremental")
+    "d14_duplicate_spans", "d16_spans_incremental",
+    // round-7: NB classifier (train+score full corpus; the serve-only path
+    // t14 shares the per-JVM model so its median would time pure serving),
+    // the bucketed range join, the heap top-k aggregate (vs q23's window
+    // formulation), and z-order clustering
+    "t13_nb_classifier", "q43_interval_join", "q44_topk_agg", "p9_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -228,6 +228,27 @@ object SparkEntry {
       .withColumn("sum_qty", round(col("__sum_qty"), 2)).drop("__sum_qty")
   }
 
+  // Salted JOIN — the static skew fix for a hot join key: probe side salts
+  // positionally, the supplier dim replicates ×8, the join runs on
+  // (key, salt) so one hot supplier's rows spread over 8 reducers. Result
+  // is identical to the unsalted join (pinned by the plain-SQL oracle);
+  // the post-join aggregate collapses it to a small verifiable frame.
+  define("a13_salted_join",
+    """SELECT s_name, round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS cnt
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY s_name""") { (s, d) =>
+    import graft.operators.Skew
+    Skew.saltedJoin(
+      t(s, d, "lineitem").select("l_suppkey", "l_extendedprice"),
+      t(s, d, "supplier").select(col("s_suppkey").as("l_suppkey"),
+        col("s_name")),
+      keys = Seq("l_suppkey"), saltFactor = 8)
+      .groupBy("s_name")
+      .agg(round(sum("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
   // ==================================================================
   // §2.3 Joins (J1 executed for real) + Spark-extended join types
   // ==================================================================
@@ -384,6 +405,31 @@ object SparkEntry {
     t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
         col("o_totalprice"), row_number().over(w).as("rn"))
       .filter(col("rn") <= 3).drop("rn")
+  }
+
+  // Top-k per group as an AGGREGATE (custom TypedImperativeAggregate,
+  // functions/TopKAgg.scala) — q23's semantics with a fundamentally
+  // better plan: the map side keeps a size-k heap per group and the
+  // shuffle moves ≤ k pairs per (partition, group) instead of every row
+  // of every group through a sort. The rank comes from posexplode over
+  // the best-first array; same total order as the oracle's row_number
+  // (value DESC, ties to the smaller id).
+  define("q44_topk_agg",
+    """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
+         o_totalprice
+       FROM (
+       SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+       FROM orders) WHERE rn <= 3""") { (s, d) =>
+    import graft.functions.TopKAgg
+    t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(TopKAgg.topKByValue(col("o_totalprice"), col("o_orderkey"), 3)
+        .as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("o_orderkey"), col("col.value").as("o_totalprice"))
   }
 
   // Timestamp predicate pushed to the parquet scan + join + agg.
@@ -1910,6 +1956,91 @@ object SparkEntry {
         round(col("lm2_logprob"), 6).as("lm2_logprob"))
   }
 
+  // Multinomial Naive Bayes text classification — the fastText-style
+  // "quality classifier" stage of a curation pipeline (label a slice,
+  // train a linear model, score the corpus). Training is one counting
+  // aggregate, serving one broadcast join; scores round to 6 decimals
+  // BEFORE the argmax on both engines so the winner (and its
+  // y-descending tie break) is decided on bit-identical inputs.
+  define("t13_nb_classifier",
+    """WITH tok AS (
+         SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       cond AS (SELECT lang AS y, w, count(*) AS c FROM tok GROUP BY lang, w),
+       cls AS (SELECT lang AS y, count(*) AS n_docs FROM documents GROUP BY lang),
+       ntok AS (SELECT y, sum(c) AS n_tok FROM cond GROUP BY y),
+       v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM cond),
+       tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nd FROM cls),
+       scored AS (
+         SELECT tf.doc_id, cls.y,
+           round(ln(CAST(cls.n_docs AS DOUBLE) / tot.nd)
+             + sum(tf.tf * ln((coalesce(CAST(cond.c AS DOUBLE), 0.0) + 1.0)
+                              / (CAST(ntok.n_tok AS DOUBLE) + v.v))), 6) AS score
+         FROM tf CROSS JOIN cls CROSS JOIN tot CROSS JOIN v
+         JOIN ntok ON ntok.y = cls.y
+         LEFT JOIN cond ON cond.y = cls.y AND cond.w = tf.w
+         GROUP BY tf.doc_id, cls.y, cls.n_docs, tot.nd, ntok.n_tok, v.v)
+       SELECT doc_id, y AS pred, score
+       FROM (SELECT doc_id, y, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, y DESC) AS rn
+             FROM scored)
+       WHERE rn = 1""") { (s, d) =>
+    import graft.operators.NaiveBayes
+    val docs = t(s, d, "documents")
+    NaiveBayes.classify(docs, "text", "doc_id",
+      NaiveBayes.train(docs, "text", "lang"))
+  }
+
+  // The serve half: train on the first 400 docs, PERSIST the model
+  // (classes + cond counts + `_params`, the same layout discipline as the
+  // ANN indexes — a classifier is serving state), then load and score the
+  // held-out slice. Laplace smoothing makes OOV tokens total: a token the
+  // model never saw contributes ln(alpha / (n_tok_y + alpha·V)) for every
+  // class instead of exploding or silently dropping.
+  define("t14_nb_classifier_serve",
+    """WITH ttok AS (
+         SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents WHERE doc_id < 400),
+       cond AS (SELECT lang AS y, w, count(*) AS c FROM ttok GROUP BY lang, w),
+       cls AS (SELECT lang AS y, count(*) AS n_docs FROM documents
+               WHERE doc_id < 400 GROUP BY lang),
+       ntok AS (SELECT y, sum(c) AS n_tok FROM cond GROUP BY y),
+       v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM cond),
+       tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nd FROM cls),
+       stok AS (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents WHERE doc_id >= 400),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM stok GROUP BY doc_id, w),
+       scored AS (
+         SELECT tf.doc_id, cls.y,
+           round(ln(CAST(cls.n_docs AS DOUBLE) / tot.nd)
+             + sum(tf.tf * ln((coalesce(CAST(cond.c AS DOUBLE), 0.0) + 1.0)
+                              / (CAST(ntok.n_tok AS DOUBLE) + v.v))), 6) AS score
+         FROM tf CROSS JOIN cls CROSS JOIN tot CROSS JOIN v
+         JOIN ntok ON ntok.y = cls.y
+         LEFT JOIN cond ON cond.y = cls.y AND cond.w = tf.w
+         GROUP BY tf.doc_id, cls.y, cls.n_docs, tot.nd, ntok.n_tok, v.v)
+       SELECT doc_id, y AS pred, score
+       FROM (SELECT doc_id, y, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, y DESC) AS rn
+             FROM scored)
+       WHERE rn = 1""") { (s, d) =>
+    import graft.operators.NaiveBayes
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"nbmodel_$d") { p =>
+      NaiveBayes.save(
+        NaiveBayes.train(docs.filter(col("doc_id") < 400), "text", "lang"),
+        s"$p/model")
+    }
+    NaiveBayes.classify(docs.filter(col("doc_id") >= 400), "text", "doc_id",
+      NaiveBayes.load(s, s"$dir/model"))
+  }
+
   // SemDeDup (cluster-scoped near-dup): duplicates are searched WITHIN
   // embedding clusters only — cross-cluster pairs are skipped by design,
   // which is what bounds candidates at corpus scale. The axis-sign
@@ -2250,6 +2381,36 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "cum_tokens")
   }
 
+  // Z-order (Morton) clustering for multi-dimensional data skipping — the
+  // lakehouse write-layout op (Delta OPTIMIZE ZORDER): quantize two
+  // columns against stable stats-derived bounds, interleave their bits,
+  // range-exchange + sort on the z-value so every output file's min/max
+  // is narrow on BOTH dimensions. The oracle SQL is GENERATED from the
+  // same ZOrder helpers that build the Column expression, so the two
+  // spellings cannot drift. The clustering exchange doesn't change row
+  // content, so the z-value compare certifies the full pipeline.
+  define("p9_zorder", {
+    import graft.operators.ZOrder
+    s"""WITH q AS (
+         SELECT o_orderkey,
+           ${ZOrder.quantizeSql("o_totalprice", 0.0, 500000.0, 8)} AS qx,
+           ${ZOrder.quantizeSql("epoch_us(o_orderdate)",
+              788918400000000.0, 1009843200000000.0, 8)} AS qy
+         FROM orders)
+       SELECT o_orderkey,
+         CAST(${ZOrder.interleave2Sql("qx", "qy", 8)} AS BIGINT) AS zkey
+       FROM q"""
+  }) { (s, d) =>
+    import graft.operators.ZOrder
+    ZOrder.cluster(
+      t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderdate"),
+      (col("o_totalprice"), 0.0, 500000.0),
+      (unix_micros(col("o_orderdate").cast("timestamp")).cast("double"),
+        788918400000000.0, 1009843200000000.0),
+      bits = 8, numFiles = 16)
+      .select("o_orderkey", "zkey")
+  }
+
   // Weighted deterministic sampling: keep probability computed per row
   // (length-damped here: weight = min(n_chars/400, 1)) under the same
   // cross-engine md5 rule as a10/a11 — the "upsample quality, damp
@@ -2399,6 +2560,34 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"),
         round(col("pv"), 2).as("recent_purchase"))
       .orderBy("event_id")
+  }
+
+  // Point-in-interval (range) join, bucketed: every click inside the
+  // 30-minute attribution window preceding a same-user purchase. The SQL
+  // oracle is the inequality theta join; the engine runs the bucketed
+  // equi-join (IntervalJoin: intervals explode into ≤2 bucket replicas,
+  // the join is a plain hash join on (user, bucket) AQE can broadcast or
+  // skew-split, exact containment re-checked after) — the shape that
+  // survives hot users at 100 TB where the theta join explodes
+  // quadratically per key.
+  define("q43_interval_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""") { (s, d) =>
+    import graft.operators.IntervalJoin
+    val ev0 = t(s, d, "events")
+    val ev = ev0.withColumn("ts", graft.Tables.tsNanos(ev0))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val windowNanos = 1800L * 1000000000L // 30 min
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (col("ts") - lit(windowNanos)).as("w_start"), col("ts").as("w_end"))
+    IntervalJoin.pointInInterval(clicks, purchases, Seq("user_id"), "ts",
+        "w_start", "w_end", bucketWidth = windowNanos)
+      .select("click_id", "purchase_id")
   }
 
   // Saved-layout story: hive-partitioned parquet write → partition-pruned
@@ -2705,6 +2894,52 @@ object SparkEntry {
          CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
        FROM grp GROUP BY doc_id, g""") { (s, d) =>
     graft.streaming.Streaming.streamingSpanDedup(s, d, "st15")
+  }
+
+  // Streaming classifier serving ≡ batch t14, certified by the SAME
+  // oracle SQL: the NB model trains and persists once (shared with t14's
+  // per-JVM model dir), the document stream scores each micro-batch
+  // against the loaded model via foreachBatch. Per-document independence
+  // makes the micro-batch union equal the full-batch answer.
+  define("st16_stream_classify",
+    """WITH ttok AS (
+         SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents WHERE doc_id < 400),
+       cond AS (SELECT lang AS y, w, count(*) AS c FROM ttok GROUP BY lang, w),
+       cls AS (SELECT lang AS y, count(*) AS n_docs FROM documents
+               WHERE doc_id < 400 GROUP BY lang),
+       ntok AS (SELECT y, sum(c) AS n_tok FROM cond GROUP BY y),
+       v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM cond),
+       tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nd FROM cls),
+       stok AS (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents WHERE doc_id >= 400),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM stok GROUP BY doc_id, w),
+       scored AS (
+         SELECT tf.doc_id, cls.y,
+           round(ln(CAST(cls.n_docs AS DOUBLE) / tot.nd)
+             + sum(tf.tf * ln((coalesce(CAST(cond.c AS DOUBLE), 0.0) + 1.0)
+                              / (CAST(ntok.n_tok AS DOUBLE) + v.v))), 6) AS score
+         FROM tf CROSS JOIN cls CROSS JOIN tot CROSS JOIN v
+         JOIN ntok ON ntok.y = cls.y
+         LEFT JOIN cond ON cond.y = cls.y AND cond.w = tf.w
+         GROUP BY tf.doc_id, cls.y, cls.n_docs, tot.nd, ntok.n_tok, v.v)
+       SELECT doc_id, y AS pred, score
+       FROM (SELECT doc_id, y, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, y DESC) AS rn
+             FROM scored)
+       WHERE rn = 1""") { (s, d) =>
+    import graft.operators.NaiveBayes
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"nbmodel_$d") { p =>
+      NaiveBayes.save(
+        NaiveBayes.train(docs.filter(col("doc_id") < 400), "text", "lang"),
+        s"$p/model")
+    }
+    graft.streaming.Streaming.streamingNbClassify(s, d, "st16",
+      s"$dir/model", col("doc_id") >= 400)
   }
 
   define("st9_stream_curate",

@@ -52,4 +52,32 @@ object Skew {
     stage1.groupBy(keys.map(col): _*)
       .agg(merges.head, merges.tail: _*)
   }
+
+  /** Salted equi-join for a pathologically hot join key: the big (probe)
+    * side salts each row with `hash(position) mod saltFactor`, the small
+    * (build) side replicates every row `saltFactor` times, and the join
+    * runs on (keys…, salt) — a hot key's probe rows land on `saltFactor`
+    * reducers instead of one. The result is identical to the unsalted
+    * join (salt never reaches the output; every probe row still meets
+    * every matching build row exactly once, via its single salt replica).
+    *
+    * This is the static form of what AQE's skew-join split does at
+    * runtime; it remains necessary when the skewed stage is NOT a shuffle
+    * join AQE can split (e.g. the shuffle feeds a window/sort first) or
+    * when partition stats under-report the skew. Cost: the build side
+    * grows ×saltFactor — use for dimension-sized builds only; a big-big
+    * skewed join wants range-splitting the hot key by time instead.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    // positional salt, same rationale as saltedAgg: content-derived salt
+    // would re-concentrate identical hot-key payloads on one reducer
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -684,4 +684,48 @@ object Streaming {
     q.stop()
     spark.read.parquet(outDir)
   }
+
+  /** Streaming model-based filtering: documents stream in and each
+    * micro-batch is scored against a PERSISTED NaiveBayes model
+    * ([[graft.operators.NaiveBayes.save]]) loaded once at stream setup —
+    * the quality-classifier serving shape (train offline on a labeled
+    * slice, score the firehose). The model frames are cached and the
+    * conditional-count table rides the classify broadcast join, so each
+    * trigger pays only its own tokenization + one hash agg; per-document
+    * independence makes the micro-batch union equal the full-batch answer,
+    * which is what lets the batch t14 oracle transfer verbatim.
+    *
+    * `docFilter` selects the scored slice inside the stream (the gate
+    * scores the held-out docs the model never trained on). */
+  def streamingNbClassify(spark: SparkSession, sfDir: String, name: String,
+                          modelDir: String,
+                          docFilter: org.apache.spark.sql.Column): DataFrame = {
+    import graft.operators.NaiveBayes
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m0 = NaiveBayes.load(spark, modelDir)
+    val classes = m0.classes.cache()
+    val cond = m0.cond.cache()
+    classes.count(); cond.count() // materialize before the stream starts
+    val model = m0.copy(classes = classes, cond = cond)
+    try {
+      val stream = spark.readStream
+        .schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sfDir/documents.*")
+        .filter(docFilter)
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          NaiveBayes.classify(mb, "text", "doc_id", model)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally { classes.unpersist(); cond.unpersist() }
+    spark.read.parquet(outDir)
+  }
 }

@@ -1696,6 +1696,177 @@ class PipelineSpec extends AnyFunSuite {
       salted.exceptAll(direct).count() == 0)
   }
 
+  test("salted join equals plain join") {
+    import graft.operators.Skew
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_suppkey", "l_extendedprice")
+    val sup = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val direct = li.join(sup, "l_suppkey")
+    val salted = Skew.saltedJoin(li, sup, Seq("l_suppkey"), saltFactor = 8)
+      .select(direct.columns.map(col).toSeq: _*)
+    assert(direct.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(direct).count() == 0)
+  }
+
+  // ---- interval join ----
+
+  test("pointInInterval equals the theta join; malformed intervals drop; multi-bucket spans work") {
+    import graft.operators.IntervalJoin
+    import spark.implicits._
+    // buckets of width 10; intervals spanning 1–4 buckets, boundary points,
+    // a malformed (end < start) interval, and a key with no intervals
+    val pts = Seq((1L, 0L, "p0"), (1L, 9L, "p9"), (1L, 10L, "p10"),
+      (1L, 35L, "p35"), (2L, 5L, "q5"), (3L, 7L, "r7"))
+      .toDF("k", "t", "pid")
+    val ivs = Seq((1L, 0L, 9L, "i0"), (1L, 5L, 35L, "i1"),
+      (1L, 36L, 12L, "bad"), (2L, 5L, 5L, "i2"))
+      .toDF("k", "s", "e", "iid")
+    val got = IntervalJoin.pointInInterval(pts, ivs, Seq("k"), "t", "s", "e",
+        bucketWidth = 10L)
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    val want = Set(("p0", "i0"), ("p9", "i0"), ("p9", "i1"), ("p10", "i1"),
+      ("p35", "i1"), ("q5", "i2"))
+    assert(got == want)
+    // against the theta join on real data (the q43 shape, small slice)
+    val ev0 = Tables.load(spark, sf, "events")
+    val ev = ev0.withColumn("ts", Tables.tsNanos(ev0))
+      .filter(col("user_id") < 200)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts"))
+    val wNanos = 1800L * 1000000000L
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid2"), col("user_id").as("u2"),
+        (col("ts") - lit(wNanos)).as("ws"), col("ts").as("we"))
+    val theta = clicks.join(purch,
+        col("user_id") === col("u2") &&
+          col("ts") >= col("ws") && col("ts") <= col("we"))
+      .select("cid", "pid2")
+    val bucketed = IntervalJoin.pointInInterval(clicks,
+        purch.withColumnRenamed("u2", "user_id"), Seq("user_id"), "ts",
+        "ws", "we", bucketWidth = wNanos)
+      .select("cid", "pid2")
+    assert(theta.exceptAll(bucketed).count() == 0 &&
+      bucketed.exceptAll(theta).count() == 0)
+  }
+
+  // ---- top-k aggregate ----
+
+  test("topKByValue aggregate equals the window top-N; ties, small groups, nulls") {
+    import graft.functions.TopKAgg
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val orders = Tables.load(spark, sf, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= 3)
+    val viaAgg = orders.groupBy("o_custkey")
+      .agg(TopKAgg.topKByValue(col("o_totalprice"), col("o_orderkey"), 3)
+        .as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("o_orderkey"), col("col.value").as("o_totalprice"))
+      .select(viaWindow.columns.map(col).toSeq: _*)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0 &&
+      viaAgg.exceptAll(viaWindow).count() == 0)
+    // hand-checked edges: ties break to smaller id, groups under k emit
+    // what they have, null value/id rows are ignored
+    val tiny = Seq(("g1", 5.0, 10L), ("g1", 5.0, 9L), ("g1", 7.0, 20L),
+      ("g2", 1.0, 1L)).toDF("g", "v", "id")
+      .unionByName(Seq(("g2", Option.empty[Double], Option(2L)),
+        ("g2", Option(3.0), Option.empty[Long]))
+        .toDF("g", "v", "id"))
+    val got = tiny.groupBy("g")
+      .agg(TopKAgg.topKByValue(col("v"), col("id"), 2).as("top"))
+      .select(col("g"), col("top"))
+      .as[(String, Seq[(Long, Double)])].collect().toMap
+    assert(got("g1") == Seq((20L, 7.0), (9L, 5.0))) // tie 5.0: id 9 beats 10
+    assert(got("g2") == Seq((1L, 1.0)))             // nulls ignored
+  }
+
+  // ---- z-order clustering ----
+
+  test("zorder: known morton codes, clamping, disjoint partition ranges after cluster") {
+    import graft.operators.ZOrder
+    import spark.implicits._
+    // interleave2(5=0b101, 3=0b011, 3 bits): even bits from x, odd from y
+    // → 0b011011 = 27
+    val codes = Seq((5L, 3L)).toDF("x", "y")
+      .select(ZOrder.interleave2(col("x"), col("y"), 3).as("z"))
+      .as[Long].collect()
+    assert(codes.toSeq == Seq(27L))
+    // quantize: linear buckets, out-of-bounds clamps to edge buckets
+    val q = Seq(-5.0, 0.0, 99.9, 100.0, 250.0, 999.0, 2000.0)
+      .toDF("v")
+      .select(ZOrder.quantize(col("v"), 0.0, 1000.0, 2).as("b"))
+      .as[Long].collect().toSeq
+    assert(q == Seq(0L, 0L, 0L, 0L, 1L, 3L, 3L))
+    // cluster: files tile the curve — per-partition z ranges are disjoint
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    val clustered = ZOrder.cluster(orders,
+      (col("o_totalprice"), 0.0, 500000.0),
+      (unix_micros(col("o_orderdate").cast("timestamp")).cast("double"),
+        788918400000000.0, 1009843200000000.0),
+      bits = 8, numFiles = 8)
+    val ranges = clustered.select("zkey").as[Long]
+      .mapPartitions(it => if (it.isEmpty) Iterator.empty
+        else { val s = it.toSeq; Iterator.single((s.min, s.max)) })
+      .collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo,
+        s"partition z ranges overlap: $hi > $lo")
+      case _ => ()
+    }
+    // row content untouched by the exchange
+    assert(clustered.drop("zkey").exceptAll(orders).count() == 0 &&
+      orders.exceptAll(clustered.drop("zkey")).count() == 0)
+  }
+
+  // ---- naive bayes classifier ----
+
+  test("naive bayes: hand-computed scores on a tiny corpus; save/load roundtrip; OOV total") {
+    import graft.operators.NaiveBayes
+    import spark.implicits._
+    val train = Seq((1L, "a", "x x"), (2L, "a", "x y"), (3L, "b", "y y"))
+      .toDF("doc_id", "lab", "text")
+    val m = NaiveBayes.train(train, "text", "lab")
+    assert(m.vocabSize == 2)
+    // doc "x": P(a) = ln(2/3) + ln((3+1)/(4+2)); P(b) = ln(1/3) + ln((0+1)/(2+2))
+    val scoreA = math.log(2.0 / 3) + math.log(4.0 / 6)
+    val scoreB = math.log(1.0 / 3) + math.log(1.0 / 4)
+    assert(scoreA > scoreB)
+    val got = NaiveBayes.classify(Seq((10L, "x")).toDF("doc_id", "text"),
+        "text", "doc_id", m)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) == Seq((10L, "a")))
+    assert(math.abs(got.head._3 -
+      BigDecimal(scoreA).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    // OOV token: totally unseen word still scores every class (smoothing
+    // floor), never NaN/null — doc "z z" gets 2·ln(alpha/(n_tok+alpha·V))
+    val oov = NaiveBayes.classify(Seq((11L, "z z")).toDF("doc_id", "text"),
+        "text", "doc_id", m)
+      .as[(Long, String, Double)].collect().head
+    val oovB = math.log(1.0 / 3) + 2 * math.log(1.0 / 4)
+    assert(oov._2 == "b" && !oov._3.isNaN) // b: fewer seen tokens → higher floor
+    assert(math.abs(oov._3 -
+      BigDecimal(oovB).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    // persistence: save → load → identical classifications; foreign dir fails
+    withTempDir("graft_nb_") { dir =>
+      NaiveBayes.save(m, s"$dir/model")
+      val m2 = NaiveBayes.load(spark, s"$dir/model")
+      assert(m2.vocabSize == m.vocabSize)
+      val before = NaiveBayes.classify(docs, "text", "doc_id", m)
+      val after = NaiveBayes.classify(docs, "text", "doc_id", m2)
+      assert(before.exceptAll(after).count() == 0 &&
+        after.exceptAll(before).count() == 0)
+    }
+  }
+
   // ---- streaming ----
 
   test("stateful sessionization equals batch window sessionization") {

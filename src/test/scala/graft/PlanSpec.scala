@@ -208,6 +208,58 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"unexpected cross join:\n$p")
   }
 
+  test("topk aggregate plan: partial heap on the map side, no sort before the exchange") {
+    import graft.functions.TopKAgg
+    val df = Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(TopKAgg.topKByValue(col("o_totalprice"), col("o_orderkey"), 3)
+        .as("top"))
+    val p = plan(df)
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // stage BEFORE the exchange — the shuffle carries ≤ k pairs per
+    // (partition, group), the whole point vs the window top-N's full sort
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    assert(p.contains("partial_top_k_by_value"),
+      s"missing map-side partial top-k:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(o_custkey")
+    val partialIdx = p.indexOf("partial_top_k_by_value")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial agg should sit below the exchange in the plan tree:\n$p")
+  }
+
+  test("interval join plan: bucketed equi-join, never a per-key theta join") {
+    val ev0 = Tables.load(spark, sf, "events")
+    val ev = ev0.withColumn("ts", Tables.tsNanos(ev0))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts"))
+    val wNanos = 1800L * 1000000000L
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        (col("ts") - lit(wNanos)).as("ws"), col("ts").as("we"))
+    val p = plan(graft.operators.IntervalJoin.pointInInterval(
+      clicks, purch, Seq("user_id"), "ts", "ws", "we", wNanos))
+    // the whole point: the range condition rides a bucketed EQUI-join —
+    // a theta join would surface as a nested-loop/cartesian product
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join:\n$p")
+  }
+
+  test("nb classify plan: conditional-count join is broadcast hash, no cartesian") {
+    import graft.operators.NaiveBayes
+    val docs = Tables.load(spark, sf, "documents")
+    val m = NaiveBayes.train(docs, "text", "lang")
+    val p = plan(NaiveBayes.classify(docs, "text", "doc_id", m))
+    // the O(classes·vocab) model joins each doc's tf rows via broadcast —
+    // serving shuffles only the tf aggregate, never the model
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join should broadcast:\n$p")
+    // the per-class fan-out is a broadcast nested loop over the tiny class
+    // table by design; an unbroadcast CartesianProduct is the failure mode
+    assert(!p.contains("CartesianProduct"),
+      s"class fan-out must ride a broadcast:\n$p")
+  }
+
   test("PQ ADC plan: the only cross join is the broadcast query-table side") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, sf, "embeddings")
