@@ -249,6 +249,40 @@ object SparkEntry {
         count(lit(1)).as("cnt"))
   }
 
+  // Per-domain token-budget selection — the "data mixing" pass: each
+  // source keeps its highest-priority docs until its own budget (the
+  // mixture weight) is spent; sources without a weight drop. The oracle
+  // is the per-source windowed cumsum; the engine runs GlobalOrder's
+  // grouped two-phase range-exchange cumsum, which a hot source SPANS
+  // (the window spelling would sort each source inside one task).
+  define("a14_domain_token_budget",
+    """WITH t AS (
+         SELECT doc_id, source, n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         FROM t),
+       b(source, budget) AS (
+         VALUES ('src0', 800), ('src1', 400), ('src2', 200), ('src3', 100))
+       SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM c JOIN b USING (source) WHERE cum_tokens <= budget""") { (s, d) =>
+    graft.operators.GlobalOrder.mixBudgetSelect(
+      t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens")),
+      "source", Seq(col("n_chars").desc, col("doc_id")), "n_tokens",
+      budgets = Map("src0" -> 800L, "src1" -> 400L, "src2" -> 200L,
+        "src3" -> 100L),
+      cumCol = "cum_tokens")
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   // ==================================================================
   // §2.3 Joins (J1 executed for real) + Spark-extended join types
   // ==================================================================

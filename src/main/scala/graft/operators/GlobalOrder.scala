@@ -130,4 +130,87 @@ object GlobalOrder {
                   (implicit scope: CacheScope = CacheScope.global): DataFrame =
     runningTotal(df, sortCols, valueCol, cumCol)
       .filter(col(cumCol) <= budget)
+
+  /** Append `cumCol`: the running total of `valueCol` under `sortCols`,
+    * restarting PER GROUP — `SUM() OVER (PARTITION BY group ORDER BY …)`
+    * without the window's scale cliff. The window spelling sorts each
+    * group inside ONE task, so a training mix with five sources turns a
+    * 1000-executor cluster into five sorting threads. Here the range
+    * exchange keys on (group, sortCols) — a hot group SPANS partitions —
+    * and the two-phase offset scheme of [[runningTotal]] generalizes to
+    * per-(partition, group) partial sums: the driver sees P×G numbers
+    * (G = #groups, domains-sized), each partition starts every group at
+    * its exclusive prefix, one linear pass finishes. NULL values count
+    * as 0, like SQL's SUM() OVER. */
+  def groupRunningTotal(df: DataFrame, groupCol: String,
+                        sortCols: Seq[Column], valueCol: String,
+                        cumCol: String = "cum")
+                       (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // group leads the range key: a group's rows are contiguous across the
+    // partition sequence, so per-partition prefixes compose per group
+    val sorted = scope.cache(
+      df.repartitionByRange(p, col(groupCol) +: sortCols: _*)
+        .sortWithinPartitions(col(groupCol) +: sortCols: _*))
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"$valueCol must be LongType (cast counts to long first)")
+    val base = sorted.rdd
+    // phase 2: per-(partition, group) sums — P×G rows to the driver
+    val partSums = base.mapPartitionsWithIndex { (pid, it) =>
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        // register the group even when the value is NULL (+0): an
+        // all-null slice must still CARRY the prefix into the next
+        // partition, not reset it
+        val g = r.get(gIdx)
+        val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+        acc.update(g, acc.getOrElse(g, 0L) + v)
+      }
+      acc.iterator.map { case (g, s) => (pid, g, s) }
+    }.collect()
+    // exclusive prefix per group across the partition sequence
+    val offsets: Map[(Int, Any), Long] = partSums
+      .groupBy(_._2)
+      .flatMap { case (g, rows) =>
+        val byPid = rows.sortBy(_._1)
+        byPid.map(_._1).zip(
+          byPid.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => (pid, g) -> off }
+      }
+    // phase 3: linear pass, one running counter per group in this partition
+    val rdd = base.mapPartitionsWithIndex { (pid, it) =>
+      val run = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val g = r.get(gIdx)
+        var s = run.getOrElse(g, offsets.getOrElse((pid, g), 0L))
+        if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+        run.update(g, s)
+        Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(rdd,
+      sorted.schema.add(cumCol, LongType, nullable = false))
+  }
+
+  /** Per-domain token-budget selection — the "data mixing" pass of a
+    * multi-source training corpus: each source keeps its highest-priority
+    * documents until ITS budget (the mixture weight × the total token
+    * budget) is spent. Groups absent from `budgets` are dropped — an
+    * unknown source has no mixture weight. Built on
+    * [[groupRunningTotal]], so no per-group single-task sort anywhere. */
+  def mixBudgetSelect(df: DataFrame, groupCol: String,
+                      sortCols: Seq[Column], valueCol: String,
+                      budgets: Map[String, Long], cumCol: String = "cum")
+                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(budgets.nonEmpty, "mixBudgetSelect needs at least one budget")
+    // when-chain over a domains-sized map; unknown groups get NULL → drop
+    val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    groupRunningTotal(df, groupCol, sortCols, valueCol, cumCol)
+      .filter(col(cumCol) <= budgetOf)
+  }
 }

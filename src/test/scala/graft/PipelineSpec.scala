@@ -1750,6 +1750,36 @@ class PipelineSpec extends AnyFunSuite {
       bucketed.exceptAll(theta).count() == 0)
   }
 
+  // ---- grouped running total / mix budget ----
+
+  test("groupRunningTotal equals the per-group window cumsum; null carry across partitions") {
+    import graft.operators.GlobalOrder
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val withN = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      TF.tokenCount(col("text")).cast("long").as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = withN.withColumn("cum", sum("n").over(w))
+    val viaTwoPhase = GlobalOrder.groupRunningTotal(withN, "source",
+      Seq(col("n_chars").desc, col("doc_id")), "n")
+      .select(viaWindow.columns.map(col).toSeq: _*)
+    assert(viaWindow.exceptAll(viaTwoPhase).count() == 0 &&
+      viaTwoPhase.exceptAll(viaWindow).count() == 0)
+    // nulls count 0 and CARRY the prefix (the 6-row frame spreads over
+    // 32 range partitions, so the all-null middle row sits alone in a
+    // partition — the reset bug this pins would zero the rows after it)
+    val tiny = Seq(("g", 1L, Option(10L)), ("g", 2L, Option.empty[Long]),
+      ("g", 3L, Option(5L)), ("h", 1L, Option(7L)))
+      .toDF("grp", "ord", "v")
+    val cums = GlobalOrder.groupRunningTotal(tiny, "grp", Seq(col("ord")), "v")
+      .select("grp", "ord", "cum").as[(String, Long, Long)]
+      .collect().toSet
+    assert(cums == Set(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 15L),
+      ("h", 1L, 7L)))
+  }
+
   // ---- top-k aggregate ----
 
   test("topKByValue aggregate equals the window top-N; ties, small groups, nulls") {
