@@ -53,7 +53,11 @@ object Bench {
     // t14 shares the per-JVM model so its median would time pure serving),
     // the bucketed range join, the heap top-k aggregate (vs q23's window
     // formulation), and z-order clustering
-    "t13_nb_classifier", "q43_interval_join", "q44_topk_agg", "p9_zorder")
+    "t13_nb_classifier", "q43_interval_join", "q44_topk_agg", "p9_zorder",
+    // round-7 batch 3: Gopher rule-set scan (single-pass, the per-rule
+    // audit-column shape) and the per-language adaptive percentile cut
+    // (2-column rank shuffle + broadcast threshold join)
+    "t15_gopher_rules", "t16_adaptive_threshold")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -544,6 +544,28 @@ object SparkEntry {
         round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
   }
 
+  // Explicit GROUPING SETS (the general form rollup/cube specialize):
+  // arbitrary user-chosen aggregation levels in ONE pass over the fact
+  // table — Spark expands the sets via a single Expand node feeding one
+  // hash aggregate, so adding a level costs a projection, not a rescan.
+  define("q45_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), ())""") { (s, d) =>
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+  }
+
   // Pivot (long → wide): one output column per status value. The value
   // list is EXPLICIT (Seq("F","O","P")) — at 100 TB the implicit form's
   // extra distinct-values job over the fact table is a full scan you
@@ -1504,6 +1526,27 @@ object SparkEntry {
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
   }
 
+  // XML roundtrip (Spark 4's built-in XML source, the donated spark-xml):
+  // write nation as XML, read back with an explicit schema, aggregate.
+  // Rounds out the format-dispatch surface beyond the reference's
+  // csv/json/parquet/orc list.
+  define("src_xml",
+    """SELECT count(*) AS cnt, CAST(min(n_nationkey) AS BIGINT) AS min_key,
+       CAST(max(n_nationkey) AS BIGINT) AS max_key,
+       count(DISTINCT n_regionkey) AS regions
+       FROM nation""") { (s, d) =>
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+    t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").option("rowTag", "row").format("xml").save(tmp)
+    val schema = StructType(Seq(StructField("n_nationkey", LongType),
+      StructField("n_name", StringType), StructField("n_regionkey", LongType)))
+    graft.sources.Sources.xml(s, tmp, "row", schema)
+      .agg(count(lit(1)).as("cnt"), min("n_nationkey").as("min_key"),
+        max("n_nationkey").as("max_key"),
+        countDistinct("n_regionkey").as("regions"))
+  }
+
   // K2/E5/S6: Arrow IPC interchange roundtrip — distributed export (one IPC
   // file per partition, no driver collect), read back and aggregated.
   define("src_arrow_roundtrip",
@@ -2073,6 +2116,82 @@ object SparkEntry {
     }
     NaiveBayes.classify(docs.filter(col("doc_id") >= 400), "text", "doc_id",
       NaiveBayes.load(s, s"$dir/model"))
+  }
+
+  // Gopher quality rules (Rae et al. 2021 appendix A1.1): the full
+  // published rule set, one audit column per rule plus the composite keep
+  // flag — at corpus scale the per-rule columns ARE the product (ablation
+  // needs to know WHICH rule rejected each doc). Single scan pass, no
+  // shuffle; every metric is a ratio of integer counts, so the doubles are
+  // exact and the oracle compares unrounded.
+  define("t15_gopher_rules",
+    """WITH t AS (
+         SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           string_split(text, chr(10)) AS l
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             / greatest(CAST(len(w) AS DOUBLE), 1.0) AS mean_word_len,
+           (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+            + (length(text) - length(replace(text, '...', ''))) / 3
+            + (length(text) - length(replace(text, '…', ''))))
+             / greatest(CAST(len(w) AS DOUBLE), 1.0) AS symbol_ratio,
+           CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]\s')))
+             AS DOUBLE) / greatest(CAST(len(l) AS DOUBLE), 1.0) AS bullet_frac,
+           CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+             AS DOUBLE) / greatest(CAST(len(l) AS DOUBLE), 1.0) AS ellipsis_frac,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) AS alpha_frac,
+           CAST(len(list_filter(w, x -> list_contains(
+             ['the','a','and','of','to','in','is','that'], lower(x))))
+             AS BIGINT) AS stop_hits
+         FROM t)
+       SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         ellipsis_frac, alpha_frac, stop_hits,
+         CAST(n_words BETWEEN 50 AND 100000
+           AND mean_word_len BETWEEN 3.0 AND 10.0
+           AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+           AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+           AND stop_hits >= 2 AS INT) AS keep
+       FROM m""") { (s, d) =>
+    graft.functions.TextFunctions.withGopherRules(
+      t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+        col("alpha_frac"), col("stop_hits"), col("keep").cast("int").as("keep"))
+  }
+
+  // Adaptive per-language threshold (CCNet-style percentile cut): keep docs
+  // at or above their OWN language's 25th-percentile token count. The
+  // threshold is the discrete percentile (value at rank ceil(q·n)) —
+  // integer ranks, no interpolation, bit-identical across engines. Scale
+  // shape: the rank pass shuffles only (lang, n_tokens); the thresholds
+  // table is |langs| rows → broadcast join back.
+  define("t16_adaptive_threshold",
+    """WITH t AS (
+         SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       r AS (
+         SELECT lang, n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+           count(*) OVER (PARTITION BY lang) AS cnt
+         FROM t),
+       thr AS (
+         SELECT lang, min(n_tokens) AS thr
+         FROM r WHERE rn >= ceil(0.25 * cnt) GROUP BY lang)
+       SELECT doc_id, lang, n_tokens, thr
+       FROM t JOIN thr USING (lang) WHERE n_tokens >= thr""") { (s, d) =>
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    graft.operators.Quality.filterByGroupQuantile(docs, "lang", "n_tokens",
+      q = 0.25)
+      .select("doc_id", "lang", "n_tokens", "thr")
   }
 
   // SemDeDup (cluster-scoped near-dup): duplicates are searched WITHIN

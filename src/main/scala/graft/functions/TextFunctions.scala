@@ -149,6 +149,75 @@ object TextFunctions {
     regexp_replace(ip, "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b", "<PHONE>")
   }
 
+  /** Gopher quality-rule columns (Rae et al. 2021, appendix A1.1) over a
+    * text column: the full published rule set, each rule a separate output
+    * column plus the composite `keep` flag, so pipelines can audit WHICH
+    * rule rejected a document (the operational requirement at corpus scale —
+    * a silent boolean loses the ablation signal).
+    *
+    * All metrics are integer counts or ratios of integer counts — exact in
+    * IEEE double and bit-identical across engines, so the oracle can compare
+    * unrounded. Everything is native higher-order functions over ONE
+    * materialized token/line array per row: a single scan pass, no shuffle,
+    * fully codegen'd.
+    *
+    * Rules (document is kept iff ALL hold):
+    *   - 50 ≤ word count ≤ 100,000
+    *   - 3 ≤ mean word length ≤ 10
+    *   - symbol-to-word ratio (# or …/...) ≤ 0.1
+    *   - ≤ 90% of lines start with a bullet (-, *, •)
+    *   - ≤ 30% of lines end with an ellipsis
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - ≥ 2 hits from the stop-word list
+    */
+  def withGopherRules(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val c = col(textCol)
+    val staged = df
+      .withColumn("__w", tokens(c))
+      .withColumn("__l", split(c, "\n"))
+    val nWords = size(col("__w")).cast("long")
+    val nLines = greatest(size(col("__l")), lit(1)).cast("double")
+    // Character sum via integer fold — exact; mean is one exact division.
+    val charSum = aggregate(col("__w"), lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
+    val meanWordLen = charSum.cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val hashCount = length(c) - length(regexp_replace(c, "#", ""))
+    val ellipsisCount =
+      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3)) +
+        (length(c) - length(regexp_replace(c, "…", "")))
+    val symbolRatio = (hashCount + ellipsisCount).cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val bulletLines = size(filter(col("__l"),
+      l => l.rlike("^\\s*[-*•]\\s")))
+    val ellipsisLines = size(filter(col("__l"),
+      l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    val alphaWords = size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+    val alphaFrac = alphaWords.cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val stopArr = array(stopwords("en").map(lit): _*)
+    val stopHits = size(filter(col("__w"),
+      w => array_contains(stopArr, lower(w)))).cast("long")
+    staged
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("bullet_frac", bulletLines.cast("double") / nLines)
+      .withColumn("ellipsis_frac", ellipsisLines.cast("double") / nLines)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2L)
+      .drop("__w", "__l")
+  }
+
   /** Word n-gram shingles as an array column: n-token windows joined by a
     * single space; documents shorter than n tokens yield an EMPTY set (the
     * standard contract, and what `generate_series(1, len-n+1)` produces in

@@ -63,6 +63,15 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** XML with explicit schema (Spark 4's built-in XML source — the former
+    * spark-xml package, donated upstream). `rowTag` selects the repeated
+    * element that maps to one row. No inference, matching the house rule
+    * for semi-structured ingest. */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          schema: StructType): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema)
+      .format("xml").load(path)
+
   /** Whole-file binary ingest (`binaryFile` source): one row per file with
     * (path, modificationTime, length, content) — how a multimodal corpus
     * actually arrives (image/audio files on object storage) before
@@ -75,13 +84,15 @@ object Sources {
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
   }
 
-  /** Extension-based dispatch (`csv json ndjson parquet orc`; arrow/feather
+  /** Extension-based dispatch (`csv json ndjson parquet orc xml`; arrow/
+    * feather
     * have no built-in Spark file source — stored columnar data belongs in
     * parquet/orc; Arrow remains the in-flight interchange format). Unknown
     * extensions throw, as in the reference. */
   def open(spark: SparkSession, path: String,
            csvSchema: Option[Seq[DataType]] = None,
-           jsonSchema: Option[StructType] = None): DataFrame = {
+           jsonSchema: Option[StructType] = None,
+           xmlRowTag: String = "row"): DataFrame = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
     ext match {
       case "csv"             => csv(spark, path, csvSchema)
@@ -89,6 +100,8 @@ object Sources {
         throw new IllegalArgumentException("NDJSON requires an explicit schema")))
       case "parquet"         => parquet(spark, path)
       case "orc"             => orc(spark, path)
+      case "xml"             => xml(spark, path, xmlRowTag, jsonSchema.getOrElse(
+        throw new IllegalArgumentException("XML requires an explicit schema")))
       case other =>
         throw new IllegalArgumentException(s"Unsupported file format: $other")
     }

@@ -2226,4 +2226,79 @@ class PipelineSpec extends AnyFunSuite {
       assert(p.contains("PartitionFilters") && p.contains("shard"), p)
     }
   }
+
+  test("gopher rules: each rule fires on its crafted violator; clean doc keeps") {
+    import spark.implicits._
+    val good = (("the quick brown fox and the lazy dog of time is that " * 5)
+      + "end").trim                                     // 51 words, stopwords
+    val tiny = "the a of short"                          // < 50 words
+    val longWords = Seq.fill(60)("absolutely the a supercalifragilisticexpialidocious")
+      .mkString(" ")                                     // mean word len = 12 > 10
+    val symbols = ("the a " + "# # # # # # # # " * 8).trim // symbol ratio > 0.1
+    val bullets = (1 to 10).map(i => s"- the item $i and of to in is that more pad "
+      + ("w " * 4)).mkString("\n")                       // all lines bulleted
+    val dots = (1 to 10).map(i => s"the item $i and of to that trailing words here... ")
+      .mkString("\n")                                    // all lines ellipsis
+    val numbers = ("the a " + "123 456 " * 30).trim      // alpha frac < 0.8
+    val noStops = Seq.fill(60)("zirconium").mkString(" ") // stop hits < 2
+    val in = Seq((1L, good), (2L, tiny), (3L, longWords), (4L, symbols),
+      (5L, bullets), (6L, dots), (7L, numbers), (8L, noStops))
+      .toDF("doc_id", "text")
+    val out = TF.withGopherRules(in, "text")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_frac", "ellipsis_frac", "alpha_frac", "stop_hits", "keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(8), out(1L).toString)
+    assert(out(2L).getLong(1) < 50 && !out(2L).getBoolean(8))
+    assert(out(3L).getDouble(2) > 10.0 && !out(3L).getBoolean(8))
+    assert(out(4L).getDouble(3) > 0.1 && !out(4L).getBoolean(8))
+    assert(out(5L).getDouble(4) > 0.9 && !out(5L).getBoolean(8))
+    assert(out(6L).getDouble(5) > 0.3 && !out(6L).getBoolean(8))
+    assert(out(7L).getDouble(6) < 0.8 && !out(7L).getBoolean(8))
+    assert(out(8L).getLong(7) < 2 && !out(8L).getBoolean(8))
+  }
+
+  test("per-group quantile: discrete rank-ceil(qn) threshold; broadcast join back") {
+    import spark.implicits._
+    // group a: values 1..8 → p25 rank = ceil(0.25·8) = 2 → thr 2
+    // group b: values 10,10,10,40 → rank ceil(1)=1 at q=0.25 → thr 10
+    val in = ((1 to 8).map(v => ("a", v.toLong)) ++
+      Seq(("b", 10L), ("b", 10L), ("b", 10L), ("b", 40L))).toDF("g", "v")
+    val thr = graft.operators.Quality.perGroupThreshold(in, "g", "v", 0.25)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr == Map("a" -> 2L, "b" -> 10L))
+    // median of 1..8: rank ceil(4)=4 → value 4
+    val med = graft.operators.Quality.perGroupThreshold(
+      in.filter($"g" === "a"), "g", "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(med == Map("a" -> 4L))
+    val kept = graft.operators.Quality.filterByGroupQuantile(in, "g", "v", 0.25)
+    assert(kept.filter($"g" === "a").agg(min("v")).head().getLong(0) == 2L)
+    assert(kept.count() == 7 + 4) // a drops v=1 only; b keeps all (≥10)
+    // threshold table joins back as a broadcast — one scan pass over the data
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("xml source: roundtrip with explicit schema via write+dispatch") {
+    import spark.implicits._
+    withTempDir("graft_xml_test") { dir =>
+      val path = s"$dir/out"
+      val in = Seq((1L, "alpha", 10L), (2L, "beta", 20L), (3L, "gamma", 10L))
+        .toDF("id", "name", "grp")
+      in.write.option("rowTag", "row").format("xml").save(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.LongType)))
+      val back = graft.sources.Sources.xml(spark, path, "row", schema)
+      assert(back.schema == schema)
+      assert(back.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq((1L, "alpha", 10L), (2L, "beta", 20L), (3L, "gamma", 10L)))
+    }
+  }
 }
