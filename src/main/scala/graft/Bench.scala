@@ -56,8 +56,13 @@ object Bench {
     "t13_nb_classifier", "q43_interval_join", "q44_topk_agg", "p9_zorder",
     // round-7 batch 3: Gopher rule-set scan (single-pass, the per-rule
     // audit-column shape) and the per-language adaptive percentile cut
-    // (2-column rank shuffle + broadcast threshold join)
-    "t15_gopher_rules", "t16_adaptive_threshold")
+    // (histogram + running-count threshold, broadcast join back)
+    "t15_gopher_rules", "t16_adaptive_threshold",
+    // round-8: BM25 — one-shot (postings built in-flight) and serving
+    // from the persisted index (build excluded: sessionIndexDir builds on
+    // the warm-up rep) — and the per-domain token-budget selection
+    // (groupRunningTotal path, untimed until now)
+    "r1_bm25_topk", "r2_bm25_serve", "a14_domain_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

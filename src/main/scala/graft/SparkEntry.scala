@@ -2194,6 +2194,82 @@ object SparkEntry {
       .select("doc_id", "lang", "n_tokens", "thr")
   }
 
+  // ==================================================================
+  // BM25 retrieval family (operators.Retrieval) — the lexical complement
+  // of the s1–s12 dense-ANN family, same serve-from-index discipline.
+  // ==================================================================
+
+  // Okapi BM25 idf·tf CTE, shared verbatim by the one-shot r1 gate, the
+  // serve-from-persisted-index r2 gate, and the streaming st17 gate (the
+  // three paths compute the same function by construction: r2/st17 score
+  // with the STORED build-time corpus stats, which equal the in-flight
+  // stats because the index is built over the same corpus). Per-term
+  // contributions are fixed expression trees; their SUM is rounded to 6dp
+  // BEFORE the ranking window, ties break by n_id — the t13 discipline.
+  // Queries = every 97th document (whole-doc queries, distinct terms).
+  private val bm25OracleSql: String =
+    """WITH tok AS (
+         SELECT doc_id AS n_id,
+           unnest(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+'))
+             AS term
+         FROM documents),
+       tf AS (SELECT n_id, term, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY n_id, term),
+       dl AS (SELECT n_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY n_id),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       qt AS (SELECT DISTINCT doc_id AS q_id, term FROM (
+                SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g')), '\s+')) AS term
+                FROM documents WHERE doc_id % 97 = 0)
+              WHERE term <> ''),
+       scored AS (
+         SELECT qt.q_id, tf.n_id,
+           round(sum(ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6)
+             AS score
+         FROM qt JOIN tf USING (term)
+         JOIN dfr USING (term)
+         JOIN dl ON dl.n_id = tf.n_id
+         CROSS JOIN stats
+         GROUP BY qt.q_id, tf.n_id)
+       SELECT q_id, n_id, rank, score FROM (
+         SELECT q_id, n_id, score,
+           CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, n_id) AS INT) AS rank
+         FROM scored)
+       WHERE rank <= 5"""
+
+  // One-shot BM25 top-k: postings built in-flight (slim (term,n_id,tf,dl,df)
+  // rows — the shuffle never carries text), query term set broadcast,
+  // top-k via WindowGroupLimit.
+  define("r1_bm25_topk", bm25OracleSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    graft.operators.Retrieval.bm25TopK(
+      docs.filter(col("doc_id") % 97 === 0), docs, "text", "doc_id", k = 5)
+  }
+
+  // The serve half: build the inverted index ONCE per JVM (postings +
+  // `_params` corpus stats/knobs as index metadata — the calibrated-ANN
+  // discipline), then score strictly from the persisted files. Serving
+  // shuffles nothing corpus-sized: the query term set is broadcast against
+  // the postings scan and only (q_id, n_id, score) rows reach the window.
+  define("r2_bm25_serve", bm25OracleSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"bm25_$d") { p =>
+      graft.operators.Retrieval.buildBm25Index(docs, "text", "doc_id",
+        s"$p/bm25")
+    }
+    graft.operators.Retrieval.bm25TopKFromIndex(
+      docs.filter(col("doc_id") % 97 === 0), s"$dir/bm25",
+      "text", "doc_id", k = 5)
+  }
+
   // SemDeDup (cluster-scoped near-dup): duplicates are searched WITHIN
   // embedding clusters only — cross-cluster pairs are skipped by design,
   // which is what bounds candidates at corpus scale. The axis-sign
@@ -3093,6 +3169,21 @@ object SparkEntry {
     }
     graft.streaming.Streaming.streamingNbClassify(s, d, "st16",
       s"$dir/model", col("doc_id") >= 400)
+  }
+
+  // Streaming BM25 serving ≡ batch r2, certified by the SAME oracle SQL:
+  // the inverted index builds and persists once (shared with r2's per-JVM
+  // index dir), the query stream scores each micro-batch against the
+  // loaded postings via foreachBatch. Per-query independence makes the
+  // micro-batch union equal the full-batch answer.
+  define("st17_stream_bm25", bm25OracleSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"bm25_$d") { p =>
+      graft.operators.Retrieval.buildBm25Index(docs, "text", "doc_id",
+        s"$p/bm25")
+    }
+    graft.streaming.Streaming.streamingBm25(s, d, "st17", s"$dir/bm25",
+      col("doc_id") % 97 === 0, k = 5)
   }
 
   define("st9_stream_curate",

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Adaptive (per-group) quality thresholds for corpus curation.
@@ -20,10 +19,21 @@ import org.apache.spark.sql.functions._
   * varies by implementation). `q·n` itself is exact for dyadic q (0.25,
   * 0.5, …) and deterministic regardless.
   *
-  * Scale shape: the rank pass shuffles ONLY (group, metric) — project
-  * before the window — and the threshold table has one row per group, so
-  * the join back to the corpus is a broadcast. Net cost at 100 TB: one
-  * 2-column shuffle + one broadcast-join scan pass.
+  * Scale shape: quality metrics have BOUNDED cardinality (token counts,
+  * rounded scores), so the threshold is computed over the (group, value,
+  * count) HISTOGRAM, never over per-row ranks. The histogram agg is
+  * map-side combined (the shuffle carries one row per (group, value) per
+  * partition — at 100 TB a ~10¹¹-row language collapses to ~10⁵ distinct
+  * counts), and the rank-`ceil(q·n)` cutoff falls out of the per-group
+  * cumulative count via [[GlobalOrder.groupRunningTotal]], whose range
+  * exchange lets a hot group SPAN partitions. The earlier
+  * `row_number().over(Window.partitionBy(group))` spelling sorted each
+  * group's FULL row set inside one task — a dominant language (English ≈
+  * half a multilingual corpus) made the whole job one sorting thread; the
+  * histogram + running-count shape has no such cliff. The threshold table
+  * is one row per group → broadcast join back. Net cost at 100 TB: one
+  * slim histogram shuffle + one metadata-sized range exchange + one
+  * broadcast-join scan pass.
   *
   * The reference engine has no quantile support at all (SURVEY §2.4 — its
   * aggregates are SUM/AVG/COUNT/MIN/MAX, `/root/reference/src/warpdb.cpp`);
@@ -34,15 +44,24 @@ object Quality {
   /** One row per group: (groupCol, thr) where thr is the discrete q-th
     * percentile of `valueCol` within the group. */
   def perGroupThreshold(df: DataFrame, groupCol: String, valueCol: String,
-      q: Double, thrCol: String = "thr"): DataFrame = {
+      q: Double, thrCol: String = "thr")
+      (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     require(q > 0.0 && q <= 1.0, s"quantile out of range: $q")
-    val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
-    val cw = Window.partitionBy(groupCol)
-    df.select(col(groupCol), col(valueCol))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(lit(1)).over(cw))
-      // rank ceil(q·n): the smallest value with at least q·n values ≤ it.
-      .filter(col("__rn") >= ceil(lit(q) * col("__cnt")))
+    // histogram: one row per (group, distinct value) — map-side combined
+    val hist = scope.cache(
+      df.select(col(groupCol), col(valueCol))
+        .groupBy(groupCol, valueCol)
+        .agg(count(lit(1)).as("__n")))
+    // |groups| rows — broadcast-sized by definition of "group"
+    val totals = hist.groupBy(groupCol).agg(sum("__n").as("__cnt"))
+    // cum(v) = #rows with value ≤ v within the group; the value at rank
+    // ceil(q·n) is the smallest v with cum(v) ≥ ceil(q·n) — identical to
+    // the per-row row_number definition, without sorting any group in a
+    // single task.
+    GlobalOrder.groupRunningTotal(hist, groupCol, Seq(col(valueCol)),
+        "__n", "__cum")
+      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("__cum") >= ceil(lit(q) * col("__cnt")))
       .groupBy(groupCol)
       .agg(min(col(valueCol)).as(thrCol))
   }
@@ -51,7 +70,8 @@ object Quality {
     * result carries the threshold column so downstream audits can see what
     * cutoff each row cleared. */
   def filterByGroupQuantile(df: DataFrame, groupCol: String,
-      valueCol: String, q: Double, thrCol: String = "thr"): DataFrame = {
+      valueCol: String, q: Double, thrCol: String = "thr")
+      (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val thr = perGroupThreshold(df, groupCol, valueCol, q, thrCol)
     df.join(broadcast(thr), Seq(groupCol))
       .filter(col(valueCol) >= col(thrCol))

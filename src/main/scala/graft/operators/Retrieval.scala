@@ -145,22 +145,40 @@ object Retrieval {
     } finally scope.release()
   }
 
+  /** A loaded serving handle: the postings frame plus the STORED corpus
+    * stats/knobs. Streaming serves load once and score every micro-batch
+    * against the same handle (cache `postings` for that — the
+    * [[graft.streaming.Streaming]] NB-model discipline). */
+  case class Bm25Model(postings: DataFrame, nDocs: Double, avgdl: Double,
+                       k1: Double, b: Double)
+
+  /** Load a persisted index: postings via the compaction-aware pointer
+    * ([[Similarity.resolveDataDir]]), stats/knobs from `_params`. */
+  def loadBm25(spark: SparkSession, indexPath: String): Bm25Model = {
+    val p = Similarity.readParams(spark, indexPath).head()
+    require(p.getAs[String]("layout") == Layout,
+      s"index at $indexPath has layout ${p.getAs[String]("layout")}, " +
+        s"expected $Layout")
+    Bm25Model(
+      spark.read.parquet(Similarity.resolveDataDir(indexPath, "index")),
+      p.getAs[Double]("n_docs"), p.getAs[Double]("avgdl"),
+      p.getAs[Double]("k1"), p.getAs[Double]("b"))
+  }
+
+  /** Score a query batch against a loaded handle — the per-micro-batch
+    * body of a streaming serve. */
+  def bm25TopKFromModel(queries: DataFrame, m: Bm25Model,
+                        textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    score(queries, m.postings, textCol, idCol, k, m.nDocs, m.avgdl, m.k1, m.b)
+  }
+
   /** Serve a query batch from a persisted index. Reads the postings via
     * the compaction-aware pointer, broadcasts the query term set, and
     * scores with the STORED corpus stats — a frozen index scores appends
     * consistently with its build-time statistics. */
   def bm25TopKFromIndex(queries: DataFrame, indexPath: String,
-                        textCol: String, idCol: String, k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
-    val spark = queries.sparkSession
-    val p = Similarity.readParams(spark, indexPath).head()
-    require(p.getAs[String]("layout") == Layout,
-      s"index at $indexPath has layout ${p.getAs[String]("layout")}, " +
-        s"expected $Layout")
-    val postings =
-      spark.read.parquet(Similarity.resolveDataDir(indexPath, "index"))
-    score(queries, postings, textCol, idCol, k,
-      p.getAs[Double]("n_docs"), p.getAs[Double]("avgdl"),
-      p.getAs[Double]("k1"), p.getAs[Double]("b"))
-  }
+                        textCol: String, idCol: String, k: Int): DataFrame =
+    bm25TopKFromModel(queries, loadBm25(queries.sparkSession, indexPath),
+      textCol, idCol, k)
 }

@@ -728,4 +728,49 @@ object Streaming {
     } finally { classes.unpersist(); cond.unpersist() }
     spark.read.parquet(outDir)
   }
+
+  /** Streaming BM25 serving: queries stream in and each micro-batch is
+    * scored against a PERSISTED inverted index
+    * ([[graft.operators.Retrieval.buildBm25Index]]) loaded once at stream
+    * setup — the contamination-lookup/search serving shape (index the
+    * frozen corpus offline, score the query firehose). The postings frame
+    * is cached across triggers and each batch's distinct term set rides
+    * the broadcast join, so a trigger pays only its own tokenization +
+    * one slim hash agg + the top-k window; the corpus-sized postings are
+    * never shuffled. Per-QUERY independence (each query's scores depend
+    * only on the frozen index stats) makes the micro-batch union equal
+    * the full-batch answer, so the batch r1/r2 oracle transfers verbatim.
+    *
+    * `queryFilter` selects the query slice inside the stream. */
+  def streamingBm25(spark: SparkSession, sfDir: String, name: String,
+                    indexPath: String,
+                    queryFilter: org.apache.spark.sql.Column,
+                    k: Int): DataFrame = {
+    import graft.operators.Retrieval
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m0 = Retrieval.loadBm25(spark, indexPath)
+    val postings = m0.postings.cache()
+    postings.count() // materialize before the stream starts
+    val model = m0.copy(postings = postings)
+    try {
+      val stream = spark.readStream
+        .schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sfDir/documents.*")
+        .filter(queryFilter)
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          Retrieval.bm25TopKFromModel(mb, model, "text", "doc_id", k)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally postings.unpersist()
+    spark.read.parquet(outDir)
+  }
 }

@@ -21,7 +21,7 @@ object CurationSoak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans"))
+      .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans", "r8"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -254,6 +254,112 @@ object CurationSoak {
       time("semantic_dedup_from_index_50k") {
         Dedup.semanticDedupFromIndex(corpus50k, "embedding", "vec_id",
           ivfDir, threshold = 0.4, maxClusterSize = 20000L).count()
+      }
+    }
+    if (sections("r8")) {
+      import graft.operators.{GlobalOrder, IntervalJoin, Quality, Retrieval}
+      import graft.functions.{TextFunctions => TFn, TopKAgg}
+      import org.apache.spark.sql.expressions.Window
+
+      // t15/t16 watch item (r7 verdict): t16's bench reps climbed
+      // 0.99→1.65→2.90 s while system load was DECAYING. Five idle
+      // back-to-back reps of each gate — flat reps rule out cross-rep
+      // state accumulation; climbing reps would implicate the operator.
+      Seq("t15_gopher_rules", "t16_adaptive_threshold").foreach { g =>
+        (1 to 5).foreach { i =>
+          time(s"${g}_rep$i") {
+            graft.SparkEntry.queries(g)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save(); 1L
+          }
+        }
+      }
+
+      // t16 hot-group stress: one language carries ~90% of 100k rows —
+      // the old window spelling sorts those rows in ONE task; the
+      // histogram + groupRunningTotal path has no single-task stage.
+      val hot = docs100k.select(
+        when(col("doc_id") % 1000000L < 500, col("lang"))
+          .otherwise(lit("en")).as("g"),
+        TFn.tokenCount(col("text")).cast("long").as("v"))
+      time("t16_hot_group_90pct_100k") {
+        Quality.perGroupThreshold(hot, "g", "v", 0.25).count()
+      }
+
+      // q43 stress: 100k points and 1k long intervals on ONE join key.
+      // Bucketing spreads the hot key over (key, bucket) pairs; W trades
+      // interval replication (len/W copies) against per-bucket fan-in.
+      val pts = spark.range(100000).select(lit(1L).as("k"),
+        (col("id") * 10L % 1000000L).as("ts"))
+      val ivs = spark.range(1000).select(lit(1L).as("k"),
+        (col("id") * 1000L).as("s"), (col("id") * 1000L + 10000L).as("e"))
+      Seq(1000L, 10000L, 100000L).foreach { wdt =>
+        time(s"q43_hotkey_100k_W$wdt") {
+          IntervalJoin.pointInInterval(pts, ivs, Seq("k"), "ts", "s", "e",
+            wdt).count()
+        }
+      }
+
+      // q44 heap aggregate vs q23 window spelling at 10× the gate's
+      // group count (~1.5M rows): the heap ships ≤ k pairs per
+      // (partition, group); the window sorts every row through the
+      // shuffle.
+      val orders10x = replicate(
+        Tables.load(spark, sfDir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey", 10)
+      time("q23_window_topn_10x") {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders10x.select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3).count()
+      }
+      time("q44_heap_topk_10x") {
+        orders10x.groupBy("o_custkey")
+          .agg(TopKAgg.topKByValue(col("o_totalprice"), col("o_orderkey"), 3)
+            .as("top"))
+          .select(col("o_custkey"), posexplode(col("top"))).count()
+      }
+
+      // a14 dominant source: ~95% of 100k docs in ONE source — the
+      // grouped two-phase cumsum must stay balanced when a source is hot
+      // (its rows span partitions; the window spelling would not).
+      val mix100k = replicate(
+        Tables.load(spark, sfDir, "documents")
+          .select("doc_id", "source", "n_chars", "text"), "doc_id", 20)
+        .select(col("doc_id"),
+          when(col("doc_id") % 1000000L < 250, col("source"))
+            .otherwise(lit("src0")).as("source"),
+          col("n_chars"),
+          TFn.tokenCount(col("text")).cast("long").as("n_tokens"))
+      time("a14_dominant_source_100k") {
+        GlobalOrder.mixBudgetSelect(mix100k, "source",
+          Seq(col("n_chars").desc, col("doc_id")), "n_tokens",
+          budgets = Map("src0" -> 2000000L, "src1" -> 40000L,
+            "src2" -> 20000L, "src3" -> 10000L),
+          cumCol = "cum").count()
+      }
+
+      // BM25 at 100k docs, 52 whole-doc queries: one-shot (postings in
+      // flight), the maxDf stopword guard's effect on the posting-join
+      // fan-out, then the persisted build/serve split.
+      val bmQueries = docs.filter(col("doc_id") % 97 === 0)
+      time("bm25_oneshot_100k") {
+        Retrieval.bm25TopK(bmQueries, docs100k, "text", "doc_id", k = 10)
+          .count()
+      }
+      time("bm25_oneshot_100k_maxdf20k") {
+        Retrieval.bm25TopK(bmQueries, docs100k, "text", "doc_id", k = 10,
+          maxDf = 20000L).count()
+      }
+      val bmDir =
+        java.nio.file.Files.createTempDirectory("graft_soak_bm25_").toString
+      time("bm25_index_build_100k") {
+        Retrieval.buildBm25Index(docs100k, "text", "doc_id", bmDir); 1L
+      }
+      time("bm25_serve_100k") {
+        Retrieval.bm25TopKFromIndex(bmQueries, bmDir, "text", "doc_id",
+          k = 10).count()
       }
     }
     spark.stop()

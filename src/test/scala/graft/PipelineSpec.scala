@@ -2278,6 +2278,98 @@ class PipelineSpec extends AnyFunSuite {
     // threshold table joins back as a broadcast — one scan pass over the data
     val plan = kept.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // scale pin: the threshold comes from the (group, value, count)
+    // histogram + groupRunningTotal, NEVER a per-row window — a window
+    // partitioned by group sorts each group's full row set in ONE task
+    // (the hot-group cliff for a dominant language at corpus scale)
+    val thrPlan = graft.operators.Quality.perGroupThreshold(in, "g", "v", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!thrPlan.contains("Window"),
+      s"per-row window sort crept back into perGroupThreshold:\n$thrPlan")
+  }
+
+  // --- BM25 retrieval (operators.Retrieval) -------------------------
+
+  /** Okapi BM25 recomputed longhand for the tiny corpus below. */
+  private def okapi(idfN: Double, df: Double, tf: Double, dl: Double,
+                    avgdl: Double, k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log(1.0 + (idfN - df + 0.5) / (df + 0.5)) *
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+  test("bm25: hand-computed okapi scores; no row for zero-overlap docs; rank order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "cat sat"),       // dl 2
+      (2L, "cat cat dog"),   // dl 3
+      (3L, "fish"))          // dl 1 — no overlap with the query
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "cat dog")).toDF("doc_id", "text")
+    val out = graft.operators.Retrieval
+      .bm25TopK(queries, corpus, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._2)
+    // N=3, avgdl=2; df: cat=2, dog=1
+    val s2 = BigDecimal(okapi(3, 2, 2, 3, 2) + okapi(3, 1, 1, 3, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = BigDecimal(okapi(3, 2, 1, 2, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq == Seq(2L, 1L), out.toSeq)      // d2 outranks d1
+    assert(out.map(_._2).toSeq == Seq(1, 2))
+    assert(out.map(_._3).toSeq == Seq(s2, s1), out.toSeq)      // exact to 6dp
+    // query-side tf is dropped: repeating a term must not change scores
+    val rep = graft.operators.Retrieval.bm25TopK(
+      Seq((10L, "cat cat dog")).toDF("doc_id", "text"),
+      corpus, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(rep.toSeq == out.map(r => (r._1, r._3)).sortBy(_._1).toSeq)
+  }
+
+  test("bm25 index: build/serve parity, _params stats, compaction roundtrip") {
+    import graft.operators.Retrieval
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+    val direct = Retrieval.bm25TopK(queries, docs, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3))
+    withTempDir("graft_bm25_idx_") { dir =>
+      Retrieval.buildBm25Index(docs, "text", "doc_id", dir)
+      // stored corpus stats equal the in-flight ones (they drive scoring)
+      val p = Similarity.readParams(spark, dir).head()
+      assert(p.getAs[String]("layout") == "bm25_v1")
+      val nDocs = docs
+        .select(col("doc_id"),
+          explode(TF.tokens(TF.normText(col("text")))).as("term"))
+        .filter(col("term") =!= "")
+        .select("doc_id").distinct().count().toDouble
+      assert(p.getAs[Double]("n_docs") == nDocs)
+      assert(p.getAs[Double]("k1") == 1.2 && p.getAs[Double]("b") == 0.75)
+      def served = Retrieval
+        .bm25TopKFromIndex(queries, dir, "text", "doc_id", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._3))
+      assert(served.toSeq == direct.toSeq)
+      // compaction rewrites the postings generation; results are byte-equal
+      Similarity.compactIndex(spark, dir, partitions = 2)
+      assert(Similarity.resolveDataDir(dir, "index").endsWith("index.g0001"))
+      assert(served.toSeq == direct.toSeq)
+    }
+  }
+
+  test("bm25 maxDf: corpus-stopword terms drop from postings and scoring") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat"), (2L, "the dog"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "the cat")).toDF("doc_id", "text")
+    // df(the)=3 > maxDf=2 → dropped. Doc 3 had ONLY "the": it vanishes
+    // from the postings, so N=2 and avgdl averages the SURVIVING docs'
+    // FULL lengths (dl counts dropped terms — length normalization keeps
+    // measuring the real document).
+    val out = graft.operators.Retrieval
+      .bm25TopK(queries, corpus, "text", "doc_id", k = 3, maxDf = 2L)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    val exp = BigDecimal(okapi(2, 1, 1, 2, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq((1L, exp)), out.toSeq)
   }
 
   test("xml source: roundtrip with explicit schema via write+dispatch") {

@@ -330,4 +330,48 @@ class PlanSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("bm25 serve: query terms broadcast, postings unshuffled below the join, WindowGroupLimit top-k") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_plan_")
+    try {
+      graft.operators.Retrieval.buildBm25Index(docs, "text", "doc_id",
+        dir.toString)
+      val served = graft.operators.Retrieval.bm25TopKFromIndex(
+        docs.filter(col("doc_id") % 97 === 0), dir.toString,
+        "text", "doc_id", k = 5)
+      // AdaptiveSparkPlanExec is a leaf to collect() — unwrap to the
+      // current physical plan so the traversal sees the join
+      val ex = served.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      // top-k executes as per-partition partial top-k before the shuffle
+      assert(ex.toString.contains("WindowGroupLimit"), ex.toString)
+      // the query term set broadcasts against the postings scan...
+      val bhj = ex.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"no broadcast join in serve plan:\n$ex")
+      // ...and the corpus-sized postings (streamed) side reaches the join
+      // straight from the scan — no exchange moves it. (The broadcast
+      // side's internal distinct may shuffle; that side is |Q·terms|.)
+      val streamed = bhj.map { j =>
+        j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+          case _ => j.right
+        }
+      }
+      val shuffled = streamed.flatMap(_.collect {
+        case s: ShuffleExchangeExec => s
+      })
+      assert(shuffled.isEmpty,
+        s"postings side shuffles before the serve join:\n$ex")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
