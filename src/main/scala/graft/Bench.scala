@@ -62,7 +62,10 @@ object Bench {
     // from the persisted index (build excluded: sessionIndexDir builds on
     // the warm-up rep) — and the per-domain token-budget selection
     // (groupRunningTotal path, untimed until now)
-    "r1_bm25_topk", "r2_bm25_serve", "a14_domain_token_budget")
+    "r1_bm25_topk", "r2_bm25_serve", "a14_domain_token_budget",
+    // round-8: the full repetition-removal metric suite (zero-shuffle
+    // per-doc sorted-run folds — the heaviest pure-scan pass in the repo)
+    "t17_repetition_suite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2194,6 +2194,111 @@ object SparkEntry {
       .select("doc_id", "lang", "n_tokens", "thr")
   }
 
+  // The full Gopher repetition-removal suite (Rae et al.'21 Table A1),
+  // complementing t15's rule set: top-{2,3,4}-gram char coverage,
+  // duplicate-{5..10}-gram char coverage, duplicate-line occurrence and
+  // char fractions (5-word chunks — the corpus has no newlines; same
+  // convention as d11), plus the composite keep. Engine side is a pure
+  // scan pass (per-doc sorted-run fold, zero shuffle); the oracle
+  // recomputes every metric via unnest + GROUP BY — two different
+  // algorithms agreeing on exact integer-ratio doubles, compared
+  // unrounded. The keep comparisons use the SAME fraction-≤-threshold
+  // spelling on both sides so boundary docs cannot diverge.
+  define("t17_repetition_suite",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       base AS (
+         SELECT doc_id,
+           greatest(length(array_to_string(w, ' ')), 1) AS nchars,
+           greatest(CAST(ceil(len(w) / 5.0) AS BIGINT), 1) AS nlines
+         FROM t),
+       g AS (
+         SELECT t.doc_id, nt.n AS n,
+           array_to_string(w[pt.pos : pt.pos + nt.n - 1], ' ') AS gram
+         FROM t,
+           unnest(generate_series(2, 10)) AS nt(n),
+           unnest(generate_series(1, greatest(len(w) - nt.n + 1, 0)))
+             AS pt(pos)),
+       cnts AS (SELECT doc_id, n, gram, count(*) AS c FROM g
+                GROUP BY doc_id, n, gram),
+       ranked AS (SELECT doc_id, n, gram, c,
+           row_number() OVER (PARTITION BY doc_id, n
+             ORDER BY c DESC, gram) AS rn
+         FROM cnts),
+       top AS (SELECT doc_id, n, c * length(gram) AS topchars
+               FROM ranked WHERE rn = 1),
+       dupg AS (SELECT doc_id, n,
+           coalesce(sum(c * length(gram)) FILTER (WHERE c >= 2), 0)
+             AS dupchars
+         FROM cnts GROUP BY doc_id, n),
+       pern AS (
+         SELECT doc_id, n, t2.topchars, d.dupchars
+         FROM dupg d JOIN top t2 USING (doc_id, n)),
+       gram_cols AS (
+         SELECT doc_id,
+           max(CASE WHEN n = 2 THEN topchars END) AS top2,
+           max(CASE WHEN n = 3 THEN topchars END) AS top3,
+           max(CASE WHEN n = 4 THEN topchars END) AS top4,
+           max(CASE WHEN n = 5 THEN dupchars END) AS dup5,
+           max(CASE WHEN n = 6 THEN dupchars END) AS dup6,
+           max(CASE WHEN n = 7 THEN dupchars END) AS dup7,
+           max(CASE WHEN n = 8 THEN dupchars END) AS dup8,
+           max(CASE WHEN n = 9 THEN dupchars END) AS dup9,
+           max(CASE WHEN n = 10 THEN dupchars END) AS dup10
+         FROM pern GROUP BY doc_id),
+       lns AS (
+         SELECT doc_id,
+           array_to_string(w[pos * 5 + 1 : pos * 5 + 5], ' ') AS line
+         FROM (SELECT doc_id, w,
+                 unnest(generate_series(0,
+                   CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS pos
+               FROM t)),
+       lcnt AS (SELECT doc_id, line, count(*) AS c FROM lns
+                GROUP BY doc_id, line),
+       lstats AS (
+         SELECT doc_id,
+           coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup_occ,
+           coalesce(sum(c * length(line)) FILTER (WHERE c >= 2), 0)
+             AS dup_chars,
+           greatest(sum(c * length(line)), 1) AS line_chars
+         FROM lcnt GROUP BY doc_id),
+       fr AS (
+         SELECT b.doc_id,
+           CAST(coalesce(g2.top2, 0) AS DOUBLE) / b.nchars AS top_2gram_char_frac,
+           CAST(coalesce(g2.top3, 0) AS DOUBLE) / b.nchars AS top_3gram_char_frac,
+           CAST(coalesce(g2.top4, 0) AS DOUBLE) / b.nchars AS top_4gram_char_frac,
+           CAST(coalesce(g2.dup5, 0) AS DOUBLE) / b.nchars AS dup_5gram_char_frac,
+           CAST(coalesce(g2.dup6, 0) AS DOUBLE) / b.nchars AS dup_6gram_char_frac,
+           CAST(coalesce(g2.dup7, 0) AS DOUBLE) / b.nchars AS dup_7gram_char_frac,
+           CAST(coalesce(g2.dup8, 0) AS DOUBLE) / b.nchars AS dup_8gram_char_frac,
+           CAST(coalesce(g2.dup9, 0) AS DOUBLE) / b.nchars AS dup_9gram_char_frac,
+           CAST(coalesce(g2.dup10, 0) AS DOUBLE) / b.nchars AS dup_10gram_char_frac,
+           CAST(coalesce(l.dup_occ, 0) AS DOUBLE) / b.nlines AS dup_line_frac,
+           CAST(coalesce(l.dup_chars, 0) AS DOUBLE)
+             / coalesce(l.line_chars, 1) AS dup_line_char_frac
+         FROM base b
+         LEFT JOIN gram_cols g2 USING (doc_id)
+         LEFT JOIN lstats l USING (doc_id))
+       SELECT *,
+         CAST(top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+           AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+           AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+           AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+           AND dup_10gram_char_frac <= 0.10 AND dup_line_frac <= 0.30
+           AND dup_line_char_frac <= 0.20 AS INT) AS keep
+       FROM fr""") { (s, d) =>
+    val toks = split(trim(col("text")), "\\s+")
+    val chunks = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    graft.operators.Repetition.withRepetitionStats(
+      t(s, d, "documents"), "text", linesOf = _ => chunks)
+      .select(col("doc_id") +:
+        graft.operators.Repetition.thresholds.map(t => col(t._1)) :+
+        col("keep").cast("int").as("keep"): _*)
+  }
+
   // ==================================================================
   // BM25 retrieval family (operators.Retrieval) — the lexical complement
   // of the s1–s12 dense-ANN family, same serve-from-index discipline.

@@ -2288,6 +2288,47 @@ class PipelineSpec extends AnyFunSuite {
       s"per-row window sort crept back into perGroupThreshold:\n$thrPlan")
   }
 
+  test("repetition suite: run-fold matches hand computation; each rule fires on its violator") {
+    import spark.implicits._
+    import graft.operators.Repetition
+    // hand-checkable: "a b a b c" → 2-grams [a b, b a, a b, b c] →
+    // top ("a b", 2), dup_occ 2, dup_chars 6; nchars 9
+    val tiny = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val t0 = Repetition.withRepetitionStats(tiny, "text").collect().head
+    assert(t0.getAs[Double]("top_2gram_char_frac") == 6.0 / 9.0)
+    assert(t0.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    // long enough that a count-1 top gram is a small char fraction (the
+    // published thresholds assume real documents, not snippets)
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ")
+    val loop2 = Seq.fill(20)("spam ham").mkString(" ")
+    val dup5 = ("one two three four five " * 3) +
+      "unique1 unique2 unique3 unique4 unique5 unique6 unique7 unique8"
+    val dupLines = "line one two\nline one two\nline one two\nunique tail here"
+    val in = Seq((1L, clean), (2L, loop2), (3L, dup5), (4L, dupLines))
+      .toDF("doc_id", "text")
+    val out = Repetition.withRepetitionStats(in, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // clean doc: nothing repeats → all dup fracs 0, keep
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(out(1L).getAs[Double]("dup_line_frac") == 0.0)
+    // 2-gram loop: "spam ham" covers most of the text → top-2 fires (and
+    // the longer-gram dup rules with it)
+    assert(out(2L).getAs[Double]("top_2gram_char_frac") > 0.2)
+    assert(!out(2L).getAs[Boolean]("keep"))
+    // repeated 5-token phrase amid unique filler → duplicate-5-gram mass
+    assert(out(3L).getAs[Double]("dup_5gram_char_frac") > 0.15)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    // repeated newline-lines: 3 of 4 lines are the same → line rules fire
+    assert(out(4L).getAs[Double]("dup_line_frac") == 0.75)
+    assert(!out(4L).getAs[Boolean]("keep"))
+    // zero-shuffle pin: per-doc stats must never leave the row — the plan
+    // has no Exchange at all
+    val plan = Repetition.withRepetitionStats(in, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // --- BM25 retrieval (operators.Retrieval) -------------------------
 
   /** Okapi BM25 recomputed longhand for the tiny corpus below. */
