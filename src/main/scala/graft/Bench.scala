@@ -65,7 +65,9 @@ object Bench {
     "r1_bm25_topk", "r2_bm25_serve", "a14_domain_token_budget",
     // round-8: the full repetition-removal metric suite (zero-shuffle
     // per-doc sorted-run folds — the heaviest pure-scan pass in the repo)
-    "t17_repetition_suite")
+    // and the corpus profile report (histogram multi-quantile + partial-
+    // distinct vocab)
+    "t17_repetition_suite", "t18_corpus_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2299,6 +2299,53 @@ object SparkEntry {
         col("keep").cast("int").as("keep"): _*)
   }
 
+  // Corpus profile report: per-(lang, source) slice — doc count, token
+  // totals/mean, discrete token-count quantiles (ALL from one histogram +
+  // running-count pass, Quality.groupQuantiles — no per-row window),
+  // vocabulary size and type-token ratio. The curation "report card" run
+  // before and after a pipeline; every metric engine-exact (integer
+  // counts, single rounded divisions, rank-ceil(q·n) quantiles).
+  define("t18_corpus_profile",
+    """WITH t AS (
+         SELECT doc_id, lang, source,
+           regexp_split_to_array(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+')
+             AS w
+         FROM documents),
+       d AS (SELECT doc_id, lang, source, CAST(len(w) AS BIGINT) AS n_tokens
+             FROM t),
+       r AS (
+         SELECT lang, source, n_tokens,
+           row_number() OVER (PARTITION BY lang, source ORDER BY n_tokens)
+             AS rn,
+           count(*) OVER (PARTITION BY lang, source) AS cnt
+         FROM d),
+       q AS (
+         SELECT lang, source,
+           min(CASE WHEN rn >= ceil(0.25 * cnt) THEN n_tokens END) AS p25_tokens,
+           min(CASE WHEN rn >= ceil(0.50 * cnt) THEN n_tokens END) AS p50_tokens,
+           min(CASE WHEN rn >= ceil(0.75 * cnt) THEN n_tokens END) AS p75_tokens
+         FROM r GROUP BY lang, source),
+       v AS (
+         SELECT lang, source, count(DISTINCT term) AS vocab
+         FROM (SELECT lang, source, unnest(w) AS term FROM t)
+         WHERE term <> '' GROUP BY lang, source),
+       agg AS (
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM d GROUP BY lang, source)
+       SELECT a.lang, a.source, a.n_docs, a.total_tokens,
+         round(CAST(a.total_tokens AS DOUBLE) / a.n_docs, 6) AS mean_tokens,
+         q.p25_tokens, q.p50_tokens, q.p75_tokens, v.vocab,
+         round(CAST(v.vocab AS DOUBLE) / a.total_tokens, 6) AS ttr
+       FROM agg a JOIN q USING (lang, source)
+       JOIN v USING (lang, source)""") { (s, d) =>
+    graft.operators.Profile.corpusProfile(
+      t(s, d, "documents"), Seq("lang", "source"), "text")
+      .select("lang", "source", "n_docs", "total_tokens", "mean_tokens",
+        "p25_tokens", "p50_tokens", "p75_tokens", "vocab", "ttr")
+  }
+
   // ==================================================================
   // BM25 retrieval family (operators.Retrieval) — the lexical complement
   // of the s1–s12 dense-ANN family, same serve-from-index discipline.

@@ -41,30 +41,53 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** One row per group combination: the requested discrete quantiles of
+    * `valueCol`, ALL derived from ONE histogram +
+    * [[GlobalOrder.groupRunningTotal]] pass. cum(v) = #rows with value ≤ v
+    * within the group; the value at rank ceil(q·n) is the smallest v with
+    * cum(v) ≥ ceil(q·n) — identical to the per-row row_number definition,
+    * without sorting any group in a single task. The post-histogram frames
+    * are group×distinct-value sized, so each quantile's reduction is a
+    * metadata job. `qs` maps output column name → q.
+    *
+    * Multi-column groups ride the cumsum as one sentinel-joined string key
+    * (\u0001 separator, \u0000 for NULL — (a, NULL) cannot collide with
+    * ("a", "")); ordering AMONG groups is irrelevant, the range exchange
+    * only needs each group's rows contiguous. */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[(String, Double)])
+      (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(groupCols.nonEmpty, "groupQuantiles needs at least one group column")
+    require(qs.nonEmpty, "groupQuantiles needs at least one quantile")
+    qs.foreach { case (n, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile $n out of range: $q") }
+    val gs = groupCols.map(col)
+    val gKey = concat_ws("\u0001",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    // histogram: one row per (group, distinct value) — map-side combined
+    val hist = scope.cache(
+      df.select(gs :+ col(valueCol): _*)
+        .groupBy(gs :+ col(valueCol): _*)
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__g", gKey))
+    val cum = scope.cache(GlobalOrder.groupRunningTotal(
+      hist, "__g", Seq(col(valueCol)), "__n", "__cum"))
+    // |groups| rows — broadcast-sized by definition of "group"
+    val totals = cum.groupBy("__g").agg(sum("__n").as("__cnt"))
+    val withTot = cum.join(broadcast(totals), "__g")
+    qs.map { case (name, q) =>
+      withTot.filter(col("__cum") >= ceil(lit(q) * col("__cnt")))
+        .groupBy(gs: _*)
+        .agg(min(col(valueCol)).as(name))
+    }.reduce(_.join(_, groupCols))
+  }
+
   /** One row per group: (groupCol, thr) where thr is the discrete q-th
     * percentile of `valueCol` within the group. */
   def perGroupThreshold(df: DataFrame, groupCol: String, valueCol: String,
       q: Double, thrCol: String = "thr")
-      (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    require(q > 0.0 && q <= 1.0, s"quantile out of range: $q")
-    // histogram: one row per (group, distinct value) — map-side combined
-    val hist = scope.cache(
-      df.select(col(groupCol), col(valueCol))
-        .groupBy(groupCol, valueCol)
-        .agg(count(lit(1)).as("__n")))
-    // |groups| rows — broadcast-sized by definition of "group"
-    val totals = hist.groupBy(groupCol).agg(sum("__n").as("__cnt"))
-    // cum(v) = #rows with value ≤ v within the group; the value at rank
-    // ceil(q·n) is the smallest v with cum(v) ≥ ceil(q·n) — identical to
-    // the per-row row_number definition, without sorting any group in a
-    // single task.
-    GlobalOrder.groupRunningTotal(hist, groupCol, Seq(col(valueCol)),
-        "__n", "__cum")
-      .join(broadcast(totals), Seq(groupCol))
-      .filter(col("__cum") >= ceil(lit(q) * col("__cnt")))
-      .groupBy(groupCol)
-      .agg(min(col(valueCol)).as(thrCol))
-  }
+      (implicit scope: CacheScope = CacheScope.global): DataFrame =
+    groupQuantiles(df, Seq(groupCol), valueCol, Seq(thrCol -> q))
 
   /** Keep rows whose `valueCol` is ≥ their group's q-th percentile. The
     * result carries the threshold column so downstream audits can see what

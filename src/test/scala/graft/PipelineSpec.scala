@@ -2288,6 +2288,60 @@ class PipelineSpec extends AnyFunSuite {
       s"per-row window sort crept back into perGroupThreshold:\n$thrPlan")
   }
 
+  test("groupQuantiles: multi-quantile equals the rank definition; multi-col groups; null vs empty group keys") {
+    import spark.implicits._
+    val in = ((1 to 8).map(v => ("a", "x", v.toLong)) ++
+      Seq(("b", "x", 10L), ("b", "x", 10L), ("b", "x", 10L), ("b", "x", 40L)) ++
+      (1 to 4).map(v => ("a", "y", v * 100L)))
+      .toDF("g1", "g2", "v")
+    val out = graft.operators.Quality.groupQuantiles(in, Seq("g1", "g2"), "v",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("p25"), r.getAs[Long]("p50"), r.getAs[Long]("p75"))))
+      .toMap
+    // ranks: ceil(q·n) over ascending values
+    assert(out(("a", "x")) == ((2L, 4L, 6L)))
+    assert(out(("b", "x")) == ((10L, 10L, 10L)))
+    assert(out(("a", "y")) == ((100L, 200L, 300L)))
+    // NULL group values get the sentinel — distinct from the empty string
+    val withNull = Seq((Option.empty[String], 1L), (Option.empty[String], 3L),
+      (Some(""), 5L)).toDF("g", "v")
+    val nq = graft.operators.Quality.groupQuantiles(withNull, Seq("g"), "v",
+      Seq("p50" -> 0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Long]("p50")).toMap
+    assert(nq(None) == 1L && nq(Some("")) == 5L)
+  }
+
+  test("corpus profile: hand-checked slice metrics") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "en", "s1", "the cat sat"),   // 3 tokens
+      (2L, "en", "s1", "the the dog"),   // 3 tokens
+      (3L, "en", "s1", "a b c d e f g"), // 7 tokens
+      (4L, "de", "s1", "der hund"))      // 2 tokens
+      .toDF("doc_id", "lang", "source", "text")
+    val out = graft.operators.Profile
+      .corpusProfile(in, Seq("lang", "source"), "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") == 3L)
+    assert(en.getAs[Long]("total_tokens") == 13L)
+    assert(en.getAs[Long]("p25_tokens") == 3L) // rank ceil(0.75)=1 → 3
+    assert(en.getAs[Long]("p50_tokens") == 3L) // rank ceil(1.5)=2 → 3
+    assert(en.getAs[Long]("p75_tokens") == 7L) // rank ceil(2.25)=3 → 7
+    // vocab: the, cat, sat, dog + a..g = 11 distinct
+    assert(en.getAs[Long]("vocab") == 11L)
+    assert(en.getAs[Double]("mean_tokens") ==
+      BigDecimal(13.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(en.getAs[Double]("ttr") ==
+      BigDecimal(11.0 / 13.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    val de = out("de")
+    assert(de.getAs[Long]("n_docs") == 1L && de.getAs[Long]("vocab") == 2L)
+    assert(de.getAs[Long]("p50_tokens") == 2L)
+  }
+
   test("repetition suite: run-fold matches hand computation; each rule fires on its violator") {
     import spark.implicits._
     import graft.operators.Repetition
