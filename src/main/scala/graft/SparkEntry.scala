@@ -283,6 +283,32 @@ object SparkEntry {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
+  // Stratified EXACT-count split: every language receives exactly
+  // floor(cum·n_lang) boundary counts (t7/assign's per-row hash gives only
+  // EXPECTED proportions — a 40-doc minority language can land 30/70).
+  // Rank within stratum = md5 keyed-hash order via groupRunningTotal over
+  // unit weights (range exchange; a hot stratum spans partitions — no
+  // per-stratum single-task sort); the oracle spells the same rank as a
+  // row_number window, two algorithms agreeing row-for-row.
+  define("a15_stratified_split",
+    """WITH r AS (
+         SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(concat('s8', CAST(doc_id AS VARCHAR))), doc_id)
+             AS rk,
+           count(*) OVER (PARTITION BY lang) AS n
+         FROM documents)
+       SELECT doc_id, lang,
+         CASE WHEN rk <= floor(0.8 * n) THEN 'train'
+              WHEN rk <= floor(0.9 * n) THEN 'val'
+              ELSE 'test' END AS split
+       FROM r""") { (s, d) =>
+    graft.operators.Splits.stratifiedSplit(
+      t(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s8")
+      .select("doc_id", "lang", "split")
+  }
+
   // ==================================================================
   // §2.3 Joins (J1 executed for real) + Spark-extended join types
   // ==================================================================
@@ -2344,6 +2370,30 @@ object SparkEntry {
       t(s, d, "documents"), Seq("lang", "source"), "text")
       .select("lang", "source", "n_docs", "total_tokens", "mean_tokens",
         "p25_tokens", "p50_tokens", "p75_tokens", "vocab", "ttr")
+  }
+
+  // Corpus-wide top-k n-grams (boilerplate discovery): which exact
+  // phrases dominate the corpus — feeds blocklists; complements d14's
+  // span dedup (which removes repeats but doesn't NAME them). Global
+  // top-k executes as TakeOrderedAndProject (per-partition k, driver
+  // merges P·k rows — no global sort); the (occurrences DESC, gram ASC)
+  // tie-break makes the k-boundary set deterministic across engines.
+  define("t19_top_ngrams",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+           AS wds FROM documents),
+       g AS (SELECT doc_id, array_to_string(wds[pos : pos + 2], ' ') AS gram
+             FROM (SELECT doc_id, wds,
+                     unnest(generate_series(1, greatest(len(wds) - 2, 0)))
+                       AS pos
+                   FROM w)),
+       pg AS (SELECT doc_id, gram, count(*) AS c FROM g
+              GROUP BY doc_id, gram)
+       SELECT gram, CAST(sum(c) AS BIGINT) AS occurrences,
+         count(*) AS n_docs
+       FROM pg GROUP BY gram
+       ORDER BY occurrences DESC, gram LIMIT 50""") { (s, d) =>
+    graft.operators.TfIdf.topNgrams(t(s, d, "documents"), "text", "doc_id",
+      n = 3, k = 50)
   }
 
   // ==================================================================

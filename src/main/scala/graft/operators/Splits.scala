@@ -92,6 +92,55 @@ object Splits {
           .otherwise("test"))
   }
 
+  /** Stratified EXACT-count split: within every stratum (language, source,
+    * …) each split receives exactly its fraction of the stratum's rows —
+    * `floor(cum_i·n_g) − floor(cum_{i-1}·n_g)` rows — unlike [[assign]],
+    * whose per-row hash gives only expected proportions (a 40-doc minority
+    * language can easily land 30/70 under Bernoulli assignment; eval sets
+    * built from small strata need the count guarantee).
+    *
+    * Deterministic: rows rank within their stratum under the md5 keyed-hash
+    * order (salt ‖ key — the repo-wide cross-engine hash rule, ties to the
+    * key), so the assignment is a pure function of (key set, salt):
+    * re-runs, engines, and partition layouts all agree. Split boundaries
+    * are `rank ≤ floor(cum·n)` with cum·n computed in double on both
+    * engines — identical parse + identical IEEE multiply → identical
+    * floor, even at awkward fractions.
+    *
+    * Scale shape: the per-stratum rank is [[GlobalOrder.groupRunningTotal]]
+    * over unit weights (range exchange on (stratum, hash) — a hot stratum
+    * SPANS partitions; the window row_number spelling would sort each
+    * stratum in ONE task), plus a broadcast of the |strata|-row totals.
+    *
+    * `fractions` lists (label, fraction) IN ORDER; fractions must sum to 1
+    * (±1e-9) so every row is assigned. */
+  def stratifiedSplit(df: DataFrame, strataCol: String, keyCol: String,
+                      fractions: Seq[(String, Double)],
+                      salt: String = "", splitCol: String = "split")
+                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(fractions.nonEmpty, "stratifiedSplit needs at least one split")
+    require(fractions.forall(_._2 > 0.0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val ranked = GlobalOrder.groupRunningTotal(
+      df.withColumn("__h",
+          md5(concat(lit(salt), col(keyCol).cast("string"))))
+        .withColumn("__one", lit(1L)),
+      strataCol, Seq(col("__h"), col(keyCol)), "__one", "__rank")
+    val totals = ranked.groupBy(strataCol).agg(max("__rank").as("__n"))
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    // last boundary is floor(1.0·n) = n — the otherwise branch is only a
+    // spelling, every row already satisfies the last when()
+    val split = fractions.zip(cums).init.foldRight(
+      lit(fractions.last._1): Column) { case (((label, _), cum), rest) =>
+      when(col("__rank") <= floor(lit(cum) * col("__n")), label)
+        .otherwise(rest)
+    }
+    ranked.join(broadcast(totals), strataCol)
+      .withColumn(splitCol, split)
+      .drop("__h", "__one", "__rank", "__n")
+  }
+
   /** Deterministic shard id in [0, shards): the export-layout counterpart of
     * [[assign]]. Training jobs read shards independently (one worker per
     * shard), so the assignment must be a pure key function — re-exports

@@ -47,4 +47,31 @@ object TfIdf {
       .filter(col("rn") <= k)
       .select(col("id").as(idCol), col("term"), col("score"))
   }
+
+  /** Corpus-wide top-k word n-grams by occurrence count — the boilerplate
+    * discovery pass (which exact phrases dominate the corpus feeds
+    * blocklists and complements the span-level dedup in
+    * [[Dedup.duplicateWindowSpans]], which removes repeats but doesn't
+    * NAME them). Returns (gram, occurrences, n_docs), ordered
+    * (occurrences DESC, gram ASC) — the tie-break makes the k-boundary
+    * deterministic across engines.
+    *
+    * Plan shape at 100 TB: shingle-explode → per-(doc, gram) count
+    * (partial+final hash agg — the shuffle carries (doc, gram) pairs with
+    * counts, never text bodies) → per-gram occurrence/doc-frequency
+    * rollup (map-side combined again) → global top-k as
+    * `TakeOrderedAndProject` (each partition keeps its own k, the driver
+    * merges P·k rows — no global sort ever materializes). */
+  def topNgrams(docs: DataFrame, textCol: String, idCol: String,
+                n: Int, k: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(k > 0, "k must be positive")
+    spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(TF.shingles(col(textCol), n)).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("gram")
+      .agg(sum("c").as("occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
 }

@@ -2342,6 +2342,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(de.getAs[Long]("p50_tokens") == 2L)
   }
 
+  test("stratifiedSplit: exact per-stratum counts; layout-invariant; salt decorrelates") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // 10-row and 7-row strata: exact counts are floor-boundary diffs, not
+    // Bernoulli expectations
+    val in = ((1 to 10).map(i => (i.toLong, "big")) ++
+      (11 to 17).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("g", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val c = counts(Splits.stratifiedSplit(in, "g", "id", fr, salt = "t"))
+    // big(10): floor(8)=8 train, floor(9)-8=1 val, 1 test
+    assert(c(("big", "train")) == 8L && c(("big", "val")) == 1L &&
+      c(("big", "test")) == 1L)
+    // small(7): floor(5.6)=5 train, floor(6.3)-5=1 val, 1 test
+    assert(c(("small", "train")) == 5L && c(("small", "val")) == 1L &&
+      c(("small", "test")) == 1L)
+    // pure function of (keys, salt): any partition layout gives the SAME
+    // assignment row-for-row
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Splits.stratifiedSplit(df, "g", "id", fr, salt = "t")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split"))
+        .toMap
+    assert(assign(in.repartition(7)) == assign(in.coalesce(1)))
+    // a different salt produces a different permutation (statistically
+    // certain at 17 rows; equality would mean the salt is ignored)
+    assert(assign(in) != Splits.stratifiedSplit(in, "g", "id", fr, salt = "u")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split"))
+      .toMap)
+    // degenerate single split assigns everything
+    val one = Splits.stratifiedSplit(in, "g", "id", Seq("all" -> 1.0))
+    assert(one.filter(col("split") === "all").count() == 17L)
+  }
+
+  test("topNgrams: hand-checked counts; tie-break; TakeOrderedAndProject plan") {
+    import spark.implicits._
+    val in = Seq((1L, "a b c a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    // 2-grams doc1: [a b, b c, c a, a b, b c]; doc2: [a b, b x]
+    val q = graft.operators.TfIdf.topNgrams(in, "text", "doc_id", n = 2, k = 3)
+    val out = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // rank 3 is a tie on occurrences=1 → gram ASC picks "b x" over "c a"
+    assert(out.toSeq == Seq(("a b", 3L, 2L), ("b c", 2L, 1L), ("b x", 1L, 1L)))
+    // global top-k must not materialize a global sort
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("repetition suite: run-fold matches hand computation; each rule fires on its violator") {
     import spark.implicits._
     import graft.operators.Repetition
