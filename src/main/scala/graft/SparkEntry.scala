@@ -2372,6 +2372,40 @@ object SparkEntry {
         "p25_tokens", "p50_tokens", "p75_tokens", "vocab", "ttr")
   }
 
+  // Per-row group-percentile normalization (CCNet score buckets): each
+  // doc's token count becomes its percentile WITHIN its language —
+  // cross-language comparable — then the head/middle/tail bucket cut.
+  // pct_rank ≡ SQL cume_dist (#values ≤ v / n — exact integer ratio); the
+  // engine derives it from the histogram + groupRunningTotal cumulative
+  // table and a (group, value) join back, never a per-row window; the
+  // oracle IS the window spelling — two algorithms, one answer.
+  define("t20_percentile_normalize",
+    """WITH t AS (
+         SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       r AS (
+         SELECT doc_id, lang, n_tokens,
+           cume_dist() OVER (PARTITION BY lang ORDER BY n_tokens)
+             AS pct_rank
+         FROM t)
+       SELECT doc_id, lang, n_tokens, pct_rank,
+         CASE WHEN pct_rank <= 0.1 THEN 'tail'
+              WHEN pct_rank <= 0.4 THEN 'middle'
+              ELSE 'head' END AS bucket
+       FROM r""") { (s, d) =>
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    graft.operators.Quality.withGroupPercentile(docs, "lang", "n_tokens")
+      .withColumn("bucket",
+        when(col("pct_rank") <= 0.1, "tail")
+          .when(col("pct_rank") <= 0.4, "middle")
+          .otherwise("head"))
+      .select("doc_id", "lang", "n_tokens", "pct_rank", "bucket")
+  }
+
   // Corpus-wide top-k n-grams (boilerplate discovery): which exact
   // phrases dominate the corpus — feeds blocklists; complements d14's
   // span dedup (which removes repeats but doesn't NAME them). Global
@@ -2921,6 +2955,56 @@ object SparkEntry {
     Dedup.connectedComponents(docs.select("doc_id"), edges,
         "doc_id", "a_id", "b_id")
       .orderBy("doc_id")
+  }
+
+  // Quality-aware cluster collapse: each near-dup cluster keeps its
+  // LONGEST member (ties → smaller id) instead of an arbitrary min-id one
+  // — near-dup copies usually differ by truncation, so curation retains
+  // the fullest. Engine argmax is min(struct(-score, id)) — a plain
+  // map-side-combined aggregate, no per-cluster sort; the oracle ranks
+  // with a row_number window over the same recursive-CTE components.
+  define("d17_best_of_cluster",
+    """WITH RECURSIVE
+       w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds
+             FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 1),
+           i -> wds[i] || ' ' || wds[i+1])) AS sh FROM w),
+       e0 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                      AS DOUBLE) >= 0.5),
+       edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       reach(src, dst) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+       ),
+       comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach
+                GROUP BY src),
+       t AS (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+             FROM documents),
+       m AS (SELECT c.component, t.doc_id, t.n_tokens,
+               row_number() OVER (PARTITION BY c.component
+                 ORDER BY t.n_tokens DESC, t.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS n_members
+             FROM comp c JOIN t USING (doc_id))
+       SELECT doc_id, n_tokens, component,
+         CAST(n_members AS BIGINT) AS n_members
+       FROM m WHERE rn = 1""") { (s, d) =>
+    import graft.operators.Dedup
+    val docs = t(s, d, "documents")
+    val scored = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    val edges = Dedup.ngramJaccard(docs, "text", "doc_id",
+      threshold = 0.5, shingleSize = 2, maxDf = 1000000L)
+    Dedup.keepBestOfCluster(scored, "doc_id", "n_tokens", edges,
+      "a_id", "b_id")
+      .select("doc_id", "n_tokens", "component", "n_members")
   }
 
   // AS-OF join: each click attached to the user's most recent

@@ -645,6 +645,38 @@ object Dedup {
     }
   }
 
+  /** Quality-aware cluster collapse: keep the BEST member of each near-dup
+    * cluster instead of an arbitrary (min-id) one — standard curation
+    * practice is to retain the longest / highest-quality duplicate, since
+    * near-dup copies often differ by truncation or boilerplate stripping.
+    * Clusters come from [[connectedComponents]] over the near-dup edge
+    * list; "best" = max `scoreCol`, ties to the smaller id (the
+    * deterministic total order every keep-rule in the repo uses).
+    *
+    * Returns one row per cluster: the winning doc's `docs` columns plus
+    * `component` (the cluster's min id label) and `n_members`. Singleton
+    * docs are their own cluster and always survive.
+    *
+    * Scale shape: the argmax is `min(struct(-score, id))` — a plain
+    * map-side-combined aggregate over (component, score, id), no window,
+    * no per-cluster sort; the join back to `docs` hashes on the id. */
+  def keepBestOfCluster(docs: DataFrame, idCol: String, scoreCol: String,
+                        edges: DataFrame, aCol: String, bCol: String)
+                       (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val comp = connectedComponents(docs.select(col(idCol)), edges,
+      idCol, aCol, bCol)
+    val best = docs.select(col(idCol), col(scoreCol))
+      .join(comp, Seq(idCol))
+      .groupBy("component")
+      .agg(
+        min(struct((-col(scoreCol)).as("__ns"), col(idCol).as("__id")))
+          .as("__b"),
+        count(lit(1)).as("n_members"))
+      .select(col("__b.__id").as(idCol), col("component"),
+        col("n_members"))
+    docs.join(best, Seq(idCol))
+  }
+
   private def labelPropagation(nodeIds: DataFrame, sym: DataFrame,
                                idCol: String, maxIter: Int): DataFrame = {
     var labels = nodeIds.select(col("id"), col("id").as("label"))

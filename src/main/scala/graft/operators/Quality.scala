@@ -89,6 +89,38 @@ object Quality {
       (implicit scope: CacheScope = CacheScope.global): DataFrame =
     groupQuantiles(df, Seq(groupCol), valueCol, Seq(thrCol -> q))
 
+  /** Append each row's percentile rank WITHIN its group — the CCNet-style
+    * score normalization: a perplexity of 340 means nothing across
+    * languages, but "worse than 80% of its language" compares; the
+    * downstream head/middle/tail bucketing cuts on this value. The rank is
+    * SQL's `cume_dist` — (#rows in the group with value ≤ this value) / n,
+    * an exact integer ratio, engine-bit-identical.
+    *
+    * Scale shape: same histogram + [[GlobalOrder.groupRunningTotal]] pass
+    * as [[groupQuantiles]]; each row then gets its percentile by a join on
+    * (group, value) against the group×distinct-value cumulative table —
+    * the broadcast/shuffle decision is left to Catalyst/AQE (size-based:
+    * bounded-cardinality metrics broadcast, a high-cardinality metric
+    * falls back to a co-partitioned hash join), and no per-row window
+    * ever sorts a group in one task (`cume_dist().over
+    * (Window.partitionBy(group))` would). */
+  def withGroupPercentile(df: DataFrame, groupCol: String, valueCol: String,
+      pctCol: String = "pct_rank")
+      (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val hist = scope.cache(
+      df.select(col(groupCol), col(valueCol))
+        .groupBy(groupCol, valueCol)
+        .agg(count(lit(1)).as("__n")))
+    val cum = GlobalOrder.groupRunningTotal(
+      hist, groupCol, Seq(col(valueCol)), "__n", "__cum")
+    val totals = cum.groupBy(groupCol).agg(sum("__n").as("__cnt"))
+    val ranks = cum.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col(valueCol),
+        (col("__cum").cast("double") / col("__cnt").cast("double"))
+          .as(pctCol))
+    df.join(ranks, Seq(groupCol, valueCol))
+  }
+
   /** Keep rows whose `valueCol` is ≥ their group's q-th percentile. The
     * result carries the threshold column so downstream audits can see what
     * cutoff each row cleared. */

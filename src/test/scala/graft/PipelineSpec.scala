@@ -2342,6 +2342,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(de.getAs[Long]("p50_tokens") == 2L)
   }
 
+  test("withGroupPercentile: cume_dist semantics, duplicate values share the rank, no window in plan") {
+    import spark.implicits._
+    val in = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 5L),
+      ("b", 7L)).toDF("g", "v")
+    val out = graft.operators.Quality.withGroupPercentile(in, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("pct_rank")).toMap
+    // group a (n=4): cum ≤1 → 1/4; cum ≤2 → 3/4 (both dup rows); ≤5 → 1
+    assert(out(("a", 1L)) == 0.25)
+    assert(out(("a", 2L)) == 0.75)
+    assert(out(("a", 5L)) == 1.0)
+    assert(out(("b", 7L)) == 1.0)
+    val plan = graft.operators.Quality.withGroupPercentile(in, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("keepBestOfCluster: longest member wins, ties to smaller id, singletons survive") {
+    import spark.implicits._
+    val docs = Seq((1L, 3L), (2L, 9L), (3L, 9L), (4L, 5L)).toDF("id", "score")
+    // cluster {1,2,3}: 2 and 3 tie on score 9 → 2 wins; 4 is a singleton
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.keepBestOfCluster(docs, "id", "score", edges, "a", "b")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("n_members")))).toMap
+    assert(out == Map(2L -> ((1L, 3L)), 4L -> ((4L, 1L))))
+  }
+
   test("stratifiedSplit: exact per-stratum counts; layout-invariant; salt decorrelates") {
     import spark.implicits._
     import graft.operators.Splits
