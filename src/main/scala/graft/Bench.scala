@@ -67,7 +67,15 @@ object Bench {
     // per-doc sorted-run folds — the heaviest pure-scan pass in the repo)
     // and the corpus profile report (histogram multi-quantile + partial-
     // distinct vocab)
-    "t17_repetition_suite", "t18_corpus_profile")
+    "t17_repetition_suite", "t18_corpus_profile",
+    // round-8 batch 2: top-ngrams (TakeOrdered global top-k), percentile
+    // normalization (histogram cume_dist), stratified exact split
+    // (groupRunningTotal ranks), best-of-cluster (CC + argmax agg)
+    "t19_top_ngrams", "t20_percentile_normalize", "a15_stratified_split",
+    "d17_best_of_cluster",
+    // round-8 capstone: repetition gate → survivor percentile → tail cut
+    // → stratified split, one plan
+    "p10_curation_v3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

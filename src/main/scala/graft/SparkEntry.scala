@@ -2230,8 +2230,10 @@ object SparkEntry {
   // algorithms agreeing on exact integer-ratio doubles, compared
   // unrounded. The keep comparisons use the SAME fraction-≤-threshold
   // spelling on both sides so boundary docs cannot diverge.
-  define("t17_repetition_suite",
-    """WITH t AS (
+  // Shared by t17 and the p10 capstone: CTE chain computing every
+  // repetition metric per doc (`fr`), and the composite keep predicate.
+  private val repetitionCtes: String =
+    """t AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
          FROM documents),
        base AS (
@@ -2305,14 +2307,19 @@ object SparkEntry {
              / coalesce(l.line_chars, 1) AS dup_line_char_frac
          FROM base b
          LEFT JOIN gram_cols g2 USING (doc_id)
-         LEFT JOIN lstats l USING (doc_id))
-       SELECT *,
-         CAST(top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+         LEFT JOIN lstats l USING (doc_id))"""
+
+  private val repetitionKeepExpr: String =
+    """top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
            AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
            AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
            AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
            AND dup_10gram_char_frac <= 0.10 AND dup_line_frac <= 0.30
-           AND dup_line_char_frac <= 0.20 AS INT) AS keep
+           AND dup_line_char_frac <= 0.20"""
+
+  define("t17_repetition_suite",
+    s"""WITH $repetitionCtes
+       SELECT *, CAST($repetitionKeepExpr AS INT) AS keep
        FROM fr""") { (s, d) =>
     val toks = split(trim(col("text")), "\\s+")
     val chunks = transform(
@@ -2323,6 +2330,59 @@ object SparkEntry {
       .select(col("doc_id") +:
         graft.operators.Repetition.thresholds.map(t => col(t._1)) :+
         col("keep").cast("int").as("keep"): _*)
+  }
+
+  // Capstone №4 (round-8 ops composed end-to-end, ONE logical plan):
+  // repetition-suite gate → per-language percentile of token count over
+  // the SURVIVORS (population matters: the percentile is computed after
+  // the filter) → drop the tail decile → stratified exact-count split of
+  // what remains. The oracle replays the full composition row-for-row —
+  // repetition CTEs shared verbatim with t17, cume_dist and row_number
+  // windows for the stages the engine computes with histogram cumsums and
+  // groupRunningTotal ranks.
+  define("p10_curation_v3",
+    s"""WITH $repetitionCtes,
+       keepers AS (SELECT doc_id FROM fr WHERE $repetitionKeepExpr),
+       tk AS (
+         SELECT d.doc_id, d.lang,
+           CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents d JOIN keepers USING (doc_id)),
+       p AS (
+         SELECT doc_id, lang, n_tokens,
+           cume_dist() OVER (PARTITION BY lang ORDER BY n_tokens)
+             AS pct_rank
+         FROM tk),
+       surv AS (SELECT * FROM p WHERE pct_rank > 0.1),
+       r AS (
+         SELECT doc_id, lang, n_tokens, pct_rank,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(concat('v3', CAST(doc_id AS VARCHAR))), doc_id)
+             AS rk,
+           count(*) OVER (PARTITION BY lang) AS n
+         FROM surv)
+       SELECT doc_id, lang, n_tokens, pct_rank,
+         CASE WHEN rk <= floor(0.8 * n) THEN 'train'
+              WHEN rk <= floor(0.9 * n) THEN 'val'
+              ELSE 'test' END AS split
+       FROM r""") { (s, d) =>
+    val toks = split(trim(col("text")), "\\s+")
+    val chunks = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    val kept = graft.operators.Repetition.withRepetitionStats(
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+      "text", linesOf = _ => chunks)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+    val surv = graft.operators.Quality
+      .withGroupPercentile(kept, "lang", "n_tokens")
+      .filter(col("pct_rank") > 0.1)
+    graft.operators.Splits.stratifiedSplit(surv, "lang", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v3")
+      .select("doc_id", "lang", "n_tokens", "pct_rank", "split")
   }
 
   // Corpus profile report: per-(lang, source) slice — doc count, token

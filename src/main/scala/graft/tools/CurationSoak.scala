@@ -361,6 +361,38 @@ object CurationSoak {
         Retrieval.bm25TopKFromIndex(bmQueries, bmDir, "text", "doc_id",
           k = 10).count()
       }
+
+      // round-8 batch 2 at 100k docs: the repetition fold (9 sorted-run
+      // folds per doc — the heaviest pure-scan pass), the profile report
+      // (histogram quantiles + partial-distinct vocab), top-ngrams
+      // (TakeOrdered global top-k), percentile normalization, stratified
+      // exact split
+      time("t17_repetition_100k") {
+        graft.operators.Repetition.withRepetitionStats(docs100k, "text")
+          .agg(sum(col("keep").cast("long"))).head.getLong(0)
+      }
+      val docsWithSrc100k = replicate(
+        Tables.load(spark, sfDir, "documents")
+          .select("doc_id", "lang", "source", "text"), "doc_id", 20)
+      time("t18_profile_100k") {
+        graft.operators.Profile.corpusProfile(docsWithSrc100k,
+          Seq("lang", "source"), "text").count()
+      }
+      time("t19_top_ngrams_100k") {
+        graft.operators.TfIdf.topNgrams(docs100k, "text", "doc_id",
+          n = 3, k = 50).count()
+      }
+      time("t20_percentile_100k") {
+        graft.operators.Quality.withGroupPercentile(
+          docs100k.select(col("lang"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("v")), "lang", "v").count()
+      }
+      time("a15_stratified_split_100k") {
+        graft.operators.Splits.stratifiedSplit(
+          docs100k.select("doc_id", "lang"), "lang", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count()
+      }
     }
     spark.stop()
   }
