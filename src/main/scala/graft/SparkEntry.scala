@@ -3532,6 +3532,42 @@ object SparkEntry {
       col("doc_id") % 97 === 0, k = 5)
   }
 
+  // Streaming adaptive-quality filter ≡ batch t16, certified by the SAME
+  // oracle SQL: the per-language thresholds compute once over the full
+  // corpus and PERSIST (Quality.saveThresholds — curation config is
+  // serving state), the document stream filters each micro-batch against
+  // the frozen broadcast table. Per-document independence makes the
+  // micro-batch union equal the full-batch answer.
+  define("st18_stream_quality_filter",
+    """WITH t AS (
+         SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       r AS (
+         SELECT lang, n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+           count(*) OVER (PARTITION BY lang) AS cnt
+         FROM t),
+       thr AS (
+         SELECT lang, min(n_tokens) AS thr
+         FROM r WHERE rn >= ceil(0.25 * cnt) GROUP BY lang)
+       SELECT doc_id, lang, n_tokens, thr
+       FROM t JOIN thr USING (lang) WHERE n_tokens >= thr""") { (s, d) =>
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    val dir = sessionIndexDir(s"thr_$d") { p =>
+      graft.operators.Quality.saveThresholds(
+        graft.operators.Quality.perGroupThreshold(docs, "lang", "n_tokens",
+          q = 0.25),
+        s"$p/thr")
+    }
+    graft.streaming.Streaming.streamingQualityFilter(s, d, "st18",
+      s"$dir/thr")
+      .select("doc_id", "lang", "n_tokens", "thr")
+  }
+
   define("st9_stream_curate",
     """WITH q AS (
          SELECT doc_id, text,

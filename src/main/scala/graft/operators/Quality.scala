@@ -131,4 +131,30 @@ object Quality {
     df.join(broadcast(thr), Seq(groupCol))
       .filter(col(valueCol) >= col(thrCol))
   }
+
+  private val Layout = "thresholds_v1"
+
+  /** Persist a threshold table (the curation CONFIG: |groups| rows) with a
+    * `_params` layout tag — the index-persistence discipline
+    * ([[Similarity]] / [[graft.operators.Retrieval]]): thresholds are
+    * computed offline over a reference corpus and FROZEN; a streaming
+    * filter must apply the stored cutoffs, not re-derive them from each
+    * micro-batch's skewed sample. */
+  def saveThresholds(thr: DataFrame, path: String): Unit = {
+    val spark = thr.sparkSession
+    import spark.implicits._
+    thr.coalesce(1).write.mode("overwrite").parquet(s"$path/thresholds")
+    Seq(Layout).toDF("layout")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Load a persisted threshold table, validating the layout tag. */
+  def loadThresholds(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val p = Similarity.readParams(spark, path).head()
+    require(p.getAs[String]("layout") == Layout,
+      s"thresholds at $path have layout ${p.getAs[String]("layout")}, " +
+        s"expected $Layout")
+    spark.read.parquet(s"$path/thresholds")
+  }
 }

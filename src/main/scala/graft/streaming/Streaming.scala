@@ -729,6 +729,46 @@ object Streaming {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming adaptive-quality filtering: documents stream in and each
+    * micro-batch keeps docs at or above their language's FROZEN percentile
+    * threshold ([[graft.operators.Quality.saveThresholds]] — computed
+    * offline over the reference corpus; re-deriving per micro-batch would
+    * filter against each batch's skewed sample). The |groups|-row
+    * threshold table loads once, is cached across triggers, and rides a
+    * broadcast join; per-document independence makes the micro-batch
+    * union equal the batch [[graft.operators.Quality.filterByGroupQuantile]]
+    * answer, so the t16 oracle transfers verbatim. */
+  def streamingQualityFilter(spark: SparkSession, sfDir: String,
+                             name: String, thrPath: String): DataFrame = {
+    import graft.operators.Quality
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thr = Quality.loadThresholds(spark, thrPath).cache()
+    thr.count() // materialize before the stream starts
+    try {
+      val stream = spark.readStream
+        .schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sfDir/documents.*")
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          mb.select(col("doc_id"), col("lang"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("n_tokens"))
+            .join(broadcast(thr), Seq("lang"))
+            .filter(col("n_tokens") >= col("thr"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally thr.unpersist()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming BM25 serving: queries stream in and each micro-batch is
     * scored against a PERSISTED inverted index
     * ([[graft.operators.Retrieval.buildBm25Index]]) loaded once at stream

@@ -2342,6 +2342,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(de.getAs[Long]("p50_tokens") == 2L)
   }
 
+  test("thresholds persist: save/load roundtrip, layout tag validated") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val in = ((1 to 8).map(v => ("a", v.toLong)) ++
+      Seq(("b", 10L), ("b", 40L))).toDF("g", "v")
+    val thr = Quality.perGroupThreshold(in, "g", "v", 0.25)
+    withTempDir("graft_thr_") { dir =>
+      Quality.saveThresholds(thr, dir)
+      val back = Quality.loadThresholds(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(back == Map("a" -> 2L, "b" -> 10L))
+      // a foreign layout must be rejected, not silently misread
+      Seq("bm25_v1").toDF("layout")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+      val e = intercept[IllegalArgumentException] {
+        Quality.loadThresholds(spark, dir)
+      }
+      assert(e.getMessage.contains("layout"))
+    }
+  }
+
   test("withGroupPercentile: cume_dist semantics, duplicate values share the rank, no window in plan") {
     import spark.implicits._
     val in = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 5L),
