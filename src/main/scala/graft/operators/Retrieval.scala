@@ -43,7 +43,23 @@ import graft.functions.{TextFunctions => TF}
   * `maxDf` drops corpus-stopwords at the df stage — the same skew guard as
   * [[TfIdf.topTerms]] and [[Dedup.ngramJaccard]]: a term in half the
   * corpus contributes idf ≈ ln(1+1) everywhere (no ranking signal) but
-  * dominates the posting-join fan-out.
+  * dominates the posting-join fan-out. Stats contract under `maxDf`: N
+  * and avgdl are computed over the POST-filter postings — a document
+  * whose every term was dropped leaves the searchable corpus entirely
+  * (it can never score, so counting it in N would deflate every idf for
+  * a doc no query reaches), while dl still counts the dropped terms
+  * (length normalization measures the real document). With the default
+  * `maxDf` nothing is filtered and N is simply the count of docs with
+  * ≥1 token. The stored `_params` stats follow the same contract, and
+  * both choices are pinned by tests.
+  *
+  * Query-batch contract: the serve entry points broadcast the batch's
+  * DISTINCT term set against the postings — the whole point of the plan
+  * shape (the corpus never shuffles). That assumes a serving-sized batch
+  * (up to ~10⁶ distinct terms, single-digit MB broadcast). For a
+  * corpus-scale "query" set (e.g. all-pairs contamination mining), pass
+  * `broadcastTerms = false`: the hint is dropped and Catalyst/AQE pick
+  * the join strategy from actual sizes.
   */
 object Retrieval {
 
@@ -82,15 +98,17 @@ object Retrieval {
   private def score(queries: DataFrame, postings: DataFrame,
                     textCol: String, idCol: String, k: Int,
                     nDocs: Double, avgdl: Double,
-                    k1: Double, b: Double): DataFrame = {
-    val qterms = termPairs(queries, textCol, idCol, "q_id").distinct()
+                    k1: Double, b: Double,
+                    broadcastTerms: Boolean): DataFrame = {
+    val qt0 = termPairs(queries, textCol, idCol, "q_id").distinct()
+    val qterms = if (broadcastTerms) broadcast(qt0) else qt0
     val contrib =
       log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
             (col("df") + lit(0.5))) *
         col("tf") * lit(k1 + 1.0) /
         (col("tf") + lit(k1) *
           (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-    val scored = postings.join(broadcast(qterms), "term")
+    val scored = postings.join(qterms, "term")
       .groupBy("q_id", "n_id")
       .agg(round(sum(contrib), 6).as("score"))
     val w = Window.partitionBy("q_id")
@@ -103,20 +121,32 @@ object Retrieval {
   /** One-shot BM25 top-k: builds the postings in-flight. The per-call
     * build cost is the reason the persisted-index path below exists —
     * this form is for ad-hoc batches, the index for serving. */
-  def bm25TopK(queries: DataFrame, corpus: DataFrame,
-               textCol: String, idCol: String, k: Int,
-               k1: Double = 1.2, b: Double = 0.75,
-               maxDf: Long = Long.MaxValue)
-              (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    require(k > 0, "k must be positive")
-    val postings = scope.cache(postingsFrame(corpus, textCol, idCol, maxDf))
-    // two scalar aggregates over the cached slim frame, driver-held
+  /** Two scalar aggregates over the cached slim postings, driver-held.
+    * Fails CLEARLY (not with an opaque NPE off a null avgdl) when the
+    * corpus produced no postings — empty input, all-empty/null text, or a
+    * `maxDf` that dropped every term. */
+  private def corpusStats(postings: DataFrame): (Double, Double) = {
     val stats = postings.select(col("n_id"), col("dl")).distinct()
       .agg(count(lit(1)).cast("double").as("n"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
       .head()
-    score(queries, postings, textCol, idCol, k,
-      stats.getDouble(0), stats.getDouble(1), k1, b)
+    require(stats.getDouble(0) > 0,
+      "bm25: corpus produced no postings (empty corpus, all-empty/null " +
+        "text, or maxDf dropped every term)")
+    (stats.getDouble(0), stats.getDouble(1))
+  }
+
+  def bm25TopK(queries: DataFrame, corpus: DataFrame,
+               textCol: String, idCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Long = Long.MaxValue,
+               broadcastTerms: Boolean = true)
+              (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(k > 0, "k must be positive")
+    val postings = scope.cache(postingsFrame(corpus, textCol, idCol, maxDf))
+    val (n, avgdl) = corpusStats(postings)
+    score(queries, postings, textCol, idCol, k, n, avgdl, k1, b,
+      broadcastTerms)
   }
 
   /** Persist the inverted index: `index` = the slim postings table
@@ -133,13 +163,10 @@ object Retrieval {
       val spark = corpus.sparkSession
       import spark.implicits._
       val postings = scope.cache(postingsFrame(corpus, textCol, idCol, maxDf))
-      val stats = postings.select(col("n_id"), col("dl")).distinct()
-        .agg(count(lit(1)).cast("double").as("n"),
-          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-        .head()
+      val (n, avgdl) = corpusStats(postings)
       Similarity.dropStalePointer(path, "index")
       postings.write.mode("overwrite").parquet(s"$path/index")
-      Seq((Layout, stats.getDouble(0), stats.getDouble(1), k1, b))
+      Seq((Layout, n, avgdl, k1, b))
         .toDF("layout", "n_docs", "avgdl", "k1", "b")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
     } finally scope.release()
@@ -168,9 +195,11 @@ object Retrieval {
   /** Score a query batch against a loaded handle — the per-micro-batch
     * body of a streaming serve. */
   def bm25TopKFromModel(queries: DataFrame, m: Bm25Model,
-                        textCol: String, idCol: String, k: Int): DataFrame = {
+                        textCol: String, idCol: String, k: Int,
+                        broadcastTerms: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
-    score(queries, m.postings, textCol, idCol, k, m.nDocs, m.avgdl, m.k1, m.b)
+    score(queries, m.postings, textCol, idCol, k, m.nDocs, m.avgdl, m.k1,
+      m.b, broadcastTerms)
   }
 
   /** Serve a query batch from a persisted index. Reads the postings via
@@ -178,7 +207,8 @@ object Retrieval {
     * scores with the STORED corpus stats — a frozen index scores appends
     * consistently with its build-time statistics. */
   def bm25TopKFromIndex(queries: DataFrame, indexPath: String,
-                        textCol: String, idCol: String, k: Int): DataFrame =
+                        textCol: String, idCol: String, k: Int,
+                        broadcastTerms: Boolean = true): DataFrame =
     bm25TopKFromModel(queries, loadBm25(queries.sparkSession, indexPath),
-      textCol, idCol, k)
+      textCol, idCol, k, broadcastTerms)
 }

@@ -2565,6 +2565,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, exp)), out.toSeq)
   }
 
+  test("bm25 guards: empty postings fail clearly; shuffle-join path matches broadcast") {
+    import spark.implicits._
+    val queries = Seq((10L, "cat dog")).toDF("doc_id", "text")
+    // empty corpus / all-empty text / maxDf-kills-everything → a clear
+    // require message, not an NPE off the null avgdl aggregate
+    for (corpus <- Seq(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text"))) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.bm25TopK(queries, corpus,
+          "text", "doc_id", k = 3)
+      }
+      assert(e.getMessage.contains("no postings"), e.getMessage)
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.bm25TopK(queries,
+        Seq((1L, "the the"), (2L, "the")).toDF("doc_id", "text"),
+        "text", "doc_id", k = 3, maxDf = 1L) // df(the)=2 > 1: all dropped
+    }
+    assert(e.getMessage.contains("no postings"), e.getMessage)
+    // broadcastTerms=false (corpus-scale query sets) — same answer, the
+    // join strategy is just left to Catalyst/AQE
+    val corpus = Seq((1L, "cat sat"), (2L, "cat cat dog"), (3L, "fish"))
+      .toDF("doc_id", "text")
+    def run(bcast: Boolean) = graft.operators.Retrieval
+      .bm25TopK(queries, corpus, "text", "doc_id", k = 3,
+        broadcastTerms = bcast)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._2).toSeq
+    assert(run(bcast = false) == run(bcast = true))
+  }
+
   test("xml source: roundtrip with explicit schema via write+dispatch") {
     import spark.implicits._
     withTempDir("graft_xml_test") { dir =>
