@@ -75,7 +75,13 @@ object Bench {
     "d17_best_of_cluster",
     // round-8 capstone: repetition gate → survivor percentile → tail cut
     // → stratified split, one plan
-    "p10_curation_v3")
+    "p10_curation_v3",
+    // round-8 batch 3: decontamination serving (flag from the persisted
+    // eval-shingle index — broadcast semi-join, corpus unshuffled) and
+    // DSIR selection (zero-shuffle λ-fold scoring + Gumbel top-k; t24
+    // serves from the per-JVM persisted model so the train cost lands on
+    // the warm-up rep only)
+    "t22_decontaminate_serve", "t24_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2059,6 +2059,81 @@ object SparkEntry {
         round(col("lm2_logprob"), 6).as("lm2_logprob"))
   }
 
+  // ==================================================================
+  // DSIR importance resampling (operators.Dsir) — hashed-bigram
+  // importance weights (target = the 'en' slice, raw = the full corpus)
+  // with deterministic md5-Gumbel selection. Scoring is a ZERO-shuffle
+  // fold against the λ map literal; the oracle recomputes the whole
+  // chain (buckets → smoothed models → λ → per-doc sums) relationally —
+  // a different algorithm, same doubles at the 6dp contract. Shared CTE
+  // chain; t23 emits weights, t24 Gumbel-top-k from the PERSISTED model,
+  // st20 streams the threshold form against the same frozen model.
+  // ==================================================================
+
+  private val dsirCtes: String =
+    """WITH d AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS wds
+         FROM documents),
+       bg AS (SELECT doc_id, lang,
+           list_transform(generate_series(1, len(wds) - 1),
+             i -> ('0x' || substr(md5(wds[i] || ' ' || wds[i+1]), 1, 4))::INT % 4096)
+             AS bks
+         FROM d),
+       occ AS (SELECT doc_id, lang, unnest(bks) AS bucket FROM bg),
+       tc AS (SELECT bucket, count(*) AS c FROM occ WHERE lang = 'en'
+              GROUP BY bucket),
+       rc AS (SELECT bucket, count(*) AS c FROM occ GROUP BY bucket),
+       tt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tc),
+       rt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM rc),
+       lam AS (SELECT gs.bucket,
+           ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) / (tt.n + 4096))
+         - ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) / (rt.n + 4096)) AS lam
+         FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) gs
+         LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+         CROSS JOIN tt CROSS JOIN rt),
+       w AS (SELECT occ.doc_id, sum(lam.lam) AS lw FROM occ
+             JOIN lam USING (bucket) GROUP BY occ.doc_id),
+       sel AS (SELECT documents.doc_id,
+           round(COALESCE(w.lw, 0.0)
+             - ln(-ln((('0x' || substr(md5('dsir' || CAST(documents.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                      / 4294967296.0)), 6) AS sel_key
+         FROM documents LEFT JOIN w USING (doc_id))"""
+
+  define("t23_dsir_weights", dsirCtes +
+    """
+       SELECT documents.doc_id, round(COALESCE(w.lw, 0.0), 6) AS log_w
+       FROM documents LEFT JOIN w USING (doc_id)""") { (s, d) =>
+    val docs = t(s, d, "documents")
+    val lam = graft.operators.Dsir.trainLogRatio(
+      docs.filter(col("lang") === "en"), docs, "text")
+    graft.operators.Dsir.withLogWeight(
+      docs, graft.operators.Dsir.modelFrom(lam), "text")
+      .select(col("doc_id"), col("log_w"))
+  }
+
+  // Gumbel-top-k from the persisted λ model (k=100): importance sampling
+  // without replacement as ONE ranking pass — orderBy+limit executes as
+  // per-partition partial top-k. Keys round before the rank; the md5
+  // noise is a pure function of the doc id, so both engines select the
+  // identical k-set.
+  define("t24_dsir_select", dsirCtes +
+    """
+       SELECT doc_id, sel_key FROM (
+         SELECT doc_id, sel_key,
+           row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rn
+         FROM sel)
+       WHERE rn <= 100""") { (s, d) =>
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"dsir_$d") { p =>
+      graft.operators.Dsir.saveModel(
+        graft.operators.Dsir.trainLogRatio(
+          docs.filter(col("lang") === "en"), docs, "text"),
+        s"$p/dsir")
+    }
+    val m = graft.operators.Dsir.loadModel(s, s"$dir/dsir")
+    graft.operators.Dsir.selectTopK(docs, m, "text", "doc_id", k = 100)
+      .select(col("doc_id"), col("sel_key"))
+  }
+
   // Multinomial Naive Bayes text classification — the fastText-style
   // "quality classifier" stage of a curation pipeline (label a slice,
   // train a linear model, score the corpus). Training is one counting
@@ -2960,7 +3035,13 @@ object SparkEntry {
   // exactly the leaked items. Containment = inter / |sh(e)| is integer
   // counts under double division — deterministic in both engines, no
   // rounding (float-parity rule: never round per-row arithmetic).
-  define("t6_contamination",
+  // Shared contamination-pair CTE chain: trigram shingles over the raw
+  // whitespace tokenization, asymmetric containment, the %20 eval split.
+  // Used verbatim by t6 (one-shot detector) and t22 (serve-from-persisted-
+  // index — same function by construction: the index stores the same
+  // distinct shingles, sizes, and width), and composed into the survivor
+  // form for t21/st19 (removal).
+  private val contamCtes: String =
     """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds
          FROM documents),
        sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -2968,17 +3049,64 @@ object SparkEntry {
            i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])) AS sh
          FROM d WHERE len(wds) >= 3),
        ev AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
-       tr AS (SELECT * FROM sh WHERE doc_id % 20 != 0)
+       tr AS (SELECT * FROM sh WHERE doc_id % 20 != 0)"""
+
+  private val contamPairsSql: String = contamCtes +
+    """
        SELECT tr.doc_id AS t_id, ev.doc_id AS e_id,
          CAST(len(list_intersect(ev.sh, tr.sh)) AS DOUBLE) / len(ev.sh)
            AS containment
        FROM ev, tr
        WHERE CAST(len(list_intersect(ev.sh, tr.sh)) AS DOUBLE) / len(ev.sh)
-         >= 0.5""") { (s, d) =>
+         >= 0.5"""
+
+  // Survivors: every train doc (the base table, NOT the ≥3-token `sh`
+  // CTE — sub-trigram docs can never be flagged but must survive) minus
+  // the flagged id set.
+  private val contamSurvivorsSql: String = contamCtes +
+    """,
+       flagged AS (SELECT DISTINCT tr.doc_id AS t_id FROM ev, tr
+         WHERE CAST(len(list_intersect(ev.sh, tr.sh)) AS DOUBLE) / len(ev.sh)
+           >= 0.5)
+       SELECT doc_id FROM documents
+       WHERE doc_id % 20 != 0
+         AND doc_id NOT IN (SELECT t_id FROM flagged)"""
+
+  define("t6_contamination", contamPairsSql) { (s, d) =>
     val docs = t(s, d, "documents")
     graft.operators.Dedup.contamination(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", threshold = 0.5)
+  }
+
+  // The removal half, one-shot: t6's flags anti-joined back. Output is the
+  // surviving doc ids (the full-row frame projects here to keep the gate
+  // compare slim).
+  define("t21_decontaminate", contamSurvivorsSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    graft.operators.Decontaminate.removeContaminated(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", threshold = 0.5)
+      .select(col("doc_id"))
+  }
+
+  // Serve-from-persisted-index: the eval suite's shingle postings + sizes
+  // + width are frozen index state (built ONCE per JVM, string postings so
+  // the oracle reproduces the counts exactly); flagging scans the train
+  // side, semi-joins the broadcast shingle set (the corpus never
+  // shuffles), and aggregates only matched postings. Same answer as t6 by
+  // construction.
+  define("t22_decontaminate_serve", contamPairsSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"contam_$d") { p =>
+      graft.operators.Decontaminate.buildIndex(
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+        s"$p/contam", shingleSize = 3, hashPostings = false)
+    }
+    graft.operators.Decontaminate.flagFromIndex(
+      docs.filter(col("doc_id") % 20 =!= 0), s"$dir/contam",
       "text", "doc_id", threshold = 0.5)
   }
 
@@ -3566,6 +3694,44 @@ object SparkEntry {
     graft.streaming.Streaming.streamingQualityFilter(s, d, "st18",
       s"$dir/thr")
       .select("doc_id", "lang", "n_tokens", "thr")
+  }
+
+  // Streaming decontamination ≡ batch t21, certified by the SAME survivor
+  // oracle: the eval-suite shingle index is frozen serving state (shared
+  // with t22's per-JVM build), each micro-batch of training docs is
+  // stripped against the broadcast postings. The train-side df guard is
+  // off in the stream (batch df ≠ corpus df; see Streaming scaladoc), and
+  // without it per-doc independence makes the micro-batch union equal the
+  // full-batch answer.
+  define("st19_stream_decontaminate", contamSurvivorsSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"contam_$d") { p =>
+      graft.operators.Decontaminate.buildIndex(
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+        s"$p/contam", shingleSize = 3, hashPostings = false)
+    }
+    graft.streaming.Streaming.streamingDecontaminate(s, d, "st19",
+      s"$dir/contam", col("doc_id") % 20 =!= 0, threshold = 0.5)
+  }
+
+  // Streaming DSIR selection ≡ the batch threshold form, certified by the
+  // same CTE chain: the λ model trains once over the full corpus and
+  // persists (shared with t24's per-JVM build); each micro-batch keeps
+  // docs whose Gumbel selection key clears τ = −3 (≈ the top quarter on
+  // this corpus) in one zero-shuffle scan pass. The threshold form is
+  // per-doc independent — micro-batch union ≡ full batch.
+  define("st20_stream_dsir", dsirCtes +
+    """
+       SELECT doc_id, sel_key FROM sel WHERE sel_key >= -3.0""") { (s, d) =>
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"dsir_$d") { p =>
+      graft.operators.Dsir.saveModel(
+        graft.operators.Dsir.trainLogRatio(
+          docs.filter(col("lang") === "en"), docs, "text"),
+        s"$p/dsir")
+    }
+    graft.streaming.Streaming.streamingDsirSelect(s, d, "st20",
+      s"$dir/dsir", tau = -3.0)
   }
 
   define("st9_stream_curate",

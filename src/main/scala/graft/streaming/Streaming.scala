@@ -782,6 +782,94 @@ object Streaming {
     * the full-batch answer, so the batch r1/r2 oracle transfers verbatim.
     *
     * `queryFilter` selects the query slice inside the stream. */
+  /** Streaming DSIR selection: documents stream in and each micro-batch
+    * keeps the docs whose Gumbel selection key clears τ, scored against
+    * a PERSISTED λ model ([[graft.operators.Dsir.saveModel]]) loaded
+    * ONCE at stream setup. The model is a b-entry map that rides the
+    * closure — no per-batch I/O, no join, no shuffle: each batch is one
+    * zero-shuffle scan pass (the threshold form is per-doc independent,
+    * so the micro-batch union equals the full-batch answer and the
+    * batch oracle transfers verbatim; Gumbel-top-K, by contrast, is a
+    * global rank and stays a batch operator). */
+  def streamingDsirSelect(spark: SparkSession, sfDir: String, name: String,
+                          modelPath: String, tau: Double): DataFrame = {
+    import graft.operators.Dsir
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = Dsir.loadModel(spark, modelPath) // b-entry map: plain data
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        Dsir.selectByThreshold(mb, model, "text", "doc_id", tau)
+          .select(col("doc_id"), col("sel_key"))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
+  /** Streaming decontamination: training documents stream in and each
+    * micro-batch is stripped of benchmark-contaminated docs against a
+    * PERSISTED eval-suite shingle index
+    * ([[graft.operators.Decontaminate.buildIndex]]) loaded once at
+    * stream setup — benchmarks are frozen artifacts, corpora are the
+    * firehose. Both index frames are cached across triggers and each
+    * batch pays only its own shingling + the broadcast semi-join. The
+    * train-side df guard is DISABLED (`maxDf = Long.MaxValue`): a
+    * micro-batch's document frequency is not corpus df, its fan-out is
+    * already bounded by batch size, and without the guard a doc's fate
+    * depends only on its own shingles and the frozen index — per-doc
+    * independence, so the micro-batch union equals the full-batch
+    * answer and the batch oracle transfers verbatim. Each batch scores
+    * under its own [[graft.operators.CacheScope]], released after the
+    * write, so trigger-local caches never accumulate across a long
+    * stream. */
+  def streamingDecontaminate(spark: SparkSession, sfDir: String,
+                             name: String, indexPath: String,
+                             trainFilter: org.apache.spark.sql.Column,
+                             threshold: Double): DataFrame = {
+    import graft.operators.{CacheScope, Decontaminate}
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m0 = Decontaminate.loadIndex(spark, indexPath)
+    val postings = m0.postings.cache()
+    val sizes = m0.sizes.cache()
+    postings.count(); sizes.count() // materialize before the stream starts
+    val model = m0.copy(postings = postings, sizes = sizes)
+    try {
+      val stream = spark.readStream
+        .schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sfDir/documents.*")
+        .filter(trainFilter)
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          val sc = new CacheScope
+          try {
+            Decontaminate.decontaminateFromModel(mb, model, "text",
+                "doc_id", threshold, maxDf = Long.MaxValue)(sc)
+              .select(col("doc_id"))
+              .write.mode("append").parquet(outDir)
+          } finally sc.release()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally { postings.unpersist(); sizes.unpersist() }
+    spark.read.parquet(outDir)
+  }
+
   def streamingBm25(spark: SparkSession, sfDir: String, name: String,
                     indexPath: String,
                     queryFilter: org.apache.spark.sql.Column,

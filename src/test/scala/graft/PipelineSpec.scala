@@ -2597,6 +2597,180 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(bcast = false) == run(bcast = true))
   }
 
+  // --- Decontamination serving (operators.Decontaminate) ------------
+
+  test("decontaminate: hand-computed containment, removal, hashed/string parity") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text") // sh: {a b c, b c d}
+    val train = Seq(
+      (1L, "x a b c d y"),  // both eval trigrams → containment 1.0
+      (2L, "a b c x y z"),  // one → 0.5
+      (3L, "p q r s"),      // none
+      (4L, "u v"))          // < 3 tokens: no shingles, must survive
+      .toDF("doc_id", "text")
+    withTempDir("graft_contam_idx_") { dir =>
+      Decontaminate.buildIndex(eval, "text", "doc_id", dir,
+        shingleSize = 3, hashPostings = false)
+      val idx = Decontaminate.loadIndex(spark, dir)
+      assert(idx.shingleSize == 3 && !idx.hashed)
+      val flags = Decontaminate.flagFromIndex(train, dir, "text", "doc_id",
+        threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(flags.toSeq == Seq((1L, 100L, 1.0), (2L, 100L, 0.5)), flags.toSeq)
+      val kept = Decontaminate.decontaminateFromIndex(train, dir,
+        "text", "doc_id", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(3L, 4L))
+      // one-shot removal (no index) agrees
+      val kept2 = Decontaminate.removeContaminated(train, eval,
+        "text", "doc_id", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept2.toSeq == kept.toSeq)
+      // raising the threshold un-flags the partial match
+      val keptHi = Decontaminate.decontaminateFromIndex(train, dir,
+        "text", "doc_id", threshold = 0.75)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(keptHi.toSeq == Seq(2L, 3L, 4L))
+    }
+    // hashed postings (the production 8-byte-key path) give the same flags
+    withTempDir("graft_contam_hidx_") { dir =>
+      Decontaminate.buildIndex(eval, "text", "doc_id", dir,
+        shingleSize = 3, hashPostings = true)
+      assert(Decontaminate.loadIndex(spark, dir).hashed)
+      val flags = Decontaminate.flagFromIndex(train, dir, "text", "doc_id",
+        threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(flags.toSeq == Seq((1L, 100L, 1.0), (2L, 100L, 0.5)), flags.toSeq)
+    }
+  }
+
+  test("decontaminate index: layout guard, maxDf guard only lowers, no-guard serve") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    // a foreign layout tag must be rejected at load
+    withTempDir("graft_contam_bad_") { dir =>
+      Seq(("other_v9", 3, false)).toDF("layout", "shingle_n", "hashed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+      val e = intercept[IllegalArgumentException] {
+        Decontaminate.loadIndex(spark, dir)
+      }
+      assert(e.getMessage.contains("layout"), e.getMessage)
+    }
+    // df guard: "a b c" appears in BOTH train docs (df 2 > maxDf 1) → its
+    // postings drop, containment can only fall (1.0 → 0.5, 0.5 → gone);
+    // the denominator stays the full |sh(e)|
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq((1L, "x a b c d y"), (2L, "a b c x y z"))
+      .toDF("doc_id", "text")
+    withTempDir("graft_contam_df_") { dir =>
+      Decontaminate.buildIndex(eval, "text", "doc_id", dir,
+        shingleSize = 3, hashPostings = false)
+      val guarded = Decontaminate.flagFromIndex(train, dir, "text", "doc_id",
+        threshold = 0.5, maxDf = 1L)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+      assert(guarded.toSeq == Seq((1L, 0.5)), guarded.toSeq)
+      // maxDf = MaxValue (the streaming-serve setting) skips the guard
+      val open = Decontaminate.flagFromIndex(train, dir, "text", "doc_id",
+        threshold = 0.5, maxDf = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+      assert(open.toSeq == Seq((1L, 1.0), (2L, 0.5)), open.toSeq)
+    }
+  }
+
+  // --- DSIR importance resampling (operators.Dsir) ------------------
+
+  test("dsir: λ sanity, zero-shuffle fold equals relational spelling, short docs weigh 0") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val corpus = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the cat ate the fish"),
+      (3L, "de", "der hund und die katze"),
+      (4L, "de", "die fische sind gut"),
+      (5L, "fr", "le chat et le chien"),
+      (6L, "en", "one")) // < 2 tokens: no features
+      .toDF("doc_id", "lang", "text")
+    val b = 64
+    val lamDf = Dsir.trainLogRatio(
+      corpus.filter(col("lang") === "en"), corpus, "text", b)
+    assert(lamDf.count() == b)
+    // buckets unseen in BOTH slices carry the constant smoothing ratio
+    // ln((N_raw+b)/(N_target+b))
+    val occ = corpus.select(col("doc_id"), col("lang"),
+      explode(Dsir.featureBuckets(col("text"), b)).as("bucket"))
+    val nT = occ.filter(col("lang") === "en").count().toDouble
+    val nR = occ.count().toDouble
+    val seen = occ.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val unseenLam = lamDf.filter(!col("bucket").isin(seen.toSeq: _*))
+      .select("lam").distinct().collect().map(_.getDouble(0))
+    assert(unseenLam.length == 1, unseenLam.toSeq)
+    assert(math.abs(unseenLam.head - math.log((nR + b) / (nT + b))) < 1e-12)
+    // the per-row HOF fold computes the same weights as the
+    // explode→join→sum spelling (different algorithm, same doubles @6dp)
+    val m = Dsir.modelFrom(lamDf)
+    val viaFold = Dsir.withLogWeight(corpus, m, "text")
+      .select("doc_id", "log_w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val viaJoin = occ.join(lamDf, "bucket").groupBy("doc_id")
+      .agg(round(sum("lam"), 6).as("log_w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    viaFold.foreach { case (id, w) =>
+      assert(w == viaJoin.getOrElse(id, 0.0), s"doc $id: $w vs join spelling")
+    }
+    assert(viaFold.find(_._1 == 6L).get._2 == 0.0) // featureless doc
+    // en docs outrank the non-en slice on average (the model works)
+    val byLang = Dsir.withLogWeight(corpus, m, "text")
+      .groupBy("lang").agg(avg("log_w").as("a"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(byLang("en") > byLang("de") && byLang("en") > byLang("fr"), byLang)
+  }
+
+  test("dsir model: persisted roundtrip, layout guard, deterministic gumbel top-k") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val corpus = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the cat ate the fish"),
+      (3L, "de", "der hund und die katze"),
+      (4L, "fr", "le chat et le chien"))
+      .toDF("doc_id", "lang", "text")
+    val lamDf = Dsir.trainLogRatio(
+      corpus.filter(col("lang") === "en"), corpus, "text", b = 64)
+    withTempDir("graft_dsir_idx_") { dir =>
+      Dsir.saveModel(lamDf, dir)
+      val m = Dsir.loadModel(spark, dir)
+      assert(m.b == 64)
+      assert(m.lam == Dsir.modelFrom(lamDf).lam) // doubles survive parquet
+      // top-k selection: equals the manual rank over the selection keys,
+      // and is identical across invocations (md5 noise is keyed)
+      def ids(k: Int) = Dsir.selectTopK(corpus, m, "text", "doc_id", k)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val manual = Dsir.withSelectionKey(corpus, m, "text", "doc_id")
+        .select("doc_id", "sel_key")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, key) => (-key, id) }.map(_._1).take(2).toSeq
+      assert(ids(2) == manual, s"${ids(2)} vs $manual")
+      assert(ids(2) == ids(2))
+      // threshold form keeps exactly the keys clearing τ
+      val tau = Dsir.withSelectionKey(corpus, m, "text", "doc_id")
+        .agg(min("sel_key")).head().getDouble(0)
+      assert(Dsir.selectByThreshold(corpus, m, "text", "doc_id", tau)
+        .count() == 4)
+    }
+    withTempDir("graft_dsir_bad_") { dir =>
+      Seq(("other_v1", 64)).toDF("layout", "b")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+      val e = intercept[IllegalArgumentException] {
+        Dsir.loadModel(spark, dir)
+      }
+      assert(e.getMessage.contains("layout"), e.getMessage)
+    }
+  }
+
   test("xml source: roundtrip with explicit schema via write+dispatch") {
     import spark.implicits._
     withTempDir("graft_xml_test") { dir =>

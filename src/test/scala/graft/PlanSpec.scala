@@ -374,4 +374,57 @@ class PlanSpec extends AnyFunSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("decontaminate serve: corpus side reaches the broadcast semi-join shuffle-free") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam_plan_")
+    try {
+      graft.operators.Decontaminate.buildIndex(
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+        dir.toString, shingleSize = 3, hashPostings = false)
+      // maxDf = MaxValue: the streaming-serve form — one uncached tree,
+      // so the whole corpus path is visible to the traversal
+      val served = graft.operators.Decontaminate.flagFromIndex(
+        docs.filter(col("doc_id") % 20 =!= 0), dir.toString,
+        "text", "doc_id", threshold = 0.5, maxDf = Long.MaxValue)
+      val ex = served.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      // the eval shingle set broadcasts against the corpus postings, and
+      // the corpus (streamed) side arrives at that semi-join with NO
+      // exchange — the scan+shingle pass is the only corpus-sized work
+      val semi = ex.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+      }
+      assert(semi.nonEmpty, s"no broadcast semi-join in serve plan:\n$ex")
+      val streamed = semi.map { j =>
+        j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+          case _ => j.right
+        }
+      }
+      // spread()'s small-input round-robin (REPARTITION_BY_NUM) is the
+      // deliberate local-parallelism fan-out, a no-op at cluster scale —
+      // any OTHER exchange on the corpus side would be a real shuffle
+      val shuffled = streamed.flatMap(_.collect {
+        case s: ShuffleExchangeExec
+            if s.shuffleOrigin !=
+              org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM => s
+      })
+      assert(shuffled.isEmpty,
+        s"corpus side shuffles before the contamination semi-join:\n$ex")
+      // and the only corpus-fraction shuffle in the whole serve plan is
+      // the slim (t_id, e_id) pair aggregate (plus eval-sized distincts)
+      assert(ex.toString.contains("BroadcastHashJoin"), ex.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
