@@ -1895,6 +1895,29 @@ object SparkEntry {
       "n_tokens", budget = 256L)
   }
 
+  // Sliding-window chunking (context-window prep): each doc splits into
+  // ≤64-token windows overlapping by 8 — a ZERO-shuffle scan pass (tokens,
+  // slices, chunk text all computed inside the row; posexplode emits the
+  // output's intrinsic row count). stride = 56; chunk count =
+  // max(1, ceil((n−8)/56)); the last chunk is the only short one.
+  define("p11_chunk_docs",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds
+         FROM documents),
+       k AS (SELECT doc_id, wds,
+         greatest(1, CAST(ceil((len(wds) - 8) / 56.0) AS BIGINT)) AS k
+         FROM t),
+       c AS (SELECT doc_id, wds,
+         unnest(generate_series(0, k - 1)) AS chunk_ix FROM k)
+       SELECT doc_id, CAST(chunk_ix AS INT) AS chunk_ix,
+         CAST(len(wds[(chunk_ix * 56 + 1):(chunk_ix * 56 + 64)]) AS INT)
+           AS n_tokens,
+         array_to_string(wds[(chunk_ix * 56 + 1):(chunk_ix * 56 + 64)], ' ')
+           AS chunk
+       FROM c""") { (s, d) =>
+    graft.operators.Packing.chunkByTokens(
+      t(s, d, "documents"), "text", "doc_id", maxTokens = 64, overlap = 8)
+  }
+
   // Deterministic train/val/test split: bucket = first 16 md5 bits of the
   // key string mod 10 — a pure function of doc_id both engines (and any
   // language's md5) compute identically, unlike engine-private hashes.

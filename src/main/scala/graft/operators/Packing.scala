@@ -114,4 +114,38 @@ object Packing {
         (least(col("__start") + col("__n"), (col("bin") + 1) * budget) -
           col("__binStart")).as("len"))
   }
+
+  /** Sliding-window document chunking — the context-window prep step of
+    * an embedding/RAG pipeline: split each document into ≤ `maxTokens`
+    * token windows that overlap by `overlap` tokens, so no boundary
+    * context is lost between consecutive chunks. Chunk i covers token
+    * positions [1 + i·stride, 1 + i·stride + maxTokens) with
+    * stride = maxTokens − overlap; chunk count = max(1,
+    * ceil((n − overlap) / stride)) — one chunk for any doc that fits,
+    * and the last chunk is the only short one.
+    *
+    * Scale shape: a ZERO-shuffle scan pass — tokens, window slices, and
+    * chunk texts are all computed inside the row with native
+    * `sequence`/`transform`/`slice`/`posexplode`; each output chunk row
+    * stays on its input's partition. The explode multiplies rows by
+    * ~n/stride, which is the output's intrinsic size, not overhead.
+    * Deterministic: chunk boundaries are a pure function of
+    * (token count, maxTokens, overlap). */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap vs $maxTokens")
+    val stride = maxTokens - overlap
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val k = greatest(lit(1L),
+      ceil((size(toks).cast("long") - overlap).cast("double") / stride)
+        .cast("long"))
+    val chunks = transform(sequence(lit(0L), k - 1),
+      i => slice(toks, (i * stride + 1).cast("int"), lit(maxTokens)))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_ix", "__toks")))
+      .select(col(idCol), col("chunk_ix").cast("int").as("chunk_ix"),
+        size(col("__toks")).as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("chunk"))
+  }
 }

@@ -21,7 +21,8 @@ object CurationSoak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans", "r8"))
+      .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans", "r8",
+        "r8b"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -392,6 +393,54 @@ object CurationSoak {
         graft.operators.Splits.stratifiedSplit(
           docs100k.select("doc_id", "lang"), "lang", "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count()
+      }
+    }
+
+    if (sections("r8b")) {
+      import graft.operators.{Decontaminate, Dsir}
+
+      // Decontamination at 100k train docs vs a 500-doc benchmark:
+      // one-shot detector (corpus-wide df-guard shuffle) vs the
+      // persisted-index serve (broadcast semi-join, corpus unshuffled,
+      // post-semi-join guard) vs the guard-off streaming form — the
+      // shuffle-write column is the point of the comparison.
+      val eval = docs.filter(col("doc_id") % 20 === 0)
+      time("decontam_oneshot_100k") {
+        Decontaminate.removeContaminated(docs100k, eval, "text", "doc_id",
+          0.5).count()
+      }
+      val cDir =
+        java.nio.file.Files.createTempDirectory("graft_soak_contam_").toString
+      time("decontam_index_build_500ev") {
+        Decontaminate.buildIndex(eval, "text", "doc_id", cDir); 1L
+      }
+      time("decontam_serve_100k") {
+        Decontaminate.decontaminateFromIndex(docs100k, cDir, "text",
+          "doc_id", 0.5).count()
+      }
+      time("decontam_serve_noguard_100k") {
+        Decontaminate.decontaminateFromIndex(docs100k, cDir, "text",
+          "doc_id", 0.5, maxDf = Long.MaxValue).count()
+      }
+
+      // DSIR at 100k raw docs: training is two slim bucket aggregates;
+      // scoring is the zero-shuffle λ-fold (expect shuffle-write ≈ 0 MB);
+      // selection adds one TakeOrdered pass.
+      val dsirDir =
+        java.nio.file.Files.createTempDirectory("graft_soak_dsir_").toString
+      time("dsir_train_100k") {
+        Dsir.saveModel(Dsir.trainLogRatio(
+          docs100k.filter(col("lang") === "en"), docs100k, "text"),
+          dsirDir); 1L
+      }
+      val dsirModel = Dsir.loadModel(spark, dsirDir)
+      time("dsir_score_100k") {
+        Dsir.withLogWeight(docs100k, dsirModel, "text")
+          .agg(sum("log_w")).head(); 100000L
+      }
+      time("dsir_select_topk_100k") {
+        Dsir.selectTopK(docs100k, dsirModel, "text", "doc_id", k = 1000)
+          .count()
       }
     }
     spark.stop()

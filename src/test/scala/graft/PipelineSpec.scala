@@ -2680,6 +2680,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // --- Sliding-window chunking (Packing.chunkByTokens) --------------
+
+  test("chunkByTokens: overlap windows, single-chunk short docs, arg guards") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // fits in one chunk
+      (3L, ""))                    // empty: tokens("") = [""], one chunk
+      .toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(docs, "text", "doc_id",
+      maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).sortBy(t => (t._1, t._2))
+    // stride 3, k = ceil((10-1)/3) = 3: consecutive chunks share 1 token
+    assert(out.toSeq == Seq(
+      (1L, 0, 4, "a b c d"), (1L, 1, 4, "d e f g"), (1L, 2, 4, "g h i j"),
+      (2L, 0, 2, "x y"), (3L, 0, 1, "")), out.toSeq)
+    // zero overlap partitions exactly
+    val disjoint = Packing.chunkByTokens(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", "doc_id",
+      maxTokens = 2)
+      .collect().map(r => (r.getInt(1), r.getString(3))).sortBy(_._1)
+    assert(disjoint.toSeq == Seq((0, "a b"), (1, "c d"), (2, "e")))
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(docs, "text", "doc_id", maxTokens = 4,
+        overlap = 4)
+    }
+  }
+
   // --- DSIR importance resampling (operators.Dsir) ------------------
 
   test("dsir: λ sanity, zero-shuffle fold equals relational spelling, short docs weigh 0") {
