@@ -1392,6 +1392,43 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // Per-label embedding centroids (the SemDeDup cluster-summary
+  // aggregate) in exploded (label, pos, c) form: one slim map-side-
+  // combined hash agg; |labels|·dim output rows — metadata at any scale.
+  // Components round to 6 (accumulated doubles).
+  define("s13_label_centroids",
+    """SELECT label, CAST(pos AS INT) AS pos,
+         round(avg(CAST(embedding[pos + 1] AS DOUBLE)), 6) AS c
+       FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS pos)
+       GROUP BY label, pos""") { (s, d) =>
+    graft.operators.Similarity.labelCentroids(
+      t(s, d, "embeddings"), "embedding", "label")
+  }
+
+  // Assignment quality: each vector's cosine to its own label centroid
+  // (low = the summary doesn't represent it — the SemDeDup re-cluster/
+  // prune signal). Centroids broadcast; the cosine is an in-row DOUBLE
+  // fold over the zipped arrays — one scan pass, no corpus shuffle. Both
+  // engines build the cosine from the ROUNDED centroid components, so
+  // the only cross-engine noise is summation order, absorbed by the
+  // 6dp round.
+  define("s14_centroid_cosine",
+    """WITH c AS (SELECT label, pos,
+           round(avg(CAST(embedding[pos + 1] AS DOUBLE)), 6) AS c
+         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS pos)
+         GROUP BY label, pos),
+       j AS (SELECT e.vec_id, e.label,
+           sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.c) AS dot,
+           sum(CAST(e.embedding[c.pos + 1] AS DOUBLE)
+             * CAST(e.embedding[c.pos + 1] AS DOUBLE)) AS na,
+           sum(c.c * c.c) AS nb
+         FROM embeddings e JOIN c USING (label) GROUP BY e.vec_id, e.label)
+       SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+       FROM j""") { (s, d) =>
+    graft.operators.Similarity.centroidCosines(
+      t(s, d, "embeddings"), "embedding", "vec_id", "label")
+  }
+
   // ==================================================================
   // Multimodal columns (operators.Multimodal)
   // ==================================================================

@@ -1444,6 +1444,47 @@ object Similarity {
       .select(col("cell"),
         transform(col("pairs"), p => p.getField("cv").cast("float")).as("centroid"))
 
+  /** Per-group embedding centroids in EXPLODED (label, pos, c) form —
+    * the cluster-summary aggregate a SemDeDup-style pipeline maintains
+    * (cluster means for assignment, drift checks, diversity audits).
+    * One slim (label, pos) hash aggregate, map-side combined: the
+    * shuffle carries ≤ |labels|·dim rows per partition and the result is
+    * |labels|·dim rows — metadata at any corpus size. Components round
+    * to 6dp (accumulated doubles, the t10 discipline) so downstream
+    * consumers on any engine agree on the exact centroid. */
+  def labelCentroids(df: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+
+  /** Each vector's cosine to its own label centroid — the assignment-
+    * quality / outlier signal (a low score marks a vector the cluster
+    * summary does not represent; SemDeDup prunes or re-clusters those).
+    * The centroid table reassembles to |labels| array rows and BROADCASTS;
+    * the per-vector cosine is an in-row zip_with/aggregate fold in DOUBLE
+    * — one scan pass over the corpus, no shuffle beyond the slim centroid
+    * aggregate. Scores round to 6dp before any downstream ranking. */
+  def centroidCosines(df: DataFrame, vecCol: String, idCol: String,
+                      labelCol: String): DataFrame = {
+    val cent = labelCentroids(df, vecCol, labelCol)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+      .select(col("label"),
+        transform(col("ps"), p => p.getField("c")).as("cent"))
+    val vd = transform(col("__v"), x => x.cast("double"))
+    val dot = aggregate(zip_with(vd, col("cent"), (a, b) => a * b),
+      lit(0.0), (s, x) => s + x)
+    val na = aggregate(vd, lit(0.0), (s, x) => s + x * x)
+    val nb = aggregate(col("cent"), lit(0.0), (s, x) => s + x * x)
+    df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        col(vecCol).as("__v"))
+      .join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(dot / (sqrt(na) * sqrt(nb)), 6).as("cos"))
+  }
+
   /** Each query scores all centroids (tiny, broadcast) and keeps its
     * `nprobe` nearest cells: (q_id, q_vec, cell). */
   private def probeCells(queries: DataFrame, centroids: DataFrame,

@@ -2680,6 +2680,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // --- Label centroids / assignment quality (Similarity) ------------
+
+  test("labelCentroids + centroidCosines: hand-computed means and cosines") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, 0, Seq(1f, 0f)),
+      (2L, 0, Seq(0f, 1f)),   // label 0 centroid: (0.5, 0.5)
+      (3L, 1, Seq(2f, 0f)))   // label 1 centroid: (2, 0)
+      .toDF("vec_id", "label", "embedding")
+    val cent = Similarity.labelCentroids(emb, "embedding", "label")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(cent == Map((0, 0) -> 0.5, (0, 1) -> 0.5,
+      (1, 0) -> 2.0, (1, 1) -> 0.0), cent)
+    val cos = Similarity.centroidCosines(emb, "embedding", "vec_id", "label")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // cos((1,0),(0.5,0.5)) = 0.5 / (1 · √0.5) = √0.5 → 0.707107 @6dp
+    assert(cos(1L) == 0.707107 && cos(2L) == 0.707107, cos)
+    assert(cos(3L) == 1.0) // a vector equal to its centroid scores 1
+  }
+
   // --- Sliding-window chunking (Packing.chunkByTokens) --------------
 
   test("chunkByTokens: overlap windows, single-chunk short docs, arg guards") {
