@@ -1392,6 +1392,25 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // Hard-negative mining (contrastive-training prep): for each of the
+  // first 5 vectors, the top-5 most-similar vectors with a DIFFERENT
+  // label. Brute exact form (the s1 shape + label exclusion); the rank
+  // oracle sidesteps float cosines entirely.
+  define("s15_hard_negatives",
+    """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+         FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, label AS n_label, embedding AS nv
+         FROM embeddings)
+       SELECT q_id, n_id, n_label, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, n_label, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c WHERE q_label != n_label) WHERE rank <= 5""") { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.hardNegatives(
+      emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", "label",
+      k = 5)
+  }
+
   // Per-label embedding centroids (the SemDeDup cluster-summary
   // aggregate) in exploded (label, pos, c) form: one slim map-side-
   // combined hash agg; |labels|·dim output rows — metadata at any scale.

@@ -42,6 +42,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector, the k most cosine-similar corpus vectors with a DIFFERENT
+    * label — the near-misses a contrastive objective learns the most
+    * from (easy negatives are already far; same-label neighbors are
+    * positives). Output schema matches [[bruteForceTopK]] plus the
+    * negative's label.
+    *
+    * This is the brute exact form (cross join + `WindowGroupLimit`
+    * top-k, the s1 shape) — correct at any size but O(|Q|·|corpus|); at
+    * scale, generate candidates with any s-family ANN path OVERFETCHED
+    * by the expected same-label fraction, filter the label, keep k — the
+    * same composition as the ANN serving gates, so no separate index
+    * machinery is needed here. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, vecCol: String,
+                    idCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      col(labelCol).as("q_label"), col(vecCol).as("q_vec"))
+    val c = spread(corpus.select(col(idCol).as("n_id"),
+      col(labelCol).as("n_label"), col(vecCol).as("n_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("n_id"), col("n_label"),
+        VF.cosineSimilarity(col("q_vec"), col("n_vec")).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("n_label"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates from banded random-hyperplane signatures,
     * exact cosine re-rank, per-query top-k. Same output schema as
     * `bruteForceTopK`; recall < 1 by design (tunable via bits/bands).

@@ -2701,6 +2701,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos(3L) == 1.0) // a vector equal to its centroid scores 1
   }
 
+  test("hardNegatives: same-label neighbors excluded, rank by cosine") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, 0, Seq(1f, 0f)),
+      (2L, 0, Seq(1f, 0f)),    // identical but SAME label: never a negative
+      (3L, 1, Seq(0.9f, 0.1f)),
+      (4L, 1, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(
+      emb.filter(col("vec_id") === 1), emb, "embedding", "vec_id", "label",
+      k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._3)
+    assert(out.toSeq == Seq((3L, 1, 1), (4L, 1, 2)), out.toSeq)
+  }
+
   // --- Sliding-window chunking (Packing.chunkByTokens) --------------
 
   test("chunkByTokens: overlap windows, single-chunk short docs, arg guards") {
