@@ -129,7 +129,10 @@ object Dsir {
   def withLogWeight(docs: DataFrame, m: DsirModel, textCol: String,
                     wCol: String = "log_w"): DataFrame = {
     val lamMap = m.lamLit
-    docs.withColumn(wCol, round(
+    // spread first: the fold is interpreted (HOFs do not codegen) and
+    // CPU-bound, so a one-row-group input would score on ONE core; a
+    // no-op at cluster scale
+    spread(docs).withColumn(wCol, round(
       aggregate(featureBuckets(col(textCol), m.b), lit(0.0),
         (acc, bkt) => acc + coalesce(element_at(lamMap, bkt), lit(0.0))),
       6))
@@ -153,7 +156,8 @@ object Dsir {
     val rawW = aggregate(featureBuckets(col(textCol), m.b), lit(0.0),
       (acc, bkt) => acc + coalesce(element_at(lamMap, bkt), lit(0.0)))
     val gumbel = -log(-log(hashUniform(col(idCol), salt)))
-    docs.withColumn(keyCol, round(rawW + gumbel, 6))
+    // spread: same interpreted-fold parallelism guard as withLogWeight
+    spread(docs).withColumn(keyCol, round(rawW + gumbel, 6))
   }
 
   /** Select k documents by Gumbel-top-k — `orderBy.limit` so Spark runs

@@ -143,7 +143,10 @@ object Packing {
         .cast("long"))
     val chunks = transform(sequence(lit(0L), k - 1),
       i => slice(toks, (i * stride + 1).cast("int"), lit(maxTokens)))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_ix", "__toks")))
+    // spread: the windowing is an interpreted HOF (no codegen), so a
+    // one-row-group input would chunk on ONE core; no-op at cluster scale
+    spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_ix", "__toks")))
       .select(col(idCol), col("chunk_ix").cast("int").as("chunk_ix"),
         size(col("__toks")).as("n_tokens"),
         concat_ws(" ", col("__toks")).as("chunk"))

@@ -2474,11 +2474,16 @@ class PipelineSpec extends AnyFunSuite {
     // repeated newline-lines: 3 of 4 lines are the same → line rules fire
     assert(out(4L).getAs[Double]("dup_line_frac") == 0.75)
     assert(!out(4L).getAs[Boolean]("keep"))
-    // zero-shuffle pin: per-doc stats must never leave the row — the plan
-    // has no Exchange at all
+    // zero-shuffle pin: per-doc stats must never leave the row — the only
+    // exchange allowed is spread()'s deliberate small-input round-robin
+    // (REPARTITION_BY_NUM, a no-op at cluster scale); no data-dependent
+    // shuffle may appear
     val plan = Repetition.withRepetitionStats(in, "text")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    val exchanges = "Exchange (\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_ == "RoundRobinPartitioning"),
+      s"unexpected exchange kinds $exchanges in:\n$plan")
   }
 
   // --- BM25 retrieval (operators.Retrieval) -------------------------
