@@ -2753,6 +2753,76 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkByTokens reconstruction: dropping each chunk's overlap prefix rebuilds the doc") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // texts of assorted lengths around the window boundaries
+    val docs = (1L to 12L).map { i =>
+      (i, (1L to (i * 7 % 23 + 1)).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxT = 6; val ov = 2; val stride = maxT - ov
+    val chunks = Packing.chunkByTokens(docs, "text", "doc_id", maxT, ov)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val toks = text.trim.split("\\s+").toSeq
+      val cs = chunks(id)
+      // every chunk except the last is exactly maxT tokens
+      cs.init.foreach(c => assert(c.split(" ").length == maxT, s"doc $id"))
+      // consecutive chunks agree on the overlap region
+      cs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.split(" ").takeRight(ov).sameElements(
+            b.split(" ").take(ov)), s"doc $id overlap mismatch")
+        case _ => ()
+      }
+      // dropping each later chunk's overlap prefix reconstructs the doc
+      val rebuilt = cs.head.split(" ").toSeq ++
+        cs.tail.flatMap(_.split(" ").drop(ov))
+      assert(rebuilt == toks, s"doc $id: $rebuilt vs $toks")
+    }
+  }
+
+  test("decontaminate idempotence: re-flagging the cleaned corpus finds nothing") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x a b c d e y"), (2L, "a b c z w q r"), (3L, "p q r s t"),
+      (4L, "c d e a b x y z")).toDF("doc_id", "text")
+    withTempDir("graft_contam_idem_") { dir =>
+      Decontaminate.buildIndex(eval, "text", "doc_id", dir,
+        shingleSize = 3, hashPostings = false)
+      val cleaned = Decontaminate.decontaminateFromIndex(train, dir,
+        "text", "doc_id", threshold = 0.4)
+      val reflag = Decontaminate.flagFromIndex(cleaned, dir,
+        "text", "doc_id", threshold = 0.4)
+      assert(reflag.count() == 0)
+      // and the cleaned set + flagged set partition the train set
+      val flagged = Decontaminate.flagFromIndex(train, dir,
+        "text", "doc_id", threshold = 0.4)
+        .select("t_id").distinct().count()
+      assert(flagged + cleaned.count() == train.count())
+    }
+  }
+
+  test("dsir prefix property: top-k selection is a prefix of top-(k+m)") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val corpus = (1L to 30L).map { i =>
+      (i, if (i % 3 == 0) "en" else "de",
+        (1L to (i % 7 + 2)).map(j => s"tok${(i + j) % 11}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val m = Dsir.modelFrom(Dsir.trainLogRatio(
+      corpus.filter(col("lang") === "en"), corpus, "text", b = 128))
+    def ids(k: Int) = Dsir.selectTopK(corpus, m, "text", "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val k5 = ids(5); val k12 = ids(12)
+    assert(k12.take(5) == k5, s"$k5 not a prefix of $k12")
+    assert(k12.distinct.size == 12)
+  }
+
   // --- DSIR importance resampling (operators.Dsir) ------------------
 
   test("dsir: λ sanity, zero-shuffle fold equals relational spelling, short docs weigh 0") {
