@@ -984,7 +984,8 @@ object Similarity {
     * [[buildOpqIndex]]). */
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
                     path: String, cells: Int = 16, seed: Long = 7L,
-                    assignExpr: Option[Column] = None): Unit = {
+                    assignExpr: Option[Column] = None,
+                    metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     dropStalePointer(path, "cells") // a rebuild starts a fresh lineage
@@ -996,8 +997,12 @@ object Similarity {
       case None    => kmeansCells(corpus, vecCol, cells, seed)
     }
     // one shuffle on cell groups whole cells per task → one file per cell
-    // (slivers from later appends fold back in via compactIndex)
-    assigned.select(col(idCol).as("n_id"), col(vecCol).as("vec"), col("cell"))
+    // (slivers from later appends fold back in via compactIndex).
+    // metaCols ride inside the index rows (e.g. the label column a
+    // hard-negative serve filters on) so serving never joins back to the
+    // corpus — the index stays the only table a batch touches.
+    assigned.select(col(idCol).as("n_id") +: col(vecCol).as("vec") +:
+        metaCols.map(col) :+ col("cell"): _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     // member-mean centroids of the stored assignment: self-consistent with
@@ -1012,10 +1017,17 @@ object Similarity {
         .agg(avg(lit(1.0) - VF.cosineSimilarity(col(vecCol), col("centroid"))))
         .head.get(0))
       .map(_.asInstanceOf[Double]).getOrElse(0.0)
-    Seq((cells, seed, baseErr, IvfLayoutV2))
-      .toDF("cells", "seed", "base_err", "layout")
+    Seq((cells, seed, baseErr, IvfLayoutV2, metaCols.mkString(",")))
+      .toDF("cells", "seed", "base_err", "layout", "meta_cols")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
+
+  /** Meta columns recorded in a v2 IVF index's `_params` (empty for
+    * indexes built without them, including pre-meta indexes). */
+  private def metaColsOf(p: org.apache.spark.sql.Row): Seq[String] =
+    if (p.schema.fieldNames.contains("meta_cols"))
+      p.getAs[String]("meta_cols").split(",").filter(_.nonEmpty).toSeq
+    else Nil
 
   /** Validate that the index at `path` carries the expected `layout` tag
     * in `_params`; untagged = pre-v2 slim layout, whose stored table has
@@ -1060,9 +1072,14 @@ object Similarity {
     * cell ([[compactIndex]] folds them). */
   def appendToIvfIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
                        path: String): Unit = {
-    requireLayout(newCorpus.sparkSession, path, IvfLayoutV2)
+    val p = readParams(newCorpus.sparkSession, path).head()
+    requireLayoutIn(p, path, IvfLayoutV2)
+    // an index built with meta columns keeps them through appends — a
+    // sliver missing the column would read back as NULL and silently
+    // break the serve-side filter that depends on it
     nearestStoredCentroid(spread(newCorpus), vecCol, path)
-      .select(col(idCol).as("n_id"), col(vecCol).as("vec"), col("cell"))
+      .select(col(idCol).as("n_id") +: col(vecCol).as("vec") +:
+        metaColsOf(p).map(col) :+ col("cell"): _*)
       .write.mode("append").partitionBy("cell")
       .parquet(resolveDataDir(path, "cells"))
   }
@@ -1165,6 +1182,67 @@ object Similarity {
       .orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining served FROM a persisted IVF index — the form
+    * that survives a non-broadcastable query side (the training set
+    * itself): per serving batch, OVERFETCH the label-blind top-(k ×
+    * `overfetch`) from the index (the exact [[ivfTopKFromIndex]] shape:
+    * probe stored centroids, partition-prune the scan to probed `cell=`
+    * dirs, score in place — the corpus NEVER cross-joins and never
+    * shuffles), then drop same-label candidates and keep the k best.
+    * The index must have been built with `metaCols` including
+    * `labelCol`, so the negative's label rides in the pruned scan rows
+    * and no corpus-side join is ever needed.
+    *
+    * Exactness: with `nprobe` ≥ cells the overfetch list is the TRUE
+    * label-blind top-(k·overfetch); if it still contains ≥ k
+    * different-label rows the output equals [[hardNegatives]] (same
+    * ordering, same tie-break) — the s15 oracle transfers. A query
+    * emitting FEWER than k rows is the under-overfetch signal: re-serve
+    * that query with a larger `overfetch` (same index, no rebuild).
+    * Sizing rule: overfetch ≳ 1 / (1 − max same-label neighbor
+    * fraction); the gate fixture's worst query has ≤ 6 same-label rows
+    * in its top-20, so overfetch = 4 holds with margin. */
+  def hardNegativesFromIndex(queries: DataFrame, indexPath: String,
+                             vecCol: String, idCol: String,
+                             labelCol: String, k: Int,
+                             overfetch: Int = 4,
+                             nprobe: Int = 0): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val spark = queries.sparkSession
+    val p = readParams(spark, indexPath).head()
+    requireLayoutIn(p, indexPath, IvfLayoutV2)
+    require(metaColsOf(p).contains(labelCol),
+      s"index at $indexPath does not store meta column '$labelCol' — " +
+        s"rebuild with buildIvfIndex(..., metaCols = Seq(\"$labelCol\"))")
+    val np = resolveKnob(p, nprobe, "cal_nprobe", dflt = 2)
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val probes = probeCells(queries, centroids, vecCol, idCol, np)
+    val probed = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stored = spark.read.parquet(resolveDataDir(indexPath, "cells"))
+      .filter(col("cell").isin(probed: _*))
+    val scored = stored.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col(labelCol).as("n_label"),
+        VF.cosineSimilarity(col("q_vec"), col("vec")).as("cosine"))
+    // label-blind overfetch: the ANN serve's own top-k, widened ×overfetch
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    val cands = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * overfetch)
+      .drop("rank")
+    // attach the query's label (a serving batch broadcasts; the full
+    // training set streams through in such batches) and keep the k best
+    // different-label survivors, re-ranked under the same ordering
+    val ql = queries.select(col(idCol).as("q_id"),
+      col(labelCol).as("q_label"))
+    cands.join(broadcast(ql), "q_id")
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("n_label"), col("rank"))
   }
 
   /** Layout tag for cell-partitioned persisted IVFPQ indexes. */
