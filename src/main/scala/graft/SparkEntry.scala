@@ -1395,8 +1395,10 @@ object SparkEntry {
   // Hard-negative mining (contrastive-training prep): for each of the
   // first 5 vectors, the top-5 most-similar vectors with a DIFFERENT
   // label. Brute exact form (the s1 shape + label exclusion); the rank
-  // oracle sidesteps float cosines entirely.
-  define("s15_hard_negatives",
+  // oracle sidesteps float cosines entirely. Self-id exclusion is pinned
+  // in the oracle so the brute and index-served forms share it exactly
+  // (here it is a no-op: a query's own row carries the same label).
+  private val HardNegativesOracle =
     """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
          FROM embeddings WHERE vec_id < 5),
        c AS (SELECT vec_id AS n_id, label AS n_label, embedding AS nv
@@ -1404,11 +1406,37 @@ object SparkEntry {
        SELECT q_id, n_id, n_label, CAST(rank AS INT) AS rank FROM (
          SELECT q_id, n_id, n_label, row_number() OVER (PARTITION BY q_id
            ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
-         FROM q, c WHERE q_label != n_label) WHERE rank <= 5""") { (s, d) =>
+         FROM q, c WHERE q_label != n_label AND q_id != n_id)
+       WHERE rank <= 5"""
+
+  define("s15_hard_negatives", HardNegativesOracle) { (s, d) =>
     val emb = t(s, d, "embeddings")
     graft.operators.Similarity.hardNegatives(
       emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", "label",
       k = 5)
+  }
+
+  // The s15 SCALE path: the same hard-negative semantics served FROM the
+  // persisted IVF index, with the label riding inside the index rows as
+  // a meta column — the query side (the training set itself) never
+  // broadcasts against the corpus and the corpus never cross-joins;
+  // serving is the ivfTopKFromIndex shape (probe stored centroids,
+  // partition-prune to probed cell= dirs — PlanSpec pins it) overfetched
+  // ×4 label-blind, then the same-label drop and keep-k. nprobe = cells
+  // here makes the overfetch list the TRUE label-blind top-20, so this
+  // oracle transfers verbatim (the s11/s12 exactness-anchor discipline;
+  // production serves at the calibrated nprobe). strict = true asserts
+  // no query under-fills below k.
+  define("s15b_hard_negatives_ann", HardNegativesOracle) { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val idx = sessionIndexDir(s"s15b_$d") { p =>
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", p, cells = 10,
+        metaCols = Seq("label"))
+    }
+    Similarity.hardNegativesFromIndex(emb.filter(col("vec_id") < 5), idx,
+      "embedding", "vec_id", "label", k = 5, overfetch = 4, nprobe = 10,
+      strict = true)
   }
 
   // Per-label embedding centroids (the SemDeDup cluster-summary
@@ -3196,6 +3224,29 @@ object SparkEntry {
       graft.operators.Decontaminate.buildIndex(
         docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
         s"$p/contam", shingleSize = 3, hashPostings = false)
+    }
+    graft.operators.Decontaminate.flagFromIndex(
+      docs.filter(col("doc_id") % 20 =!= 0), s"$dir/contam",
+      "text", "doc_id", threshold = 0.5)
+  }
+
+  // Incremental index growth: build on HALF the eval suite, APPEND the
+  // other half (the generation/pointer lifecycle every persisted family
+  // has), then serve — flags against base+appended must equal flags
+  // against a from-scratch build over the full suite, which is exactly
+  // the t22 oracle (the d13/d16 oracle-transfer trick). Appends are how
+  // benchmarks actually arrive: new suites accrete; frozen ones never
+  // re-shingle.
+  define("t25_decontaminate_append", contamPairsSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val evalSet = docs.filter(col("doc_id") % 20 === 0)
+    val dir = sessionIndexDir(s"contam_app_$d") { p =>
+      graft.operators.Decontaminate.buildIndex(
+        evalSet.filter(col("doc_id") % 40 === 0), "text", "doc_id",
+        s"$p/contam", shingleSize = 3, hashPostings = false)
+      graft.operators.Decontaminate.appendToIndex(
+        evalSet.filter(col("doc_id") % 40 =!= 0), "text", "doc_id",
+        s"$p/contam")
     }
     graft.operators.Decontaminate.flagFromIndex(
       docs.filter(col("doc_id") % 20 =!= 0), s"$dir/contam",

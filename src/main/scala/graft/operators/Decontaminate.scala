@@ -88,6 +88,49 @@ object Decontaminate {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
+  /** Append NEW eval items to a persisted index — benchmarks accrete
+    * over time (a new suite version, a new task), and a full rebuild
+    * re-shingles every frozen suite for nothing. Same generation/pointer
+    * lifecycle as every other index family: posting slivers land in the
+    * LIVE `index` generation ([[Similarity.resolveDataDir]]), so an
+    * append immediately after a compaction joins the compacted lineage,
+    * and the next [[Similarity.compactIndex]] folds the slivers; `sizes`
+    * rows append alongside (eval-suite-sized — sliver count is never a
+    * problem there). Shingle width and keying come from the STORED
+    * `_params`, so an append can never mix tokenizations with the build.
+    *
+    * Ids must be NEW: a re-appended e_id would duplicate its `sizes` row
+    * (multiplying its pairs through the serve-side join) and re-add its
+    * postings, so overlap is rejected up front — the check is one
+    * semi-join against the eval-suite-sized stored id set, not a corpus
+    * job. Benchmarks are frozen artifacts; changing an existing item is
+    * a rebuild. */
+  def appendToIndex(newEval: DataFrame, textCol: String, idCol: String,
+                    path: String): Unit = {
+    val spark = newEval.sparkSession
+    val p = Similarity.readParams(spark, path).head()
+    require(p.getAs[String]("layout") == Layout,
+      s"index at $path has layout ${p.getAs[String]("layout")}, " +
+        s"expected $Layout")
+    val ev = shingled(newEval, textCol, idCol, "e_id",
+      p.getAs[Int]("shingle_n"))
+    val dup = ev.select("e_id").distinct()
+      .join(spark.read.parquet(s"$path/sizes").select("e_id"),
+        Seq("e_id"), "left_semi")
+      .limit(20).collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"appendToIndex: e_id(s) already present in the index at $path " +
+        s"(e.g. ${dup.take(5).mkString(", ")}) — benchmarks are frozen " +
+        "artifacts; rebuild to change an existing item")
+    ev.select(col("e_id"), explode(col("sh")).as("__s"))
+      .select(col("e_id"),
+        key(col("__s"), p.getAs[Boolean]("hashed")).as("shingle"))
+      .write.mode("append")
+      .parquet(Similarity.resolveDataDir(path, "index"))
+    ev.select(col("e_id"), size(col("sh")).as("n_e"))
+      .write.mode("append").parquet(s"$path/sizes")
+  }
+
   /** A loaded serving handle. Streaming serves load once, cache both
     * frames, and score every micro-batch against the same handle. */
   case class ContamIndex(postings: DataFrame, sizes: DataFrame,

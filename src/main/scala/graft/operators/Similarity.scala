@@ -54,7 +54,14 @@ object Similarity {
     * scale, generate candidates with any s-family ANN path OVERFETCHED
     * by the expected same-label fraction, filter the label, keep k — the
     * same composition as the ANN serving gates, so no separate index
-    * machinery is needed here. */
+    * machinery is needed here — [[hardNegativesFromIndex]] IS that
+    * composition, gated to this function as its oracle.
+    *
+    * Semantics shared with the index path: a query's own id is excluded
+    * (matters only if the two tables disagree on a shared id's label),
+    * and NULL labels never certify as different — a null-label corpus
+    * row is never emitted, a null-label query emits nothing (the
+    * conservative policy: an unknown label might be a positive). */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, vecCol: String,
                     idCol: String, labelCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"),
@@ -62,6 +69,7 @@ object Similarity {
     val c = spread(corpus.select(col(idCol).as("n_id"),
       col(labelCol).as("n_label"), col(vecCol).as("n_vec")))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
       .filter(col("q_label") =!= col("n_label"))
       .select(col("q_id"), col("n_id"), col("n_label"),
         VF.cosineSimilarity(col("q_vec"), col("n_vec")).as("cosine"))
@@ -988,6 +996,7 @@ object Similarity {
                     metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    validateMetaCols(metaCols, idCol, vecCol)
     dropStalePointer(path, "cells") // a rebuild starts a fresh lineage
     // assignExpr overrides the k-means train with an explicit quantizer
     // (e.g. Dedup.signBitCluster) — same stored layout, caller-chosen
@@ -1002,7 +1011,7 @@ object Similarity {
     // hard-negative serve filters on) so serving never joins back to the
     // corpus — the index stays the only table a batch touches.
     assigned.select(col(idCol).as("n_id") +: col(vecCol).as("vec") +:
-        metaCols.map(col) :+ col("cell"): _*)
+        guardedMetaCols(metaCols) :+ col("cell"): _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     // member-mean centroids of the stored assignment: self-consistent with
@@ -1028,6 +1037,52 @@ object Similarity {
     if (p.schema.fieldNames.contains("meta_cols"))
       p.getAs[String]("meta_cols").split(",").filter(_.nonEmpty).toSeq
     else Nil
+
+  /** Column names a meta column may not take: `n_id`/`vec`/`cell` are the
+    * stored index columns, `q_id`/`q_vec` the serve-side probe columns,
+    * the rest serve-side derivations — a collision either duplicates an
+    * index column at build or breaks the serving join/rename. */
+  private val ReservedIndexCols = Set(
+    "n_id", "vec", "cell", "q_id", "q_vec", "cosine", "rank",
+    "n_label", "q_label", "c_sim", "pr", "centroid", "__cos")
+
+  /** Fail fast on meta-column names that would corrupt the index or its
+    * serving plans: reserved names, the id/vector columns themselves
+    * (already stored as `n_id`/`vec`; a duplicate also makes
+    * [[calibrateIvfIndex]]'s `n_id`→idCol rename ambiguous), commas
+    * (`meta_cols` round-trips through a comma-joined `_params` string),
+    * and duplicates. */
+  private def validateMetaCols(metaCols: Seq[String], idCol: String,
+                               vecCol: String): Unit = {
+    metaCols.foreach { mc =>
+      require(!mc.contains(","),
+        s"meta column '$mc' contains a comma — meta_cols is stored as a " +
+          "comma-joined list in _params")
+      require(!ReservedIndexCols.contains(mc),
+        s"meta column '$mc' collides with a reserved index/serving " +
+          s"column (${ReservedIndexCols.toSeq.sorted.mkString(", ")})")
+      require(mc != idCol && mc != vecCol,
+        s"meta column '$mc' duplicates idCol/vecCol — the id and vector " +
+          "are already stored as n_id/vec")
+    }
+    require(metaCols.distinct.size == metaCols.size,
+      s"duplicate meta columns: ${metaCols.mkString(", ")}")
+  }
+
+  /** Meta columns projected into the index store, each guarded by an
+    * in-row non-null assertion. A NULL stored value would silently drop
+    * rows from every filter built on the column (`=!=` is null-hostile:
+    * a null-label negative can never certify as different-label), so
+    * build/append REJECT null meta values instead of storing rows that
+    * can never serve. `assert_true` folds into the write projection —
+    * zero extra passes over the corpus. */
+  private def guardedMetaCols(metaCols: Seq[String]): Seq[Column] =
+    metaCols.map(mc =>
+      when(assert_true(col(mc).isNotNull,
+          lit(s"null value in index meta column '$mc' — meta columns " +
+            "must be non-null (serving filters treat NULL as " +
+            "never-matching)")).isNull,
+        col(mc)).as(mc))
 
   /** Validate that the index at `path` carries the expected `layout` tag
     * in `_params`; untagged = pre-v2 slim layout, whose stored table has
@@ -1079,7 +1134,7 @@ object Similarity {
     // break the serve-side filter that depends on it
     nearestStoredCentroid(spread(newCorpus), vecCol, path)
       .select(col(idCol).as("n_id") +: col(vecCol).as("vec") +:
-        metaColsOf(p).map(col) :+ col("cell"): _*)
+        guardedMetaCols(metaColsOf(p)) :+ col("cell"): _*)
       .write.mode("append").partitionBy("cell")
       .parquet(resolveDataDir(path, "cells"))
   }
@@ -1198,17 +1253,23 @@ object Similarity {
     * Exactness: with `nprobe` ≥ cells the overfetch list is the TRUE
     * label-blind top-(k·overfetch); if it still contains ≥ k
     * different-label rows the output equals [[hardNegatives]] (same
-    * ordering, same tie-break) — the s15 oracle transfers. A query
-    * emitting FEWER than k rows is the under-overfetch signal: re-serve
-    * that query with a larger `overfetch` (same index, no rebuild).
-    * Sizing rule: overfetch ≳ 1 / (1 − max same-label neighbor
-    * fraction); the gate fixture's worst query has ≤ 6 same-label rows
-    * in its top-20, so overfetch = 4 holds with margin. */
+    * ordering, same tie-break, same self-id exclusion, same NULL-label
+    * policy) — the s15 oracle transfers, and the
+    * `s15b_hard_negatives_ann` gate pins exactly that configuration.
+    * A query emitting FEWER than k rows is the under-overfetch signal:
+    * re-serve that query with a larger `overfetch` (same index, no
+    * rebuild). Sizing rule: overfetch ≳ 1 / (1 − max same-label
+    * neighbor fraction). `strict = true` makes the signal actionable
+    * for pipelines that would otherwise silently train on fewer than k
+    * negatives: one extra bounded action over the (broadcastable) query
+    * batch, erroring with the under-filled query ids — including
+    * null-label queries, which always emit zero rows. */
   def hardNegativesFromIndex(queries: DataFrame, indexPath: String,
                              vecCol: String, idCol: String,
                              labelCol: String, k: Int,
                              overfetch: Int = 4,
-                             nprobe: Int = 0): DataFrame = {
+                             nprobe: Int = 0,
+                             strict: Boolean = false): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
     val spark = queries.sparkSession
     val p = readParams(spark, indexPath).head()
@@ -1238,11 +1299,26 @@ object Similarity {
     // different-label survivors, re-ranked under the same ordering
     val ql = queries.select(col(idCol).as("q_id"),
       col(labelCol).as("q_label"))
-    cands.join(broadcast(ql), "q_id")
+    val out = cands.join(broadcast(ql), "q_id")
       .filter(col("q_label") =!= col("n_label"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("n_label"), col("rank"))
+    if (strict) {
+      // bounded: |query batch| rows at most, and the batch broadcasts by
+      // contract. A left join keeps zero-row queries (null labels, empty
+      // probes) visible — groupBy on the output alone would miss them.
+      val short = ql.join(
+          out.groupBy("q_id").agg(count(lit(1)).as("got")),
+          Seq("q_id"), "left")
+        .filter(coalesce(col("got"), lit(0L)) < k)
+        .select("q_id").collect().map(_.get(0))
+      require(short.isEmpty,
+        s"hardNegativesFromIndex(strict): ${short.length} query(ies) " +
+          s"under-filled (< $k negatives) — re-serve them with a larger " +
+          s"overfetch (ids: ${short.take(20).mkString(", ")})")
+    }
+    out
   }
 
   /** Layout tag for cell-partitioned persisted IVFPQ indexes. */

@@ -2652,6 +2652,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate appendToIndex: build+append ≡ from-scratch, compaction invariant, guards") {
+    import spark.implicits._
+    import graft.operators.{Decontaminate, Similarity}
+    val eval1 = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val eval2 = Seq((200L, "p q r s"), (201L, "x y"))  // 201: sub-trigram,
+      .toDF("doc_id", "text")                          // zero shingles
+    val train = Seq(
+      (1L, "x a b c d y"),   // eval 100 → 1.0
+      (2L, "o p q r s t"),   // eval 200 → 0.5 (has {p q r, q r s}? both →
+      (3L, "zz"))            //   inter 2 of 2 = 1.0; recompute below)
+      .toDF("doc_id", "text")
+    def flags(dir: String) = Decontaminate.flagFromIndex(
+        train, dir, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val full = withTempDir("graft_contam_full_") { dir =>
+      Decontaminate.buildIndex(eval1.union(eval2), "text", "doc_id", dir,
+        shingleSize = 3, hashPostings = false)
+      flags(dir)
+    }
+    withTempDir("graft_contam_app_") { dir =>
+      Decontaminate.buildIndex(eval1, "text", "doc_id", dir,
+        shingleSize = 3, hashPostings = false)
+      Decontaminate.appendToIndex(eval2, "text", "doc_id", dir)
+      assert(flags(dir) == full) // incremental ≡ from-scratch
+      // compaction folds the append slivers without changing a flag, and
+      // a post-compaction append lands in the live generation
+      Similarity.compactIndex(spark, dir, partitions = 1)
+      assert(Similarity.resolveDataDir(dir, "index") == s"$dir/index.g0001")
+      assert(flags(dir) == full)
+      Decontaminate.appendToIndex(
+        Seq((300L, "q r s t")).toDF("doc_id", "text"), "text", "doc_id", dir)
+      // 300's shingles {q r s, r s t} both sit in train doc 2 → one new
+      // fully-contained pair; everything pre-append is untouched
+      assert(flags(dir) == (full :+ (2L, 300L, 1.0)).sortBy(t => (t._1, t._2)))
+      // a re-appended e_id is rejected: duplicated sizes rows would
+      // multiply its pairs through the serve join
+      val e = intercept[IllegalArgumentException] {
+        Decontaminate.appendToIndex(eval1, "text", "doc_id", dir)
+      }
+      assert(e.getMessage.contains("already present"), e.getMessage)
+    }
+  }
+
   test("decontaminate index: layout guard, maxDf guard only lowers, no-guard serve") {
     import spark.implicits._
     import graft.operators.Decontaminate
@@ -2721,6 +2765,113 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
       .sortBy(_._3)
     assert(out.toSeq == Seq((3L, 1, 1), (4L, 1, 2)), out.toSeq)
+  }
+
+  test("hardNegativesFromIndex: build+append roundtrip equals the brute oracle; no-meta index refuses") {
+    import graft.operators.Similarity
+    withTempDir("graft_hardneg_idx") { dir =>
+      // the label rides as an index meta column through BOTH lifecycle
+      // halves — build on one part of the corpus, append the rest
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250),
+        "embedding", "vec_id", dir, cells = 6, metaCols = Seq("label"))
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 250),
+        "embedding", "vec_id", dir)
+      val q = emb.filter(col("vec_id") < 5)
+      // nprobe >= cells makes the overfetch list the TRUE label-blind
+      // top-(k·overfetch), so the brute form is the oracle verbatim
+      val got = Similarity.hardNegativesFromIndex(q, dir, "embedding",
+        "vec_id", "label", k = 5, overfetch = 8, nprobe = 6, strict = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+      val want = Similarity.hardNegatives(q, emb, "embedding", "vec_id",
+        "label", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+      assert(got == want)
+    }
+    // an index built WITHOUT the label meta column must refuse to serve
+    // instead of silently emitting nulls
+    withTempDir("graft_hardneg_nometa") { dir =>
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 50),
+        "embedding", "vec_id", dir, cells = 2)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.hardNegativesFromIndex(emb.filter(col("vec_id") < 3),
+          dir, "embedding", "vec_id", "label", k = 2)
+      }
+      assert(e.getMessage.contains("meta column"), e.getMessage)
+    }
+  }
+
+  test("buildIvfIndex metaCols guards: reserved/comma/duplicate names rejected, null values refuse to store") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // every bad name fails BEFORE anything is written
+    for (bad <- Seq(Seq("cell"), Seq("q_vec"), Seq("n_id"), Seq("a,b"),
+        Seq("vec_id"), Seq("label", "label"))) {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.buildIvfIndex(df, "embedding", "vec_id",
+          "/tmp/graft_never_written", cells = 2, metaCols = bad)
+      }
+      assert(e.getMessage.contains("meta column"), s"$bad: ${e.getMessage}")
+    }
+    // a NULL meta value is rejected at write time — a stored null label
+    // could never certify as a different-label negative, so the row
+    // would be dead weight that silently shrinks every serve
+    withTempDir("graft_nullmeta") { dir =>
+      val withNull = Seq((1L, Seq(1f, 0f), Option(0)),
+        (2L, Seq(0f, 1f), Option.empty[Int]))
+        .toDF("vec_id", "embedding", "label")
+      val e = intercept[Exception] {
+        Similarity.buildIvfIndex(withNull, "embedding", "vec_id", dir,
+          cells = 2, metaCols = Seq("label"))
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("null value in index meta column"), chain)
+    }
+  }
+
+  test("hardNegativesFromIndex strict: under-filled and null-label queries error; lax returns the shortfall") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // label 0 dominates query 1's neighborhood: with overfetch = 1 the
+    // label-blind top-k is all same-label → zero negatives survive
+    val c = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0.01f)),
+      (3L, 0, Seq(1f, -0.01f)),
+      (4L, 1, Seq(0f, 1f)), (5L, 1, Seq(0.1f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    withTempDir("graft_strict_idx") { dir =>
+      Similarity.buildIvfIndex(c, "embedding", "vec_id", dir, cells = 2,
+        metaCols = Seq("label"))
+      val q = c.filter(col("vec_id") === 1)
+      val lax = Similarity.hardNegativesFromIndex(q, dir, "embedding",
+        "vec_id", "label", k = 2, overfetch = 1, nprobe = 2)
+      assert(lax.count() < 2) // the silent shortfall strict exists for
+      val e = intercept[IllegalArgumentException] {
+        Similarity.hardNegativesFromIndex(q, dir, "embedding", "vec_id",
+          "label", k = 2, overfetch = 1, nprobe = 2, strict = true)
+      }
+      assert(e.getMessage.contains("under-filled"), e.getMessage)
+      // sufficient overfetch fills to k — and strict passes
+      val ok = Similarity.hardNegativesFromIndex(q, dir, "embedding",
+        "vec_id", "label", k = 2, overfetch = 3, nprobe = 2,
+        strict = true)
+      assert(ok.collect().map(_.getLong(1)).toSet == Set(4L, 5L))
+      // a null-label query can never certify a negative (conservative
+      // policy): it emits nothing, and strict surfaces it
+      val qNull = Seq((9L, Option.empty[Int], Seq(1f, 0f)))
+        .toDF("vec_id", "label", "embedding")
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.hardNegativesFromIndex(qNull, dir, "embedding",
+          "vec_id", "label", k = 1, overfetch = 4, nprobe = 2,
+          strict = true)
+      }
+      assert(e2.getMessage.contains("under-filled"), e2.getMessage)
+    }
   }
 
   // --- Sliding-window chunking (Packing.chunkByTokens) --------------

@@ -176,6 +176,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hard-negative serve from the persisted index: partition-pruned, no cross join") {
+    // s15b's scale contract: hard negatives at 100 TB are the
+    // ivfTopKFromIndex shape plus a label filter — the corpus side must
+    // arrive partition-pruned from the index (probed cell= dirs in
+    // PartitionFilters, the label riding inside the pruned rows) and
+    // nothing in the plan may be a CartesianProduct. The brute s15 form
+    // is the exactness oracle, not the serving plan.
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hn_prune_").toString
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree
+      val emb = Tables.load(spark, sf, "embeddings")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", tmp, cells = 8, metaCols = Seq("label"))
+      val df = Similarity.hardNegativesFromIndex(
+        emb.filter(col("vec_id") === 0), tmp, "embedding", "vec_id",
+        "label", k = 3, overfetch = 2, nprobe = 2)
+      df.count()
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"hard-negative serve cross-joined the corpus:\n$p")
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val idxScan = scans.filter(_.partitionFilters.nonEmpty)
+      assert(idxScan.nonEmpty,
+        s"no scan carries PartitionFilters — the corpus side is not pruned to probed cells:\n$p")
+      val dirs = idxScan.head.relation.location
+        .listFiles(idxScan.head.partitionFilters, Nil).length
+      assert(dirs <= 2, s"expected ≤ nprobe=2 cell dirs listed, got $dirs")
+      assert(dirs < 8, "pruning read every cell — no better than a full scan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("hash split and deterministic sample are pure maps: no Exchange in the plan") {
     val ids = Tables.load(spark, sf, "documents").select("doc_id")
     val p1 = plan(graft.operators.Splits.assign(ids, "doc_id"))
