@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression tripwire (round-8 verdict #6): the p10 cliff — a
+  * predicate pushed through an expensive projection turned 3 s into
+  * 106 s with zero correctness signal — was caught by the BENCH, rounds
+  * after the commit that caused it. This spec catches that class of
+  * regression at test time: for each pinned headline gate, the physical
+  * plan is reduced to a DIGEST of the operator kinds that matter for
+  * scale — shuffle exchanges, broadcast exchanges, cartesian products,
+  * per-row window operators, sorts — and compared against a golden
+  * value. An unexplained Exchange (new shuffle), CartesianProduct
+  * (broadcast fell through), or WindowExec (per-row ranking snuck back
+  * into a histogram path) fails here, at commit time.
+  *
+  * Full-text plan diffs would churn on every cosmetic change; operator
+  * KIND counts are stable across renames/reorders but move exactly when
+  * the plan shape regresses. When a count changes INTENTIONALLY (a gate
+  * redesigned), update the golden entry in the same commit — the diff
+  * then documents the plan change for review instead of hiding it.
+  *
+  * Digests are computed with AQE off (the static plan is the reviewable
+  * artifact; AQE's runtime re-plans only ever remove exchanges) at the
+  * test SF — counts are data-independent for these plans (no
+  * stats-driven join re-orders at this scale).
+  */
+class PlanDigestSpec extends AnyFunSuite {
+  import SparkSpec.{spark, sf}
+
+  private case class Digest(shuffles: Int, broadcasts: Int,
+                            cartesians: Int, windows: Int, sorts: Int) {
+    override def toString =
+      s"Digest($shuffles, $broadcasts, $cartesians, $windows, $sorts)"
+  }
+
+  /** The gates whose plan shape is load-bearing at 100 TB: the heaviest
+    * bench entries, every histogram-not-window path, and the
+    * persisted-index serves. */
+  private val golden: Map[String, Digest] = Map(
+    // scan+agg / filter+project / join / sort+limit / top-k
+    "q1_agg"                  -> Digest(1, 0, 0, 0, 0),
+    "q2_filter_project"       -> Digest(0, 0, 0, 0, 0),
+    "q5_join_agg"             -> Digest(1, 3, 0, 0, 0),
+    "q8_order_limit_offset"   -> Digest(0, 0, 0, 0, 0),
+    "q23_topn_per_group"      -> Digest(1, 0, 0, 1, 2),
+    // dedup family: exact groupBy + winner join-back, line-hash serve,
+    // span detection (slim window rows, winner broadcast)
+    "d1_exact_dedup"          -> Digest(2, 0, 0, 0, 0),
+    "d11_line_dedup"          -> Digest(4, 2, 0, 0, 2),
+    "d14_duplicate_spans"     -> Digest(4, 1, 0, 2, 1),
+    // persisted-index serving: pruned IVF, hard negatives, BM25, contam
+    // (windows here are query-side rank/top-k partitioned by q_id — the
+    // per-row-window ban applies to CORPUS-wide ranking, not these)
+    "s11_ann_ivf_persisted"   -> Digest(2, 2, 0, 2, 4),
+    "s15b_hard_negatives_ann" -> Digest(2, 3, 0, 3, 4),
+    "r2_bm25_serve"           -> Digest(4, 1, 0, 1, 2),
+    "t22_decontaminate_serve" -> Digest(6, 5, 0, 0, 0),
+    // histogram-instead-of-window paths: ZERO WindowExec is the whole
+    // point of the t16/t20/a15 design — a 1 in the windows column here
+    // is the exact regression the round-7 verdict flagged
+    "t16_adaptive_threshold"  -> Digest(2, 2, 0, 0, 0),
+    "a15_stratified_split"    -> Digest(1, 1, 0, 0, 0),
+    // zero-/one-shuffle scan passes (Gopher rules, repetition folds,
+    // DSIR select — the single shuffle is spread()'s round-robin)
+    "t15_gopher_rules"        -> Digest(0, 0, 0, 0, 0),
+    "t17_repetition_suite"    -> Digest(1, 0, 0, 0, 0),
+    "t24_dsir_select"         -> Digest(1, 0, 0, 0, 0),
+    // the composed capstone: the heavy percentile/split phases run as
+    // bounded driver-side actions during construction, so the final
+    // plan is the cached fold (its spread() shuffle) + broadcast joins
+    "p10_curation_v3"         -> Digest(1, 1, 0, 0, 0))
+
+  test("headline gate plans match their golden operator digests") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      golden.keys.toSeq.sorted.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        // Recurse THROUGH cache barriers: an InMemoryRelation hides its
+        // cached subplan from plan.collect, but that subplan is where
+        // p10's original cliff lived — the digest must cover the whole
+        // computation, not just the part above the last cache.
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p.collect { case n => n }.flatMap {
+            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              s +: nodes(s.relation.cachedPlan)
+            // cached subplans are AQE-wrapped regardless of the session
+            // setting, and AdaptiveSparkPlanExec hides its tree from
+            // collect (children = Nil) — unwrap it. For a given code +
+            // fixture version the unwrapped plan is deterministic: either
+            // the gate's construction always materializes the cache
+            // (fixed data → fixed AQE decisions) or it never does.
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a +: nodes(a.executedPlan)
+            case n => Seq(n)
+          }
+        val all = nodes(df.queryExecution.executedPlan)
+        val d = Digest(
+          all.count(_.isInstanceOf[ShuffleExchangeExec]),
+          all.count(_.isInstanceOf[BroadcastExchangeExec]),
+          all.count(_.isInstanceOf[CartesianProductExec]),
+          all.count(_.isInstanceOf[WindowExec]),
+          all.count(_.isInstanceOf[SortExec]))
+        if (d != golden(name))
+          mismatches += s"""    "$name" -> $d,  // golden: ${golden(name)}"""
+        graft.operators.CacheScope.global.release()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(mismatches.isEmpty,
+      "plan digests changed (shuffles, broadcasts, cartesians, windows, " +
+        "sorts) — if intentional, update the golden entries:\n" +
+        mismatches.mkString("\n"))
+  }
+}
