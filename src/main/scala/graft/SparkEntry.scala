@@ -3253,6 +3253,98 @@ object SparkEntry {
       "text", "doc_id", threshold = 0.5)
   }
 
+  // ------------------------------------------------------------------
+  // BPE tokenizer training (operators.Bpe). The oracle is UNROLLED SQL:
+  // each merge round is three CTEs (pair counts, argmax with the
+  // count-desc/lexicographic tie-break, fold-apply via list_reduce with
+  // a U+001F accumulator — "merge" and "omit the boundary" are the same
+  // operation because the merged symbol is l||r). Both engines compute
+  // the identical iteration, so the merge table pins training end to
+  // end — pair counting, tie-breaks, and leftmost-first application.
+  // ------------------------------------------------------------------
+  private val BpeMerges = 8
+
+  /** Shared CTE chain: w0 = char-split word counts; per round i,
+    * p_i = pair counts over w_{i-1}, b_i = the argmax pair, w_i = the
+    * vocabulary rewritten under b_i. */
+  private def bpeTrainCtes(n: Int): Seq[String] = {
+    val w0 =
+      """w0 AS (
+        SELECT string_split(w, '') AS syms, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+        WHERE len(w) > 0 AND NOT contains(w, chr(31))
+        GROUP BY w)"""
+    w0 +: (1 to n).flatMap { i =>
+      Seq(
+        s"""p$i AS (
+          SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(syms)-1),
+              j -> [syms[j], syms[j+1]])) AS pr, cnt
+            FROM w${i - 1})
+          GROUP BY 1, 2)""",
+        s"""b$i AS (
+          SELECT $i AS rank, l, r, c FROM p$i
+          ORDER BY c DESC, l, r LIMIT 1)""",
+        s"""w$i AS (
+          SELECT string_split(
+            list_reduce(syms, (acc, x) ->
+              CASE WHEN list_extract(string_split(acc, chr(31)), -1) = b$i.l
+                     AND x = b$i.r
+                   THEN acc || x ELSE acc || chr(31) || x END),
+            chr(31)) AS syms, cnt
+          FROM w${i - 1}, b$i)""")
+    }
+  }
+
+  define("t26_bpe_train",
+    "WITH " + bpeTrainCtes(BpeMerges).mkString(",\n") + "\n" +
+      (1 to BpeMerges).map(i =>
+        s"""SELECT rank, l AS left, r AS right,
+            CAST(c AS BIGINT) AS pair_count FROM b$i""")
+        .mkString(" UNION ALL ")) { (s, d) =>
+    graft.operators.Bpe.train(t(s, d, "documents"), "text", BpeMerges)
+  }
+
+  // Encoding under the trained merges: per-document BPE token counts.
+  // The merge chain folds over the DISTINCT word vocabulary only (d0..dN
+  // in the oracle), then a word→count dictionary joins back — corpus
+  // text never re-folds. Inner-join semantics on both sides: documents
+  // with no words produce no row.
+  define("t27_bpe_encode", {
+    val dicts = """d0 AS (
+        SELECT DISTINCT w, string_split(w, '') AS syms
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+        WHERE len(w) > 0 AND NOT contains(w, chr(31)))""" +:
+      (1 to BpeMerges).map { i =>
+        s"""d$i AS (
+          SELECT w, string_split(
+            list_reduce(syms, (acc, x) ->
+              CASE WHEN list_extract(string_split(acc, chr(31)), -1) = b$i.l
+                     AND x = b$i.r
+                   THEN acc || x ELSE acc || chr(31) || x END),
+            chr(31)) AS syms
+          FROM d${i - 1}, b$i)"""
+      }
+    "WITH " + (bpeTrainCtes(BpeMerges) ++ dicts).mkString(",\n") + s"""
+      SELECT doc_id, CAST(sum(len(d$BpeMerges.syms)) AS BIGINT)
+        AS n_bpe_tokens
+      FROM (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents) tt
+      JOIN d$BpeMerges USING (w)
+      GROUP BY doc_id"""
+  }) { (s, d) =>
+    import graft.operators.Bpe
+    val docs = t(s, d, "documents")
+    // the merge table is numMerges rows — a bounded driver materialization
+    val merges = Bpe.train(docs, "text", BpeMerges)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.encodeTokenCounts(docs, "text", "doc_id", merges)
+  }
+
   // Connected components over the near-dup graph: the transitive grouping
   // d7's one-hop greedy approximates, labeled min-id-per-component. Spark
   // side is min-label propagation (one edge⋈label join + min-agg per round,

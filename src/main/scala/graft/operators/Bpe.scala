@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as a Spark pass — the biggest
+  * missing LLM-pipeline primitive after the round-8 additions: every
+  * pretraining corpus ships with a tokenizer trained ON it (Sennrich'16;
+  * the GPT-2 tokenizer's training shape). The reference engine has no
+  * text operators at all (`/root/reference/include/warpdb.hpp` —
+  * scan/filter/agg only); this is extension surface.
+  *
+  * Scale design — the whole trick is WHERE the loop runs:
+  *  - ONE corpus-sized shuffle total: the initial word-count aggregate
+  *    (map-side combined; the shuffle carries one row per distinct word
+  *    per partition). Everything after operates on the WORD VOCABULARY,
+  *    which is Zipf-bounded (~10⁶–10⁷ rows at 100 TB, with counts), not
+  *    corpus-sized.
+  *  - Each merge iteration is one slim pair-count aggregate over the
+  *    vocabulary (explode adjacent pairs, sum word counts — map-side
+  *    combined) + a driver-side argmax of ONE row, then one in-row fold
+  *    rewriting the symbol arrays. Bounded driver loop, the
+  *    [[Dedup.connectedComponents]] discipline: numMerges iterations,
+  *    each materialized via the cache scope so lineage never stacks.
+  *  - Encoding never folds the corpus: the merge chain is applied to the
+  *    DISTINCT vocabulary once, and a (word → token count) dictionary
+  *    joins back — corpus text is scanned, split, and aggregated, never
+  *    re-derived per merge.
+  *
+  * Determinism: the best pair per round is (max summed count, then
+  * lexicographic left, then right) — binary string order, identical in
+  * Spark and the DuckDB oracle, so training is reproducible and the
+  * t26/t27 gates pin it end-to-end against unrolled SQL.
+  *
+  * The merge fold represents a symbol sequence as a U+001F-joined
+  * string: merging adjacent (l, r) and "omit the boundary between them"
+  * are the same operation because the merged symbol IS l+r. Words
+  * containing the separator are excluded up front (none exist in text
+  * corpora; the guard keeps the representation sound on hostile input).
+  */
+object Bpe {
+
+  private val Sep = "\u001f" // unit separator
+
+  /** (w, cnt) word counts — the ONE corpus-sized shuffle. */
+  private def wordCounts(corpus: DataFrame, textCol: String): DataFrame =
+    spread(corpus.select(col(textCol).cast("string").as("__t")))
+      .select(explode(split(trim(col("__t")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent (l, r) symbol pairs; empty for 1-symbol words. The
+    * `size >= 2` guard matters: `sequence(1, 0)` would DESCEND. */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        j => struct(element_at(syms, j).as("l"),
+          element_at(syms, j + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** One merge applied leftmost-first, as an in-row fold: accumulate a
+    * Sep-joined string, omitting the separator exactly where the
+    * accumulator ends in `l` and the next symbol is `r`. Leftmost-first
+    * falls out of the fold order (a freshly merged `l+r` no longer
+    * EQUALS `l`, so overlapping occurrences like "aaa" under (a,a)
+    * merge to ["aa","a"], the standard BPE convention). */
+  private[operators] def applyMerge(syms: Column, l: String,
+                                    r: String): Column =
+    split(
+      aggregate(
+        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        element_at(syms, 1),
+        (acc, x) =>
+          when(element_at(split(acc, Sep), -1) === lit(l) &&
+              (x === lit(r)),
+            concat(acc, x))
+          .otherwise(concat(acc, lit(Sep), x))),
+      Sep)
+
+  /** Train `numMerges` BPE merges over whitespace words of `textCol`.
+    * Returns the merge table (rank, left, right, pair_count) — rank is
+    * application order; pair_count the summed corpus frequency the pair
+    * had when chosen. Stops early if the vocabulary runs out of pairs
+    * (every word fully merged). */
+  def train(corpus: DataFrame, textCol: String, numMerges: Int)
+           (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var vocab = scope.cache(wordCounts(corpus, textCol)
+      .select(split(col("w"), "").as("syms"), col("cnt")))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // slim map-side-combined agg over the vocabulary; argmax is ONE row
+      val best = vocab
+        .select(explode(pairsOf(col("syms"))).as("pr"), col("cnt"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, c))
+        if (rank < numMerges) {
+          // materialize the rewritten vocabulary, then drop the parent:
+          // per-round lineage stays one fold deep, the CC-loop discipline
+          val next = scope.cache(
+            vocab.select(applyMerge(col("syms"), l, r).as("syms"),
+              col("cnt")))
+          next.count()
+          vocab.unpersist()
+          vocab = next
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Per-document token counts under a trained merge list: the merge
+    * chain folds over the DISTINCT word vocabulary only; a (word →
+    * token count) dictionary joins back to the exploded corpus words and
+    * one aggregate re-groups per document. Merges must be passed in
+    * RANK order (the order [[train]] returns). Documents with no words
+    * produce no row — mirrored by the gate oracle's inner join. */
+  def encodeTokenCounts(corpus: DataFrame, textCol: String, idCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val words = spread(corpus.select(col(idCol).as("__did"),
+        col(textCol).cast("string").as("__t")))
+      .select(col("__did"), explode(split(trim(col("__t")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+    val dictSyms = merges.foldLeft(split(col("w"), "")) {
+      case (acc, (l, r)) => applyMerge(acc, l, r)
+    }
+    // vocabulary-sized: distinct words, then the chained folds ONCE each
+    val dict = spread(words.select("w").distinct())
+      .select(col("w"), size(dictSyms).as("__n"))
+    // dict is Zipf-bounded — broadcast when it fits, else this is a plain
+    // equi-join on the word key; either way corpus text never re-folds
+    words.join(dict, "w")
+      .groupBy(col("__did").as(idCol))
+      .agg(sum(col("__n")).as("n_bpe_tokens"))
+  }
+}

@@ -2874,6 +2874,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Bpe train/encode: hand-computed merges, lexicographic ties, leftmost-first overlap, early stop") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // words: aa×2, ab×2 → pairs (a,a):2 and (a,b):2 tie; lexicographic
+    // tie-break picks (a,a) first; vocabulary exhausts after 2 merges
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(m.toSeq == Seq((1, "a", "a", 2L), (2, "a", "b", 2L)), m.toSeq)
+    val enc = Bpe.encodeTokenCounts(docs, "text", "doc_id",
+      m.map(x => (x._2, x._3)).toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(enc == Map(1L -> 3L, 2L -> 1L), enc)
+    // overlapping occurrences merge leftmost-first: aaa → [aa, a] under
+    // (a,a), then [aaa] under (aa, a)
+    val tri = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = Bpe.train(tri, "text", numMerges = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(m2.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)), m2.toSeq)
+    val enc2 = Bpe.encodeTokenCounts(tri, "text", "doc_id",
+      m2.map(x => (x._2, x._3)).toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(enc2 == Map(1L -> 2L), enc2) // two words, each a single token
+  }
+
   // --- Sliding-window chunking (Packing.chunkByTokens) --------------
 
   test("chunkByTokens: overlap windows, single-chunk short docs, arg guards") {
