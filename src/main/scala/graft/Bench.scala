@@ -126,8 +126,14 @@ object Bench {
         .flatMap(f => f.getName.stripPrefix("sf").toDoubleOption.map(_ -> f.getAbsolutePath))
         .sortBy(_._1).headOption.map(_._2).getOrElse(sfDir)
     }
-    System.err.println(s"[bench] warm-up dir: $warmDir; reps: $reps")
-    headline.foreach(runOnce(_, warmDir))
+    // Optional focused run (idle re-measurement of a regression suspect,
+    // NOT the driver contract): SPARK_GRAFT_BENCH_ONLY=t10_lm_logprob,...
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = headline.filter(n => only.forall(_.contains(n)))
+    System.err.println(s"[bench] warm-up dir: $warmDir; reps: $reps; " +
+      s"queries: ${selected.size}")
+    selected.foreach(runOnce(_, warmDir))
 
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
@@ -144,8 +150,13 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       math.round(v * 100) / 100.0
     }
+    // Millisecond precision: full-precision doubles bloat the JSON line
+    // ~3× and the driver artifact keeps only a bounded tail of stdout —
+    // sub-ms digits are measurement noise anyway.
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     val loadBefore = loadAvg()
-    val allReps = headline.map(n => n -> Seq.fill(reps)(runOnce(n, sfDir)))
+    val allReps = selected.map(n =>
+      n -> Seq.fill(reps)(ms(runOnce(n, sfDir))))
     val loadAfter = loadAvg()
     val results = allReps.map { case (n, rs) => n -> median(rs) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -153,17 +164,17 @@ object Bench {
     val repsJson = allReps.map { case (k, rs) =>
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val minTotal = allReps.map(_._2.filter(_ >= 0))
-      .collect { case rs if rs.nonEmpty => rs.min }.sum
-    val legacyTotal = results.filter(r => legacy.contains(r._1))
-      .map(_._2).filter(_ >= 0).sum
+    val total = ms(results.map(_._2).filter(_ >= 0).sum)
+    val minTotal = ms(allReps.map(_._2.filter(_ >= 0))
+      .collect { case rs if rs.nonEmpty => rs.min }.sum)
+    val legacyTotal = ms(results.filter(r => legacy.contains(r._1))
+      .map(_._2).filter(_ >= 0).sum)
     // round-5's 23-query headline, for like-for-like round-over-round
     // comparison now that the round-6 serving entries widened the set
     val r5Set = legacy ++ Seq("t10_lm_logprob", "d10_semantic_dedup",
       "s6_ann_pq", "p6_shuffle_order")
-    val r5Total = results.filter(r => r5Set.contains(r._1))
-      .map(_._2).filter(_ >= 0).sum
+    val r5Total = ms(results.filter(r => r5Set.contains(r._1))
+      .map(_._2).filter(_ >= 0).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacyTotal,"r5_total":$r5Total,"min_total":$minTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$qs,"reps":$repsJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: the stdout copy rides a log stream that WARN

@@ -624,7 +624,26 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String, aCol: String, bCol: String,
                           maxIter: Int = 20, algorithm: String = "label")
-                         (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+                         (implicit scope: CacheScope = CacheScope.global): DataFrame =
+    connectedComponentsWithStats(nodes, edges, idCol, aCol, bCol,
+      maxIter, algorithm)._1
+
+  /** Convergence telemetry for one [[connectedComponents]] run: `rounds`
+    * executed and the per-round progress metric (label changes for
+    * "label", edge symmetric-difference for "star"). This is the signal
+    * a 100 TB pipeline watches: label-prop's round count tracks graph
+    * DIAMETER — flat-lining non-zero tails mean a deep chain crept into
+    * the near-dup graph and the run should move to "star" (O(log n)
+    * rounds regardless of diameter, at ~2–3× the per-round cost). */
+  case class CcStats(algorithm: String, rounds: Int,
+                     changedPerRound: Seq[Long])
+
+  /** [[connectedComponents]] plus its [[CcStats]] — same result frame. */
+  def connectedComponentsWithStats(nodes: DataFrame, edges: DataFrame,
+                                   idCol: String, aCol: String, bCol: String,
+                                   maxIter: Int = 20,
+                                   algorithm: String = "label")
+                                  (implicit scope: CacheScope = CacheScope.global): (DataFrame, CcStats) = {
     val sym = scope.cache(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
@@ -637,12 +656,13 @@ object Dedup {
     require(orphans == 0,
       s"connectedComponents: $orphans edge endpoint(s) missing from nodes — " +
         "pass a node frame covering every pair endpoint")
-    algorithm match {
+    val (labels, changed) = algorithm match {
       case "label" => labelPropagation(nodeIds, sym, idCol, maxIter)
       case "star"  => starContraction(nodeIds, sym, idCol, maxIter)
       case other => throw new IllegalArgumentException(
         s"unknown algorithm '$other' (want 'label' or 'star')")
     }
+    (labels, CcStats(algorithm, changed.size, changed))
   }
 
   /** Quality-aware cluster collapse: keep the BEST member of each near-dup
@@ -678,9 +698,11 @@ object Dedup {
   }
 
   private def labelPropagation(nodeIds: DataFrame, sym: DataFrame,
-                               idCol: String, maxIter: Int): DataFrame = {
+                               idCol: String,
+                               maxIter: Int): (DataFrame, Seq[Long]) = {
     var labels = nodeIds.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[Long]
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -695,6 +717,7 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label")).count()
+      perRound += changed
       labels.unpersist()
       labels = next
       iter += 1
@@ -703,7 +726,8 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "graph diameter exceeds the bound; raise maxIter or use " +
         "algorithm = \"star\" (O(log n) rounds)")
-    labels.select(col("id").as(idCol), col("label").as("component"))
+    (labels.select(col("id").as(idCol), col("label").as("component")),
+      perRound.toSeq)
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.,
@@ -717,7 +741,8 @@ object Dedup {
     * count on canonical pairs.
     */
   private def starContraction(nodeIds: DataFrame, sym: DataFrame,
-                              idCol: String, maxIter: Int): DataFrame = {
+                              idCol: String,
+                              maxIter: Int): (DataFrame, Seq[Long]) = {
     def symmetrize(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     // closed-neighborhood min per node: m(u) = min(N(u) ∪ {u})
@@ -731,6 +756,7 @@ object Dedup {
       .filter(col("u") > col("v")) // canonical orientation, deduped below
       .distinct()
       .localCheckpoint(true)
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[Long]
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -747,6 +773,7 @@ object Dedup {
         .distinct()
       val next = small.localCheckpoint(true)
       changed = next.exceptAll(e).count() + e.exceptAll(next).count()
+      perRound += changed
       e.unpersist()
       e = next
       iter += 1
@@ -756,9 +783,10 @@ object Dedup {
     // at the fixpoint every edge is (node, component-center)
     val lbl = symmetrize(e).groupBy("u").agg(min("v").as("mv"))
       .select(col("u").as("id"), least(col("mv"), col("u")).as("label"))
-    nodeIds.join(lbl, Seq("id"), "left")
+    (nodeIds.join(lbl, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("label"), col("id")).as("component"))
+        coalesce(col("label"), col("id")).as("component")),
+      perRound.toSeq)
   }
 
   /** Embedding-cosine near-duplicate pairs.

@@ -22,7 +22,7 @@ object CurationSoak {
     val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans", "r8",
-        "r8b"))
+        "r8b", "cc", "zipf"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -442,6 +442,117 @@ object CurationSoak {
         Dsir.selectTopK(docs100k, dsirModel, "text", "doc_id", k = 1000)
           .count()
       }
+    }
+
+    if (sections("zipf")) {
+      // Realistic-vocabulary fixture (round-8 verdict #4): the driver
+      // documents table has ~31 distinct words, which makes every BM25 /
+      // decontamination number a degenerate fan-out ceiling (every term a
+      // stopword; candidate set = |Q|×|corpus|). This corpus is Zipf:
+      // 100k docs × 60 words over a 30k-word vocabulary, deterministic
+      // (log-uniform rank = floor(V^u), u from xxhash64 — density ∝ 1/r,
+      // the Zipf s=1 shape; no RNG state). On it, candidate sets are
+      // small corpus fractions — the serve numbers here are the
+      // representative ones; the gate numbers remain the worst case.
+      import spark.implicits._
+      import graft.operators.{Decontaminate, Retrieval}
+      val nDocs = 100000
+      val wordsPerDoc = 60
+      val vocabSize = 30000.0
+      val u = (pos: org.apache.spark.sql.Column) =>
+        (abs(xxhash64(col("doc_id") * 131 + pos)) % 1000000L)
+          .cast("double") / 1000000.0
+      val zipf = spark.range(nDocs).toDF("doc_id")
+        .select(col("doc_id"), array_join(
+          transform(sequence(lit(0), lit(wordsPerDoc - 1)),
+            p => concat(lit("w"),
+              floor(pow(lit(vocabSize), u(p))).cast("long"))),
+          " ").as("text"))
+        .localCheckpoint(true) // freeze: both sides reuse the same rows
+      println(s"[soak] zipf corpus: ${zipf.count()} docs, " +
+        s"${zipf.select(explode(split(col("text"), " "))).distinct().count()} distinct words")
+      val bmDir =
+        java.nio.file.Files.createTempDirectory("graft_soak_zipfbm_").toString
+      time("zipf_bm25_build_100k") {
+        Retrieval.buildBm25Index(zipf, "text", "doc_id", bmDir); 1L
+      }
+      // 10 mid-frequency query terms: rank ~100–1000 — present in many
+      // docs but nowhere near stopwords
+      val queries = (1 to 10)
+        .map(i => (i.toLong, s"w${i * 97 + 100} w${i * 89 + 500}"))
+        .toDF("q_id", "q_text")
+      time("zipf_bm25_serve") {
+        Retrieval.bm25TopKFromIndex(queries, bmDir, "q_text", "q_id", k = 10)
+          .count()
+      }
+      val ctDir =
+        java.nio.file.Files.createTempDirectory("graft_soak_zipfct_").toString
+      time("zipf_contam_build") {
+        Decontaminate.buildIndex(zipf.filter(col("doc_id") < 500),
+          "text", "doc_id", ctDir, shingleSize = 3); 1L
+      }
+      time("zipf_contam_serve_100k") {
+        // guard ON (the t22 shape). Eval (< 500) and train (≥ 500) are
+        // disjoint and trigram overlap between random Zipf docs never
+        // reaches 0.5 containment, so 0 flags is the expected output —
+        // the measurement is the matched-posting volume, not the flags
+        Decontaminate.flagFromIndex(zipf.filter(col("doc_id") >= 500),
+          ctDir, "text", "doc_id", threshold = 0.5).count()
+      }
+      time("zipf_contam_serve_guardoff") {
+        Decontaminate.flagFromIndex(zipf.filter(col("doc_id") >= 500),
+          ctDir, "text", "doc_id", threshold = 0.5,
+          maxDf = Long.MaxValue).count()
+      }
+    }
+
+    if (sections("cc")) {
+      // Label-propagation vs star-contraction crossover (round-8 verdict
+      // #3). Two graph topologies at the two extremes:
+      //  - near-dup-shaped: 100k nodes in 20k star clusters of 5
+      //    (diameter 2) — the graphs d7/d17 actually produce;
+      //  - deep chain: a path graph, where label-prop needs DIAMETER
+      //    rounds and star stays O(log n).
+      import spark.implicits._
+      def ccRun(tag: String, algo: String, n: Int,
+                edges: DataFrame, maxIter: Int): Unit = {
+        val nodes = spark.range(n).toDF("id")
+        try time(s"cc_${tag}_${algo}_$n") {
+          val (labels, stats) = Dedup.connectedComponentsWithStats(
+            nodes, edges, "id", "a", "b", maxIter = maxIter,
+            algorithm = algo)
+          val comps = labels.select("component").distinct().count()
+          println(s"[soak]   $tag/$algo: rounds=${stats.rounds} " +
+            s"changedPerRound=${stats.changedPerRound.mkString(",")} " +
+            s"components=$comps")
+          comps
+        } catch {
+          case e: IllegalArgumentException =>
+            graft.operators.CacheScope.global.release()
+            println(s"[soak]   $tag/$algo: DID NOT CONVERGE " +
+              s"(maxIter=$maxIter): ${e.getMessage.takeWhile(_ != '\n')}")
+        }
+      }
+      val nBig = 100000
+      val clustered = spark.range(nBig).toDF("a")
+        .filter(col("a") % 5 =!= 0)
+        .select(col("a"), (col("a") - col("a") % 5).as("b"))
+      ccRun("clustered", "label", nBig, clustered, maxIter = 20)
+      ccRun("clustered", "star", nBig, clustered, maxIter = 20)
+      val pathBig = spark.range(nBig - 1).toDF("a")
+        .select(col("a"), (col("a") + 1).as("b"))
+      // label-prop on a 100k path: O(diameter) rounds — demonstrate the
+      // failure mode at the default bound, then the star path completing
+      ccRun("path", "label", nBig, pathBig, maxIter = 20)
+      ccRun("path", "star", nBig, pathBig, maxIter = 40)
+      // a path small enough for label-prop to finish: the measured
+      // crossover point (diameter ~200 → ~200 one-join rounds vs star's
+      // handful of heavier rounds)
+      val nSmall = 200
+      val pathSmall = spark.range(nSmall - 1).toDF("a")
+        .select(col("a"), (col("a") + 1).as("b"))
+      ccRun("path", "label", nSmall, pathSmall, maxIter = 250)
+      ccRun("path", "star", nSmall, pathSmall, maxIter = 40)
     }
     spark.stop()
   }
