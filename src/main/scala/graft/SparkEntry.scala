@@ -2166,6 +2166,49 @@ object SparkEntry {
         round(col("lm2_logprob"), 6).as("lm2_logprob"))
   }
 
+  // Interpolated Kneser–Ney bigram score (t11 upgraded with the
+  // smoothing real perplexity filters ship): discount D=0.75 off every
+  // observed bigram, held-out mass re-allocated via the CONTINUATION
+  // unigram N1+(·w2)/N1+(··). All four statistics (bigram counts,
+  // context totals, distinct successors, distinct contexts) are
+  // aggregates over the bigram TYPE table, so the smoothing is fully
+  // relational — both engines evaluate the same IEEE expression in the
+  // same order (float-parity rule: round only the final average).
+  define("t28_kn_bigram",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents),
+       bg AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS b
+         FROM t WHERE len(w) >= 2),
+       tfb AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
+       parts AS (
+         SELECT b, sum(tf) AS c, split_part(b, ' ', 1) AS w1,
+           split_part(b, ' ', 2) AS w2
+         FROM tfb GROUP BY b),
+       ctx AS (SELECT w1, sum(c) AS cc, count(*) AS n1f
+               FROM parts GROUP BY w1),
+       cont AS (SELECT w2, count(*) AS nctx FROM parts GROUP BY w2),
+       nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM parts)
+       SELECT tfb.doc_id,
+         CAST(sum(tfb.tf) AS BIGINT) AS n_bigrams,
+         round(sum(tfb.tf * ln(
+             (greatest(CAST(parts.c AS DOUBLE) - 0.75, 0.0)
+                / CAST(ctx.cc AS DOUBLE))
+           + ((0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cc AS DOUBLE))
+                * (CAST(cont.nctx AS DOUBLE) / nt.n))))
+           / CAST(sum(tfb.tf) AS DOUBLE), 6) AS kn_logprob
+       FROM tfb JOIN parts USING (b)
+       JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt
+       GROUP BY tfb.doc_id""") { (s, d) =>
+    graft.operators.LanguageModel.kneserNeyBigramLogProb(
+      t(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("kn_logprob"), 6).as("kn_logprob"))
+  }
+
   // ==================================================================
   // DSIR importance resampling (operators.Dsir) — hashed-bigram
   // importance weights (target = the 'en' slice, raw = the full corpus)

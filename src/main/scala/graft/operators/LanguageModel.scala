@@ -172,4 +172,71 @@ object LanguageModel {
           sum("tf").cast("double")).as("lm2_logprob"))
       .select(col("id").as(idCol), col("n_bigrams"), col("lm2_logprob"))
   }
+
+  /** Per-document average INTERPOLATED KNESER–NEY bigram log-probability
+    * (Kneser & Ney '95; the smoothing real n-gram perplexity filters
+    * ship — KenLM's default). The ML bigram model ([[bigramLogProb]])
+    * overfits rare contexts; KN discounts every observed bigram by a
+    * fixed `discount` D and redistributes the held-out mass to a
+    * CONTINUATION unigram — how many distinct contexts a word follows,
+    * not how often it occurs ("Francisco" is frequent but only ever
+    * follows "San", so its continuation probability is tiny):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + (D · N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+    *
+    * All four statistics are closed-form aggregates over the cached
+    * bigram vocabulary — distinct-successor and distinct-context counts
+    * are `count(*)` over the (w1,w2) type table, no extra corpus pass —
+    * which is what makes the smoothing fully oracle-checkable
+    * relationally (gate t28). Same plan skeleton and scale shape as
+    * [[bigramLogProb]]: the corpus is scanned once into per-(doc,bigram)
+    * counts; every later frame is vocabulary-sized. Scoring corpus =
+    * training corpus here, so every scored bigram was observed and the
+    * discounted term never bottoms out to the bare continuation weight
+    * alone; a train/serve split would reuse [[scoreWith]]'s OOV floor
+    * discipline. Documents with fewer than two tokens are absent. */
+  def kneserNeyBigramLogProb(docs: DataFrame, textCol: String,
+                             idCol: String, discount: Double = 0.75)
+                            (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val toks = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), TF.tokens(lower(col(textCol))).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = toks.select(col("id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+    val tfb = scope.cache(
+      bg.groupBy("id", "b").agg(count(lit(1)).as("tf")))
+    // the bigram TYPE table: counts plus both projections of the key
+    val parts = scope.cache(tfb.groupBy("b").agg(sum("tf").as("c"))
+      .select(col("b"), col("c"),
+        element_at(split(col("b"), " "), 1).as("w1"),
+        element_at(split(col("b"), " "), 2).as("w2")))
+    // c(w1·) and N1+(w1·): context totals and distinct-successor counts
+    val ctx = parts.groupBy("w1")
+      .agg(sum("c").as("cc"), count(lit(1)).as("n1f"))
+    // N1+(·w2): distinct-context counts per continuation word
+    val cont = parts.groupBy("w2").agg(count(lit(1)).as("nctx"))
+    // N1+(··): total bigram types — one bounded action over the cached
+    // type table (a scalar; embedding it as a literal keeps the score a
+    // single projection instead of a cross join)
+    val nTypes = parts.count().toDouble
+    val d = lit(discount)
+    val p = (greatest(col("c").cast("double") - d, lit(0.0)) /
+        col("cc").cast("double")) +
+      ((d * col("n1f").cast("double") / col("cc").cast("double")) *
+        (col("nctx").cast("double") / lit(nTypes)))
+    tfb.join(parts, "b")
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .groupBy("id")
+      .agg(
+        sum("tf").as("n_bigrams"),
+        (sum(col("tf") * log(p)) / sum("tf").cast("double"))
+          .as("kn_logprob"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("kn_logprob"))
+  }
 }

@@ -2874,6 +2874,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kneserNeyBigramLogProb: hand-computed discount and continuation mass") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // type table: "a b" (c=2), "b a" (c=2); ctx a/b: cc=2, n1f=1;
+    // cont a/b: nctx=1; N1+(··)=2 →
+    // P(b|a) = max(2−.75,0)/2 + (.75·1/2)·(1/2) = 0.8125 = P(a|b)
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeyBigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val want = math.log(0.8125)
+    assert(out.keySet == Set(1L, 2L)) // <2 tokens → absent
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - want) < 1e-12, out)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - want) < 1e-12, out)
+    intercept[IllegalArgumentException] {
+      LanguageModel.kneserNeyBigramLogProb(docs, "text", "doc_id",
+        discount = 1.5)
+    }
+  }
+
   test("Bpe train/encode: hand-computed merges, lexicographic ties, leftmost-first overlap, early stop") {
     import spark.implicits._
     import graft.operators.Bpe
