@@ -3354,7 +3354,7 @@ object SparkEntry {
   // in the oracle), then a word→count dictionary joins back — corpus
   // text never re-folds. Inner-join semantics on both sides: documents
   // with no words produce no row.
-  define("t27_bpe_encode", {
+  private val BpeEncodeOracle: String = {
     val dicts = """d0 AS (
         SELECT DISTINCT w, string_split(w, '') AS syms
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -3378,7 +3378,9 @@ object SparkEntry {
             FROM documents) tt
       JOIN d$BpeMerges USING (w)
       GROUP BY doc_id"""
-  }) { (s, d) =>
+  }
+
+  define("t27_bpe_encode", BpeEncodeOracle) { (s, d) =>
     import graft.operators.Bpe
     val docs = t(s, d, "documents")
     // the merge table is numMerges rows — a bounded driver materialization
@@ -3386,6 +3388,30 @@ object SparkEntry {
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
     Bpe.encodeTokenCounts(docs, "text", "doc_id", merges)
+  }
+
+  /** Train-once-per-JVM persisted tokenizer for the t29/st21 serves. */
+  private def bpeIndexDir(s: SparkSession, d: String): String =
+    sessionIndexDir(s"bpe_$d") { p =>
+      graft.operators.Bpe.saveMerges(
+        graft.operators.Bpe.train(t(s, d, "documents"), "text", BpeMerges),
+        s"$p/bpe")
+    } + "/bpe"
+
+  // Persisted-tokenizer serve: train once, freeze the merge table on
+  // disk (layout-tagged), encode from the stored artifact — the batch
+  // half of the serving triad. Same oracle as t27 by construction.
+  define("t29_bpe_encode_persisted", BpeEncodeOracle) { (s, d) =>
+    graft.operators.Bpe.encodeTokenCountsFromIndex(
+      t(s, d, "documents"), "text", "doc_id", bpeIndexDir(s, d))
+  }
+
+  // Streaming serve against the same frozen tokenizer: token counts are
+  // per-document functions of the merge list, so micro-batch union ≡
+  // full batch and the t27 oracle transfers verbatim.
+  define("st21_stream_bpe", BpeEncodeOracle) { (s, d) =>
+    graft.streaming.Streaming.streamingBpeEncode(s, d, "st21",
+      bpeIndexDir(s, d))
   }
 
   // Connected components over the near-dup graph: the transitive grouping

@@ -122,6 +122,45 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  private val Layout = "bpe_v1"
+
+  /** Persist a trained merge table — a tokenizer is a FROZEN artifact:
+    * trained once on a representative corpus, then applied to every
+    * later batch and stream (retraining mid-corpus would silently change
+    * token counts and packing downstream). Layout-tagged `_params` like
+    * every other persisted family. */
+  def saveMerges(merges: DataFrame, path: String): Unit = {
+    val spark = merges.sparkSession
+    import spark.implicits._
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    Seq((Layout, merges.count()))
+      .toDF("layout", "num_merges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Load persisted merges in rank order. Driver-side by design: the
+    * merge list IS the model (10³–10⁵ rows for real tokenizers — the
+    * same bounded-materialization contract as the NB/DSIR model loads),
+    * and [[encodeTokenCounts]] embeds it into the fold expression. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] = {
+    val p = Similarity.readParams(spark, path).head()
+    require(p.getAs[String]("layout") == Layout,
+      s"index at $path has layout ${p.getAs[String]("layout")}, " +
+        s"expected $Layout")
+    spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toSeq
+  }
+
+  /** [[encodeTokenCounts]] against a persisted tokenizer. */
+  def encodeTokenCountsFromIndex(corpus: DataFrame, textCol: String,
+                                 idCol: String, path: String): DataFrame =
+    encodeTokenCounts(corpus, textCol, idCol,
+      loadMerges(corpus.sparkSession, path))
+
   /** Per-document token counts under a trained merge list: the merge
     * chain folds over the DISTINCT word vocabulary only; a (word →
     * token count) dictionary joins back to the exploded corpus words and

@@ -816,6 +816,38 @@ object Streaming {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming BPE encoding: documents stream in and each micro-batch
+    * is token-counted against a PERSISTED tokenizer
+    * ([[graft.operators.Bpe.saveMerges]]) loaded ONCE at stream setup —
+    * tokenizers are frozen artifacts, corpora are the firehose. Token
+    * counts are per-document functions of the frozen merge list (each
+    * batch folds only its own DISTINCT words), so the micro-batch union
+    * equals the full-batch answer and the t27 oracle transfers
+    * verbatim. */
+  def streamingBpeEncode(spark: SparkSession, sfDir: String, name: String,
+                         mergesPath: String): DataFrame = {
+    import graft.operators.Bpe
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = Bpe.loadMerges(spark, mergesPath) // frozen, driver-side
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        Bpe.encodeTokenCounts(mb, "text", "doc_id", merges)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming decontamination: training documents stream in and each
     * micro-batch is stripped of benchmark-contaminated docs against a
     * PERSISTED eval-suite shingle index

@@ -2922,6 +2922,22 @@ class PipelineSpec extends AnyFunSuite {
       m2.map(x => (x._2, x._3)).toSeq)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(enc2 == Map(1L -> 2L), enc2) // two words, each a single token
+    // persisted roundtrip preserves rank order; foreign layouts refuse
+    withTempDir("graft_bpe_idx") { dir =>
+      Bpe.saveMerges(Bpe.train(docs, "text", numMerges = 5), s"$dir/bpe")
+      assert(Bpe.loadMerges(spark, s"$dir/bpe") ==
+        m.map(x => (x._2, x._3)).toSeq)
+      val fromIdx = Bpe.encodeTokenCountsFromIndex(docs, "text", "doc_id",
+        s"$dir/bpe")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fromIdx == enc, fromIdx)
+      Seq(("other_v9", 2L)).toDF("layout", "num_merges")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/bad/_params")
+      val e = intercept[IllegalArgumentException] {
+        Bpe.loadMerges(spark, s"$dir/bad")
+      }
+      assert(e.getMessage.contains("layout"), e.getMessage)
+    }
   }
 
   // --- Sliding-window chunking (Packing.chunkByTokens) --------------
