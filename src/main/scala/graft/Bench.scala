@@ -81,7 +81,13 @@ object Bench {
     // DSIR selection (zero-shuffle λ-fold scoring + Gumbel top-k; t24
     // serves from the per-JVM persisted model so the train cost lands on
     // the warm-up rep only)
-    "t22_decontaminate_serve", "t24_dsir_select")
+    "t22_decontaminate_serve", "t24_dsir_select",
+    // round-10: the hard-negative ANN serve (partition-pruned overfetch
+    // + label filter), decontam serve from an appended index, BPE train
+    // (bounded merge loop over the word vocabulary) and encode (dict
+    // join, corpus never folds), and Kneser–Ney bigram scoring
+    "s15b_hard_negatives_ann", "t25_decontaminate_append",
+    "t26_bpe_train", "t27_bpe_encode", "t28_kn_bigram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3191,6 +3191,34 @@ object SparkEntry {
       least(col("n_chars").cast("double") / lit(400.0), lit(1.0)))
   }
 
+  // Temperature-scaled domain sampling (Gopher/PaLM mixing): quotas
+  // ∝ n_d^(1/T) over the source domains, the kept set per domain is the
+  // md5 keyed-hash prefix of its rank order. Gated at T = 0.5 (1/T = 2),
+  // where the weight is the EXACT integer n², so the whole quota
+  // arithmetic — integer sums, one int→double conversion, one divide,
+  // one floor — is engine-independent (the exactness-anchor discipline;
+  // fractional temperatures go through libm pow and are pipeline-only).
+  define("a16_temperature_mix",
+    """WITH c AS (SELECT source, count(*) AS n FROM documents
+         GROUP BY source),
+       w AS (SELECT source, n, n * n AS w FROM c),
+       tot AS (SELECT sum(w) AS tw FROM w),
+       q AS (SELECT source,
+               least(n, CAST(floor(CAST(200 * w AS DOUBLE) / tw) AS BIGINT))
+                 AS quota
+             FROM w CROSS JOIN tot),
+       r AS (SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5('a16' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rk
+             FROM documents)
+       SELECT doc_id, source FROM r JOIN q USING (source)
+       WHERE rk <= quota""") { (s, d) =>
+    graft.operators.Splits.temperatureSample(
+      t(s, d, "documents").select("doc_id", "source"), "source", "doc_id",
+      totalN = 200, temperature = 0.5, salt = "a16")
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus

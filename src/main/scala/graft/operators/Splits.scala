@@ -141,6 +141,64 @@ object Splits {
       .drop("__h", "__one", "__rank", "__n")
   }
 
+  /** Temperature-scaled domain sampling — the Gopher/PaLM mixing rule:
+    * keep quota_d documents of domain d with quota_d ∝ n_d^(1/T),
+    * Σ quota_d ≈ `totalN`. T = 1 is proportional sampling; T > 1
+    * flattens the mix toward uniform (small domains' SHARE rises);
+    * T < 1 sharpens toward the head domains.
+    *
+    * Quotas: w_d = n_d^(1/T); quota_d = min(n_d, floor(totalN·w_d/Σw)).
+    * Within a domain the kept set is the md5 keyed-hash prefix
+    * (rank ≤ quota — the a10/a15 determinism discipline), with the rank
+    * from [[GlobalOrder.groupRunningTotal]] so a hot domain spans
+    * partitions. Per-domain counts and quotas are driver-side
+    * (|domains| rows — the bounded-model contract), embedded as a
+    * when-chain; at very high domain cardinality a broadcast quota join
+    * is the drop-in alternative.
+    *
+    * Float parity: when 1/T is a small integer k, w_d is computed as
+    * EXACT integer n_d^k and the whole quota arithmetic is
+    * engine-independent (the `a16` gate pins T = 0.5, k = 2);
+    * fractional exponents go through `math.pow`, whose last ulp is
+    * libm-dependent — fine for pipelines, not for hash-match oracles. */
+  def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
+                        totalN: Long, temperature: Double,
+                        salt: String = ""): DataFrame = {
+    require(totalN > 0, "totalN must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val invT = 1.0 / temperature
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+      .sortBy(_._1.toString) // deterministic weight-sum order
+    val exactK = if (invT == math.rint(invT) && invT >= 1 && invT <= 6)
+      Some(math.rint(invT).toInt) else None
+    val quotas: Seq[(Any, Long)] = exactK match {
+      case Some(k) =>
+        val ws = counts.map { case (dv, n) =>
+          (dv, n, Iterator.fill(k)(n).product) }
+        val w = ws.map(_._3).sum
+        ws.map { case (dv, n, wd) =>
+          dv -> math.min(n, math.floor((totalN * wd).toDouble / w).toLong) }
+      case None =>
+        val ws = counts.map { case (dv, n) =>
+          (dv, n, math.pow(n.toDouble, invT)) }
+        val w = ws.map(_._3).sum
+        ws.map { case (dv, n, wd) =>
+          dv -> math.min(n, math.floor(totalN * wd / w).toLong) }
+    }
+    val keep = df.columns.map(col).toSeq
+    val ranked = GlobalOrder.groupRunningTotal(
+      df.withColumn("__h",
+          md5(concat(lit(salt), col(keyCol).cast("string"))))
+        .withColumn("__one", lit(1L)),
+      domainCol, Seq(col("__h"), col(keyCol)), "__one", "__rank")
+    val quotaCol = quotas.foldLeft(lit(0L): Column) {
+      case (acc, (dv, q)) =>
+        when(col(domainCol) === lit(dv), lit(q)).otherwise(acc)
+    }
+    ranked.filter(col("__rank") <= quotaCol).select(keep: _*)
+  }
+
   /** Deterministic shard id in [0, shards): the export-layout counterpart of
     * [[assign]]. Training jobs read shards independently (one worker per
     * shard), so the assignment must be a pure key function — re-exports

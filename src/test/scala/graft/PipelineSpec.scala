@@ -2874,6 +2874,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureSample: integer-exact quotas, flattening, caps, determinism") {
+    import spark.implicits._
+    import graft.operators.Splits
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"))
+      .toDF("doc_id", "source")
+    def cnt(totalN: Long, t: Double) =
+      Splits.temperatureSample(df, "source", "doc_id", totalN, t, "s")
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=0.5 → w=n²: a=16, b=1, W=17 → quotas floor(48/17)=2, floor(3/17)=0
+    assert(cnt(3, 0.5) == Map("a" -> 2))
+    // T=1 → proportional: floor(16/5)=3, floor(4/5)=0
+    assert(cnt(4, 1.0) == Map("a" -> 3))
+    // T→∞ flattens: each domain's share → even; b capped at its size
+    assert(cnt(4, 1e9) == Map("a" -> 2, "b" -> 1))
+    // deterministic: same salt picks the same rows
+    def ids() = Splits.temperatureSample(df, "source", "doc_id", 3, 0.5, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() == ids())
+    intercept[IllegalArgumentException] {
+      Splits.temperatureSample(df, "source", "doc_id", 0, 1.0)
+    }
+  }
+
   test("kneserNeyBigramLogProb: hand-computed discount and continuation mass") {
     import spark.implicits._
     import graft.operators.LanguageModel

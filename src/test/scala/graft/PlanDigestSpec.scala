@@ -69,7 +69,15 @@ class PlanDigestSpec extends AnyFunSuite {
     // the composed capstone: the heavy percentile/split phases run as
     // bounded driver-side actions during construction, so the final
     // plan is the cached fold (its spread() shuffle) + broadcast joins
-    "p10_curation_v3"         -> Digest(1, 1, 0, 0, 0))
+    "p10_curation_v3"         -> Digest(1, 1, 0, 0, 0),
+    // round-10: BPE encode (dict join over distinct words — corpus text
+    // never folds) and Kneser–Ney scoring (type-table joins, no window).
+    // Cached subplans are counted once per InMemoryTableScan REFERENCE
+    // (tfb feeds 2 consumers, the KN type table 3), so these totals are
+    // deliberately reference-weighted — stable, and a new consumer of a
+    // cached frame is itself a plan change worth reviewing
+    "t27_bpe_encode"          -> Digest(5, 1, 0, 0, 0),
+    "t28_kn_bigram"           -> Digest(14, 3, 0, 0, 0))
 
   test("headline gate plans match their golden operator digests") {
     import org.apache.spark.sql.execution.SortExec
