@@ -2174,24 +2174,29 @@ object SparkEntry {
   // aggregates over the bigram TYPE table, so the smoothing is fully
   // relational — both engines evaluate the same IEEE expression in the
   // same order (float-parity rule: round only the final average).
-  define("t28_kn_bigram",
-    """WITH t AS (
-         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-         FROM documents),
-       bg AS (
-         SELECT doc_id,
-           unnest(list_transform(range(1, len(w)),
-                                 i -> w[i] || ' ' || w[i+1])) AS b
-         FROM t WHERE len(w) >= 2),
-       tfb AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
-       parts AS (
-         SELECT b, sum(tf) AS c, split_part(b, ' ', 1) AS w1,
-           split_part(b, ' ', 2) AS w2
-         FROM tfb GROUP BY b),
-       ctx AS (SELECT w1, sum(c) AS cc, count(*) AS n1f
-               FROM parts GROUP BY w1),
-       cont AS (SELECT w2, count(*) AS nctx FROM parts GROUP BY w2),
-       nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM parts)
+  /** Kneser–Ney per-doc score CTE chain ending in
+    * `kncte(doc_id, n_bigrams, kn_logprob)` — shared by t28 and the v4
+    * capstone. */
+  private val KnCtes: Seq[String] = Seq(
+    """knt AS (
+       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+       FROM documents)""",
+    """knbg AS (
+       SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS b
+       FROM knt WHERE len(w) >= 2)""",
+    """tfb AS (SELECT doc_id, b, count(*) AS tf FROM knbg
+       GROUP BY doc_id, b)""",
+    """parts AS (
+       SELECT b, sum(tf) AS c, split_part(b, ' ', 1) AS w1,
+         split_part(b, ' ', 2) AS w2
+       FROM tfb GROUP BY b)""",
+    """ctx AS (SELECT w1, sum(c) AS cc, count(*) AS n1f
+       FROM parts GROUP BY w1)""",
+    """cont AS (SELECT w2, count(*) AS nctx FROM parts GROUP BY w2)""",
+    """nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM parts)""",
+    """kncte AS (
        SELECT tfb.doc_id,
          CAST(sum(tfb.tf) AS BIGINT) AS n_bigrams,
          round(sum(tfb.tf * ln(
@@ -2202,7 +2207,11 @@ object SparkEntry {
            / CAST(sum(tfb.tf) AS DOUBLE), 6) AS kn_logprob
        FROM tfb JOIN parts USING (b)
        JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt
-       GROUP BY tfb.doc_id""") { (s, d) =>
+       GROUP BY tfb.doc_id)""")
+
+  define("t28_kn_bigram",
+    "WITH " + KnCtes.mkString(",\n") +
+      "\nSELECT doc_id, n_bigrams, kn_logprob FROM kncte") { (s, d) =>
     graft.operators.LanguageModel.kneserNeyBigramLogProb(
       t(s, d, "documents"), "text", "doc_id")
       .select(col("doc_id"), col("n_bigrams"),
@@ -3219,6 +3228,54 @@ object SparkEntry {
       totalN = 200, temperature = 0.5, salt = "a16")
   }
 
+  // Curation capstone v4 — composes the ROUND-10 operators in one gate:
+  // Kneser–Ney perplexity scoring → per-language percentile gate (drop
+  // the worst 10%, histogram path, no window) → temperature-0.5 domain
+  // mix (exact integer quotas) → BPE token counts from the persisted
+  // tokenizer. The oracle stitches the t26/t27/t28/a16 CTE chains into
+  // one statement — every stage pinned end-to-end through the
+  // composition, not just in isolation.
+  define("p12_curation_v4",
+    "WITH " + (bpeTrainCtes(BpeMerges) ++ bpeDictCtes(BpeMerges) ++
+      KnCtes ++ Seq(
+      """sc AS (SELECT d.doc_id, d.lang, d.source,
+           kncte.kn_logprob AS kn
+         FROM documents d JOIN kncte USING (doc_id))""",
+      """pc AS (SELECT doc_id, lang, source, kn,
+           cume_dist() OVER (PARTITION BY lang ORDER BY kn) AS pct_rank
+         FROM sc)""",
+      """surv AS (SELECT * FROM pc WHERE pct_rank > 0.1)""",
+      """mc AS (SELECT source, count(*) AS n FROM surv GROUP BY source)""",
+      """mw AS (SELECT source, n, n * n AS wt FROM mc)""",
+      """mtot AS (SELECT sum(wt) AS tw FROM mw)""",
+      """mq AS (SELECT source,
+           least(n, CAST(floor(CAST(150 * wt AS DOUBLE) / tw) AS BIGINT))
+             AS quota
+         FROM mw CROSS JOIN mtot)""",
+      """mr AS (SELECT surv.*, row_number() OVER (PARTITION BY source
+           ORDER BY md5('v4' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM surv)""")).mkString(",\n") + """
+       SELECT mr.doc_id, mr.lang, mr.source, mr.kn, mr.pct_rank,
+         bt.n_bpe_tokens
+       FROM mr JOIN mq USING (source) JOIN bt ON mr.doc_id = bt.doc_id
+       WHERE rk <= quota""") { (s, d) =>
+    import graft.operators.{Bpe, LanguageModel, Quality, Splits}
+    val docs = t(s, d, "documents")
+    // rounded BEFORE the percentile so both engines rank identical values
+    val kn = LanguageModel.kneserNeyBigramLogProb(docs, "text", "doc_id")
+      .select(col("doc_id"), round(col("kn_logprob"), 6).as("kn"))
+    val scored = docs.select("doc_id", "lang", "source").join(kn, "doc_id")
+    val surv = Quality.withGroupPercentile(scored, "lang", "kn")
+      .filter(col("pct_rank") > 0.1)
+    val mixed = Splits.temperatureSample(surv, "source", "doc_id",
+      totalN = 150, temperature = 0.5, salt = "v4")
+    mixed.join(
+        Bpe.encodeTokenCountsFromIndex(docs, "text", "doc_id",
+          bpeIndexDir(s, d)),
+        "doc_id")
+      .select("doc_id", "lang", "source", "kn", "pct_rank", "n_bpe_tokens")
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus
@@ -3333,7 +3390,9 @@ object SparkEntry {
   // the identical iteration, so the merge table pins training end to
   // end — pair counting, tie-breaks, and leftmost-first application.
   // ------------------------------------------------------------------
-  private val BpeMerges = 8
+  // final + literal = compile-time constant: safe to reference from
+  // defines that appear textually earlier in this object's initializer
+  private final val BpeMerges = 8
 
   /** Shared CTE chain: w0 = char-split word counts; per round i,
     * p_i = pair counts over w_{i-1}, b_i = the argmax pair, w_i = the
@@ -3382,13 +3441,16 @@ object SparkEntry {
   // in the oracle), then a word→count dictionary joins back — corpus
   // text never re-folds. Inner-join semantics on both sides: documents
   // with no words produce no row.
-  private val BpeEncodeOracle: String = {
+  /** Word→final-symbols dictionary CTEs (d0…dN) under the trained
+    * merges, plus `bt` = per-doc BPE token counts — shared by the
+    * encode gates and the v4 capstone. */
+  private def bpeDictCtes(n: Int): Seq[String] = {
     val dicts = """d0 AS (
         SELECT DISTINCT w, string_split(w, '') AS syms
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
               FROM documents)
         WHERE len(w) > 0 AND NOT contains(w, chr(31)))""" +:
-      (1 to BpeMerges).map { i =>
+      (1 to n).map { i =>
         s"""d$i AS (
           SELECT w, string_split(
             list_reduce(syms, (acc, x) ->
@@ -3398,15 +3460,19 @@ object SparkEntry {
             chr(31)) AS syms
           FROM d${i - 1}, b$i)"""
       }
-    "WITH " + (bpeTrainCtes(BpeMerges) ++ dicts).mkString(",\n") + s"""
-      SELECT doc_id, CAST(sum(len(d$BpeMerges.syms)) AS BIGINT)
-        AS n_bpe_tokens
+    dicts :+ s"""bt AS (
+      SELECT doc_id, CAST(sum(len(d$n.syms)) AS BIGINT) AS n_bpe_tokens
       FROM (SELECT doc_id,
               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
             FROM documents) tt
-      JOIN d$BpeMerges USING (w)
-      GROUP BY doc_id"""
+      JOIN d$n USING (w)
+      GROUP BY doc_id)"""
   }
+
+  private val BpeEncodeOracle: String =
+    "WITH " + (bpeTrainCtes(BpeMerges) ++ bpeDictCtes(BpeMerges))
+      .mkString(",\n") +
+      "\nSELECT doc_id, n_bpe_tokens FROM bt"
 
   define("t27_bpe_encode", BpeEncodeOracle) { (s, d) =>
     import graft.operators.Bpe

@@ -681,10 +681,11 @@ object Dedup {
     * map-side-combined aggregate over (component, score, id), no window,
     * no per-cluster sort; the join back to `docs` hashes on the id. */
   def keepBestOfCluster(docs: DataFrame, idCol: String, scoreCol: String,
-                        edges: DataFrame, aCol: String, bCol: String)
+                        edges: DataFrame, aCol: String, bCol: String,
+                        maxIter: Int = 20, algorithm: String = "label")
                        (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val comp = connectedComponents(docs.select(col(idCol)), edges,
-      idCol, aCol, bCol)
+      idCol, aCol, bCol, maxIter, algorithm)
     val best = docs.select(col(idCol), col(scoreCol))
       .join(comp, Seq(idCol))
       .groupBy("component")
