@@ -173,12 +173,19 @@ object Bpe {
         col(textCol).cast("string").as("__t")))
       .select(col("__did"), explode(split(trim(col("__t")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0 && !col("w").contains(Sep))
-    val dictSyms = merges.foldLeft(split(col("w"), "")) {
-      case (acc, (l, r)) => applyMerge(acc, l, r)
+    // vocabulary-sized: distinct words, then the merge chain — one
+    // PROJECTION PER MERGE, never one nested expression. [[applyMerge]]
+    // references its input three times, so folding N merges into a
+    // single expression grows the tree ~3^N (measured: 26 s of pure
+    // analysis/codegen at N=8 on a 31-word dict); as separate aliased
+    // projections each level references the previous by NAME, and
+    // CollapseProject's duplicate-reference guard keeps them separate.
+    val dict0 = spread(words.select("w").distinct())
+      .select(col("w"), split(col("w"), "").as("__syms"))
+    val dictN = merges.foldLeft(dict0) { case (df, (l, r)) =>
+      df.select(col("w"), applyMerge(col("__syms"), l, r).as("__syms"))
     }
-    // vocabulary-sized: distinct words, then the chained folds ONCE each
-    val dict = spread(words.select("w").distinct())
-      .select(col("w"), size(dictSyms).as("__n"))
+    val dict = dictN.select(col("w"), size(col("__syms")).as("__n"))
     // dict is Zipf-bounded — broadcast when it fits, else this is a plain
     // equi-join on the word key; either way corpus text never re-folds
     words.join(dict, "w")
