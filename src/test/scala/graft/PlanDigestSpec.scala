@@ -79,6 +79,11 @@ class PlanDigestSpec extends AnyFunSuite {
     "t27_bpe_encode"          -> Digest(5, 1, 0, 0, 0),
     "t28_kn_bigram"           -> Digest(14, 3, 0, 0, 0))
 
+  /** Loose per-gate ceiling on total expression tree nodes — see the
+    * exprNodes check below. Current max across pinned gates is measured
+    * and the budget sits ~4× above it (t17's eleven repetition folds at ~3,100 nodes are the legitimate ceiling; the BPE blow-up was ~10× past this budget). */
+  private val ExprNodeBudget = 12000
+
   test("headline gate plans match their golden operator digests") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
@@ -118,6 +123,19 @@ class PlanDigestSpec extends AnyFunSuite {
           all.count(_.isInstanceOf[SortExec]))
         if (d != golden(name))
           mismatches += s"""    "$name" -> $d,  // golden: ${golden(name)}"""
+        // Expression-SIZE ceiling: operator-kind digests are blind to a
+        // plan whose SHAPE is fine but whose expressions exploded — the
+        // round-10 BPE encode regression was ~3^N tree growth from
+        // folding a self-referencing expression builder, 26 s of pure
+        // analysis/codegen with zero new operators. Total expression
+        // node count is a loose ceiling (~4× current max), tripped only
+        // by that multiplicative failure class, not by ordinary edits.
+        val exprNodes = all.map(n =>
+          n.expressions.map(e => e.collect { case x => x }.size).sum).sum
+        if (exprNodes > ExprNodeBudget)
+          mismatches += s"""    "$name": $exprNodes expression nodes """ +
+            s"(budget $ExprNodeBudget) — a self-referencing expression " +
+            "fold is the usual cause; chain aliased projections instead"
         graft.operators.CacheScope.global.release()
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
