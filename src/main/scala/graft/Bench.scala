@@ -87,7 +87,10 @@ object Bench {
     // (bounded merge loop over the word vocabulary) and encode (dict
     // join, corpus never folds), and Kneser–Ney bigram scoring
     "s15b_hard_negatives_ann", "t25_decontaminate_append",
-    "t26_bpe_train", "t27_bpe_encode", "t28_kn_bigram")
+    "t26_bpe_train", "t27_bpe_encode", "t28_kn_bigram",
+    // round-10 capstone: KN score → percentile gate → temperature mix →
+    // BPE counts, one composed plan (t30/p13 are cost-covered by t27)
+    "p12_curation_v4")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

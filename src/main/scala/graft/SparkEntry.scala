@@ -1930,10 +1930,10 @@ object SparkEntry {
   // row-for-row certifies the packing recurrence itself.
   define("p2_sequence_packing",
     """WITH RECURSIVE
-       t AS (SELECT lang, doc_id,
+       t AS MATERIALIZED (SELECT lang, doc_id,
                len(regexp_split_to_array(trim(text), '\s+')) AS n
              FROM documents),
-       o AS (SELECT lang, doc_id, n,
+       o AS MATERIALIZED (SELECT lang, doc_id, n,
                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
              FROM t),
        pack(lang, rn, doc_id, n, acc, bin) AS (
@@ -3506,6 +3506,65 @@ object SparkEntry {
   define("st21_stream_bpe", BpeEncodeOracle) { (s, d) =>
     graft.streaming.Streaming.streamingBpeEncode(s, d, "st21",
       bpeIndexDir(s, d))
+  }
+
+  // Full token SEQUENCES (the encode form packing/sharding consumes):
+  // word positions ride through the dictionary join and one aggregate
+  // reassembles each doc in order. Emitted space-joined (tokens carry
+  // no spaces — they are word-substring concatenations), which keeps
+  // the gate compare on a sortable scalar column.
+  define("t30_bpe_tokens",
+    "WITH " + (bpeTrainCtes(BpeMerges) ++ bpeDictCtes(BpeMerges))
+      .mkString(",\n") + s""",
+       tw AS (SELECT doc_id, w, pos FROM (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+           unnest(generate_series(1,
+             len(regexp_split_to_array(trim(text), '\\s+')))) AS pos
+         FROM documents) WHERE len(w) > 0)
+       SELECT doc_id,
+         string_agg(array_to_string(d$BpeMerges.syms, ' '), ' '
+           ORDER BY pos) AS tokens_str
+       FROM tw JOIN d$BpeMerges USING (w)
+       GROUP BY doc_id""") { (s, d) =>
+    import graft.operators.Bpe
+    val docs = t(s, d, "documents")
+    Bpe.encodeTokens(docs, "text", "doc_id",
+      Bpe.loadMerges(s, bpeIndexDir(s, d)))
+      .select(col("doc_id"), array_join(col("tokens"), " ").as("tokens_str"))
+  }
+
+  // Sequence packing on BPE token counts — the p2 first-fit-in-id-order
+  // fold, sized by the TRAINED tokenizer instead of whitespace counts
+  // (what a real pretraining run packs by). Composes the persisted
+  // tokenizer with the packing scan; oracle = the p2 recursive CTE over
+  // the unrolled BPE counts.
+  define("p13_bpe_packing",
+    "WITH RECURSIVE " + (bpeTrainCtes(BpeMerges) ++ bpeDictCtes(BpeMerges))
+      .mkString(",\n") + """,
+       pt AS MATERIALIZED (SELECT d.lang, d.doc_id, bt.n_bpe_tokens AS n
+              FROM documents d JOIN bt USING (doc_id)),
+       po AS MATERIALIZED (SELECT lang, doc_id, n,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             FROM pt),
+       pack(lang, rn, doc_id, n, acc, bin) AS (
+         SELECT lang, rn, doc_id, n, n, CAST(0 AS BIGINT) FROM po
+         WHERE rn = 1
+         UNION ALL
+         SELECT po.lang, po.rn, po.doc_id, po.n,
+           CASE WHEN p.acc + po.n > 256 AND p.acc > 0 THEN po.n
+                ELSE p.acc + po.n END,
+           CASE WHEN p.acc + po.n > 256 AND p.acc > 0 THEN p.bin + 1
+                ELSE p.bin END
+         FROM pack p JOIN po ON po.lang = p.lang AND po.rn = p.rn + 1)
+       SELECT lang, doc_id, bin FROM pack""") { (s, d) =>
+    import graft.operators.Bpe
+    val docs = t(s, d, "documents")
+    val withN = docs.select("doc_id", "lang")
+      .join(Bpe.encodeTokenCountsFromIndex(docs, "text", "doc_id",
+        bpeIndexDir(s, d)), "doc_id")
+    graft.operators.Packing.packSequences(withN, "lang", "doc_id",
+      "n_bpe_tokens", budget = 256L)
   }
 
   // Connected components over the near-dup graph: the transitive grouping

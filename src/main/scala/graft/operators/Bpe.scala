@@ -161,6 +161,38 @@ object Bpe {
     encodeTokenCounts(corpus, textCol, idCol,
       loadMerges(corpus.sparkSession, path))
 
+  /** Result of [[mergeDrift]]: how far a new corpus slice's merge table
+    * diverges from the frozen tokenizer. `agreementPrefix` = merges that
+    * match rank-for-rank from rank 1 (order matters — a rank-k flip
+    * changes every later merge's input); `agreementSet` = stored merges
+    * that appear ANYWHERE in the retrain (order-insensitive overlap);
+    * both as fractions of the stored table. ~1.0 = same distribution;
+    * a short prefix with high set overlap = frequency reordering; low
+    * set overlap = vocabulary shift, retrain before the token counts
+    * and packing boundaries silently change meaning. */
+  final case class MergeDriftReport(stored: Int, prefix: Int,
+                                    agreementPrefix: Double,
+                                    agreementSet: Double)
+
+  /** Drift check for a persisted tokenizer — the [[Similarity
+    * .ivfDriftCheck]] shape for the BPE family: retrain the SAME number
+    * of merges on a new corpus slice against the frozen artifact and
+    * report prefix/set agreement. Retraining cost is the slice's word
+    * count aggregate + numMerges bounded rounds — a monitoring job, not
+    * a corpus pass over history. */
+  def mergeDrift(batch: DataFrame, textCol: String, path: String)
+                (implicit scope: CacheScope = CacheScope.global): MergeDriftReport = {
+    val stored = loadMerges(batch.sparkSession, path)
+    require(stored.nonEmpty, s"tokenizer at $path has no merges")
+    val fresh = train(batch, textCol, stored.size)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val prefix = stored.zip(fresh).takeWhile { case (a, b) => a == b }.size
+    val overlap = stored.toSet.intersect(fresh.toSet).size
+    MergeDriftReport(stored.size, prefix,
+      prefix.toDouble / stored.size, overlap.toDouble / stored.size)
+  }
+
   /** Per-document token counts under a trained merge list: the merge
     * chain folds over the DISTINCT word vocabulary only; a (word →
     * token count) dictionary joins back to the exploded corpus words and
@@ -173,23 +205,51 @@ object Bpe {
         col(textCol).cast("string").as("__t")))
       .select(col("__did"), explode(split(trim(col("__t")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0 && !col("w").contains(Sep))
-    // vocabulary-sized: distinct words, then the merge chain — one
-    // PROJECTION PER MERGE, never one nested expression. [[applyMerge]]
-    // references its input three times, so folding N merges into a
-    // single expression grows the tree ~3^N (measured: 26 s of pure
-    // analysis/codegen at N=8 on a 31-word dict); as separate aliased
-    // projections each level references the previous by NAME, and
-    // CollapseProject's duplicate-reference guard keeps them separate.
-    val dict0 = spread(words.select("w").distinct())
-      .select(col("w"), split(col("w"), "").as("__syms"))
-    val dictN = merges.foldLeft(dict0) { case (df, (l, r)) =>
-      df.select(col("w"), applyMerge(col("__syms"), l, r).as("__syms"))
-    }
-    val dict = dictN.select(col("w"), size(col("__syms")).as("__n"))
+    val dict = wordDict(words, merges)
+      .select(col("w"), size(col("__syms")).as("__n"))
     // dict is Zipf-bounded — broadcast when it fits, else this is a plain
     // equi-join on the word key; either way corpus text never re-folds
     words.join(dict, "w")
       .groupBy(col("__did").as(idCol))
       .agg(sum(col("__n")).as("n_bpe_tokens"))
+  }
+
+  /** (w, __syms) dictionary over the DISTINCT words of `words`: the
+    * merge chain applied as one PROJECTION PER MERGE, never one nested
+    * expression. [[applyMerge]] references its input three times, so
+    * folding N merges into a single expression grows the tree ~3^N
+    * (measured: 26 s of pure analysis/codegen at N=8 on a 31-word
+    * dict); as separate aliased projections each level references the
+    * previous by NAME, and CollapseProject's duplicate-reference guard
+    * keeps them separate. */
+  private def wordDict(words: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val dict0 = spread(words.select("w").distinct())
+      .select(col("w"), split(col("w"), "").as("__syms"))
+    merges.foldLeft(dict0) { case (df, (l, r)) =>
+      df.select(col("w"), applyMerge(col("__syms"), l, r).as("__syms"))
+    }
+  }
+
+  /** Full per-document token SEQUENCES under a trained merge list —
+    * the encode form a training pipeline feeds to packing/sharding.
+    * Same scale shape as [[encodeTokenCounts]]: the merge chain folds
+    * over the distinct vocabulary only; corpus words carry their
+    * POSITION through the dictionary join and one aggregate reassembles
+    * each document's tokens in word order (sort_array over
+    * (pos, syms) structs — collect_list alone has no order contract).
+    * Documents with no words produce no row. */
+  def encodeTokens(corpus: DataFrame, textCol: String, idCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val words = spread(corpus.select(col(idCol).as("__did"),
+        col(textCol).cast("string").as("__t")))
+      .select(col("__did"),
+        posexplode(split(trim(col("__t")), "\\s+")).as(Seq("__pos", "w")))
+      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+    words.join(wordDict(words, merges), "w")
+      .groupBy(col("__did").as(idCol))
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__syms")))),
+          x => x.getField("__syms"))).as("tokens"))
   }
 }

@@ -2961,6 +2961,15 @@ class PipelineSpec extends AnyFunSuite {
         Bpe.loadMerges(spark, s"$dir/bad")
       }
       assert(e.getMessage.contains("layout"), e.getMessage)
+      // drift: the same corpus retrains to the identical table (both
+      // agreements 1.0); a disjoint-vocabulary slice shares nothing
+      val same = Bpe.mergeDrift(docs, "text", s"$dir/bpe")
+      assert(same.agreementPrefix == 1.0 && same.agreementSet == 1.0, same)
+      val shifted = Bpe.mergeDrift(
+        Seq((1L, "xy xy zw zw")).toDF("doc_id", "text"), "text",
+        s"$dir/bpe")
+      assert(shifted.agreementPrefix == 0.0 && shifted.agreementSet == 0.0,
+        shifted)
     }
   }
 
