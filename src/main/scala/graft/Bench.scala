@@ -90,7 +90,17 @@ object Bench {
     "t26_bpe_train", "t27_bpe_encode", "t28_kn_bigram",
     // round-10 capstone: KN score → percentile gate → temperature mix →
     // BPE counts, one composed plan (t30/p13 are cost-covered by t27)
-    "p12_curation_v4")
+    "p12_curation_v4",
+    // round-11: star-contraction CC under the same best-of-cluster gate
+    // as d17 — tracks the label-vs-star serving tradeoff (NOTES r10
+    // crossover table) round-over-round on identical input
+    "d18_best_of_cluster_star",
+    // round-11 serving completions: hybrid RRF entirely from persisted
+    // indexes (BM25 postings + SQ8 codes, no corpus rescan), the BM25
+    // append lifecycle served end-to-end, and the KMV distinct sketch
+    // (one scan pass, ≤k longs per partition-group on the wire)
+    "r4_hybrid_persisted", "r5_bm25_append", "t33_kmv_vocab",
+    "t34_kmv_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1262,6 +1262,52 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // SQ8 scalar-quantized ANN — the 4×-compression middle rung between
+  // raw float32 and PQ's 32×: one byte per dimension, scored by the
+  // codegen'd byte-loop `sq8_dot` with the query batch broadcast (corpus
+  // codes never shuffle), exact-cosine re-rank on the originals. rerank
+  // = 1024 blankets the gate corpora (the s6 coverage argument), so the
+  // brute-force window oracle applies; PipelineSpec asserts the
+  // approximate ranking's own recall separately at tight budgets.
+  define("s16_ann_sq8",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val bounds = Similarity.sq8Train(corpus, "embedding", dim = 64)
+    val codes = Similarity.sq8Encode(corpus, bounds, "embedding", "vec_id")
+    Similarity.sq8TopK(queries, corpus, codes, bounds, "embedding",
+      "vec_id", k = 5, rerank = 1024)
+      .select("q_id", "n_id", "rank")
+  }
+
+  // Persisted SQ8 index: bounds + byte codes stored once (compaction-
+  // managed codes lineage), queries serve from the stored files — same
+  // parameters as s16, so the same coverage argument applies.
+  define("s17_ann_sq8_persisted",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val idx = sessionIndexDir(s"s17_$d") { p =>
+      Similarity.buildSq8Index(corpus, "embedding", "vec_id", p, dim = 64)
+    }
+    Similarity.sq8TopKFromIndex(emb.filter(col("vec_id") < 5), corpus, idx,
+      "embedding", "vec_id", k = 5, rerank = 1024)
+      .select("q_id", "n_id", "rank")
+  }
+
   // IVFPQ — coarse cells × PQ codes, the 10⁸⁺-vector layout. With nprobe
   // covering all 10 label cells the composition provably equals flat PQ
   // (PipelineSpec asserts it), whose candidates cover the true top-5 at
@@ -1552,6 +1598,43 @@ object SparkEntry {
       "doc_id", maxBytes = 96)
       .select(col("doc_id"), col("orig_bytes").cast("long"),
         col("new_bytes").cast("long"))
+  }
+
+  // Binary-payload fuzzy near-dup (ssdeep-family, SimHash-realized):
+  // 4-byte windows of the raw payload bytes, hex-encoded + md5-hashed
+  // (the d3 portable fingerprint, so DuckDB reproduces the exact 60-bit
+  // signatures), pigeonhole-blocked hamming ≤ 3 pairs. Near-dup for the
+  // opaque-binary modality — no codec needed, which is precisely its
+  // role next to the stubbed decode seam. Payload bytes never shuffle;
+  // only (id, sig) rows do.
+  define("m5_payload_neardup",
+    """WITH hx AS (
+         SELECT doc_id, upper(hex(encode(text))) AS hs FROM documents),
+       win AS (
+         SELECT doc_id, unnest(list_transform(
+           range(0, CAST(ceil(strlen(hs) / 8.0) AS INT)),
+           g -> substr(hs, g*8+1, 8))) AS tok
+         FROM hx),
+       th AS (
+         SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),
+           p -> (strpos('0123456789abcdef', md5(tok)[p]) - 1)
+                * (1::BIGINT << (4*(15-p))))) AS BIGINT) AS h
+         FROM win),
+       bits AS (
+         SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th, range(0, 60) t(i) GROUP BY doc_id, i),
+       sig AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+         FROM bits GROUP BY doc_id)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       FROM sig a, sig b
+       WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3""") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.payloadNearDup(
+      Multimodal.attachPayload(t(s, d, "documents"), "text", "image/fake"),
+      "doc_id")
   }
 
   // ==================================================================
@@ -2737,6 +2820,130 @@ object SparkEntry {
       n = 3, k = 50)
   }
 
+  // KMV (k-minimum-values) distinct sketch: per-language vocabulary
+  // estimate — the REPRODUCIBLE approximate-distinct primitive
+  // (approx_count_distinct/HLL is neither cross-engine nor cross-version
+  // stable, so it can never be oracle-checked; KMV over the d3 portable
+  // md5 hash is bit-exact on both engines). One scan pass, no distinct
+  // stage: the map side keeps ≤ k=32 longs per (partition, lang) under
+  // ObjectHashAggregate and the shuffle carries only those — at 100 TB
+  // the exact t18 vocab counts shuffle (group, term) pairs; this
+  // shuffles 256 bytes per partition-group. Estimate = 31·2⁶⁰/v₃₂ (one
+  // multiply + one divide off the 32nd-smallest hash — deterministic
+  // IEEE on both engines); under-full groups report their EXACT count.
+  // Sketched unit: distinct 3-gram PHRASES per language (the t19 gram
+  // spelling) — the fixture's 31-word vocabulary would leave a per-WORD
+  // sketch under-full everywhere (exact path only, pinned by unit test
+  // instead); per-lang phrase counts are 3k–9k at sf0.01, so the gate
+  // exercises the real estimator branch.
+  define("t33_kmv_vocab",
+    """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+')
+           AS wds FROM documents),
+       g AS (SELECT lang, array_to_string(wds[pos : pos + 2], ' ') AS gram
+             FROM (SELECT lang, wds,
+                     unnest(generate_series(1, greatest(len(wds) - 2, 0)))
+                       AS pos
+                   FROM w)),
+       h AS (SELECT DISTINCT lang,
+               CAST(list_sum(list_transform(range(1, 16),
+                 p -> (strpos('0123456789abcdef', md5(gram)[p]) - 1)
+                      * (1::BIGINT << (4*(15-p))))) AS BIGINT) AS h
+             FROM g),
+       r AS (SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+             FROM h),
+       a AS (SELECT lang, count(*) AS nd,
+               max(CASE WHEN rn = 32 THEN h END) AS v32
+             FROM r GROUP BY lang)
+       SELECT lang,
+         CAST(CASE WHEN nd < 32 THEN nd ELSE 32 END AS BIGINT) AS n_kept,
+         CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+              ELSE 31 * pow(2, 60) / CAST(v32 AS DOUBLE) END AS est_phrases
+       FROM a""") { (s, d) =>
+    import graft.functions.KmvSketch
+    import graft.operators.spread
+    val k = 32
+    val w = split(trim(col("text")), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(0))),
+      pos => array_join(slice(w, pos, lit(3)), " "))
+    spread(t(s, d, "documents").select(col("lang"), grams.as("grams")))
+      .select(col("lang"), explode(col("grams")).as("gram"))
+      .select(col("lang"), KmvSketch.portableHash60(col("gram")).as("h"))
+      .groupBy("lang")
+      .agg(KmvSketch.kmvSketch(col("h"), k).as("sk"))
+      .select(col("lang"),
+        size(col("sk")).cast("long").as("n_kept"),
+        KmvSketch.estimate(col("sk"), k).as("est_phrases"))
+  }
+
+  // KMV set operations: estimated phrase-set OVERLAP between two corpus
+  // slices (even vs odd doc ids) per language — bottom-k sketches are
+  // closed under union, so |A∪B| and Jaccard estimate from the two
+  // per-slice sketches ALONE: no join between the corpora, no second
+  // scan, each slice sketched independently (the shape that compares a
+  // new crawl snapshot against last month's at 100 TB: ship two k-long
+  // arrays, not two corpora). Among the k smallest union hashes, the
+  // fraction present in BOTH sketches estimates Jaccard (Bar-Yossef'02
+  // §4, the theta-sketch rule) — integer counts + one division, so the
+  // oracle reproduces every bit.
+  define("t34_kmv_overlap",
+    """WITH w AS (SELECT lang, doc_id % 2 AS p,
+           regexp_split_to_array(trim(text), '\s+') AS wds FROM documents),
+       g AS (SELECT lang, p, array_to_string(wds[pos : pos + 2], ' ') AS gram
+             FROM (SELECT lang, p, wds,
+                     unnest(generate_series(1, greatest(len(wds) - 2, 0)))
+                       AS pos
+                   FROM w)),
+       h AS (SELECT DISTINCT lang, p,
+               CAST(list_sum(list_transform(range(1, 16),
+                 p2 -> (strpos('0123456789abcdef', md5(gram)[p2]) - 1)
+                      * (1::BIGINT << (4*(15-p2))))) AS BIGINT) AS h
+             FROM g),
+       r AS (SELECT lang, p, h,
+               row_number() OVER (PARTITION BY lang, p ORDER BY h) AS rn
+             FROM h),
+       sk AS (SELECT lang, p, list_sort(list(h)) AS sk
+              FROM r WHERE rn <= 64 GROUP BY lang, p),
+       j AS (SELECT a.lang, a.sk AS ska, b.sk AS skb
+             FROM sk a JOIN sk b ON a.lang = b.lang
+             WHERE a.p = 0 AND b.p = 1),
+       u AS (SELECT lang, ska, skb,
+               list_sort(list_distinct(list_concat(ska, skb)))[1:64] AS un
+             FROM j)
+       SELECT lang,
+         CAST(len(list_intersect(list_intersect(un, ska), skb)) AS DOUBLE)
+           / len(un) AS est_jaccard,
+         CASE WHEN len(un) < 64 THEN CAST(len(un) AS DOUBLE)
+              ELSE 63 * pow(2, 60) / CAST(un[64] AS DOUBLE)
+         END AS est_union
+       FROM u""") { (s, d) =>
+    import graft.functions.KmvSketch
+    import graft.operators.{spread, CacheScope}
+    val k = 64
+    val w = split(trim(col("text")), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(0))),
+      pos => array_join(slice(w, pos, lit(3)), " "))
+    // one corpus scan; the per-(lang, slice) sketch table is |langs|·2
+    // rows — cache it so the self-join's two consumers don't rescan
+    val sk = CacheScope.global.cache(
+      spread(t(s, d, "documents")
+        .select(col("lang"), (col("doc_id") % 2).as("p"), grams.as("grams")))
+        .select(col("lang"), col("p"), explode(col("grams")).as("gram"))
+        .select(col("lang"), col("p"),
+          KmvSketch.portableHash60(col("gram")).as("h"))
+        .groupBy("lang", "p")
+        .agg(KmvSketch.kmvSketch(col("h"), k).as("sk")))
+    val a = sk.filter(col("p") === 0).select(col("lang"), col("sk").as("ska"))
+    val b = sk.filter(col("p") === 1).select(col("lang"), col("sk").as("skb"))
+    a.join(b, "lang").select(col("lang"),
+      KmvSketch.estimateJaccard(col("ska"), col("skb"), k)
+        .as("est_jaccard"),
+      KmvSketch.estimate(KmvSketch.union(col("ska"), col("skb"), k), k)
+        .as("est_union"))
+  }
+
   // ==================================================================
   // BM25 retrieval family (operators.Retrieval) — the lexical complement
   // of the s1–s12 dense-ANN family, same serve-from-index discipline.
@@ -2811,6 +3018,138 @@ object SparkEntry {
     graft.operators.Retrieval.bm25TopKFromIndex(
       docs.filter(col("doc_id") % 97 === 0), s"$dir/bm25",
       "text", "doc_id", k = 5)
+  }
+
+  // The append rung of the BM25 lifecycle (the last persisted family to
+  // get one): the index is built on a THIRD of the corpus and grown to
+  // full coverage by two appends. Because the v2 layout stores no df
+  // (it re-derives per serve from the slice the serve touches) and the
+  // `_params` stats update as integer sums, the served answer provably
+  // equals a from-scratch build over everything ingested — so the r1/r2
+  // full-corpus oracle applies verbatim to the appended index. Appends
+  // never read the existing corpus, let alone rewrite it: O(batch
+  // tokenization) + a parquet append under the compaction pointer.
+  define("r5_bm25_append", bm25OracleSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"bm25app_$d") { p =>
+      graft.operators.Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", s"$p/bm25")
+      graft.operators.Retrieval.appendToBm25Index(
+        docs.filter(col("doc_id") % 3 === 1), "text", "doc_id", s"$p/bm25")
+      graft.operators.Retrieval.appendToBm25Index(
+        docs.filter(col("doc_id") % 3 === 2), "text", "doc_id", s"$p/bm25")
+    }
+    graft.operators.Retrieval.bm25TopKFromIndex(
+      docs.filter(col("doc_id") % 97 === 0), s"$dir/bm25",
+      "text", "doc_id", k = 5)
+  }
+
+  // Hybrid retrieval: BM25 top-20 over text ⊕ exact-cosine top-20 over the
+  // aligned embeddings, reciprocal-rank-fused (1/(60+rank), no score
+  // calibration across systems) to the final top-10. Queries are ids < 5
+  // against the disjoint ≥ 5 corpus on BOTH modalities (the s1 split).
+  // Fusion sums at most two exactly-computed double terms per pair —
+  // commutative, engine-independent — and rounds to 6dp before the ranking
+  // window; per-system ranks transfer their own r1/s1 determinism
+  // arguments. The fuse layer touches only |Q|·depth·2 slim rows.
+  // Shared by r3 (on-the-fly systems) and r4 (persisted-index serving):
+  // both serve the same query/corpus split at the same depths, and each
+  // side's persisted path provably equals its on-the-fly path (r2 ≡ r1,
+  // s17 ≡ s16 at blanket rerank), so one fused oracle checks both.
+  private val hybridRrfSql: String =
+    """WITH tok AS (
+         SELECT doc_id AS n_id,
+           unnest(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+'))
+             AS term
+         FROM documents WHERE doc_id >= 5),
+       tf AS (SELECT n_id, term, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY n_id, term),
+       dl AS (SELECT n_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY n_id),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       qt AS (SELECT DISTINCT doc_id AS q_id, term FROM (
+                SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g')), '\s+')) AS term
+                FROM documents WHERE doc_id < 5)
+              WHERE term <> ''),
+       lexscored AS (
+         SELECT qt.q_id, tf.n_id,
+           round(sum(ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6)
+             AS score
+         FROM qt JOIN tf USING (term)
+         JOIN dfr USING (term)
+         JOIN dl ON dl.n_id = tf.n_id
+         CROSS JOIN stats
+         GROUP BY qt.q_id, tf.n_id),
+       lex AS (SELECT q_id, n_id, rank FROM (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, n_id) AS rank
+           FROM lexscored) WHERE rank <= 20),
+       qv AS (SELECT vec_id AS q_id, embedding AS v FROM embeddings
+              WHERE vec_id < 5),
+       cv AS (SELECT vec_id AS n_id, embedding AS v FROM embeddings
+              WHERE vec_id >= 5),
+       den AS (SELECT q_id, n_id, rank FROM (
+           SELECT qv.q_id, cv.n_id,
+             row_number() OVER (PARTITION BY qv.q_id
+               ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, cv.n_id)
+               AS rank
+           FROM qv, cv) WHERE rank <= 20),
+       u AS (SELECT q_id, n_id, 1.0 / (60 + rank) AS c FROM lex
+             UNION ALL
+             SELECT q_id, n_id, 1.0 / (60 + rank) AS c FROM den),
+       fused AS (SELECT q_id, n_id, round(sum(c), 6) AS rrf
+                 FROM u GROUP BY q_id, n_id)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank, rrf FROM (
+         SELECT q_id, n_id, rrf,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY rrf DESC, n_id) AS rank
+         FROM fused) WHERE rank <= 10"""
+
+  define("r3_hybrid_rrf", hybridRrfSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    graft.operators.Retrieval.hybridTopK(
+      docs.filter(col("doc_id") < 5), docs.filter(col("doc_id") >= 5),
+      emb.filter(col("doc_id") < 5), emb.filter(col("doc_id") >= 5),
+      "text", "embedding", "doc_id", k = 10, depth = 20)
+  }
+
+  // Hybrid retrieval SERVED FROM PERSISTED INDEXES — the deployment
+  // shape: the BM25 postings index (r2's lifecycle) and the SQ8 code
+  // index (s17's) are each built once; a query batch hits both stored
+  // systems and the two rank lists RRF-fuse without either corpus being
+  // rescanned. Each side's serve provably equals its on-the-fly form
+  // (postings are a lossless factorization; SQ8's blanket re-rank covers
+  // the corpus), so the r3 oracle applies verbatim. At 100 TB the fusion
+  // still touches only |Q|·depth·2 slim rows — the corpus-sized work is
+  // amortized into the two index builds.
+  define("r4_hybrid_persisted", hybridRrfSql) { (s, d) =>
+    import graft.operators.{Retrieval, Similarity}
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val corpusVec = emb.filter(col("doc_id") >= 5)
+    val bmIdx = sessionIndexDir(s"r4bm_$d") { p =>
+      Retrieval.buildBm25Index(docs.filter(col("doc_id") >= 5),
+        "text", "doc_id", p)
+    }
+    val sqIdx = sessionIndexDir(s"r4sq_$d") { p =>
+      Similarity.buildSq8Index(corpusVec, "embedding", "doc_id", p, dim = 64)
+    }
+    val lex = Retrieval.bm25TopKFromIndex(docs.filter(col("doc_id") < 5),
+      bmIdx, "text", "doc_id", k = 20)
+    val den = Similarity.sq8TopKFromIndex(emb.filter(col("doc_id") < 5),
+      corpusVec, sqIdx, "embedding", "doc_id", k = 20, rerank = 1024)
+    Retrieval.rrfFuse(Seq(lex, den), k = 10)
   }
 
   // SemDeDup (cluster-scoped near-dup): duplicates are searched WITHIN
@@ -3381,6 +3720,73 @@ object SparkEntry {
       "text", "doc_id", threshold = 0.5)
   }
 
+  // The broadcast-free serve regime: a Bloom filter of the stored eval
+  // shingles (~1.2 B/element at 1% fpp vs the full string set's ~30 B)
+  // prefilters the corpus postings locally; false positives die in the
+  // exact postings join that follows, so the output is bit-identical to
+  // t22 at ANY fpp and the same pair oracle applies. This is the shape
+  // for eval suites too big to broadcast — the sketch is the only thing
+  // shipped corpus-wide. PipelineSpec additionally pins exactness under
+  // a pathological fpp.
+  define("t31_bloom_decontaminate", contamPairsSql) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"contam_$d") { p =>
+      graft.operators.Decontaminate.buildIndex(
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+        s"$p/contam", shingleSize = 3, hashPostings = false)
+    }
+    graft.operators.Decontaminate.flagFromIndexBloom(
+      docs.filter(col("doc_id") % 20 =!= 0), s"$dir/contam",
+      "text", "doc_id", threshold = 0.5)
+  }
+
+  // C4-style line-level cleaning (Raffel'20 §2.2): drop lines under 5
+  // words or containing a blocklist phrase, keep documents with ≥ 3
+  // surviving lines, re-join survivors. Lines are the d11 fixed 5-word
+  // segmentation (the corpus has no newlines; the operator is
+  // segmentation-agnostic). One projection pass, zero shuffles, zero
+  // joins — per-doc array HOFs over spread partitions; every rule is a
+  // pure string predicate so the oracle is exact. The terminal-punct
+  // rule is off (punctuation-free corpus) but tested in PipelineSpec.
+  define("t32_c4_line_filters",
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       l0 AS (
+         SELECT doc_id, w,
+           unnest(generate_series(0,
+             CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS g
+         FROM toks),
+       lines AS (
+         SELECT doc_id, g AS pos,
+           array_to_string(w[g*5+1 : g*5+5], ' ') AS line
+         FROM l0),
+       kept AS (
+         SELECT doc_id, pos, line FROM lines
+         WHERE len(regexp_split_to_array(line, '\s+')) >= 5
+           AND NOT contains(lower(line), 'slow')),
+       nl AS (SELECT doc_id, count(*) AS n_lines FROM lines
+              GROUP BY doc_id),
+       nk AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id)
+       SELECT nl.doc_id,
+         CAST(nl.n_lines AS BIGINT) AS n_lines,
+         CAST(coalesce(nk.n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(nk.n_kept, 0) >= 3 AS keep,
+         coalesce(nk.text, '') AS text
+       FROM nl LEFT JOIN nk ON nl.doc_id = nk.doc_id""") { (s, d) =>
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    graft.operators.LineClean.cleanLines(
+      t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+      "lines", "doc_id",
+      minWordsPerLine = 5, requireTerminalPunct = false,
+      blocklist = Seq("slow"), minKeptLines = 3)
+  }
+
   // ------------------------------------------------------------------
   // BPE tokenizer training (operators.Bpe). The oracle is UNROLLED SQL:
   // each merge round is three CTEs (pair counts, argmax with the
@@ -3608,7 +4014,11 @@ object SparkEntry {
   // the fullest. Engine argmax is min(struct(-score, id)) — a plain
   // map-side-combined aggregate, no per-cluster sort; the oracle ranks
   // with a row_number window over the same recursive-CTE components.
-  define("d17_best_of_cluster",
+  // Shared verbatim by d17 (label-propagation CC) and d18 (star-
+  // contraction CC): BOTH fixpoints converge to min-id component labels,
+  // so the grouping — and therefore the best-of selection — is identical
+  // by construction, and one transitive-closure oracle checks both.
+  private val bestOfClusterSql: String =
     """WITH RECURSIVE
        w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds
              FROM documents),
@@ -3639,7 +4049,10 @@ object SparkEntry {
              FROM comp c JOIN t USING (doc_id))
        SELECT doc_id, n_tokens, component,
          CAST(n_members AS BIGINT) AS n_members
-       FROM m WHERE rn = 1""") { (s, d) =>
+       FROM m WHERE rn = 1"""
+
+  private def bestOfCluster(s: SparkSession, d: String,
+                            algorithm: String): DataFrame = {
     import graft.operators.Dedup
     val docs = t(s, d, "documents")
     val scored = docs.select(col("doc_id"),
@@ -3648,8 +4061,22 @@ object SparkEntry {
     val edges = Dedup.ngramJaccard(docs, "text", "doc_id",
       threshold = 0.5, shingleSize = 2, maxDf = 1000000L)
     Dedup.keepBestOfCluster(scored, "doc_id", "n_tokens", edges,
-      "a_id", "b_id")
+      "a_id", "b_id", algorithm = algorithm)
       .select("doc_id", "n_tokens", "component", "n_members")
+  }
+
+  define("d17_best_of_cluster", bestOfClusterSql) { (s, d) =>
+    bestOfCluster(s, d, "label")
+  }
+
+  // The star-contraction serving form (Kiveris'14 two-phase star): the
+  // O(log n)-round CC the crossover table (NOTES r10) recommends for
+  // UNKNOWN graph topology — label propagation's O(diameter) rounds lose
+  // 5.5× already at diameter 200, while near-dup clusters (tiny diameter)
+  // favor label's smaller per-round shuffle. Benched alongside d17 so the
+  // round-over-round numbers carry BOTH defaults.
+  define("d18_best_of_cluster_star", bestOfClusterSql) { (s, d) =>
+    bestOfCluster(s, d, "star")
   }
 
   // AS-OF join: each click attached to the user's most recent
@@ -3990,6 +4417,22 @@ object SparkEntry {
            ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
          FROM q, c) WHERE rank <= 5""") { (s, d) =>
     graft.streaming.Streaming.streamingAnnIngestServe(s, d, "st14")
+  }
+
+  // The st14 build/append/serve lifecycle over the SQ8 byte-code index:
+  // batch 1 trains bounds + builds, later batches frozen-bounds append
+  // (out-of-range clamps), every batch re-serves the fixed queries. The
+  // surviving (last) serve covers the full corpus and the blanket exact
+  // re-rank makes bounds/clamp history irrelevant — the s16 oracle
+  // transfers with NO probe caveat at all.
+  define("st22_stream_sq8",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    graft.streaming.Streaming.streamingSq8IngestServe(s, d, "st22")
   }
 
   // Streaming corpus-wide line dedup: the persisted line-hash index is

@@ -354,6 +354,117 @@ case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int,
     copy(child = newChild)
 }
 
+/** 8-bit scalar quantization of a float-vector column (the FAISS/Milvus
+  * `SQ8` layout): dimension i of the input maps to
+  * `clamp(floor((x_i − mins(i)) / steps(i)), 0, 255)` stored as one byte —
+  * a BinaryType value of exactly `mins.length` bytes, 4× smaller than the
+  * float32 array at rest AND in the shuffle/broadcast. `mins`/`steps` are
+  * the per-dimension bounds trained once on the corpus
+  * ([[graft.operators.Similarity.sq8Train]]); a constant-dimension
+  * (step = 0) encodes as 0. Inputs shorter than the trained dim encode
+  * their missing tail as 0 — the operator layer rejects dim mismatches
+  * up front, this is just the total-function fallback. */
+case class Sq8Encode(child: Expression, mins: Array[Double],
+                     steps: Array[Double]) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  private def quantize(x: Double, i: Int): Byte = {
+    val s = steps(i)
+    if (s == 0.0) 0.toByte
+    else {
+      val c = math.floor((x - mins(i)) / s)
+      (if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt).toByte
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), mins.length)
+    val out = new Array[Byte](mins.length)
+    var i = 0
+    while (i < n) {
+      out(i) = quantize(v.getFloat(i).toDouble, i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8mins", mins, "double[]")
+    val stepsRef = ctx.addReferenceObj("sq8steps", steps, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = Math.min($v.numElements(), $minsRef.length);
+         |byte[] $out = new byte[$minsRef.length];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($stepsRef[$i] != 0.0) {
+         |    double $c = Math.floor(((double) $v.getFloat($i) - $minsRef[$i])
+         |      / $stepsRef[$i]);
+         |    $out[$i] = (byte) ($c < 0.0 ? 0 : ($c > 255.0 ? 255 : (int) $c));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** Weighted sum of SQ8 code bytes: `Σ_i weights_i · codes_i` with codes
+  * read unsigned. This is the whole asymmetric-distance kernel for scalar
+  * quantization: for reconstruction x̂_i = mins_i + (c_i + 0.5)·steps_i,
+  * the approximate dot product `Σ q_i·x̂_i` equals a per-query CONSTANT
+  * plus this sum with weights_i = q_i·steps_i — the constant shifts every
+  * candidate of a query equally, so ranking needs only this loop: one
+  * fused multiply-add per BYTE of the corpus, inside whole-stage codegen,
+  * no float vectors touched. */
+case class Sq8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val w = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[Array[Byte]]
+    val n = math.min(w.numElements(), codes.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += w.getDouble(i) * (codes(i) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, codes) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($w.numElements(), $codes.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $w.getDouble($i) * ($codes[$i] & 0xff);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API over the custom expressions. */
 object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -375,4 +486,11 @@ object VectorFunctions {
                         seed: Long = 42L): Column =
     ColumnBridge.column(MinHashBandHashes(
       ColumnBridge.expression(shingles), numHashes, bands, seed))
+
+  def sq8Encode(vec: Column, mins: Array[Double], steps: Array[Double]): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec), mins, steps))
+
+  def sq8Dot(weights: Column, codes: Column): Column =
+    ColumnBridge.column(Sq8Dot(
+      ColumnBridge.expression(weights), ColumnBridge.expression(codes)))
 }

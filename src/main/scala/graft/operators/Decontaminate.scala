@@ -197,6 +197,77 @@ object Decontaminate {
     flagFromModel(train, loadIndex(train.sparkSession, indexPath),
       textCol, idCol, threshold, maxDf)
 
+  /** [[flagFromModel]] with a BLOOM-FILTER prefilter in place of the
+    * broadcast exact-set semi-join — the serve shape for when the eval
+    * suite outgrows broadcast. [[flagFromModel]] ships the full distinct
+    * shingle set to every executor; at 10⁶ eval items × ~10² shingles ×
+    * ~30 B that is gigabytes of broadcast. A Bloom filter over the same
+    * set is ~1.2 bytes/element at fpp 1% — two orders of magnitude
+    * smaller — and its false-positive survivors are REMOVED by the exact
+    * postings join that follows, so the output is bit-identical to the
+    * exact path at ANY fpp: the bloom can only let extra corpus postings
+    * through to the join, never drop a true match (no false negatives).
+    * Because the surviving set no longer came from an exact semi-join,
+    * the downstream joins drop their broadcast HINTS too and let AQE
+    * size the (post-prefilter, minuscule) sides — the full
+    * corpus-won't-broadcast regime end to end.
+    *
+    * The prefilter itself is one scalar UDF call per corpus posting —
+    * off codegen, but it REPLACES a hash-join probe of comparable
+    * per-row cost and pays for itself by never materializing the
+    * gigabyte build side. df-guard contract matches [[flagFromModel]]
+    * (post-prefilter df of a TRUE-matching shingle equals its corpus-wide
+    * value; a false-positive shingle may be pruned early, which only
+    * removes rows the exact join would discard anyway). */
+  def flagFromModelBloom(train: DataFrame, idx: ContamIndex,
+                         textCol: String, idCol: String,
+                         threshold: Double = 0.5, maxDf: Long = 1000L,
+                         fpp: Double = 0.01)
+                        (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = train.sparkSession
+    val tInv = shingled(train, textCol, idCol, "t_id", idx.shingleSize)
+      .select(col("t_id"), explode(col("sh")).as("__s"))
+      .select(col("t_id"), key(col("__s"), idx.hashed).as("shingle"))
+    val evShingles = idx.postings.select("shingle").distinct()
+    // posting-row count upper-bounds the distinct-shingle count — an
+    // over-sized filter only wastes bits, never recall
+    val bf = evShingles.stat.bloomFilter("shingle",
+      math.max(idx.postings.count(), 1L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val keep =
+      if (idx.hashed) udf((h: Long) => bfB.value.mightContainLong(h))
+      else udf((s: String) => bfB.value.mightContainString(s))
+    val matchedRaw = tInv.filter(keep(col("shingle")))
+    val pruned =
+      if (maxDf == Long.MaxValue) matchedRaw
+      else {
+        val matched = scope.cache(matchedRaw)
+        val heavy = matched.groupBy("shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select("shingle")
+        matched.join(heavy, Seq("shingle"), "left_anti")
+      }
+    // exact join: false positives die here (no posting row to meet)
+    val shared = pruned.join(idx.postings, "shingle")
+      .groupBy("t_id", "e_id")
+      .agg(count(lit(1)).as("inter"))
+    shared.join(idx.sizes, "e_id")
+      .select(col("t_id"), col("e_id"),
+        (col("inter").cast("double") / col("n_e").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Bloom-prefiltered flagging from a persisted index path. */
+  def flagFromIndexBloom(train: DataFrame, indexPath: String,
+                         textCol: String, idCol: String,
+                         threshold: Double = 0.5, maxDf: Long = 1000L,
+                         fpp: Double = 0.01)
+                        (implicit scope: CacheScope = CacheScope.global): DataFrame =
+    flagFromModelBloom(train, loadIndex(train.sparkSession, indexPath),
+      textCol, idCol, threshold, maxDf, fpp)
+
   /** The removal half: training rows whose document is NOT flagged
     * against the handle. The flagged id set is |contaminated docs| —
     * broadcast-sized whenever decontamination is working (a corpus that

@@ -374,6 +374,23 @@ object Dedup {
     chunkBlockPairs(withSig, bits = 60, maxHamming, maxBucket)
   }
 
+  /** [[simHashPortable]] over a caller-supplied TOKEN-ARRAY column
+    * instead of normalized-text words — the seam that lets non-text
+    * features (payload byte windows, [[graft.operators.Multimodal
+    * .payloadNearDup]]; code identifiers; shingled n-grams) reuse the
+    * portable fingerprint + pigeonhole blocking verbatim. Same plan
+    * shape: one codegen'd projection for the signature, chunk-key
+    * blocking, within-bucket hamming — corpus payloads never shuffle,
+    * only (id, 8-byte sig) rows do. */
+  def simHashPortableTokens(docs: DataFrame, tokensCol: String,
+                            idCol: String, maxHamming: Int = 3,
+                            maxBucket: Long = 100000L)
+                           (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val withSig = spread(docs.select(col(idCol).as("id"), col(tokensCol)))
+      .select(col("id"), portableSimhash60(col(tokensCol)).as("sig"))
+    chunkBlockPairs(withSig, bits = 60, maxHamming, maxBucket)
+  }
+
   /** 60-bit md5-family SimHash of a token array, composed entirely from
     * built-in higher-order functions (one md5 per token, then native array
     * folds — single codegen'd projection, no shuffle). */

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style LINE-level corpus cleaning (Raffel et al. JMLR'20 §2.2, the
+  * C4 pipeline; FineWeb and RefinedWeb keep the same shape): web text is
+  * cleaned line by line — short lines, boilerplate phrases
+  * ("lorem ipsum", "javascript", cookie banners), and non-sentence lines
+  * are DROPPED while the document survives with its remaining lines,
+  * then documents that kept too few lines are dropped entirely. This
+  * complements the DOCUMENT-level rule set in the Gopher-style
+  * [[graft.functions.TextFunctions]] quality scores (t15): those flag
+  * whole documents, this repairs them.
+  *
+  * Input contract: (idCol, linesCol: array<string>) — the operator is
+  * segmentation-agnostic like [[Dedup.keepFirstLines]]: real corpora
+  * split on '\n', the newline-free test corpus uses fixed word windows.
+  *
+  * Plan shape at 100 TB: one projection pass — per-document array HOFs
+  * (filter/size/array_join), NO explode, NO shuffle, NO join: each task
+  * cleans its own documents and the output is exactly one row per input
+  * row. The HOF lambdas run interpreted (outside whole-stage codegen),
+  * so inputs are [[spread]] first — the repo's measured
+  * one-partition-serializes-the-fold cliff (NOTES r8).
+  *
+  * Determinism: every rule is a pure string predicate (regexp token
+  * count, anchored terminal-punctuation match, lowercase substring
+  * containment) — bit-identical across engines, no floats anywhere.
+  */
+object LineClean {
+
+  /** Clean `linesCol` line by line. Output: one row per input document —
+    * (idCol, n_lines, n_kept, keep, text) where `text` is the kept lines
+    * re-joined with '\n' (empty string when nothing survives) and `keep`
+    * is the document-level verdict `n_kept >= minKeptLines`.
+    *
+    *  - `minWordsPerLine`: drop lines with fewer whitespace-split words
+    *    (C4 drops under-3-word lines).
+    *  - `requireTerminalPunct`: drop lines not ending in terminal
+    *    punctuation (C4's "ends in a terminal punctuation mark" rule) —
+    *    off for corpora without punctuation.
+    *  - `blocklist`: drop lines whose lowercase form contains ANY listed
+    *    phrase (C4 uses "javascript", "lorem ipsum", "{", policy
+    *    phrases). Matching is plain substring containment, not regex.
+    */
+  def cleanLines(df: DataFrame, linesCol: String, idCol: String,
+                 minWordsPerLine: Int = 3,
+                 requireTerminalPunct: Boolean = true,
+                 blocklist: Seq[String] =
+                   Seq("lorem ipsum", "javascript", "{"),
+                 minKeptLines: Int = 1): DataFrame = {
+    require(minWordsPerLine >= 0, "minWordsPerLine must be non-negative")
+    require(minKeptLines >= 0, "minKeptLines must be non-negative")
+    val keepLine: Column => Column = { line =>
+      val wordsOk =
+        size(split(line, "\\s+")) >= lit(minWordsPerLine)
+      val punctOk =
+        if (requireTerminalPunct) line.rlike("[.!?\"”]$") else lit(true)
+      val blockOk =
+        if (blocklist.isEmpty) lit(true)
+        else blocklist.map(b => !lower(line).contains(lit(b.toLowerCase)))
+          .reduce(_ && _)
+      wordsOk && punctOk && blockOk
+    }
+    spread(df.select(col(idCol), col(linesCol)))
+      .select(col(idCol), col(linesCol),
+        filter(col(linesCol), keepLine).as("__kept"))
+      .select(col(idCol),
+        size(col(linesCol)).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__kept")) >= lit(minKeptLines)).as("keep"),
+        array_join(col("__kept"), "\n").as("text"))
+  }
+}

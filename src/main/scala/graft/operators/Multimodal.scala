@@ -309,6 +309,39 @@ object Multimodal {
     decoded.select(col(idCol), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Binary-payload fuzzy near-dup (the ssdeep/sdhash family, done the
+    * SimHash way): fingerprint each payload from its non-overlapping
+    * `windowBytes`-byte windows and pair up payloads whose 60-bit
+    * signatures differ in ≤ `maxHamming` bits — re-encoded, trimmed, or
+    * lightly-corrupted copies of the same blob land within the radius
+    * while unrelated blobs don't. This is CONTENT near-dup on the raw
+    * bytes: it needs no codec, so it covers exactly the opaque-binary
+    * columns the decode seam leaves stubbed.
+    *
+    * Windows are hex-encoded (engine-portable, case-pinned) and hashed
+    * with the md5 family of [[Dedup.simHashPortableTokens]], so an
+    * independent engine reproduces the exact pair set — the m5 gate's
+    * oracle. Plan shape: payloads are read ONCE in a codegen'd
+    * projection down to (id, 8-byte sig); blocking, bucketing, and the
+    * hamming join all move slim signature rows only — the binary column
+    * never shuffles. Output: (a_id, b_id, hamming). */
+  def payloadNearDup(withPayload: DataFrame, idCol: String,
+                     payloadCol: String = "payload",
+                     windowBytes: Int = 4, maxHamming: Int = 3,
+                     maxBucket: Long = 100000L): DataFrame = {
+    require(windowBytes > 0, "windowBytes must be positive")
+    val w = windowBytes * 2 // hex chars per window
+    val h = upper(hex(col(payloadCol)))
+    // empty payload → empty token array (sequence(0, -1) would DESCEND)
+    val tokens = when(length(h) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(length(h) / lit(w.toDouble)).cast("int") - 1),
+        g => h.substr(g * w + 1, lit(w))))
+    Dedup.simHashPortableTokens(
+      withPayload.select(col(idCol), tokens.as("__wins")),
+      "__wins", idCol, maxHamming, maxBucket)
+  }
+
   /** "Resize" stub over the payload: truncate bytes to `maxBytes` and record
     * old/new sizes — the plumbing shape of a thumbnailing pass (binary in,
     * binary out, metadata delta). */

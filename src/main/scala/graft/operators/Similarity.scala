@@ -752,6 +752,149 @@ object Similarity {
       readRotation(spark, indexPath), vecCol, idCol, dim, m, k, rerank)
   }
 
+  // ------------------------------------------------------------------
+  // SQ8 — 8-bit scalar quantization (the FAISS `IndexScalarQuantizer`
+  // layout). One byte per DIMENSION (vs PQ's one byte per ~4-dim
+  // subspace): 4× compression with far better fidelity than PQ's 32×,
+  // the standard middle rung of the memory/recall ladder. Codes score
+  // via [[graft.functions.VectorFunctions.sq8Dot]] — one fused
+  // multiply-add per corpus BYTE inside whole-stage codegen — and the
+  // exact-cosine re-rank on original vectors finishes, so with a
+  // candidate budget that covers the true top-k the brute-force oracle
+  // transfers (the s6 PQ argument).
+  // ------------------------------------------------------------------
+
+  /** Per-dimension quantization bounds trained on the corpus. */
+  case class Sq8Bounds(mins: Array[Double], steps: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  /** Train SQ8 bounds: per-dimension min/max over the UNIT-normalized
+    * corpus (one posexplode → slim (i, x) rows → min/max hash agg — a
+    * single order-independent pass; the agg output is `dim` rows however
+    * large the corpus). step = (max − min)/255 so codes span the full
+    * unsigned-byte range; a constant dimension gets step 0 and encodes
+    * as 0. */
+  def sq8Train(corpus: DataFrame, vecCol: String, dim: Int): Sq8Bounds = {
+    val rows = corpus
+      .select(posexplode(unit(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    require(rows.nonEmpty, "sq8Train: corpus has no vectors")
+    require(rows.length == dim,
+      s"sq8Train: corpus vectors have ${rows.length} dimensions, " +
+        s"expected $dim")
+    val mins = new Array[Double](dim)
+    val steps = new Array[Double](dim)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      val mn = r.getFloat(1).toDouble
+      mins(i) = mn
+      steps(i) = (r.getFloat(2).toDouble - mn) / 255.0
+    }
+    Sq8Bounds(mins, steps)
+  }
+
+  /** Encode the corpus: (n_id, codes) with `codes` a BinaryType value of
+    * exactly `dim` bytes — the whole searchable corpus at 1 byte per
+    * dimension. Vectors are unit-normalized before quantization so the
+    * approximate dot IS an approximate cosine. */
+  def sq8Encode(corpus: DataFrame, bounds: Sq8Bounds, vecCol: String,
+                idCol: String): DataFrame =
+    spread(corpus.select(col(idCol).as("n_id"), col(vecCol)))
+      .select(col("n_id"),
+        VF.sq8Encode(unit(col(vecCol)), bounds.mins, bounds.steps)
+          .as("codes"))
+
+  /** ANN over SQ8 codes: per-query weight vector w_i = q_i·steps_i (the
+    * reconstruction's per-query constant shifts every candidate equally —
+    * see [[graft.functions.Sq8Dot]] — so it is dropped), codes scored by
+    * the codegen'd byte loop with the query batch BROADCAST (corpus codes
+    * never shuffle), top-`rerank` candidates per query via
+    * WindowGroupLimit, exact-cosine re-rank on original vectors. Size
+    * `rerank` to corpus count and recall target — [[calibrateRerank]]'s
+    * contract; at the gate configuration the budget blankets the corpus,
+    * so candidate coverage is total and the brute-force oracle applies. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+              bounds: Sq8Bounds, vecCol: String, idCol: String,
+              k: Int, rerank: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(rerank >= k, "rerank must be at least k")
+    val stepsLit = lit(bounds.steps)
+    val q = queries.select(col(idCol).as("q_id"),
+      zip_with(col(vecCol), stepsLit,
+        (x, s) => x.cast("double") * s).as("w"))
+    val scored = spread(codes).crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        VF.sq8Dot(col("w"), col("codes")).as("approx"))
+    val candW = Window.partitionBy("q_id")
+      .orderBy(col("approx").desc, col("n_id").asc)
+    val cands = scored.withColumn("cr", row_number().over(candW))
+      .filter(col("cr") <= rerank).select("q_id", "n_id")
+    exactRerank(cands, queries, corpus, vecCol, idCol, k)
+  }
+
+  /** Persist an SQ8 index: `codes` (compaction-managed lineage),
+    * `bounds` (dim rows: i, mn, step), `_params` (layout, dim). The
+    * train+encode pass is paid once; serving reads 1 byte/dim. */
+  def buildSq8Index(corpus: DataFrame, vecCol: String, idCol: String,
+                    path: String, dim: Int): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    dropStalePointer(path, "codes")
+    val bounds = sq8Train(corpus, vecCol, dim)
+    sq8Encode(corpus, bounds, vecCol, idCol)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    (0 until dim).map(i => (i, bounds.mins(i), bounds.steps(i)))
+      .toDF("i", "mn", "step")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+    Seq(("sq8_v1", dim)).toDF("layout", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readSq8Bounds(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Sq8Bounds = {
+    val p = readParams(spark, path).head()
+    requireLayoutIn(p, path, "sq8_v1")
+    val dim = p.getAs[Int]("dim")
+    val mins = new Array[Double](dim)
+    val steps = new Array[Double](dim)
+    spark.read.parquet(s"$path/bounds").collect().foreach { r =>
+      val i = r.getAs[Int]("i")
+      mins(i) = r.getAs[Double]("mn")
+      steps(i) = r.getAs[Double]("step")
+    }
+    Sq8Bounds(mins, steps)
+  }
+
+  /** Encode a new corpus slice with the index's FROZEN bounds and append
+    * its codes — the daily-ingest path ([[appendToPqIndex]]'s contract:
+    * bounds train once on a representative sample; out-of-range values in
+    * an appended batch CLAMP to the byte range, which only degrades that
+    * batch's approximate scores, never correctness — the exact re-rank
+    * still sees true vectors. Use [[ivfDriftCheck]]-style monitoring and
+    * rebuild on distribution drift. Caller owns id uniqueness. */
+  def appendToSq8Index(newCorpus: DataFrame, vecCol: String, idCol: String,
+                       path: String): Unit = {
+    val bounds = readSq8Bounds(newCorpus.sparkSession, path)
+    sq8Encode(newCorpus, bounds, vecCol, idCol)
+      .write.mode("append").parquet(resolveDataDir(path, "codes"))
+  }
+
+  /** ANN against a [[buildSq8Index]]-persisted index: stored bounds +
+    * codes, no train or encode at query time; `corpus` supplies vectors
+    * for the exact candidate re-rank only. */
+  def sq8TopKFromIndex(queries: DataFrame, corpus: DataFrame,
+                       indexPath: String, vecCol: String, idCol: String,
+                       k: Int, rerank: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val bounds = readSq8Bounds(spark, indexPath)
+    sq8TopK(queries, corpus,
+      spark.read.parquet(resolveDataDir(indexPath, "codes")),
+      bounds, vecCol, idCol, k, rerank)
+  }
+
   /** Resolve the live data directory for an index's `sub` table
     * ("index" or "codes"): if a `<sub>.ptr` pointer file exists (written
     * atomically by [[compactIndex]]) it names the current generation

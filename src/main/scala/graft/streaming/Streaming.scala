@@ -583,6 +583,65 @@ object Streaming {
     spark.read.parquet(outDir)
   }
 
+  /** [[streamingAnnIngestServe]]'s lifecycle over the SQ8 scalar-quantized
+    * index: the first corpus micro-batch trains the per-dimension bounds
+    * and BUILDS the persisted index
+    * ([[graft.operators.Similarity.buildSq8Index]]); every later batch
+    * encodes with the FROZEN bounds and appends its codes
+    * ([[graft.operators.Similarity.appendToSq8Index]] — out-of-range
+    * values clamp, which can only perturb approximate scores); then the
+    * fixed query set is served against all codes ingested so far. The
+    * vector side of the exact re-rank reads the staged corpus table —
+    * at scale that is the same durable table appends land in; it never
+    * ADDS candidates (the re-rank joins on candidate ids the CODES
+    * produced), so serving only ever sees ingested vectors.
+    *
+    * Determinism: each serve OVERWRITES the output, so the surviving
+    * answer is the post-last-batch one — full corpus — and at a
+    * blanket `rerank` the exact-cosine re-rank equals brute force over
+    * the whole corpus NO MATTER which batch trained the bounds or how
+    * appends clamped: candidate coverage is total, so the s16 oracle
+    * transfers exactly (the st14 argument, minus even the nprobe
+    * caveat). */
+  def streamingSq8IngestServe(spark: SparkSession, sfDir: String,
+                              name: String, ingestFiles: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idxDir = base.resolve("sq8").toString
+    val ingestDir = base.resolve("ingest").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    corpus.repartition(ingestFiles)
+      .write.mode("overwrite").parquet(ingestDir)
+    val staged = spark.read.parquet(ingestDir)
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        if (!mb.isEmpty) {
+          if (!new java.io.File(s"$idxDir/bounds").exists())
+            Similarity.buildSq8Index(mb, "embedding", "vec_id", idxDir,
+              dim = 64)
+          else
+            Similarity.appendToSq8Index(mb, "embedding", "vec_id", idxDir)
+          Similarity.sq8TopKFromIndex(queries, staged, idxDir,
+            "embedding", "vec_id", k = 5, rerank = 1024)
+            .select("q_id", "n_id", "rank")
+            .write.mode("overwrite").parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming corpus-wide keep-first line dedup: the persisted line-hash
     * index ([[graft.operators.Dedup.buildLineIndex]]) is the cross-batch
     * state — each micro-batch is deduped against history
@@ -923,8 +982,14 @@ object Streaming {
         .filter(queryFilter)
       val q = stream.writeStream
         .foreachBatch { (mb: DataFrame, _: Long) =>
-          Retrieval.bm25TopKFromModel(mb, model, "text", "doc_id", k)
+          // the v2 serve caches its candidate slice (two consumers: the
+          // serve-side df agg and the scoring join) — release it per
+          // trigger so cached frames never accumulate across batches
+          implicit val bscope: graft.operators.CacheScope =
+            new graft.operators.CacheScope
+          try Retrieval.bm25TopKFromModel(mb, model, "text", "doc_id", k)
             .write.mode("append").parquet(outDir)
+          finally bscope.release()
         }
         .option("checkpointLocation", ckpt)
         .start()

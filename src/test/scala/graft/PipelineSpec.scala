@@ -2532,13 +2532,19 @@ class PipelineSpec extends AnyFunSuite {
       Retrieval.buildBm25Index(docs, "text", "doc_id", dir)
       // stored corpus stats equal the in-flight ones (they drive scoring)
       val p = Similarity.readParams(spark, dir).head()
-      assert(p.getAs[String]("layout") == "bm25_v1")
+      assert(p.getAs[String]("layout") == "bm25_v2")
       val nDocs = docs
         .select(col("doc_id"),
           explode(TF.tokens(TF.normText(col("text")))).as("term"))
         .filter(col("term") =!= "")
-        .select("doc_id").distinct().count().toDouble
-      assert(p.getAs[Double]("n_docs") == nDocs)
+        .select("doc_id").distinct().count()
+      assert(p.getAs[Long]("n_docs") == nDocs)
+      // the stored postings carry NO df column (the appendable layout);
+      // avgdl is exactly sum_dl / n_docs off the integer sums
+      val stored = spark.read.parquet(Similarity.resolveDataDir(dir, "index"))
+      assert(stored.columns.sorted.toSeq == Seq("dl", "n_id", "term", "tf"))
+      assert(p.getAs[Double]("avgdl") ==
+        p.getAs[Long]("sum_dl").toDouble / nDocs)
       assert(p.getAs[Double]("k1") == 1.2 && p.getAs[Double]("b") == 0.75)
       def served = Retrieval
         .bm25TopKFromIndex(queries, dir, "text", "doc_id", k = 5)
@@ -2549,6 +2555,92 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.compactIndex(spark, dir, partitions = 2)
       assert(Similarity.resolveDataDir(dir, "index").endsWith("index.g0001"))
       assert(served.toSeq == direct.toSeq)
+    }
+  }
+
+  test("bm25 append: incremental index equals from-scratch build; stats additive; empty no-op") {
+    import graft.operators.Retrieval
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+    val direct = Retrieval.bm25TopK(queries, docs, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+    withTempDir("graft_bm25_app_") { dir =>
+      Retrieval.buildBm25Index(docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", dir)
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 3 === 1),
+        "text", "doc_id", dir)
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 3 === 2),
+        "text", "doc_id", dir)
+      // appended stats are EXACTLY the from-scratch build's (integer sums)
+      withTempDir("graft_bm25_full_") { full =>
+        Retrieval.buildBm25Index(docs, "text", "doc_id", full)
+        val pa = Similarity.readParams(spark, dir).head()
+        val pf = Similarity.readParams(spark, full).head()
+        assert(pa.getAs[Long]("n_docs") == pf.getAs[Long]("n_docs"))
+        assert(pa.getAs[Long]("sum_dl") == pf.getAs[Long]("sum_dl"))
+        assert(pa.getAs[Double]("avgdl") == pf.getAs[Double]("avgdl"))
+      }
+      // served answer ≡ one-shot over the whole corpus: df re-derives at
+      // serve, stats are additive — nothing in the index is stale
+      val served = Retrieval
+        .bm25TopKFromIndex(queries, dir, "text", "doc_id", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+      assert(served == direct)
+      // an all-empty batch appends nothing and leaves stats untouched
+      import spark.implicits._
+      val before = Similarity.readParams(spark, dir).head()
+      Retrieval.appendToBm25Index(
+        Seq((9999L, ""), (10000L, "  ")).toDF("doc_id", "text"),
+        "text", "doc_id", dir)
+      val after = Similarity.readParams(spark, dir).head()
+      assert(after.getAs[Long]("n_docs") == before.getAs[Long]("n_docs"))
+      assert(after.getAs[Long]("sum_dl") == before.getAs[Long]("sum_dl"))
+    }
+  }
+
+  test("bm25 serve-side maxDf: a term that grows into a stopword after appends is dropped") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val base = Seq((1L, "the cat"), (2L, "dog ran")).toDF("doc_id", "text")
+    val queries = Seq((10L, "the cat")).toDF("doc_id", "text")
+    withTempDir("graft_bm25_mdf_") { dir =>
+      Retrieval.buildBm25Index(base, "text", "doc_id", dir, maxDf = 1L)
+      // at build, df(the)=1 ≤ 1: "the" scores
+      val withThe = Retrieval
+        .bm25TopKFromIndex(queries, dir, "text", "doc_id", k = 3)
+        .collect().map(_.getLong(1)).toSet
+      assert(withThe == Set(1L))
+      // append a doc containing "the": corpus-wide df(the)=2 > 1 — the
+      // serve-side guard drops it NOW, not at the next rebuild. "cat"
+      // still scores doc 1; doc 3 matches only via "the" so it vanishes.
+      Retrieval.appendToBm25Index(
+        Seq((3L, "the fish")).toDF("doc_id", "text"), "text", "doc_id", dir)
+      val out = Retrieval
+        .bm25TopKFromIndex(queries, dir, "text", "doc_id", k = 3)
+        .collect().map(_.getLong(1)).toSet
+      assert(out == Set(1L), out)
+    }
+  }
+
+  test("bm25 layout guard: a v1 denormalized index refuses to load with a rebuild message") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    withTempDir("graft_bm25_v1_") { dir =>
+      Retrieval.buildBm25Index(
+        Seq((1L, "cat dog")).toDF("doc_id", "text"), "text", "doc_id", dir)
+      Seq(("bm25_v1", 1L, 2L, 2.0, 1.2, 0.75, Long.MaxValue))
+        .toDF("layout", "n_docs", "sum_dl", "avgdl", "k1", "b", "max_df")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.loadBm25(spark, dir)
+      }
+      assert(e.getMessage.contains("rebuild"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Retrieval.appendToBm25Index(
+          Seq((2L, "fish")).toDF("doc_id", "text"), "text", "doc_id", dir)
+      }
+      assert(e2.getMessage.contains("layout"), e2.getMessage)
     }
   }
 
@@ -3184,5 +3276,375 @@ class PipelineSpec extends AnyFunSuite {
         (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
         Seq((1L, "alpha", 10L), (2L, "beta", 20L), (3L, "gamma", 10L)))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Hybrid retrieval (RRF fusion)
+  // ------------------------------------------------------------------
+
+  test("rrfFuse: hand-computed fusion, missing-from-one-list handling, tie-break, guards") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // system A ranks docs 1,2,3; system B ranks 3,2,4
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)).toDF("q_id", "n_id", "rank")
+    val b = Seq((0L, 3L, 1), (0L, 2L, 2), (0L, 4L, 3)).toDF("q_id", "n_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("n_id"), r.getAs[Int]("rank"), r.getAs[Double]("rrf")))
+    def rrf(rs: Int*): Double =
+      BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc3: 1/63+1/61 > doc2: 1/62+1/62 (convexity of 1/x) > doc1 > doc4
+    assert(got.map(_._1).toSeq == Seq(3L, 2L, 1L, 4L))
+    assert(got.map(_._3).toSeq ==
+      Seq(rrf(3, 1), rrf(2, 2), rrf(1), rrf(3)))
+    // exact rrf ties break by n_id: two docs each only in one system at rank 1
+    val t1 = Seq((0L, 9L, 1)).toDF("q_id", "n_id", "rank")
+    val t2 = Seq((0L, 7L, 1)).toDF("q_id", "n_id", "rank")
+    val tie = Retrieval.rrfFuse(Seq(t1, t2), k = 2).orderBy("rank")
+      .collect().map(_.getAs[Long]("n_id")).toSeq
+    assert(tie == Seq(7L, 9L))
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq.empty, 5) }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), 0) }
+  }
+
+  test("hybridTopK: fused list beats-or-matches each system's overlap and is deterministic") {
+    import graft.operators.Retrieval
+    val qd = docs.filter(col("doc_id") < 3)
+    val cd = docs.filter(col("doc_id") >= 3)
+    val qe = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val ce = emb.filter(col("vec_id") >= 3)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val fused = Retrieval.hybridTopK(qd, cd, qe, ce,
+      "text", "embedding", "doc_id", k = 5, depth = 10)
+    val rows = fused.collect()
+    // every query yields exactly k rows with ranks 1..k
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+    }
+    // determinism: a second run is identical
+    val again = Retrieval.hybridTopK(qd, cd, qe, ce,
+      "text", "embedding", "doc_id", k = 5, depth = 10).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+    // each fused member came from at least one per-system top-10 list
+    val lex = Retrieval.bm25TopK(qd, cd, "text", "doc_id", 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val den = Similarity.bruteForceTopK(qe, ce, "embedding", "doc_id", 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    rows.foreach { r =>
+      val p = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      assert(lex.contains(p) || den.contains(p), s"$p in neither list")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.hybridTopK(qd, cd, qe, ce, "text", "embedding", "doc_id",
+        k = 10, depth = 5)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // SQ8 scalar quantization
+  // ------------------------------------------------------------------
+
+  test("sq8: codes are dim bytes, reconstruction error within a step, topK equals brute at blanket rerank") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val bounds = Similarity.sq8Train(corpus, "embedding", dim = 64)
+    assert(bounds.mins.length == 64 && bounds.steps.length == 64)
+    assert(bounds.steps.forall(_ >= 0.0))
+    val codes = Similarity.sq8Encode(corpus, bounds, "embedding", "vec_id")
+    val rows = codes.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Array[Byte]]("codes").length == 64))
+    // blanket rerank → exact equality with the brute baseline
+    val got = Similarity.sq8TopK(queries, corpus, codes, bounds,
+      "embedding", "vec_id", k = 5, rerank = 10000)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rank"))).toSet
+    val brute = Similarity.bruteForceTopK(queries, corpus,
+      "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(got == brute)
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(queries, corpus, codes, bounds, "embedding",
+        "vec_id", k = 5, rerank = 3)
+    }
+  }
+
+  test("sq8: tight rerank budget still recalls the true top-k (8-bit fidelity)") {
+    // the point of SQ8 over PQ: at 1 byte/dim the approximate ranking is
+    // nearly exact, so a rerank barely above k already recovers top-k
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val bounds = Similarity.sq8Train(corpus, "embedding", dim = 64)
+    val codes = Similarity.sq8Encode(corpus, bounds, "embedding", "vec_id")
+    val got = Similarity.sq8TopK(queries, corpus, codes, bounds,
+      "embedding", "vec_id", k = 5, rerank = 16)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val brute = Similarity.bruteForceTopK(queries, corpus,
+      "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall at rerank=16")
+  }
+
+  test("sq8 persisted index: serve equals on-the-fly, append joins the lineage, layout guarded") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    withTempDir("graft_sq8_idx_") { dir =>
+      val half = corpus.filter(col("vec_id") % 2 === 1)
+      Similarity.buildSq8Index(half, "embedding", "vec_id", dir, dim = 64)
+      Similarity.appendToSq8Index(corpus.filter(col("vec_id") % 2 === 0),
+        "embedding", "vec_id", dir)
+      val served = Similarity.sq8TopKFromIndex(queries, corpus, dir,
+        "embedding", "vec_id", k = 5, rerank = 10000)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+          r.getAs[Int]("rank"))).toSet
+      val brute = Similarity.bruteForceTopK(queries, corpus,
+        "embedding", "vec_id", k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+          r.getAs[Int]("rank"))).toSet
+      // NOTE: bounds were trained on half the corpus; appended vectors
+      // clamp into that range, and the exact re-rank still reproduces
+      // brute — the frozen-bounds contract
+      assert(served == brute)
+    }
+    withTempDir("graft_sq8_bad_") { dir =>
+      Seq(("other_v1", 64)).toDF("layout", "dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.sq8TopKFromIndex(queries, corpus, dir,
+          "embedding", "vec_id", k = 5)
+      }
+      assert(e.getMessage.contains("layout"), e.getMessage)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom-prefiltered decontamination
+  // ------------------------------------------------------------------
+
+  test("flagFromModelBloom: equals the exact serve path, including under a pathological fpp and hashed postings") {
+    import graft.operators.Decontaminate
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 20 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("t_id"), r.getAs[Long]("e_id"),
+        r.getAs[Double]("containment"))).toSet
+    for (hashed <- Seq(false, true)) {
+      withTempDir("graft_bloom_contam_") { dir =>
+        Decontaminate.buildIndex(evalSet, "text", "doc_id", dir,
+          shingleSize = 3, hashPostings = hashed)
+        val exact = pairs(Decontaminate.flagFromIndex(train, dir,
+          "text", "doc_id", threshold = 0.5))
+        assert(exact.nonEmpty)
+        // 1% fpp and a 50% fpp that floods the prefilter with false
+        // positives — the exact join must kill them all either way
+        for (fpp <- Seq(0.01, 0.5)) {
+          val bloom = pairs(Decontaminate.flagFromIndexBloom(train, dir,
+            "text", "doc_id", threshold = 0.5, fpp = fpp))
+          assert(bloom == exact, s"hashed=$hashed fpp=$fpp")
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // C4 line-level cleaning
+  // ------------------------------------------------------------------
+
+  test("cleanLines: word-count, terminal-punct, and blocklist rules; doc-level keep; empty survivors") {
+    import spark.implicits._
+    import graft.operators.LineClean
+    val in = Seq(
+      (1L, Seq("A full sentence here.", "too short.", "Lorem Ipsum filler text.",
+        "Another good line stands!", "menu { display: none }")),
+      (2L, Seq("no terminal punctuation at all", "also not ending right")),
+      (3L, Seq.empty[String]))
+      .toDF("doc_id", "lines")
+    val out = LineClean.cleanLines(in, "lines", "doc_id",
+      minWordsPerLine = 3, requireTerminalPunct = true,
+      blocklist = Seq("lorem ipsum", "{"), minKeptLines = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[Boolean]("keep"), r.getAs[String]("text"))).toMap
+    // doc 1: "too short." fails word count; lorem-ipsum and brace lines
+    // fail the blocklist; two survivors → kept
+    assert(out(1L) == ((5L, 2L,
+      true, "A full sentence here.\nAnother good line stands!")))
+    // doc 2: no line ends in terminal punctuation → zero kept, dropped
+    assert(out(2L) == ((2L, 0L, false, "")))
+    // doc 3: empty doc → zero lines, dropped, empty text
+    assert(out(3L) == ((0L, 0L, false, "")))
+    // punctuation rule off: doc 2's lines survive (≥3 words, no blocks)
+    val lax = LineClean.cleanLines(in, "lines", "doc_id",
+      minWordsPerLine = 3, requireTerminalPunct = false,
+      blocklist = Seq("lorem ipsum", "{"), minKeptLines = 2)
+      .filter(col("doc_id") === 2L).head()
+    assert(lax.getAs[Long]("n_kept") == 2L && lax.getAs[Boolean]("keep"))
+  }
+
+  test("payloadNearDup: exact copy at hamming 0, light corruption within radius, unrelated blob far, empty inert") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => s"chunk$i").mkString(" ")
+    // corrupt ONE 4-byte window's worth of content out of ~700 bytes
+    val corrupt = base.replace("chunk50", "CHUNK50")
+    val other = (1 to 100).map(i => s"other$i ${i * 7919}").mkString(" ")
+    val in = Seq((1L, base), (2L, base), (3L, corrupt), (4L, other),
+      (5L, "")).toDF("doc_id", "text")
+    val withPayload = Multimodal.attachPayload(in, "text", "image/fake")
+    // maxHamming=59 → every pair surfaces with its true distance
+    val all = Multimodal.payloadNearDup(withPayload, "doc_id",
+      maxHamming = 59)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Int]("hamming")).toMap
+    // identical payloads: hamming exactly 0
+    assert(all((1L, 2L)) == 0)
+    // identical payloads have identical signatures: same distance to 3
+    assert(all((1L, 3L)) == all((2L, 3L)))
+    // one corrupted window: far closer than the unrelated blob (~half
+    // the 60 bits apart) — with 2 of ~175 windows changed the majority
+    // votes barely move (here not a single bit flips)
+    assert(all((1L, 3L)) < all((1L, 4L)))
+    assert(all((1L, 3L)) <= 3, "corrupted copy should stay in radius")
+    val pairs = Multimodal.payloadNearDup(withPayload, "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Int]("hamming")).toMap
+    // default radius: the exact copy is found...
+    assert(pairs.get((1L, 2L)).contains(0))
+    // ...and the unrelated blob pairs with nothing
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // empty payload: empty token array is inert, never errors
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L })
+    // window seam matters: identical-content check again at another width
+    val wide = Multimodal.payloadNearDup(
+      Multimodal.attachPayload(in, "text", "image/fake"), "doc_id",
+      windowBytes = 8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(wide.contains((1L, 2L)))
+  }
+
+  test("simHashPortableTokens: word tokens reproduce simHashPortable exactly") {
+    val sample = docs.limit(50)
+    val viaTokens = Dedup.simHashPortableTokens(
+      sample.select(col("doc_id"),
+        TF.tokens(TF.normText(col("text"))).as("toks")),
+      "toks", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Dedup.simHashPortable(sample, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaTokens == direct)
+  }
+
+  // --- KMV distinct sketch (functions.KmvSketch) ---------------------
+
+  test("kmv sketch: k smallest distinct hashes, duplicates collapse, under-full exact") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    // raw long "hashes" fed straight in — the sketch sees values, not text
+    val vals = Seq(50L, 10L, 30L, 10L, 20L, 40L, 30L, 60L)
+    val in = vals.map(v => ("g", v)).toDF("g", "h").repartition(4)
+    val sk = in.groupBy("g")
+      .agg(KmvSketch.kmvSketch(col("h"), 4).as("sk"))
+      .select("sk").head().getSeq[Long](0)
+    // 4 smallest DISTINCT of {10,20,30,40,50,60}, ascending
+    assert(sk == Seq(10L, 20L, 30L, 40L))
+    // 3x-replicated input yields the identical sketch (dedup by value)
+    val rep = (vals ++ vals ++ vals).map(v => ("g", v)).toDF("g", "h")
+      .repartition(5)
+      .groupBy("g").agg(KmvSketch.kmvSketch(col("h"), 4).as("sk"))
+      .select("sk").head().getSeq[Long](0)
+    assert(rep == sk)
+    // under-full group: every distinct value kept, estimate EXACT
+    val small = Seq(("g", 7L), ("g", 7L), ("g", 9L)).toDF("g", "h")
+    val est = small.groupBy("g")
+      .agg(KmvSketch.kmvSketch(col("h"), 4).as("sk"))
+      .select(KmvSketch.estimate(col("sk"), 4)).head().getDouble(0)
+    assert(est == 2.0)
+  }
+
+  test("kmv estimate: hand-computed overfull formula; sf accuracy within estimator bounds") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val in = Seq(100L, 200L, 300L, 400L, 500L).map(("g", _)).toDF("g", "h")
+    val est = in.groupBy("g")
+      .agg(KmvSketch.kmvSketch(col("h"), 4).as("sk"))
+      .select(KmvSketch.estimate(col("sk"), 4)).head().getDouble(0)
+    assert(est == 3.0 * math.pow(2, 60) / 400.0)
+    // real corpus: per-lang vocab estimate vs exact distinct — k=32 gives
+    // ~18% expected relative error; assert a loose 2.5σ band per group
+    val toks = docs.select(col("lang"),
+        explode(TF.tokens(TF.normText(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val exact = toks.groupBy("lang")
+      .agg(countDistinct("term").as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ests = toks
+      .select(col("lang"), KmvSketch.portableHash60(col("term")).as("h"))
+      .groupBy("lang").agg(KmvSketch.kmvSketch(col("h"), 32).as("sk"))
+      .select(col("lang"), KmvSketch.estimate(col("sk"), 32).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ests.foreach { case (lang, est) =>
+      val ex = exact(lang).toDouble
+      assert(est > ex * 0.5 && est < ex * 1.8,
+        s"lang=$lang est=$est exact=$ex")
+    }
+  }
+
+  test("kmv set ops: union closure, hand-computed jaccard, union estimate") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    // closure: sketch(A ∪ B rows) == union(sketch(A), sketch(B), k)
+    val aVals = (1 to 40).map(i => i.toLong * 7919)
+    val bVals = (15 to 60).map(i => i.toLong * 7919)
+    def sk(vs: Seq[Long]) = vs.map(("g", _)).toDF("g", "h").repartition(3)
+      .groupBy("g").agg(KmvSketch.kmvSketch(col("h"), 8).as("sk"))
+    val merged = sk(aVals).select(col("sk").as("ska"))
+      .crossJoin(sk(bVals).select(col("sk").as("skb")))
+      .select(KmvSketch.union(col("ska"), col("skb"), 8))
+      .head().getSeq[Long](0)
+    val direct = sk(aVals ++ bVals).select("sk").head().getSeq[Long](0)
+    assert(merged == direct)
+    // hand case, k=4: a={1,2,3}, b={2,3} → union=[1,2,3] (still
+    // under-full → exact count 3), in-both={2,3} → jaccard 2/3
+    val a = Seq(1L, 2L, 3L).map(("g", _)).toDF("g", "h")
+      .groupBy("g").agg(KmvSketch.kmvSketch(col("h"), 4).as("ska"))
+    val b = Seq(2L, 3L).map(("g", _)).toDF("g", "h")
+      .groupBy("g").agg(KmvSketch.kmvSketch(col("h"), 4).as("skb"))
+    val out = a.join(b, "g").select(
+      KmvSketch.estimateJaccard(col("ska"), col("skb"), 4),
+      KmvSketch.estimate(KmvSketch.union(col("ska"), col("skb"), 4), 4))
+      .head()
+    assert(out.getDouble(0) == 2.0 / 3.0)
+    assert(out.getDouble(1) == 3.0)
+    // a FULL union (exactly k distinct values) cannot know it is exact —
+    // the estimator branch fires, the same `len < k` rule the oracle uses
+    val b4 = Seq(2L, 3L, 4L).map(("g", _)).toDF("g", "h")
+      .groupBy("g").agg(KmvSketch.kmvSketch(col("h"), 4).as("skb"))
+    val est = a.join(b4, "g").select(
+      KmvSketch.estimate(KmvSketch.union(col("ska"), col("skb"), 4), 4))
+      .head().getDouble(0)
+    assert(est == 3.0 * math.pow(2, 60) / 4.0)
+  }
+
+  test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val in = (1 to 1000).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "h")
+      .repartition(4)
+    val plan = in.groupBy("g")
+      .agg(KmvSketch.kmvSketch(col("h"), 16).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_kmv_min_hashes"), plan)
+    val partialIdx = plan.indexOf("partial_kmv_min_hashes")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      "partial sketch must sit below the exchange\n" + plan)
   }
 }

@@ -54,7 +54,13 @@ class PlanDigestSpec extends AnyFunSuite {
     // per-row-window ban applies to CORPUS-wide ranking, not these)
     "s11_ann_ivf_persisted"   -> Digest(2, 2, 0, 2, 4),
     "s15b_hard_negatives_ann" -> Digest(2, 3, 0, 3, 4),
-    "r2_bm25_serve"           -> Digest(4, 1, 0, 1, 2),
+    // v2 appendable layout: df re-derives at serve from the cached
+    // candidate slice. Reference-weighted counting multiplies the TINY
+    // query-tokenize subplan (2 shuffles, ≤|Q·terms| rows) by its 3
+    // cache references and the slice's broadcast semi-join by 2 — the
+    // corpus-sized postings path still has ZERO exchanges (PlanSpec pins
+    // that directly); +1 real shuffle is the serve-side df agg
+    "r2_bm25_serve"           -> Digest(9, 4, 0, 1, 2),
     "t22_decontaminate_serve" -> Digest(6, 5, 0, 0, 0),
     // histogram-instead-of-window paths: ZERO WindowExec is the whole
     // point of the t16/t20/a15 design — a 1 in the windows column here
@@ -77,7 +83,25 @@ class PlanDigestSpec extends AnyFunSuite {
     // deliberately reference-weighted — stable, and a new consumer of a
     // cached frame is itself a plan change worth reviewing
     "t27_bpe_encode"          -> Digest(5, 1, 0, 0, 0),
-    "t28_kn_bigram"           -> Digest(14, 3, 0, 0, 0))
+    "t28_kn_bigram"           -> Digest(14, 3, 0, 0, 0),
+    // round-10 serving batch: SQ8 persisted serve, hybrid-from-indexes
+    // (no corpus rescan), Bloom-prefiltered decontamination (broadcast-
+    // free), C4 line cleaning (zero-join scan pass), payload near-dup
+    // (binary column never shuffles — the sig agg's shuffle carries
+    // (id, 8-byte sig))
+    "s17_ann_sq8_persisted"   -> Digest(2, 3, 0, 2, 2),
+    // lexical side inherits r2's v2-layout reference-weighted deltas
+    "r4_hybrid_persisted"     -> Digest(11, 7, 0, 4, 5),
+    // t31 vs t22 (6, 5): the Bloom path's whole point is FEWER
+    // broadcasts — a broadcast reappearing here means the
+    // broadcast-free claim regressed
+    "t31_bloom_decontaminate" -> Digest(4, 3, 0, 0, 0),
+    "t32_c4_line_filters"     -> Digest(1, 0, 0, 0, 0),
+    "m5_payload_neardup"      -> Digest(5, 2, 0, 0, 0),
+    // KMV distinct sketch: spread's round-robin + the sketch agg's
+    // partial/final exchange — a window or extra shuffle here means the
+    // one-pass O(k)-state design regressed toward an exact distinct
+    "t33_kmv_vocab"           -> Digest(2, 0, 0, 0, 0))
 
   /** Loose per-gate ceiling on total expression tree nodes — see the
     * exprNodes check below. Current max across pinned gates is measured

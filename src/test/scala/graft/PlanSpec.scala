@@ -397,17 +397,25 @@ class PlanSpec extends AnyFunSuite {
       val bhj = ex.collect { case j: BroadcastHashJoinExec => j }
       assert(bhj.nonEmpty, s"no broadcast join in serve plan:\n$ex")
       // ...and the corpus-sized postings (streamed) side reaches the join
-      // straight from the scan — no exchange moves it. (The broadcast
-      // side's internal distinct may shuffle; that side is |Q·terms|.)
+      // straight from the scan — no exchange moves it. Exchanges BELOW a
+      // BroadcastExchange don't count: anything under one is broadcast-
+      // sized by construction (the serve-side df agg and the query-batch
+      // distinct both live there, shuffling ≤ |query vocabulary| rows).
       val streamed = bhj.map { j =>
         j.buildSide match {
           case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
           case _ => j.right
         }
       }
-      val shuffled = streamed.flatMap(_.collect {
-        case s: ShuffleExchangeExec => s
-      })
+      def corpusShuffles(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[ShuffleExchangeExec] = p match {
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          Seq.empty
+        case s: ShuffleExchangeExec =>
+          s +: s.children.flatMap(corpusShuffles)
+        case other => other.children.flatMap(corpusShuffles)
+      }
+      val shuffled = streamed.flatMap(corpusShuffles)
       assert(shuffled.isEmpty,
         s"postings side shuffles before the serve join:\n$ex")
     } finally {
