@@ -100,7 +100,7 @@ object Bench {
     // append lifecycle served end-to-end, and the KMV distinct sketch
     // (one scan pass, ≤k longs per partition-group on the wire)
     "r4_hybrid_persisted", "r5_bm25_append", "t33_kmv_vocab",
-    "t34_kmv_overlap")
+    "t34_kmv_overlap", "t35_intradoc_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2836,7 +2836,11 @@ object SparkEntry {
   // sketch under-full everywhere (exact path only, pinned by unit test
   // instead); per-lang phrase counts are 3k–9k at sf0.01, so the gate
   // exercises the real estimator branch.
-  define("t33_kmv_vocab",
+  // Shared by t33 (batch) and st23 (streaming): KMV is closed under
+  // union, so per-batch sketches merged across triggers equal the
+  // one-shot batch sketch whatever the batch boundaries — one oracle
+  // checks both.
+  private val kmvVocabSql: String =
     """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+')
            AS wds FROM documents),
        g AS (SELECT lang, array_to_string(wds[pos : pos + 2], ' ') AS gram
@@ -2859,16 +2863,20 @@ object SparkEntry {
          CAST(CASE WHEN nd < 32 THEN nd ELSE 32 END AS BIGINT) AS n_kept,
          CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
               ELSE 31 * pow(2, 60) / CAST(v32 AS DOUBLE) END AS est_phrases
-       FROM a""") { (s, d) =>
-    import graft.functions.KmvSketch
+       FROM a"""
+
+  define("t33_kmv_vocab", kmvVocabSql) { (s, d) =>
+    import graft.functions.{KmvSketch, TextFunctions => TFx}
     import graft.operators.spread
     val k = 32
-    val w = split(trim(col("text")), "\\s+")
-    val grams = transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(0))),
-      pos => array_join(slice(w, pos, lit(3)), " "))
-    spread(t(s, d, "documents").select(col("lang"), grams.as("grams")))
-      .select(col("lang"), explode(col("grams")).as("gram"))
+    // spread the RAW text FIRST, shingle after the exchange — building
+    // the gram arrays inside the pre-spread projection runs the
+    // interpreted HOF on the single parquet partition (the repo's
+    // measured spread-before-HOF cliff: 5.3 s → 0.6 s at sf0.1).
+    // TF.shingles also guards sub-n docs (Spark's sequence(1, 0)
+    // DESCENDS where the oracle's generate_series(1, 0) is empty).
+    spread(t(s, d, "documents").select(col("lang"), col("text")))
+      .select(col("lang"), explode(TFx.shingles(col("text"), 3)).as("gram"))
       .select(col("lang"), KmvSketch.portableHash60(col("gram")).as("h"))
       .groupBy("lang")
       .agg(KmvSketch.kmvSketch(col("h"), k).as("sk"))
@@ -2918,19 +2926,17 @@ object SparkEntry {
               ELSE 63 * pow(2, 60) / CAST(un[64] AS DOUBLE)
          END AS est_union
        FROM u""") { (s, d) =>
-    import graft.functions.KmvSketch
+    import graft.functions.{KmvSketch, TextFunctions => TFx}
     import graft.operators.{spread, CacheScope}
     val k = 64
-    val w = split(trim(col("text")), "\\s+")
-    val grams = transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(0))),
-      pos => array_join(slice(w, pos, lit(3)), " "))
-    // one corpus scan; the per-(lang, slice) sketch table is |langs|·2
+    // one corpus scan (spread raw text BEFORE the shingle HOF — the t33
+    // cliff note); the per-(lang, slice) sketch table is |langs|·2
     // rows — cache it so the self-join's two consumers don't rescan
     val sk = CacheScope.global.cache(
       spread(t(s, d, "documents")
-        .select(col("lang"), (col("doc_id") % 2).as("p"), grams.as("grams")))
-        .select(col("lang"), col("p"), explode(col("grams")).as("gram"))
+        .select(col("lang"), (col("doc_id") % 2).as("p"), col("text")))
+        .select(col("lang"), col("p"),
+          explode(TFx.shingles(col("text"), 3)).as("gram"))
         .select(col("lang"), col("p"),
           KmvSketch.portableHash60(col("gram")).as("h"))
         .groupBy("lang", "p")
@@ -3787,6 +3793,44 @@ object SparkEntry {
       blocklist = Seq("slow"), minKeptLines = 3)
   }
 
+  // INTRA-document line dedup (RefinedWeb/C4 "repeated lines within a
+  // page"): keep each line's first occurrence inside its own document —
+  // the within-doc complement of d11's corpus-wide pass, and it needs
+  // ZERO corpus state: one projection of array HOFs, no explode, no
+  // shuffle, no join, one output row per document at any scale. Lines
+  // are the d11/t32 fixed 5-word segmentation. The oracle runs the same
+  // keep rule as a min-pos window over exploded lines — two different
+  // algorithms, one answer.
+  define("t35_intradoc_line_dedup",
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       lines AS (
+         SELECT doc_id, g AS pos,
+           array_to_string(w[g*5+1 : g*5+5], ' ') AS line
+         FROM (SELECT doc_id, w,
+                 unnest(generate_series(0,
+                   CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS g
+               FROM toks)),
+       kept AS (
+         SELECT doc_id, pos, line,
+           min(pos) OVER (PARTITION BY doc_id, line) AS first_pos
+         FROM lines)
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(*) FILTER (WHERE pos = first_pos) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE pos = first_pos) AS text
+       FROM kept GROUP BY doc_id""") { (s, d) =>
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    graft.operators.LineClean.dedupLinesWithinDoc(
+      t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+      "lines", "doc_id")
+  }
+
   // ------------------------------------------------------------------
   // BPE tokenizer training (operators.Bpe). The oracle is UNROLLED SQL:
   // each merge round is three CTEs (pair counts, argmax with the
@@ -4433,6 +4477,16 @@ object SparkEntry {
            ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
          FROM q, c) WHERE rank <= 5""") { (s, d) =>
     graft.streaming.Streaming.streamingSq8IngestServe(s, d, "st22")
+  }
+
+  // Streaming KMV distinct sketching: per-trigger batch sketches merge
+  // into a durable |groups|·k-long state table — KMV's closure under
+  // union (PipelineSpec pin) makes the merged stream answer equal the
+  // one-shot batch sketch whatever the batch boundaries, so t33's oracle
+  // applies verbatim. Completes the KMV triad (batch / set-ops /
+  // streaming).
+  define("st23_stream_kmv", kmvVocabSql) { (s, d) =>
+    graft.streaming.Streaming.streamingKmv(s, d, "st23", k = 32)
   }
 
   // Streaming corpus-wide line dedup: the persisted line-hash index is

@@ -72,4 +72,37 @@ object LineClean {
         (size(col("__kept")) >= lit(minKeptLines)).as("keep"),
         array_join(col("__kept"), "\n").as("text"))
   }
+
+  /** INTRA-document line dedup: keep each line's FIRST occurrence within
+    * its own document, preserving order (the RefinedWeb/C4 "remove
+    * repeated lines within a page" stage — boilerplate headers, nav
+    * menus, and cookie banners repeat inside one page long before they
+    * repeat across the corpus). The corpus-wide complement is
+    * [[Dedup.keepFirstLines]] (d11), which dedups ACROSS documents; this
+    * pass needs no corpus state at all.
+    *
+    * Plan shape at 100 TB: one projection pass — per-document array HOFs
+    * only, NO explode/shuffle/join/window, exactly one output row per
+    * document. The dedup predicate is `array_position(lines, x) == i+1`
+    * (an element survives iff it sits at its value's first index), which
+    * is O(lines²) COMPARES per document with zero allocation — bounded
+    * by document size, independent of corpus size, and cheaper in
+    * practice than exploding every line into an exchange to run a
+    * window over (doc, line). Documents beyond ~10⁴ lines should be
+    * split upstream ([[graft.operators.Packing]] chunking) before any
+    * per-line pass, this one included.
+    *
+    * Output: (idCol, n_lines, n_kept, text) — survivors re-joined with
+    * '\n'; n_lines − n_kept is the intra-doc duplicate count. */
+  def dedupLinesWithinDoc(df: DataFrame, linesCol: String,
+                          idCol: String): DataFrame =
+    spread(df.select(col(idCol), col(linesCol)))
+      .select(col(idCol), col(linesCol),
+        filter(col(linesCol), (x, i) =>
+          array_position(col(linesCol), x) === (i + 1).cast("long"))
+          .as("__kept"))
+      .select(col(idCol),
+        size(col(linesCol)).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as("text"))
 }

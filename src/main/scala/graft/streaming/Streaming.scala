@@ -744,6 +744,76 @@ object Streaming {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming KMV distinct sketching: the corpus streams in and a
+    * per-group bottom-k sketch accumulates across micro-batches — the
+    * "how many distinct X has the firehose carried so far" primitive
+    * (vocabulary growth, URL cardinality, per-language coverage) with
+    * NONE of HyperLogLog's irreproducibility. KMV is closed under union
+    * (PipelineSpec pins sketch(A∪B) ≡ union(sketch A, sketch B)), so
+    * per-batch sketch + merge REPLAYS the batch answer exactly whatever
+    * the batch boundaries — the t33 oracle transfers verbatim to the
+    * stream.
+    *
+    * State shape at 100 TB: each trigger computes its own batch sketch
+    * distributed (map-side combined, ≤ k longs per partition-group on
+    * the wire), and only the |groups|·k-long MERGED sketch table lives
+    * across batches — collected driver-side (bounded by construction:
+    * groups × k × 8 B, the DSIR-λ discipline) and checkpointed to
+    * parquet every trigger, so a restart resumes from durable state
+    * rather than executor memory. Corpus slices stage as `ingestFiles`
+    * files so the lifecycle genuinely iterates. */
+  def streamingKmv(spark: SparkSession, sfDir: String, name: String,
+                   k: Int = 32, ingestFiles: Int = 4): DataFrame = {
+    import graft.functions.{KmvBuffer, KmvSketch}
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val ckpt = base.resolve("ckpt").toString
+    val stateDir = base.resolve("kmvstate").toString
+    val ingestDir = base.resolve("ingest").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    batchDocs.repartition(ingestFiles)
+      .write.mode("overwrite").parquet(ingestDir)
+    val state = scala.collection.mutable.Map.empty[String, KmvBuffer]
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        if (!mb.isEmpty) {
+          val sqlc = mb.sparkSession
+          import sqlc.implicits._
+          // spread raw text before the shingle HOF (the t33 cliff note);
+          // shingles guards sub-n docs where a bare sequence() descends
+          val batchSk = graft.operators.spread(
+              mb.select(col("lang"), col("text")))
+            .select(col("lang"), explode(graft.functions.TextFunctions
+              .shingles(col("text"), 3)).as("gram"))
+            .select(col("lang"),
+              KmvSketch.portableHash60(col("gram")).as("h"))
+            .groupBy("lang").agg(KmvSketch.kmvSketch(col("h"), k).as("sk"))
+            .collect() // |groups| rows of ≤ k longs — bounded
+          batchSk.foreach { r =>
+            val buf = state.getOrElseUpdate(r.getString(0), new KmvBuffer(k))
+            r.getSeq[Long](1).foreach(buf.insert)
+          }
+          // durable checkpoint of the merged state: restart-safe, tiny
+          state.toSeq
+            .map { case (g, b) => (g, b.values.take(b.n).toSeq) }
+            .toDF("lang", "sk")
+            .coalesce(1).write.mode("overwrite").parquet(stateDir)
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // serve the t33 shape from the DURABLE state, not the driver map
+    spark.read.parquet(stateDir)
+      .select(col("lang"),
+        size(col("sk")).cast("long").as("n_kept"),
+        KmvSketch.estimate(array_sort(col("sk")), k).as("est_phrases"))
+  }
+
   /** Streaming model-based filtering: documents stream in and each
     * micro-batch is scored against a PERSISTED NaiveBayes model
     * ([[graft.operators.NaiveBayes.save]]) loaded once at stream setup —

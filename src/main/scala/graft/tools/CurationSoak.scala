@@ -22,7 +22,7 @@ object CurationSoak {
     val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans", "r8",
-        "r8b", "cc", "zipf"))
+        "r8b", "cc", "zipf", "kmv"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -553,6 +553,36 @@ object CurationSoak {
         .select(col("a"), (col("a") + 1).as("b"))
       ccRun("path", "label", nSmall, pathSmall, maxIter = 250)
       ccRun("path", "star", nSmall, pathSmall, maxIter = 40)
+    }
+
+    if (sections("kmv")) {
+      // KMV distinct sketch vs exact distinct at 100k docs: the claim
+      // under test is the WIRE COST — the sketch agg ships ≤ k longs per
+      // (partition, group) while the exact distinct shuffles every
+      // (group, gram) pair; the shuffle-write column is the point.
+      // k = 1024 (~3% relative error) is the production-ish setting,
+      // far past the gate's k = 32.
+      import graft.functions.{KmvSketch, TextFunctions => TFx}
+      import graft.operators.spread
+      val grams100k = spread(docs100k.select(col("lang"), col("text")))
+        .select(col("lang"), explode(TFx.shingles(col("text"), 3)).as("gram"))
+      time("kmv_sketch_100k_k1024") {
+        grams100k
+          .select(col("lang"), KmvSketch.portableHash60(col("gram")).as("h"))
+          .groupBy("lang")
+          .agg(KmvSketch.kmvSketch(col("h"), 1024).as("sk"))
+          .select(col("lang"), KmvSketch.estimate(col("sk"), 1024).as("est"))
+          .collect().foreach(r =>
+            println(f"[soak]   kmv ${r.getString(0)}: est=${r.getDouble(1)}%.0f"))
+        5L
+      }
+      time("exact_distinct_100k") {
+        grams100k.groupBy("lang")
+          .agg(countDistinct("gram").as("exact"))
+          .collect().foreach(r =>
+            println(s"[soak]   exact ${r.getString(0)}: ${r.getLong(1)}"))
+        5L
+      }
     }
     spark.stop()
   }

@@ -3632,6 +3632,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(est == 3.0 * math.pow(2, 60) / 4.0)
   }
 
+  test("dedupLinesWithinDoc: first occurrence survives in order; unique docs unchanged; zero shuffle beyond spread") {
+    import spark.implicits._
+    import graft.operators.LineClean
+    val in = Seq(
+      (1L, Seq("nav menu", "real content a", "nav menu", "real content b",
+        "real content a")),
+      (2L, Seq("only line")),
+      (3L, Seq.empty[String])).toDF("doc_id", "lines")
+    val out = LineClean.dedupLinesWithinDoc(in, "lines", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // repeats drop, FIRST occurrence keeps its position in the order
+    assert(out(1L) == (5L, 3L, "nav menu\nreal content a\nreal content b"))
+    assert(out(2L) == (1L, 1L, "only line"))
+    assert(out(3L) == (0L, 0L, ""))
+    // one projection pass: the only exchange is spread's round-robin
+    val plan = LineClean.dedupLinesWithinDoc(in, "lines", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("Generate"), plan)
+  }
+
   test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {
     import spark.implicits._
     import graft.functions.KmvSketch

@@ -101,7 +101,11 @@ class PlanDigestSpec extends AnyFunSuite {
     // KMV distinct sketch: spread's round-robin + the sketch agg's
     // partial/final exchange — a window or extra shuffle here means the
     // one-pass O(k)-state design regressed toward an exact distinct
-    "t33_kmv_vocab"           -> Digest(2, 0, 0, 0, 0))
+    "t33_kmv_vocab"           -> Digest(2, 0, 0, 0, 0),
+    // intra-doc line dedup: ONE projection pass — spread's round-robin
+    // is the only exchange; any join/window/extra shuffle means the
+    // in-row dedup regressed toward an exploded corpus-wide pass
+    "t35_intradoc_line_dedup" -> Digest(1, 0, 0, 0, 0))
 
   /** Loose per-gate ceiling on total expression tree nodes — see the
     * exprNodes check below. Current max across pinned gates is measured
