@@ -3158,6 +3158,28 @@ object SparkEntry {
     Retrieval.rrfFuse(Seq(lex, den), k = 10)
   }
 
+  // Streaming hybrid retrieval: query micro-batches hit BOTH persisted
+  // indexes (r4's build) and RRF-fuse per trigger. Per-query independence
+  // of each system AND of the fusion makes the micro-batch union equal
+  // the batch answer — r3/r4's oracle verbatim. Completes the hybrid
+  // serving triad (one-shot / persisted / streaming).
+  define("st24_stream_hybrid", hybridRrfSql) { (s, d) =>
+    import graft.operators.{Retrieval, Similarity}
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val bmIdx = sessionIndexDir(s"r4bm_$d") { p =>
+      Retrieval.buildBm25Index(docs.filter(col("doc_id") >= 5),
+        "text", "doc_id", p)
+    }
+    val sqIdx = sessionIndexDir(s"r4sq_$d") { p =>
+      Similarity.buildSq8Index(emb.filter(col("doc_id") >= 5),
+        "embedding", "doc_id", p, dim = 64)
+    }
+    graft.streaming.Streaming.streamingHybrid(s, d, "st24",
+      bmIdx, sqIdx, col("doc_id") < 5, k = 10)
+  }
+
   // SemDeDup (cluster-scoped near-dup): duplicates are searched WITHIN
   // embedding clusters only — cross-cluster pairs are skipped by design,
   // which is what bounds candidates at corpus scale. The axis-sign

@@ -1031,6 +1031,64 @@ object Streaming {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming HYBRID retrieval: each micro-batch of queries hits BOTH
+    * persisted systems — the BM25 postings index and the SQ8 code index,
+    * each built once before the stream — and the two rank lists RRF-fuse
+    * per trigger. Queries arrive as documents; the dense side's vectors
+    * come from a batch-side lookup keyed by the same id (the two-modality
+    * contract of [[graft.operators.Retrieval.hybridTopK]]). Per-QUERY
+    * independence of both systems and of the fusion (each query's fused
+    * list depends only on its own two rank lists) makes the micro-batch
+    * union equal the batch answer — the r3/r4 oracle transfers verbatim.
+    * Corpus-sized state is the two indexes on durable storage; per
+    * trigger only the batch's |Q|·depth·2 slim rank rows move. */
+  def streamingHybrid(spark: SparkSession, sfDir: String, name: String,
+                      bmIndexPath: String, sqIndexPath: String,
+                      queryFilter: org.apache.spark.sql.Column,
+                      k: Int, depth: Int = 20): DataFrame = {
+    import graft.operators.{Retrieval, Similarity}
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val corpusVec = emb.filter(col("doc_id") >= 5)
+    val m0 = Retrieval.loadBm25(spark, bmIndexPath)
+    val postings = m0.postings.cache()
+    postings.count()
+    val model = m0.copy(postings = postings)
+    try {
+      val stream = spark.readStream
+        .schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sfDir/documents.*")
+        .filter(queryFilter)
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          implicit val bscope: graft.operators.CacheScope =
+            new graft.operators.CacheScope
+          try {
+            if (!mb.isEmpty) {
+              val qVec = emb.join(mb.select(col("doc_id")), "doc_id")
+              val lex = Retrieval.bm25TopKFromModel(mb, model,
+                "text", "doc_id", depth)
+              val den = Similarity.sq8TopKFromIndex(qVec, corpusVec,
+                sqIndexPath, "embedding", "doc_id", k = depth,
+                rerank = 1024)
+              Retrieval.rrfFuse(Seq(lex, den), k)
+                .write.mode("append").parquet(outDir)
+            }
+          } finally bscope.release()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally postings.unpersist()
+    spark.read.parquet(outDir)
+  }
+
   def streamingBm25(spark: SparkSession, sfDir: String, name: String,
                     indexPath: String,
                     queryFilter: org.apache.spark.sql.Column,
