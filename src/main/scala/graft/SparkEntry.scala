@@ -3595,6 +3595,64 @@ object SparkEntry {
       totalN = 200, temperature = 0.5, salt = "a16")
   }
 
+  // Budget water-filling (Muennighoff'23 data-constrained scaling): how
+  // many tokens to draw from each domain under a global training budget
+  // when no domain may repeat past maxEpochs — alloc_d = min(λ·w_d,
+  // E·T_d) with ONE λ solving Σ alloc = budget. Closed form by sorting
+  // domains on the saturation threshold θ_d = E·T_d/w_d: a domain
+  // saturates iff the budget left after filling every smaller-θ cap
+  // still overflows its own threshold (two integer prefix/suffix sums);
+  // λ divides exactly on the unsaturated remainder. Weights here are
+  // the exact integers T_d² (superlinear → big domains saturate: both
+  // branches live at every SF; 2–6 of 20 sources cap out). The per-
+  // domain stats frame is the OUTPUT of the corpus aggregate —
+  // |domains| rows — so its window prefix sums are metadata-scale.
+  define("a17_budget_waterfill",
+    """WITH c AS (SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS t
+           FROM documents GROUP BY source),
+       w AS (SELECT source, t, t * t AS w FROM c),
+       b AS (SELECT CAST(floor(0.95 * sum(t)) AS BIGINT) AS budget FROM w),
+       s AS (SELECT source, t, w, 1 * t AS cap,
+               CAST(1 * t AS DOUBLE) / w AS theta FROM w),
+       o AS (SELECT s.*, budget,
+               sum(cap) OVER (ORDER BY theta, source
+                 ROWS UNBOUNDED PRECEDING) AS capPrefix,
+               sum(w) OVER (ORDER BY theta, source
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wFrom
+             FROM s CROSS JOIN b),
+       m AS (SELECT *,
+               CAST(budget - (capPrefix - cap) AS DOUBLE)
+                 > theta * CAST(wFrom AS DOUBLE) AS saturated
+             FROM o),
+       k AS (SELECT coalesce(sum(CASE WHEN saturated THEN cap END), 0)
+                 AS satCap,
+               coalesce(sum(CASE WHEN NOT saturated THEN w END), 0)
+                 AS unsatW,
+               max(budget) AS budget FROM m),
+       l AS (SELECT CASE WHEN unsatW = 0 THEN 0.0
+                  ELSE CAST(budget - satCap AS DOUBLE) / unsatW
+               END AS lambda FROM k),
+       f AS (SELECT source, t, w, saturated,
+               CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                    ELSE lambda * CAST(w AS DOUBLE) END AS alloc
+             FROM m CROSS JOIN l)
+       SELECT source, t AS tokens, CAST(w AS BIGINT) AS weight, saturated,
+         alloc AS alloc_tokens, alloc / CAST(t AS DOUBLE) AS epochs
+       FROM f""") { (s, d) =>
+    import graft.functions.{TextFunctions => TFx}
+    import graft.operators.CacheScope
+    val stats = CacheScope.global.cache(
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(sum(TFx.tokenCount(col("text"))).cast("long").as("tokens"))
+        .withColumn("weight", col("tokens") * col("tokens")))
+    val total = stats.agg(sum("tokens")).head().getLong(0)
+    val budget = math.floor(0.95 * total.toDouble).toLong
+    graft.operators.Splits.budgetWaterfill(stats, "source", "tokens",
+      "weight", budget, maxEpochs = 1)
+  }
+
   // Curation capstone v4 — composes the ROUND-10 operators in one gate:
   // Kneser–Ney perplexity scoring → per-language percentile gate (drop
   // the worst 10%, histogram path, no window) → temperature-0.5 domain

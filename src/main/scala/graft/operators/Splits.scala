@@ -222,4 +222,70 @@ object Splits {
     shard(df, keyCol, shards, salt)
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Data-constrained budget allocation (Muennighoff et al.'23, "Scaling
+    * Data-Constrained Language Models"): given per-domain token totals
+    * T_d and sampling weights w_d, allocate a training-token `budget` as
+    * alloc_d = min(λ·w_d, maxEpochs·T_d) with ONE scaling factor λ chosen
+    * so Σ alloc_d = budget — water-filling: a domain whose proportional
+    * share exceeds its repeat cap SATURATES at maxEpochs·T_d and its
+    * excess budget redistributes to the others. Closed form, no
+    * iteration: sort domains by saturation threshold θ_d = maxEpochs·T_d
+    * / w_d ascending; a domain saturates iff the budget left after
+    * filling every earlier (smaller-θ) cap still overflows its own
+    * threshold — `budget − capPrefix_{d−1} > θ_d · weightFrom_d` — a
+    * predicate off two integer prefix/suffix sums; λ then solves exactly
+    * on the unsaturated remainder.
+    *
+    * `stats` is the per-domain (domain, tokens, weight) frame — the
+    * OUTPUT of a corpus-scale aggregate, i.e. metadata-sized (|domains|
+    * rows), which is why the prefix sums here may use plain windows: the
+    * per-row-window ban is about corpus-sized frames. Everything before
+    * the final λ division is integer arithmetic (exact in any engine);
+    * θ, λ, and the allocations are single IEEE divisions/multiplies off
+    * those integers, so an independent engine reproduces every bit —
+    * weights should be INTEGERS (doc counts, the a16 n² temperature
+    * trick) to keep that property.
+    *
+    * Output: one row per domain — (domain, tokens, weight, saturated,
+    * alloc_tokens, epochs = alloc/tokens). If the budget exceeds every
+    * cap, all domains saturate and the leftover simply goes unallocated
+    * (Σ alloc < budget — the caller's signal to raise maxEpochs). */
+  def budgetWaterfill(stats: DataFrame, domainCol: String,
+                      tokensCol: String, weightCol: String,
+                      budget: Long, maxEpochs: Int)
+                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("__theta"), col(domainCol))
+    val s = scope.cache(stats
+      .select(col(domainCol), col(tokensCol).cast("long").as("__t"),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("__cap", lit(maxEpochs.toLong) * col("__t"))
+      .withColumn("__theta", col("__cap").cast("double") / col("__w"))
+      .withColumn("__capPrefix",
+        sum(col("__cap")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__wFrom",
+        sum(col("__w")).over(ord.rowsBetween(0, Window.unboundedFollowing)))
+      // saturated iff the budget surviving all smaller-θ caps overflows
+      // this domain's threshold over the weight mass from here on
+      .withColumn("saturated",
+        (lit(budget) - (col("__capPrefix") - col("__cap"))).cast("double") >
+          col("__theta") * col("__wFrom").cast("double")))
+    val agg = s.agg(
+      coalesce(sum(when(col("saturated"), col("__cap"))), lit(0L)),
+      coalesce(sum(when(!col("saturated"), col("__w"))), lit(0L))).head()
+    val satCap = agg.getLong(0)
+    val unsatW = agg.getLong(1)
+    val lambda =
+      if (unsatW == 0L) 0.0 else (budget - satCap).toDouble / unsatW
+    s.select(col(domainCol), col("__t").as("tokens"),
+      col("__w").as("weight"), col("saturated"),
+      when(col("saturated"), col("__cap").cast("double"))
+        .otherwise(lit(lambda) * col("__w").cast("double"))
+        .as("alloc_tokens"))
+      .withColumn("epochs",
+        col("alloc_tokens") / col("tokens").cast("double"))
+  }
 }

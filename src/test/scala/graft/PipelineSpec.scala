@@ -3654,6 +3654,29 @@ class PipelineSpec extends AnyFunSuite {
       !plan.contains("SortMergeJoin") && !plan.contains("Generate"), plan)
   }
 
+  test("budgetWaterfill: saturation, redistribution, all-saturated leftover, no-saturation proportional") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // A: huge weight, tiny cap → saturates; B absorbs the excess
+    val stats = Seq(("A", 10L, 100L), ("B", 10L, 1L))
+      .toDF("dom", "tokens", "weight")
+    def run(budget: Long) = Splits.budgetWaterfill(
+      stats, "dom", "tokens", "weight", budget, maxEpochs = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(3), r.getDouble(4), r.getDouble(5))).toMap
+    val mixed = run(15L)
+    assert(mixed("A") == ((true, 10.0, 1.0)))   // capped at 1 epoch
+    assert(mixed("B") == ((false, 5.0, 0.5)))   // λ = (15−10)/1 = 5
+    // budget past every cap: all saturate, leftover goes unallocated
+    val over = run(100L)
+    assert(over("A") == ((true, 10.0, 1.0)) && over("B") == ((true, 10.0, 1.0)))
+    // small budget: nobody saturates, allocation ∝ weight exactly
+    val under = run(5L)
+    assert(!under("A")._1 && !under("B")._1)
+    assert(under("A")._2 == 500.0 / 101.0 && under("B")._2 == 5.0 / 101.0)
+    assert(math.abs(under("A")._2 + under("B")._2 - 5.0) < 1e-9)
+  }
+
   test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {
     import spark.implicits._
     import graft.functions.KmvSketch
