@@ -1440,8 +1440,16 @@ object Similarity {
     // attach the query's label (a serving batch broadcasts; the full
     // training set streams through in such batches) and keep the k best
     // different-label survivors, re-ranked under the same ordering
+    // query-side labels get the same in-row non-null guard the stored
+    // side enforces at build/append: a NULL q_label would silently drop
+    // the query's every candidate through the null-hostile =!= below
+    // (with strict=false nothing would flag it)
     val ql = queries.select(col(idCol).as("q_id"),
-      col(labelCol).as("q_label"))
+      when(assert_true(col(labelCol).isNotNull,
+          lit(s"null query label in '$labelCol' — hardNegativesFromIndex " +
+            "requires non-null labels (a NULL can never certify as " +
+            "different-label)")).isNull,
+        col(labelCol)).as("q_label"))
     val out = cands.join(broadcast(ql), "q_id")
       .filter(col("q_label") =!= col("n_label"))
       .withColumn("rank", row_number().over(w))

@@ -2953,16 +2953,21 @@ class PipelineSpec extends AnyFunSuite {
         "vec_id", "label", k = 2, overfetch = 3, nprobe = 2,
         strict = true)
       assert(ok.collect().map(_.getLong(1)).toSet == Set(4L, 5L))
-      // a null-label query can never certify a negative (conservative
-      // policy): it emits nothing, and strict surfaces it
+      // a null-label query can never certify a negative — the query side
+      // now carries the same in-row non-null guard the stored side
+      // enforces at build/append: a LOUD error in any mode, not a silent
+      // empty result (or, pre-guard, a strict-only under-filled signal)
       val qNull = Seq((9L, Option.empty[Int], Seq(1f, 0f)))
         .toDF("vec_id", "label", "embedding")
-      val e2 = intercept[IllegalArgumentException] {
+      val e2 = intercept[Exception] {
         Similarity.hardNegativesFromIndex(qNull, dir, "embedding",
-          "vec_id", "label", k = 1, overfetch = 4, nprobe = 2,
-          strict = true)
+          "vec_id", "label", k = 1, overfetch = 4, nprobe = 2).collect()
       }
-      assert(e2.getMessage.contains("under-filled"), e2.getMessage)
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(e2).exists(_.contains("null query label")),
+        messages(e2).mkString(" | "))
     }
   }
 

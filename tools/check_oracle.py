@@ -30,12 +30,17 @@ missing = sorted(n for n in defined
 for name in missing:
     print(f"{name}: MISSING OUTPUT (gate defined but no result dump)")
     bad += 1
+import time as _time
+slow = []  # (seconds, gate) — surfaced at the end so sweep logs name the
+           # oracles that dominate the sf0.1 leg's wall clock
 for name in sorted(oracles):
     if name in missing:
         continue  # already reported MISSING OUTPUT above
+    _t0 = _time.time()
     try:
         got = pd.read_parquet(f"{out}/{name}")
         exp = con.sql(oracles[name]).df()
+        slow.append((_time.time() - _t0, name))
         got = got[sorted(got.columns)]
         exp = exp[sorted(exp.columns)]
         if list(got.columns) != list(exp.columns):
@@ -61,5 +66,8 @@ for name in sorted(oracles):
         print(f"{name}: ERROR {type(e).__name__}: {e}")
         bad += 1
 total = len(oracles) + len([m for m in missing if m not in oracles])
+for sec, name in sorted(slow, reverse=True)[:8]:
+    if sec >= 5.0:
+        print(f"[oracle-cost] {name}: {sec:.1f} s")
 print(f"--- {total - bad}/{total} oracle-checked queries OK ---")
 sys.exit(1 if bad else 0)
