@@ -4569,6 +4569,35 @@ object SparkEntry {
     graft.streaming.Streaming.streamingKmv(s, d, "st23", k = 32)
   }
 
+  // Persisted KMV sketches (operators.Sketches): build on the even-id
+  // half, APPEND the odd half's independently-sketched rows (append-only
+  // writes — closure under union means the reader merges per group by
+  // re-sketching, no read-modify-write anywhere), load and estimate.
+  // By closure the loaded sketch equals the one-shot whole-corpus
+  // sketch, so t33's oracle applies verbatim once more.
+  define("t36_kmv_persisted", kmvVocabSql) { (s, d) =>
+    import graft.functions.{KmvSketch, TextFunctions => TFx}
+    import graft.operators.{spread, Sketches}
+    val k = 32
+    def sk(docFilter: org.apache.spark.sql.Column) =
+      spread(t(s, d, "documents").filter(docFilter)
+        .select(col("lang"), col("text")))
+        .select(col("lang"),
+          explode(TFx.shingles(col("text"), 3)).as("gram"))
+        .select(col("lang"), KmvSketch.portableHash60(col("gram")).as("h"))
+        .groupBy("lang").agg(KmvSketch.kmvSketch(col("h"), k).as("sk"))
+    val dir = sessionIndexDir(s"kmv_$d") { p =>
+      Sketches.saveKmvSketches(sk(col("doc_id") % 2 === 0),
+        "lang", "sk", s"$p/kmv", k)
+      Sketches.appendKmvSketches(sk(col("doc_id") % 2 === 1),
+        "lang", "sk", s"$p/kmv", k)
+    }
+    graft.operators.Sketches.loadKmvSketches(s, s"$dir/kmv")
+      .select(col("group").as("lang"),
+        size(col("sk")).cast("long").as("n_kept"),
+        KmvSketch.estimate(col("sk"), k).as("est_phrases"))
+  }
+
   // Streaming corpus-wide line dedup: the persisted line-hash index is
   // the cross-batch state (dedup-against-history, then append — 8 B per
   // distinct line on durable storage, not in the state store). Id-ordered

@@ -3682,6 +3682,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(under("A")._2 + under("B")._2 - 5.0) < 1e-9)
   }
 
+  test("kmv persisted: append-only roundtrip equals one-shot; k and layout guards refuse") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    import graft.operators.Sketches
+    val aVals = (1 to 40).map(i => ("g", i.toLong * 7919)) ++
+      (1 to 10).map(i => ("h", i.toLong * 104729))
+    val bVals = (25 to 70).map(i => ("g", i.toLong * 7919))
+    def sk(vs: Seq[(String, Long)]) = vs.toDF("grp", "h").repartition(3)
+      .groupBy("grp").agg(KmvSketch.kmvSketch(col("h"), 8).as("sk"))
+    withTempDir("graft_kmv_idx_") { dir =>
+      Sketches.saveKmvSketches(sk(aVals), "grp", "sk", dir, 8)
+      Sketches.appendKmvSketches(sk(bVals), "grp", "sk", dir, 8)
+      val loaded = Sketches.loadKmvSketches(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val oneShot = sk(aVals ++ bVals)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(loaded == oneShot) // union closure through the store
+      // a different k refuses rather than silently degrading the floor
+      val eK = intercept[IllegalArgumentException] {
+        Sketches.appendKmvSketches(sk(bVals), "grp", "sk", dir, 16)
+      }
+      assert(eK.getMessage.contains("k="), eK.getMessage)
+      // a foreign layout refuses
+      Seq(("bm25_v2", 8)).toDF("layout", "k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+      val eL = intercept[IllegalArgumentException] {
+        Sketches.loadKmvSketches(spark, dir)
+      }
+      assert(eL.getMessage.contains("layout"), eL.getMessage)
+    }
+  }
+
   test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {
     import spark.implicits._
     import graft.functions.KmvSketch
