@@ -1308,6 +1308,112 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // SQ8 drift check — the ivfDriftCheck contract for scalar quantization:
+  // appends encode against FROZEN per-dimension bounds (out-of-range
+  // clamps), so a drifted batch's midpoint-reconstruction error grows
+  // past the build corpus's own base_err and values start landing outside
+  // the trained range. The gate probes the SAME persisted index as s17
+  // with (a) the build corpus itself — ratio exactly 1, oob 0 — and (b) a
+  // copy whose first dimension spikes to 10 (a new source with a hot
+  // feature), whose post-normalization values escape the trained range
+  // (a uniform +c shift does NOT drift — normalization folds it back
+  // inside the envelope; measured ratio 0.997 — so the probe batch must
+  // change SHAPE, not offset). The oracle replays the arithmetic relationally
+  // (unit-normalize, per-dim min/max bounds, clamped floor codes,
+  // midpoint reconstruction) in the identical operation order; only the
+  // final means/ratios round (6dp), per the float-parity house rule.
+  define("s18_sq8_drift",
+    """WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+       braw AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+       sh AS (SELECT vec_id, list_transform(embedding,
+                (e, j) -> CASE WHEN j = 1 THEN CAST(10.0 AS REAL)
+                          ELSE e END) AS embedding
+              FROM braw),
+       un AS (SELECT vec_id, CASE WHEN nrm = 0 THEN
+                list_transform(embedding, e -> CAST(0.0 AS REAL))
+                ELSE list_transform(embedding, e -> CAST(e / nrm AS REAL))
+                END AS uv
+              FROM (SELECT vec_id, embedding,
+                      sqrt(list_reduce(list_transform(embedding,
+                        e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+                        (a, b) -> a + b)) AS nrm FROM braw)),
+       us AS (SELECT vec_id, CASE WHEN nrm = 0 THEN
+                list_transform(embedding, e -> CAST(0.0 AS REAL))
+                ELSE list_transform(embedding, e -> CAST(e / nrm AS REAL))
+                END AS uv
+              FROM (SELECT vec_id, embedding,
+                      sqrt(list_reduce(list_transform(embedding,
+                        e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+                        (a, b) -> a + b)) AS nrm FROM sh)),
+       b AS (SELECT i, CAST(min(uv[i]) AS DOUBLE) AS mn,
+               (CAST(max(uv[i]) AS DOUBLE) - CAST(min(uv[i]) AS DOUBLE))
+                 / 255.0 AS st
+             FROM un CROSS JOIN pos GROUP BY i),
+       ein AS (SELECT vec_id,
+                 sum(CASE WHEN st > 0 THEN (x - rec) * (x - rec)
+                      ELSE (x - mn) * (x - mn) END) AS e,
+                 sum(CASE WHEN st > 0 THEN
+                        (CASE WHEN rw < 0 OR rw > 255 THEN 1 ELSE 0 END)
+                      ELSE (CASE WHEN x <> mn THEN 1 ELSE 0 END) END) AS o
+               FROM (SELECT vec_id, x, mn, st, rw,
+                       mn + (least(greatest(rw, 0), 255) + 0.5) * st AS rec
+                     FROM (SELECT vec_id, CAST(uv[i] AS DOUBLE) AS x, mn,
+                             st, CASE WHEN st > 0 THEN
+                               floor((CAST(uv[i] AS DOUBLE) - mn) / st)
+                             END AS rw
+                           FROM un CROSS JOIN pos JOIN b USING (i)))
+               GROUP BY vec_id),
+       esh AS (SELECT vec_id,
+                 sum(CASE WHEN st > 0 THEN (x - rec) * (x - rec)
+                      ELSE (x - mn) * (x - mn) END) AS e,
+                 sum(CASE WHEN st > 0 THEN
+                        (CASE WHEN rw < 0 OR rw > 255 THEN 1 ELSE 0 END)
+                      ELSE (CASE WHEN x <> mn THEN 1 ELSE 0 END) END) AS o
+               FROM (SELECT vec_id, x, mn, st, rw,
+                       mn + (least(greatest(rw, 0), 255) + 0.5) * st AS rec
+                     FROM (SELECT vec_id, CAST(uv[i] AS DOUBLE) AS x, mn,
+                             st, CASE WHEN st > 0 THEN
+                               floor((CAST(uv[i] AS DOUBLE) - mn) / st)
+                             END AS rw
+                           FROM us CROSS JOIN pos JOIN b USING (i)))
+               GROUP BY vec_id),
+       ain AS (SELECT avg(e) AS be, sum(o) AS oo, count(*) AS n FROM ein),
+       ash AS (SELECT avg(e) AS be, sum(o) AS oo, count(*) AS n FROM esh),
+       base AS (SELECT be AS base_err FROM ain)
+       SELECT 'in_dist' AS batch, round(base_err, 6) AS base_err,
+         round(be, 6) AS batch_err,
+         round(be / greatest(base_err, 1e-12), 6) AS ratio,
+         round(CAST(oo AS DOUBLE) / (n * 64), 6) AS oob_frac
+       FROM ain CROSS JOIN base
+       UNION ALL
+       SELECT 'shifted' AS batch, round(base_err, 6) AS base_err,
+         round(be, 6) AS batch_err,
+         round(be / greatest(base_err, 1e-12), 6) AS ratio,
+         round(CAST(oo AS DOUBLE) / (n * 64), 6) AS oob_frac
+       FROM ash CROSS JOIN base""") { (s, d) =>
+    import s.implicits._
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val idx = sessionIndexDir(s"s17_$d") { p =>
+      Similarity.buildSq8Index(corpus, "embedding", "vec_id", p, dim = 64)
+    }
+    val shifted = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, lit(10.0f)).otherwise(x)).as("embedding"))
+    val rIn = Similarity.sq8DriftCheck(corpus, "embedding", idx)
+    val rSh = Similarity.sq8DriftCheck(shifted, "embedding", idx)
+    Seq(
+      ("in_dist", rIn.baseErr, rIn.batchErr, rIn.ratio, rIn.outOfRangeFrac),
+      ("shifted", rSh.baseErr, rSh.batchErr, rSh.ratio, rSh.outOfRangeFrac))
+      .toDF("batch", "base_err", "batch_err", "ratio", "oob_frac")
+      .select(col("batch"),
+        round(col("base_err"), 6).as("base_err"),
+        round(col("batch_err"), 6).as("batch_err"),
+        round(col("ratio"), 6).as("ratio"),
+        round(col("oob_frac"), 6).as("oob_frac"))
+  }
+
   // IVFPQ — coarse cells × PQ codes, the 10⁸⁺-vector layout. With nprobe
   // covering all 10 label cells the composition provably equals flat PQ
   // (PipelineSpec asserts it), whose candidates cover the true top-5 at
@@ -3580,7 +3686,7 @@ object SparkEntry {
        w AS (SELECT source, n, n * n AS w FROM c),
        tot AS (SELECT sum(w) AS tw FROM w),
        q AS (SELECT source,
-               least(n, CAST(floor(CAST(200 * w AS DOUBLE) / tw) AS BIGINT))
+               least(n, CAST((200 * w) // tw AS BIGINT))
                  AS quota
              FROM w CROSS JOIN tot),
        r AS (SELECT doc_id, source,
@@ -3674,7 +3780,7 @@ object SparkEntry {
       """mw AS (SELECT source, n, n * n AS wt FROM mc)""",
       """mtot AS (SELECT sum(wt) AS tw FROM mw)""",
       """mq AS (SELECT source,
-           least(n, CAST(floor(CAST(150 * wt AS DOUBLE) / tw) AS BIGINT))
+           least(n, CAST((150 * wt) // tw AS BIGINT))
              AS quota
          FROM mw CROSS JOIN mtot)""",
       """mr AS (SELECT surv.*, row_number() OVER (PARTITION BY source
@@ -3849,7 +3955,8 @@ object SparkEntry {
          FROM l0),
        kept AS (
          SELECT doc_id, pos, line FROM lines
-         WHERE len(regexp_split_to_array(line, '\s+')) >= 5
+         WHERE (CASE WHEN trim(line) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(line), '\s+')) END) >= 5
            AND NOT contains(lower(line), 'slow')),
        nl AS (SELECT doc_id, count(*) AS n_lines FROM lines
               GROUP BY doc_id),

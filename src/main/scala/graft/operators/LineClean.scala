@@ -36,7 +36,10 @@ object LineClean {
     * is the document-level verdict `n_kept >= minKeptLines`.
     *
     *  - `minWordsPerLine`: drop lines with fewer whitespace-split words
-    *    (C4 drops under-3-word lines).
+    *    (C4 drops under-3-word lines). Words are counted on the TRIMMED
+    *    line (the [[graft.functions.TextFunctions.tokens]] convention) —
+    *    leading whitespace must not mint a phantom empty first token —
+    *    and an empty/all-whitespace line counts 0 words, not 1.
     *  - `requireTerminalPunct`: drop lines not ending in terminal
     *    punctuation (C4's "ends in a terminal punctuation mark" rule) —
     *    off for corpora without punctuation.
@@ -54,7 +57,9 @@ object LineClean {
     require(minKeptLines >= 0, "minKeptLines must be non-negative")
     val keepLine: Column => Column = { line =>
       val wordsOk =
-        size(split(line, "\\s+")) >= lit(minWordsPerLine)
+        when(trim(line) === "", lit(0))
+          .otherwise(size(split(trim(line), "\\s+"))) >=
+          lit(minWordsPerLine)
       val punctOk =
         if (requireTerminalPunct) line.rlike("[.!?\"”]$") else lit(true)
       val blockOk =
@@ -63,7 +68,11 @@ object LineClean {
           .reduce(_ && _)
       wordsOk && punctOk && blockOk
     }
+    // a null lines array is an empty document, not a -1-line one
     spread(df.select(col(idCol), col(linesCol)))
+      .select(col(idCol),
+        coalesce(col(linesCol), array().cast("array<string>"))
+          .as(linesCol))
       .select(col(idCol), col(linesCol),
         filter(col(linesCol), keepLine).as("__kept"))
       .select(col(idCol),
@@ -97,6 +106,9 @@ object LineClean {
   def dedupLinesWithinDoc(df: DataFrame, linesCol: String,
                           idCol: String): DataFrame =
     spread(df.select(col(idCol), col(linesCol)))
+      .select(col(idCol),
+        coalesce(col(linesCol), array().cast("array<string>"))
+          .as(linesCol))
       .select(col(idCol), col(linesCol),
         filter(col(linesCol), (x, i) =>
           array_position(col(linesCol), x) === (i + 1).cast("long"))

@@ -207,6 +207,7 @@ object Retrieval {
         "bm25: corpus produced no postings (empty corpus or " +
           "all-empty/null text)")
       Similarity.dropStalePointer(path, "index")
+      Similarity.dropStalePointer(path, "_params") // fresh lineage
       postings.write.mode("overwrite").parquet(s"$path/index")
       Seq((Layout, n, sumDl, sumDl.toDouble / n, k1, b, maxDf))
         .toDF("layout", "n_docs", "sum_dl", "avgdl", "k1", "b", "max_df")
@@ -241,10 +242,20 @@ object Retrieval {
           .parquet(Similarity.resolveDataDir(path, "index"))
         val nd = p.getAs[Long]("n_docs") + n
         val sd = p.getAs[Long]("sum_dl") + sumDl
-        Seq((Layout, nd, sd, sd.toDouble / nd, p.getAs[Double]("k1"),
-          p.getAs[Double]("b"), p.getAs[Long]("max_df")))
-          .toDF("layout", "n_docs", "sum_dl", "avgdl", "k1", "b", "max_df")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+        // never overwrite the only stats copy in place: a crash
+        // mid-truncate would leave every later serve unreadable (or,
+        // worse, silently scoring on wrong N/avgdl). The updated row is
+        // a fully-written generation committed by an atomic pointer
+        // flip — any crash point leaves the PREVIOUS stats live (the
+        // just-appended batch under-counts until re-committed; stale,
+        // never corrupt).
+        Similarity.commitParams(path) { genDir =>
+          Seq((Layout, nd, sd, sd.toDouble / nd, p.getAs[Double]("k1"),
+            p.getAs[Double]("b"), p.getAs[Long]("max_df")))
+            .toDF("layout", "n_docs", "sum_dl", "avgdl", "k1", "b",
+              "max_df")
+            .coalesce(1).write.mode("overwrite").parquet(genDir)
+        }
       }
     } finally scope.release()
   }

@@ -849,7 +849,11 @@ object Similarity {
     (0 until dim).map(i => (i, bounds.mins(i), bounds.steps(i)))
       .toDF("i", "mn", "step")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
-    Seq(("sq8_v1", dim)).toDF("layout", "dim")
+    // base_err: the build corpus's own reconstruction error against the
+    // just-trained bounds — the drift baseline ([[ivfDriftCheck]]'s
+    // base_err contract, transplanted to scalar quantization)
+    val (baseErr, _) = sq8BatchError(corpus, vecCol, bounds)
+    Seq(("sq8_v1", dim, baseErr)).toDF("layout", "dim", "base_err")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
@@ -881,6 +885,84 @@ object Similarity {
     sq8Encode(newCorpus, bounds, vecCol, idCol)
       .write.mode("append").parquet(resolveDataDir(path, "codes"))
   }
+
+  /** Mean per-vector squared reconstruction error and out-of-range
+    * fraction of a batch against FROZEN SQ8 bounds. Reconstruction is
+    * the [[graft.functions.Sq8Dot]] midpoint x̂_i = mn_i + (c_i+0.5)·st_i
+    * with c the clamped floor code [[graft.functions.Sq8Encode]] writes;
+    * a constant (step-0) dimension reconstructs as mn. Plan shape: one
+    * fused projection per row (unit-normalize, then a single fold over
+    * the dim indices — bounds embed as array literals, no join, no
+    * shuffle) and one scalar aggregate; `spread` first because the HOF
+    * fold runs interpreted (the repo's one-partition cliff), and the
+    * unit projection stays a separate aliased select so the fold's many
+    * element_at references cannot inline 64 copies of it (the BPE
+    * blow-up lesson — CollapseProject keeps multi-referenced non-cheap
+    * aliases put). */
+  private def sq8BatchError(df: DataFrame, vecCol: String,
+                            bounds: Sq8Bounds): (Double, Double) = {
+    val minsLit = typedLit(bounds.mins.toSeq)
+    val stepsLit = typedLit(bounds.steps.toSeq)
+    val zero = struct(lit(0.0).as("e"), lit(0L).as("o"))
+    val prep = spread(df.select(col(vecCol).as("__v")))
+      .select(unit(col("__v")).as("__u"))
+    val folded = prep.select(
+      aggregate(sequence(lit(0), lit(bounds.dim - 1)), zero, (acc, i) => {
+        val x = element_at(col("__u"), i + 1).cast("double")
+        val mn = element_at(minsLit, i + 1)
+        val st = element_at(stepsLit, i + 1)
+        val raw = floor((x - mn) / st)
+        val code = least(greatest(raw, lit(0.0)), lit(255.0))
+        val rec = mn + (code + lit(0.5)) * st
+        val err = when(st > 0.0, (x - rec) * (x - rec))
+          .otherwise((x - mn) * (x - mn))
+        val oob = when(st > 0.0,
+            when(raw < 0.0 || raw > 255.0, lit(1L)).otherwise(lit(0L)))
+          .otherwise(when(x =!= mn, lit(1L)).otherwise(lit(0L)))
+        struct((acc.getField("e") + err).as("e"),
+          (acc.getField("o") + oob).as("o"))
+      }).as("s"))
+    val r = folded.agg(avg(col("s.e")), sum(col("s.o")),
+      count(lit(1))).head()
+    if (r.getLong(2) == 0L) (0.0, 0.0)
+    else (r.getDouble(0),
+      r.getLong(1).toDouble / (r.getLong(2).toDouble * bounds.dim))
+  }
+
+  /** Quantization-drift probe for a [[buildSq8Index]] index — the
+    * [[ivfDriftCheck]] contract transplanted to scalar quantization.
+    * Appends encode against FROZEN per-dimension bounds and out-of-range
+    * values CLAMP, so as the data distribution drifts the batch's
+    * reconstruction error grows past the build corpus's own (`base_err`
+    * in `_params`) and values start landing outside the trained range
+    * entirely. `ratio` ≫ 1 sustained, or a materially non-zero
+    * `outOfRangeFrac`, is the rebuild tripwire the freeze contract
+    * defers to. Cost: one fused projection + one scalar aggregate over
+    * the batch — run it on every ingest batch before
+    * [[appendToSq8Index]]. */
+  def sq8DriftCheck(batch: DataFrame, vecCol: String,
+                    indexPath: String): Sq8DriftReport = {
+    val spark = batch.sparkSession
+    val p = readParams(spark, indexPath).head()
+    requireLayoutIn(p, indexPath, "sq8_v1")
+    require(p.schema.fieldNames.contains("base_err"),
+      s"index at $indexPath predates drift baselines — rebuild it with " +
+        "buildSq8Index to record base_err")
+    val baseErr = p.getAs[Double]("base_err")
+    val bounds = readSq8Bounds(spark, indexPath)
+    val (batchErr, oob) = sq8BatchError(batch, vecCol, bounds)
+    Sq8DriftReport(baseErr, batchErr,
+      batchErr / math.max(baseErr, 1e-12), oob)
+  }
+
+  /** Result of [[sq8DriftCheck]]: build-time reconstruction error, the
+    * new batch's error against the same frozen bounds, their ratio
+    * (~1 = same distribution; ≫1 = drifted, rebuild), and the fraction
+    * of (row, dimension) values outside the trained range (these clamp
+    * at encode — fidelity loss invisible to the error mean alone when
+    * confined to few dimensions). */
+  final case class Sq8DriftReport(baseErr: Double, batchErr: Double,
+                                  ratio: Double, outOfRangeFrac: Double)
 
   /** ANN against a [[buildSq8Index]]-persisted index: stored bounds +
     * codes, no train or encode at query time; `corpus` supplies vectors
@@ -923,7 +1005,12 @@ object Similarity {
     * scheme, not just local disk. */
   def readParams(spark: org.apache.spark.sql.SparkSession,
                  indexPath: String): org.apache.spark.sql.DataFrame = {
-    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_params")
+    // pointer-aware like the data dirs: appendable families that MUTATE
+    // stats ([[graft.operators.Retrieval.appendToBm25Index]]) commit them
+    // as `_params.gNNNN` generations via [[commitParams]]; builders'
+    // plain `_params` stays live when no pointer exists
+    val dir = new org.apache.hadoop.fs.Path(
+      resolveDataDir(indexPath, "_params"))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -938,6 +1025,57 @@ object Similarity {
   private[operators] def dropStalePointer(path: String, sub: String): Unit = {
     import java.nio.file.{Files, Paths}
     Files.deleteIfExists(Paths.get(path, s"$sub.ptr"))
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      // materialize the walk before deleting, and close the JDK stream
+      val walk = java.nio.file.Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  /** Crash-safe `_params` REPLACEMENT for appendable indexes whose stats
+    * mutate over time (BM25's additive n_docs/sum_dl): `writeTo` writes
+    * the new single-row table into a fresh `_params.gNNNN` generation
+    * dir, and the ONLY commit point is the atomic `_params.ptr` rename —
+    * exactly the [[compactIndex]] discipline, because an in-place
+    * `mode("overwrite")` of the only copy truncates it first and a crash
+    * mid-write leaves the index permanently unreadable. Any crash here
+    * leaves the previous fully-written params live (a crash between a
+    * data append and this commit under-counts the new batch — stale but
+    * valid — never corrupt). Generations older than the one-cycle reader
+    * grace are swept after the flip; single-writer ownership, like every
+    * append path in the repo. */
+  private[operators] def commitParams(path: String)
+                                     (writeTo: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val liveName =
+      Paths.get(resolveDataDir(path, "_params")).getFileName.toString
+    val gen = liveName match {
+      case s if s.startsWith("_params.g") =>
+        f"_params.g${s.stripPrefix("_params.g").toInt + 1}%04d"
+      case _ => f"_params.g${1}%04d"
+    }
+    writeTo(Paths.get(path, gen).toString)
+    val tmp = Paths.get(path, "_params.ptr.tmp")
+    Files.write(tmp, gen.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(path, "_params.ptr"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // sweep superseded generations beyond the grace one (liveName); the
+    // builder's plain `_params` dir is never swept — a rebuild reclaims it
+    val genRe = "_params\\.g\\d+".r
+    val listing = {
+      val s = Files.list(Paths.get(path))
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    listing.foreach { p =>
+      val nm = p.getFileName.toString
+      if (genRe.matches(nm) && nm != gen && nm != liveName) deleteRec(p)
+    }
   }
 
   /** Compact an appendable index ([[buildLshIndex]] / [[buildPqIndex]] /
@@ -973,15 +1111,8 @@ object Similarity {
     * whole cells hash to one task). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    partitions: Int = 0): Unit = {
-    import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    // materialize listings BEFORE mutating, and close the JDK streams
-    // (Files.walk/list leak directory handles otherwise)
-    def deleteRec(p: Path): Unit = if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      val all = try walk.iterator().asScala.toSeq finally walk.close()
-      all.reverse.foreach(f => Files.deleteIfExists(f))
-    }
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
     Seq("index", "codes", "cells", "lines").foreach { sub =>

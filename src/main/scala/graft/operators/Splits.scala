@@ -157,8 +157,12 @@ object Splits {
     * is the drop-in alternative.
     *
     * Float parity: when 1/T is a small integer k, w_d is computed as
-    * EXACT integer n_d^k and the whole quota arithmetic is
-    * engine-independent (the `a16` gate pins T = 0.5, k = 2);
+    * EXACT integer n_d^k in BigInt — n^k overflows Long already at
+    * n ≈ 1450 for k = 6, and corpus-sized domain counts overflow even
+    * k = 2, so the exact path must not touch fixed-width arithmetic —
+    * and the quota is the TRUE floor `(totalN·w_d) / Σw` (BigInt
+    * division), engine-independent at any magnitude (the `a16` gate
+    * pins T = 0.5, k = 2, with the oracle on integer division too);
     * fractional exponents go through `math.pow`, whose last ulp is
     * libm-dependent — fine for pipelines, not for hash-match oracles. */
   def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
@@ -175,10 +179,11 @@ object Splits {
     val quotas: Seq[(Any, Long)] = exactK match {
       case Some(k) =>
         val ws = counts.map { case (dv, n) =>
-          (dv, n, Iterator.fill(k)(n).product) }
+          (dv, n, BigInt(n).pow(k)) }
         val w = ws.map(_._3).sum
         ws.map { case (dv, n, wd) =>
-          dv -> math.min(n, math.floor((totalN * wd).toDouble / w).toLong) }
+          val q = (BigInt(totalN) * wd) / w // exact floor, no overflow
+          dv -> (if (q >= BigInt(n)) n else q.toLong) }
       case None =>
         val ws = counts.map { case (dv, n) =>
           (dv, n, math.pow(n.toDouble, invT)) }
@@ -247,6 +252,17 @@ object Splits {
     * weights should be INTEGERS (doc counts, the a16 n² temperature
     * trick) to keep that property.
     *
+    * Range contract (validated driver-side off the same metadata-sized
+    * pass, loud `require` on violation): tokens and weights strictly
+    * positive; `maxEpochs·max(tokens)`, `Σ weight`, and `Σ cap` must
+    * each fit in a signed 64-bit Long. Squared-token weights overflow
+    * that already past ~3·10⁹ tokens per domain — realistic at 100 TB —
+    * but allocations are EXACTLY invariant under uniform weight scaling
+    * (θ ordering, the saturation predicate, and λ·w all cancel the
+    * common factor), so callers pre-divide oversized weights by any
+    * common factor (e.g. pass (T_d/2²⁰)² instead of T_d²) without
+    * changing a single output bit beyond float rounding.
+    *
     * Output: one row per domain — (domain, tokens, weight, saturated,
     * alloc_tokens, epochs = alloc/tokens). If the budget exceeds every
     * cap, all domains saturate and the leftover simply goes unallocated
@@ -259,9 +275,37 @@ object Splits {
     require(budget >= 0, "budget must be non-negative")
     import org.apache.spark.sql.expressions.Window
     val ord = Window.orderBy(col("__theta"), col(domainCol))
-    val s = scope.cache(stats
+    val raw = scope.cache(stats
       .select(col(domainCol), col(tokensCol).cast("long").as("__t"),
-        col(weightCol).cast("long").as("__w"))
+        col(weightCol).cast("long").as("__w")))
+    // range contract (scaladoc), validated BEFORE any cap/θ arithmetic
+    // can overflow (ANSI would throw an opaque SparkArithmeticException
+    // mid-plan; non-ANSI would silently wrap) — every violation is a
+    // loud, named error here. Exact decimal sums so the overflow CHECK
+    // itself cannot overflow.
+    val chk = raw.agg(
+      min(col("__w")), min(col("__t")), max(col("__t")),
+      sum(col("__w").cast("decimal(38,0)")),
+      sum(col("__t").cast("decimal(38,0)"))).head()
+    if (!chk.isNullAt(0)) {
+      val longMax = new java.math.BigDecimal(Long.MaxValue)
+      require(chk.getLong(1) > 0,
+        "budgetWaterfill: tokens must be strictly positive per domain")
+      require(chk.getLong(0) > 0,
+        "budgetWaterfill: weights must be strictly positive per domain")
+      require(chk.getLong(2) <= Long.MaxValue / maxEpochs,
+        s"budgetWaterfill: maxEpochs*tokens overflows Long for the " +
+          s"largest domain (${chk.getLong(2)} tokens, maxEpochs=$maxEpochs)")
+      require(chk.getDecimal(3).compareTo(longMax) <= 0 &&
+          chk.getDecimal(4)
+            .multiply(new java.math.BigDecimal(maxEpochs))
+            .compareTo(longMax) <= 0,
+        "budgetWaterfill: the weight or cap sum overflows Long — " +
+          "pre-divide weights by a common factor (allocations are " +
+          "invariant under uniform weight scaling, see scaladoc) or " +
+          "lower maxEpochs")
+    }
+    val s = scope.cache(raw
       .withColumn("__cap", lit(maxEpochs.toLong) * col("__t"))
       .withColumn("__theta", col("__cap").cast("double") / col("__w"))
       .withColumn("__capPrefix",

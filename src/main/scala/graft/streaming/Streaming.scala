@@ -760,19 +760,41 @@ object Streaming {
     * across batches — collected driver-side (bounded by construction:
     * groups × k × 8 B, the DSIR-λ discipline) and checkpointed to
     * parquet every trigger, so a restart resumes from durable state
-    * rather than executor memory. Corpus slices stage as `ingestFiles`
-    * files so the lifecycle genuinely iterates. */
+    * rather than executor memory: on startup the driver map RE-SEEDS
+    * from the state table, because the stream checkpoint skips files
+    * processed before the restart — their contributions exist ONLY in
+    * that table, and an empty map would silently undercount every
+    * group (KMV's union-closure makes the re-seeded merge exact).
+    * Corpus slices stage as `ingestFiles` files so the lifecycle
+    * genuinely iterates; pass `baseDir` to pin the
+    * checkpoint/state/ingest root across calls — a second call with
+    * the same `baseDir` IS a restart (StreamingSpec pins
+    * restart + new files ≡ one shot over the union). */
   def streamingKmv(spark: SparkSession, sfDir: String, name: String,
-                   k: Int = 32, ingestFiles: Int = 4): DataFrame = {
+                   k: Int = 32, ingestFiles: Int = 4,
+                   baseDir: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
     import graft.functions.{KmvBuffer, KmvSketch}
-    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val base = baseDir match {
+      case Some(p) => Files.createDirectories(Paths.get(p))
+      case None => Files.createTempDirectory(s"graft_stream_${name}_")
+    }
     val ckpt = base.resolve("ckpt").toString
     val stateDir = base.resolve("kmvstate").toString
     val ingestDir = base.resolve("ingest").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-    batchDocs.repartition(ingestFiles)
-      .write.mode("overwrite").parquet(ingestDir)
+    // stage only on first start: a restart must not rewrite the ingest
+    // files (fresh part names would read as NEW files past the
+    // checkpoint and double-count the corpus)
+    if (!Files.exists(Paths.get(ingestDir)))
+      batchDocs.repartition(ingestFiles)
+        .write.mode("overwrite").parquet(ingestDir)
     val state = scala.collection.mutable.Map.empty[String, KmvBuffer]
+    if (Files.exists(Paths.get(stateDir)))
+      spark.read.parquet(stateDir).collect().foreach { r =>
+        val buf = state.getOrElseUpdate(r.getString(0), new KmvBuffer(k))
+        r.getSeq[Long](1).foreach(buf.insert)
+      }
     val stream = spark.readStream
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)

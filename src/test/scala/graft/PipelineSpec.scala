@@ -2599,6 +2599,61 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 append commits _params as atomic pointer generations; crash debris never corrupts; sweep past grace") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    import java.nio.file.{Files, Paths}
+    withTempDir("graft_bm25_gen_") { dir =>
+      Retrieval.buildBm25Index(
+        Seq((1L, "cat dog"), (2L, "dog fish")).toDF("doc_id", "text"),
+        "text", "doc_id", dir)
+      // build: the plain _params dir is live, no pointer
+      assert(Similarity.resolveDataDir(dir, "_params")
+        == Paths.get(dir, "_params").toString)
+      // append: stats commit as a NEW generation + atomic pointer flip —
+      // never an in-place truncate of the only copy
+      Retrieval.appendToBm25Index(
+        Seq((3L, "cat")).toDF("doc_id", "text"), "text", "doc_id", dir)
+      assert(Similarity.resolveDataDir(dir, "_params")
+        .endsWith("_params.g0001"))
+      val p1 = Similarity.readParams(spark, dir).head()
+      assert(p1.getAs[Long]("n_docs") == 3L &&
+        p1.getAs[Long]("sum_dl") == 5L)
+      // a crashed commit = a written generation with NO pointer flip:
+      // readers keep serving the live generation untouched
+      val orphan = Paths.get(dir, "_params.g0002")
+      Files.createDirectories(orphan)
+      Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+      val p1b = Similarity.readParams(spark, dir).head()
+      assert(p1b.getAs[Long]("n_docs") == 3L)
+      // the next append reclaims the orphan's slot (fresh full write)
+      Retrieval.appendToBm25Index(
+        Seq((4L, "dog")).toDF("doc_id", "text"), "text", "doc_id", dir)
+      assert(Similarity.resolveDataDir(dir, "_params")
+        .endsWith("_params.g0002"))
+      assert(Similarity.readParams(spark, dir).head()
+        .getAs[Long]("n_docs") == 4L)
+      // generations older than the one-cycle reader grace are swept
+      Retrieval.appendToBm25Index(
+        Seq((5L, "fish cat")).toDF("doc_id", "text"), "text", "doc_id",
+        dir)
+      assert(Similarity.resolveDataDir(dir, "_params")
+        .endsWith("_params.g0003"))
+      val p3 = Similarity.readParams(spark, dir).head()
+      assert(p3.getAs[Long]("n_docs") == 5L &&
+        p3.getAs[Long]("sum_dl") == 8L)
+      assert(!Files.exists(Paths.get(dir, "_params.g0001"))) // swept
+      assert(Files.exists(Paths.get(dir, "_params.g0002")))  // grace
+      // a full rebuild resets the lineage to the plain builder dir
+      Retrieval.buildBm25Index(
+        Seq((9L, "owl")).toDF("doc_id", "text"), "text", "doc_id", dir)
+      assert(Similarity.resolveDataDir(dir, "_params")
+        == Paths.get(dir, "_params").toString)
+      assert(Similarity.readParams(spark, dir).head()
+        .getAs[Long]("n_docs") == 1L)
+    }
+  }
+
   test("bm25 serve-side maxDf: a term that grows into a stopword after appends is dropped") {
     import spark.implicits._
     import graft.operators.Retrieval
@@ -2993,6 +3048,24 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Splits.temperatureSample(df, "source", "doc_id", 0, 1.0)
     }
+  }
+
+  test("temperatureSample: exact quotas survive counts whose n^k overflows Long") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // k = 6, n = 1500: n^6 ≈ 1.14e19 > Long.MaxValue — a fixed-width
+    // exact path would produce negative weights and silently empty
+    // domains; the BigInt path keeps the true floor quotas
+    val df = ((1 to 1500).map(i => (i.toLong, "big")) ++
+      (10001 to 10750).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val cnt = Splits.temperatureSample(df, "source", "doc_id",
+      totalN = 100, temperature = 1.0 / 6.0, salt = "ovf")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_big/w_small = 2^6 = 64 → quota_big = floor(100·64/65) = 98,
+    // quota_small = floor(100·1/65) = 1
+    assert(cnt == Map("big" -> 98L, "small" -> 1L), cnt.toString)
   }
 
   test("kneserNeyBigramLogProb: hand-computed discount and continuation mass") {
@@ -3428,6 +3501,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8DriftCheck: in-distribution ratio exactly 1, shifted batch drifts with out-of-range mass, pre-baseline index refuses") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") >= 5)
+    withTempDir("graft_sq8_drift_") { dir =>
+      Similarity.buildSq8Index(corpus, "embedding", "vec_id", dir, dim = 64)
+      // the build corpus against its own bounds reproduces base_err bit
+      // for bit: ratio exactly 1, nothing out of range
+      val rIn = Similarity.sq8DriftCheck(corpus, "embedding", dir)
+      assert(rIn.ratio == 1.0 && rIn.batchErr == rIn.baseErr, rIn.toString)
+      assert(rIn.outOfRangeFrac == 0.0, rIn.toString)
+      assert(rIn.baseErr > 0.0) // 8-bit quantization is lossy
+      // a drifted distribution (one dimension spikes — a new data source
+      // with a hot feature) escapes the frozen per-dim range: error
+      // grows and out-of-range values appear — the rebuild tripwire.
+      // NOTE a uniform +c shift does NOT drift: unit normalization maps
+      // it back inside the trained envelope (measured ratio 0.997)
+      val spiked = corpus.select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(10.0f)).otherwise(x))
+          .as("embedding"))
+      val rSh = Similarity.sq8DriftCheck(spiked, "embedding", dir)
+      assert(rSh.ratio > 1.5, rSh.toString)
+      assert(rSh.outOfRangeFrac > 0.0, rSh.toString)
+    }
+    // an index persisted before drift baselines refuses with the rebuild
+    // hint rather than inventing a baseline
+    withTempDir("graft_sq8_old_") { dir =>
+      Similarity.buildSq8Index(corpus, "embedding", "vec_id", dir, dim = 64)
+      Seq(("sq8_v1", 64)).toDF("layout", "dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.sq8DriftCheck(corpus, "embedding", dir)
+      }
+      assert(e.getMessage.contains("rebuild"), e.getMessage)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Bloom-prefiltered decontamination
   // ------------------------------------------------------------------
@@ -3490,6 +3600,32 @@ class PipelineSpec extends AnyFunSuite {
       blocklist = Seq("lorem ipsum", "{"), minKeptLines = 2)
       .filter(col("doc_id") === 2L).head()
     assert(lax.getAs[Long]("n_kept") == 2L && lax.getAs[Boolean]("keep"))
+  }
+
+  test("cleanLines: trimmed word counts (no phantom leading token), whitespace-only lines, null lines array") {
+    import spark.implicits._
+    import graft.operators.LineClean
+    val in = Seq(
+      (1L, Seq(" one two.", "three real words.", "   ", "")),
+      (2L, null.asInstanceOf[Seq[String]]))
+      .toDF("doc_id", "lines")
+    val out = LineClean.cleanLines(in, "lines", "doc_id",
+      minWordsPerLine = 3, requireTerminalPunct = false,
+      blocklist = Nil, minKeptLines = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[Boolean]("keep"), r.getAs[String]("text"))).toMap
+    // " one two." is TWO words — the leading whitespace must not mint a
+    // phantom empty token that sneaks it past minWordsPerLine; the
+    // whitespace-only and empty lines count 0 words, not 1
+    assert(out(1L) == ((4L, 1L, true, "three real words.")),
+      out(1L).toString)
+    // a null lines array is an empty document, not a −1-line one
+    assert(out(2L) == ((0L, 0L, false, "")), out(2L).toString)
+    val dd = LineClean.dedupLinesWithinDoc(in, "lines", "doc_id")
+      .filter(col("doc_id") === 2L).head()
+    assert(dd.getAs[Long]("n_lines") == 0L &&
+      dd.getAs[String]("text") == "")
   }
 
   test("payloadNearDup: exact copy at hamming 0, light corruption within radius, unrelated blob far, empty inert") {
@@ -3680,6 +3816,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(!under("A")._1 && !under("B")._1)
     assert(under("A")._2 == 500.0 / 101.0 && under("B")._2 == 5.0 / 101.0)
     assert(math.abs(under("A")._2 + under("B")._2 - 5.0) < 1e-9)
+  }
+
+  test("budgetWaterfill range contract: non-positive inputs and Long overflow refuse loudly; scaling rescue is invariant") {
+    import spark.implicits._
+    import graft.operators.Splits
+    def run(rows: Seq[(String, Long, Long)], maxEpochs: Int = 1) =
+      Splits.budgetWaterfill(rows.toDF("dom", "tokens", "weight"),
+        "dom", "tokens", "weight", budget = 10L, maxEpochs = maxEpochs)
+        .collect()
+    val eW = intercept[IllegalArgumentException] {
+      run(Seq(("A", 10L, 0L), ("B", 10L, 1L)))
+    }
+    assert(eW.getMessage.contains("weights"), eW.getMessage)
+    val eT = intercept[IllegalArgumentException] {
+      run(Seq(("A", 0L, 1L)))
+    }
+    assert(eT.getMessage.contains("tokens"), eT.getMessage)
+    // maxEpochs·tokens past Long.MaxValue: a silently wrapped cap would
+    // corrupt the θ ordering and λ — now a loud error
+    val eC = intercept[IllegalArgumentException] {
+      run(Seq(("A", Long.MaxValue / 2, 4L)), maxEpochs = 3)
+    }
+    assert(eC.getMessage.contains("overflows"), eC.getMessage)
+    // Σ weight past Long.MaxValue (the squared-token convention at
+    // 100 TB): refuse, pointing at the scaling rescue
+    val eS = intercept[IllegalArgumentException] {
+      run(Seq(("A", 1L, Long.MaxValue / 2), ("B", 1L, Long.MaxValue / 2),
+        ("C", 1L, Long.MaxValue / 2)))
+    }
+    assert(eS.getMessage.contains("pre-divide"), eS.getMessage)
+    // the documented rescue holds: allocations are invariant under
+    // uniform weight scaling (θ order, saturation predicate, and λ·w
+    // all cancel the common factor) up to float rounding
+    def allocs(rows: Seq[(String, Long, Long)]) =
+      run(rows).map(r => r.getString(0) ->
+        (r.getBoolean(3), r.getDouble(4))).toMap
+    val a = allocs(Seq(("A", 10L, 100L), ("B", 10L, 4L)))
+    val b = allocs(Seq(("A", 10L, 25L), ("B", 10L, 1L)))
+    for (d <- Seq("A", "B")) {
+      assert(a(d)._1 == b(d)._1)
+      assert(math.abs(a(d)._2 - b(d)._2) < 1e-9, s"$d: ${a(d)} vs ${b(d)}")
+    }
   }
 
   test("kmv persisted: append-only roundtrip equals one-shot; k and layout guards refuse") {

@@ -222,4 +222,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streamingKmv restart re-seeds durable state: resume + new files equals one shot over the union") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_kmv_rs_")
+    try {
+      def mk(ids: Range) = ids.map { i =>
+        (i.toLong, if (i % 2 == 0) "en" else "de",
+          s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} x${i % 23} y$i")
+      }.toDF("doc_id", "lang", "text")
+      val sfA = root.resolve("sfA"); val sfAll = root.resolve("sfAll")
+      mk(0 until 40).coalesce(1)
+        .write.parquet(sfA.resolve("documents.parquet").toString)
+      mk(0 until 80).coalesce(1)
+        .write.parquet(sfAll.resolve("documents.parquet").toString)
+      val base = root.resolve("base").toString
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).sortBy(_._1).toSeq
+      // run 1: first 40 docs stream through and checkpoint their state
+      val run1 = grab(graft.streaming.Streaming.streamingKmv(
+        spark, sfA.toString, "rs1", k = 16, ingestFiles = 2,
+        baseDir = Some(base)))
+      // "restart" with nothing new: the re-seeded state alone must
+      // reproduce the pre-restart answer (an empty driver map would
+      // return nothing or undercount)
+      val idle = grab(graft.streaming.Streaming.streamingKmv(
+        spark, sfA.toString, "rs2", k = 16, ingestFiles = 2,
+        baseDir = Some(base)))
+      assert(idle == run1, s"$idle vs $run1")
+      // new corpus slices arrive; the resumed stream processes ONLY them
+      // (checkpoint skips the pre-restart files) and merges into the
+      // re-seeded sketches — KMV union-closure makes the merge exact
+      mk(40 until 80).repartition(2)
+        .write.mode("append").parquet(s"$base/ingest")
+      val resumed = grab(graft.streaming.Streaming.streamingKmv(
+        spark, sfA.toString, "rs3", k = 16, ingestFiles = 2,
+        baseDir = Some(base)))
+      val oneShot = grab(graft.streaming.Streaming.streamingKmv(
+        spark, sfAll.toString, "rs4", k = 16, ingestFiles = 4))
+      assert(resumed == oneShot, s"$resumed vs $oneShot")
+      assert(resumed != run1) // the new slices genuinely changed the answer
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
