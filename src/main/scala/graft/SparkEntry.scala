@@ -3056,6 +3056,68 @@ object SparkEntry {
         .as("est_union"))
   }
 
+  // Cross-snapshot drift report (Profile.snapshotDrift): t34's sketch
+  // overlap COMPOSED with exact per-group doc/token counts and deltas —
+  // the "what changed since last month's crawl" report. Even/odd doc ids
+  // play the two snapshots (the t34 split). Counts and deltas are exact
+  // integers; vocabulary estimates and Jaccard are the t33/t34
+  // integer-count + single-division forms — nothing rounds, the oracle
+  // reproduces every bit. Neither corpus ever joins the other: only
+  // |groups|-row agg outputs with k-long sketch arrays meet.
+  define("t37_snapshot_drift",
+    """WITH w AS (SELECT lang, doc_id % 2 AS p,
+           regexp_split_to_array(trim(text), '\s+') AS wds FROM documents),
+       c AS (SELECT lang, p, count(*) AS docs,
+               CAST(sum(len(wds)) AS BIGINT) AS toks
+             FROM w GROUP BY lang, p),
+       g AS (SELECT lang, p, array_to_string(wds[pos : pos + 2], ' ') AS gram
+             FROM (SELECT lang, p, wds,
+                     unnest(generate_series(1, greatest(len(wds) - 2, 0)))
+                       AS pos
+                   FROM w)),
+       h AS (SELECT DISTINCT lang, p,
+               CAST(list_sum(list_transform(range(1, 16),
+                 p2 -> (strpos('0123456789abcdef', md5(gram)[p2]) - 1)
+                      * (1::BIGINT << (4*(15-p2))))) AS BIGINT) AS h
+             FROM g),
+       r AS (SELECT lang, p, h,
+               row_number() OVER (PARTITION BY lang, p ORDER BY h) AS rn
+             FROM h),
+       sk AS (SELECT lang, p, list_sort(list(h)) AS sk
+              FROM r WHERE rn <= 64 GROUP BY lang, p),
+       sides AS (SELECT c.lang, c.p, docs, toks,
+                   coalesce(sk.sk, []) AS sk
+                 FROM c LEFT JOIN sk USING (lang, p)),
+       a AS (SELECT lang, docs AS docs_old, toks AS tokens_old, sk AS ska
+             FROM sides WHERE p = 0),
+       b AS (SELECT lang, docs AS docs_new, toks AS tokens_new, sk AS skb
+             FROM sides WHERE p = 1),
+       j AS (SELECT lang, docs_old, docs_new, tokens_old, tokens_new,
+               ska, skb,
+               list_sort(list_distinct(list_concat(ska, skb)))[1:64] AS un
+             FROM a JOIN b USING (lang))
+       SELECT lang, docs_old, docs_new,
+         docs_new - docs_old AS docs_delta,
+         tokens_old, tokens_new,
+         tokens_new - tokens_old AS tokens_delta,
+         CASE WHEN len(ska) < 64 THEN CAST(len(ska) AS DOUBLE)
+              ELSE 63 * pow(2, 60) / CAST(ska[64] AS DOUBLE)
+         END AS est_vocab_old,
+         CASE WHEN len(skb) < 64 THEN CAST(len(skb) AS DOUBLE)
+              ELSE 63 * pow(2, 60) / CAST(skb[64] AS DOUBLE)
+         END AS est_vocab_new,
+         CASE WHEN len(un) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(list_intersect(un, ska), skb))
+                     AS DOUBLE) / len(un)
+         END AS est_jaccard
+       FROM j""") { (s, d) =>
+    val docs = t(s, d, "documents")
+    graft.operators.Profile.snapshotDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "lang", "text", n = 3, k = 64)
+  }
+
   // ==================================================================
   // BM25 retrieval family (operators.Retrieval) — the lexical complement
   // of the s1–s12 dense-ANN family, same serve-from-index discipline.
@@ -3805,6 +3867,82 @@ object SparkEntry {
           bpeIndexDir(s, d)),
         "doc_id")
       .select("doc_id", "lang", "source", "kn", "pct_rank", "n_bpe_tokens")
+  }
+
+  // Curation capstone v5 — the DATA-CONSTRAINED mixing pipeline: per-
+  // source token totals → budget water-filling (a17's closed form,
+  // weights t², maxEpochs 1, budget = 90% of the corpus) → each source
+  // keeps its deterministic-hash-priority documents until ITS allocated
+  // token budget is spent (a14's mixBudgetSelect — range-exchange cumsum,
+  // no per-source single-task sort). This is the Muennighoff'23 answer
+  // to "which documents do we actually train on": saturated (small)
+  // domains keep everything, oversized domains are cut to their
+  // water-filled share. The waterfill's alloc doubles are bitwise
+  // engine-identical (the a17 gate pins that), so floor(alloc) transfers
+  // as an exact integer budget; the only driver-side state is the
+  // |domains|-row budget map (the bounded-model contract).
+  define("p13_curation_v5",
+    """WITH c AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       cs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+              FROM c GROUP BY source),
+       w AS (SELECT source, t, t * t AS w FROM cs),
+       bb AS (SELECT CAST(floor(0.9 * sum(t)) AS BIGINT) AS budget FROM w),
+       s AS (SELECT source, t, w, 1 * t AS cap,
+               CAST(1 * t AS DOUBLE) / w AS theta FROM w),
+       o AS (SELECT s.*, budget,
+               sum(cap) OVER (ORDER BY theta, source
+                 ROWS UNBOUNDED PRECEDING) AS capPrefix,
+               sum(w) OVER (ORDER BY theta, source
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wFrom
+             FROM s CROSS JOIN bb),
+       m AS (SELECT *,
+               CAST(budget - (capPrefix - cap) AS DOUBLE)
+                 > theta * CAST(wFrom AS DOUBLE) AS saturated
+             FROM o),
+       k AS (SELECT coalesce(sum(CASE WHEN saturated THEN cap END), 0)
+                 AS satCap,
+               coalesce(sum(CASE WHEN NOT saturated THEN w END), 0)
+                 AS unsatW,
+               max(budget) AS budget FROM m),
+       l AS (SELECT CASE WHEN unsatW = 0 THEN 0.0
+                  ELSE CAST(budget - satCap AS DOUBLE) / unsatW
+               END AS lambda FROM k),
+       q AS (SELECT source,
+               CAST(floor(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                    ELSE lambda * CAST(w AS DOUBLE) END) AS BIGINT)
+                 AS alloc
+             FROM m CROSS JOIN l),
+       r AS (SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY md5('v5' || CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             FROM c)
+       SELECT doc_id, source, n_tokens,
+         CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM r JOIN q USING (source) WHERE cum_tokens <= alloc""") { (s, d) =>
+    import graft.operators.{CacheScope, GlobalOrder, Splits}
+    import graft.functions.{TextFunctions => TFx}
+    val docs = CacheScope.global.cache(
+      t(s, d, "documents").select(col("doc_id"), col("source"),
+        TFx.tokenCount(col("text")).cast("long").as("n_tokens")))
+    val stats = CacheScope.global.cache(
+      docs.groupBy("source").agg(sum("n_tokens").as("tokens"))
+        .withColumn("weight", col("tokens") * col("tokens")))
+    val total = stats.agg(sum("tokens")).head().getLong(0)
+    val budget = math.floor(0.9 * total.toDouble).toLong
+    val budgets = Splits.budgetWaterfill(stats, "source", "tokens",
+      "weight", budget, maxEpochs = 1)
+      .select(col("source"), floor(col("alloc_tokens")).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    GlobalOrder.mixBudgetSelect(
+      docs.withColumn("__h",
+        md5(concat(lit("v5"), col("doc_id").cast("string")))),
+      "source", Seq(col("__h"), col("doc_id")), "n_tokens", budgets,
+      cumCol = "cum_tokens")
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
   // Train→eval benchmark-contamination check: asymmetric trigram

@@ -65,4 +65,70 @@ object Profile {
         round(col("vocab").cast("double") /
           col("total_tokens").cast("double"), 6))
   }
+
+  /** Cross-SNAPSHOT drift report — "what changed between last month's
+    * crawl and this month's", per group: exact doc/token counts with
+    * integer deltas, the KMV-estimated n-gram vocabulary of each side,
+    * and the estimated Jaccard overlap of the two vocabularies
+    * ([[graft.functions.KmvSketch.estimateJaccard]], the theta-sketch
+    * rule). A shrinking overlap with flat counts means the corpus is
+    * CHURNING (same size, different content) — invisible to count
+    * deltas alone; a vocabulary estimate rising much faster than tokens
+    * flags a spam/template influx.
+    *
+    * Scale shape: each snapshot is scanned independently — one slim
+    * cached projection feeding (a) a map-side-combined count/sum agg and
+    * (b) the gram-hash KMV sketch agg (≤ k longs per partition-group on
+    * the wire) — and only |groups|-row agg outputs with k-long arrays
+    * ever join, so comparing two 100 TB snapshots ships two sketch
+    * tables, never text, and never joins the corpora. Counts/deltas are
+    * exact integers; the estimates are the [[graft.functions.KmvSketch]]
+    * integer-count + single-division forms — everything oracle-exact.
+    *
+    * A group whose documents are all shorter than `n` tokens has an
+    * EMPTY vocabulary sketch (estimate 0), not an absent row; a group
+    * present in only one snapshot reports zeros on the other side. */
+  def snapshotDrift(oldSnap: DataFrame, newSnap: DataFrame,
+                    groupCol: String, textCol: String,
+                    n: Int = 3, k: Int = 64)
+                   (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    import graft.functions.KmvSketch
+    require(n > 0, "n must be positive")
+    require(k > 0, "k must be positive")
+    val emptySk = array().cast("array<bigint>")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      // spread the RAW text first, shingle after the exchange (the
+      // repo's measured spread-before-HOF cliff); cache: two consumers
+      val slim = scope.cache(
+        spread(df.select(col(groupCol).as("__g"), col(textCol).as("__t"))))
+      val cnt = slim.groupBy("__g").agg(
+        count(lit(1)).as(s"docs_$tag"),
+        sum(TF.tokenCount(col("__t")).cast("long")).as(s"tokens_$tag"))
+      val sk = slim
+        .select(col("__g"), explode(TF.shingles(col("__t"), n)).as("__gram"))
+        .select(col("__g"), KmvSketch.portableHash60(col("__gram")).as("__h"))
+        .groupBy("__g").agg(KmvSketch.kmvSketch(col("__h"), k).as(s"sk_$tag"))
+      cnt.join(sk, Seq("__g"), "left")
+        .withColumn(s"sk_$tag", coalesce(col(s"sk_$tag"), emptySk))
+    }
+    val joined = side(oldSnap, "old")
+      .join(side(newSnap, "new"), Seq("__g"), "full_outer")
+    val a = coalesce(col("sk_old"), emptySk)
+    val b = coalesce(col("sk_new"), emptySk)
+    val un = KmvSketch.union(a, b, k)
+    joined.select(
+      col("__g").as(groupCol),
+      coalesce(col("docs_old"), lit(0L)).as("docs_old"),
+      coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+      (coalesce(col("docs_new"), lit(0L)) -
+        coalesce(col("docs_old"), lit(0L))).as("docs_delta"),
+      coalesce(col("tokens_old"), lit(0L)).as("tokens_old"),
+      coalesce(col("tokens_new"), lit(0L)).as("tokens_new"),
+      (coalesce(col("tokens_new"), lit(0L)) -
+        coalesce(col("tokens_old"), lit(0L))).as("tokens_delta"),
+      KmvSketch.estimate(a, k).as("est_vocab_old"),
+      KmvSketch.estimate(b, k).as("est_vocab_new"),
+      when(size(un) === 0, lit(0.0))
+        .otherwise(KmvSketch.estimateJaccard(a, b, k)).as("est_jaccard"))
+  }
 }

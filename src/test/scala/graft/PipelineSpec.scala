@@ -2342,6 +2342,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(de.getAs[Long]("p50_tokens") == 2L)
   }
 
+  test("snapshotDrift: exact deltas, underfull sketches are exact, empty-vocab and one-sided groups report zeros") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val oldS = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "xx", "hi"), // under 3 tokens: no grams at all
+      (4L, "de", "eins zwei drei vier"))
+      .toDF("doc_id", "lang", "text")
+    val newS = Seq(
+      (5L, "en", "alpha beta gamma delta epsilon"),
+      (6L, "fr", "un deux trois")) // fr exists only in the new snapshot
+      .toDF("doc_id", "lang", "text")
+    val out = Profile.snapshotDrift(oldS, newS, "lang", "text", n = 3, k = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("docs_old") == 2 && en.getAs[Long]("docs_new") == 1
+      && en.getAs[Long]("docs_delta") == -1)
+    assert(en.getAs[Long]("tokens_old") == 7 && en.getAs[Long]("tokens_new") == 5
+      && en.getAs[Long]("tokens_delta") == -2)
+    // underfull sketches hold every distinct gram → estimates are EXACT:
+    // old {abg, bgd} = 2, new {abg, bgd, gde} = 3, overlap 2 of union 3
+    assert(en.getAs[Double]("est_vocab_old") == 2.0)
+    assert(en.getAs[Double]("est_vocab_new") == 3.0)
+    assert(math.abs(en.getAs[Double]("est_jaccard") - 2.0 / 3.0) < 1e-12)
+    // a group whose docs are all sub-n: empty sketch, zero estimates
+    val xx = out("xx")
+    assert(xx.getAs[Long]("docs_old") == 1 && xx.getAs[Long]("docs_new") == 0)
+    assert(xx.getAs[Double]("est_vocab_old") == 0.0
+      && xx.getAs[Double]("est_jaccard") == 0.0)
+    // one-sided groups: zeros on the absent side, jaccard 0
+    val fr = out("fr")
+    assert(fr.getAs[Long]("docs_old") == 0 && fr.getAs[Long]("tokens_old") == 0)
+    assert(fr.getAs[Long]("docs_new") == 1
+      && fr.getAs[Double]("est_vocab_new") == 1.0)
+    assert(fr.getAs[Double]("est_jaccard") == 0.0)
+    val de = out("de")
+    assert(de.getAs[Long]("docs_new") == 0
+      && de.getAs[Double]("est_vocab_old") == 2.0)
+    assert(de.getAs[Double]("est_jaccard") == 0.0)
+  }
+
   test("thresholds persist: save/load roundtrip, layout tag validated") {
     import spark.implicits._
     import graft.operators.Quality
