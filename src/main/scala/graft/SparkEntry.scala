@@ -2926,6 +2926,34 @@ object SparkEntry {
       n = 3, k = 50)
   }
 
+  // φ-frequent n-grams via Misra–Gries + exact recount — t19's SCALE
+  // path: the exact top-k report shuffles the whole (gram, count)
+  // vocabulary, which is unbounded for raw web phrases; the MG pass
+  // bounds state and wire at O(m) per partition, its guaranteed-superset
+  // candidates get ONE exact recount (InSet filter, no join), and the
+  // output — every gram with count ≥ ceil(φ·N), true counts — is
+  // provably identical to brute force whatever the partitioning (the
+  // merge-order-dependent sketch internals never reach the output; the
+  // exact second pass is what makes a sketch oracle-able, the d6/s11
+  // discipline). φ = 0.001 on 2-grams puts the threshold mid-
+  // distribution on this corpus: both HAVING branches live.
+  define("t38_frequent_ngrams",
+    """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+')
+           AS wds FROM documents),
+       g AS (SELECT array_to_string(wds[pos : pos + 1], ' ') AS gram
+             FROM (SELECT wds,
+                     unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                       AS pos
+                   FROM w)),
+       tot AS (SELECT count(*) AS n FROM g)
+       SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+       FROM g CROSS JOIN tot
+       GROUP BY gram, n
+       HAVING count(*) >= CAST(ceil(0.001 * n) AS BIGINT)""") { (s, d) =>
+    graft.operators.HeavyHitters.frequentNgrams(
+      t(s, d, "documents"), "text", n = 2, phi = 0.001)
+  }
+
   // KMV (k-minimum-values) distinct sketch: per-language vocabulary
   // estimate — the REPRODUCIBLE approximate-distinct primitive
   // (approx_count_distinct/HLL is neither cross-engine nor cross-version

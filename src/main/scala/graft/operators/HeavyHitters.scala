@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MisraGries, TextFunctions => TF}
+
+/** EXACT frequent items at corpus scale — "which items appear in at
+  * least a φ fraction of the stream" — via the classic two-pass
+  * sketch-then-count composition:
+  *
+  *   pass 1: one scan folds into a Misra–Gries summary
+  *     ([[graft.functions.MisraGriesSummary]]) — O(m) state per
+  *     partition, ≤ m (item, count) pairs on the wire per partition,
+  *     NEVER the full vocabulary (the exact `groupBy(item).count`
+  *     shuffle that t19 pays grows with the vocabulary; this one is
+  *     CONSTANT in it). The MG guarantee — every item with frequency
+  *     > N/(m+1) survives — makes the summary a provable SUPERSET of
+  *     the φ-frequent items whenever m ≥ margin/φ, margin > 1.
+  *   pass 2: exact counts of the ≤ m candidates only (the corpus scan
+  *     filters against a driver-bounded candidate set — an InSet
+  *     predicate, no join), then keep count ≥ ceil(φ·N).
+  *
+  * The output is therefore EXACTLY the φ-frequent item set with TRUE
+  * counts — independent of partitioning and merge order, even though
+  * the intermediate MG candidate set is not (that order-dependence is
+  * why the raw summary alone could never be oracle-checked; the exact
+  * second pass is what buys hash-match determinism, the d6/s11
+  * calibrated-exactness discipline). Driver state is the candidate
+  * list: ≤ m strings, bounded by construction (the DSIR-λ contract).
+  *
+  * At 100 TB: two scans, each shuffling only sketch partials / candidate
+  * counts. The one-pass alternative (exact global count of everything,
+  * t19) shuffles the whole (item, count) vocabulary — fine for n-grams
+  * over a bounded vocab, unbounded for URLs/hosts/raw phrases, which is
+  * the case this operator exists for.
+  */
+object HeavyHitters {
+
+  /** All items of `itemCol` with count ≥ ceil(phi·N), with exact counts.
+    * `margin` (> 1) sizes the sketch at m = ceil(margin/phi): the MG
+    * deficit bound N/(m+1) < φN/margin keeps every φ-frequent item in
+    * the candidate set with slack. NULL items are ignored (they are
+    * absent from both passes). */
+  def frequentItems(df: DataFrame, itemCol: String, phi: Double,
+                    margin: Double = 2.0)
+                   (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, "phi must be in (0, 1]")
+    require(margin > 1.0, "margin must exceed 1 for the superset guarantee")
+    val m = math.ceil(margin / phi).toInt
+    require(m <= (1 << 20),
+      s"phi=$phi needs $m candidate counters — beyond the bounded-driver " +
+        "contract; raise phi or lower margin")
+    val items = scope.cache(
+      df.select(col(itemCol).cast("string").as("item"))
+        .filter(col("item").isNotNull))
+    val head = items.agg(count(lit(1)),
+      MisraGries.mgSummary(col("item"), m)).head()
+    val n = head.getLong(0)
+    val cands = head.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    if (n == 0L || cands.isEmpty)
+      return items.limit(0).groupBy("item")
+        .agg(count(lit(1)).as("cnt"))
+    val thr = math.ceil(phi * n).toLong
+    items.filter(col("item").isin(cands: _*))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(thr))
+  }
+
+  /** φ-frequent word n-grams of a text corpus — the scale path of the
+    * exact top-k n-gram report (t19): boilerplate phrases, license
+    * headers, and template fragments surface as heavy hitters long
+    * before any top-k budget decides how many to look at. One gram
+    * construction pass feeds both passes through the shared cache;
+    * `spread` before the shingle HOF (the repo's measured cliff). */
+  def frequentNgrams(docs: DataFrame, textCol: String, n: Int,
+                     phi: Double, margin: Double = 2.0)
+                    (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(n > 0, "n must be positive")
+    val grams = spread(docs.select(col(textCol).as("__t")))
+      .select(explode(TF.shingles(col("__t"), n)).as("gram"))
+    frequentItems(grams, "gram", phi, margin)
+      .withColumnRenamed("item", "gram")
+  }
+}

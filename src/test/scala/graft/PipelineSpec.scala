@@ -3934,6 +3934,56 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: two-pass equals brute counts under pruning, invariant to partitioning, threshold boundary inclusive") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // N = 840, phi = 0.05 → thr = ceil(42) = 42: hot and warm qualify,
+    // edge (40) misses; m = ceil(2/0.05) = 40 < 203 distinct items, so
+    // MG pruning genuinely engages
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(100)("warm") ++
+      (1 to 200).map(i => s"cold$i") ++ Seq.fill(40)("edge")
+    def run(parts: Int) = HeavyHitters.frequentItems(
+      rows.toDF("item").repartition(parts), "item", phi = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = Set(("hot", 500L), ("warm", 100L))
+    assert(run(1) == expect, run(1).toString)
+    assert(run(7) == expect)
+    assert(run(32) == expect) // merge-order never reaches the output
+    // exact-boundary item (count == ceil(phi·N)) is included
+    val rows2 = Seq.fill(10)("ten") ++ (1 to 90).map(i => s"u$i")
+    val b = HeavyHitters.frequentItems(
+      rows2.toDF("item").repartition(5), "item", phi = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(b == Set(("ten", 10L)), b.toString)
+    // nulls are absent from both passes (N excludes them)
+    val rows3 = (Seq.fill(5)(Some("x")) ++ Seq.fill(3)(Option.empty[String]))
+    val c = HeavyHitters.frequentItems(
+      rows3.toDF("item"), "item", phi = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(c == Set(("x", 5L)), c.toString)
+    // empty input: empty output, no error
+    assert(HeavyHitters.frequentItems(
+      Seq.empty[String].toDF("item"), "item", phi = 0.1).count() == 0L)
+  }
+
+  test("mg_summary plan: partial sketch below the exchange under ObjectHashAggregate; guarantee holds at capacity") {
+    import spark.implicits._
+    import graft.functions.MisraGries
+    val in = ((1 to 300).map(i => s"c$i") ++ Seq.fill(100)("HH"))
+      .toDF("item").repartition(4)
+    val q = in.agg(MisraGries.mgSummary(col("item"), 16).as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_mg_summary"), plan)
+    // N = 400, m = 16: anything over 400/17 ≈ 23.5 MUST survive the
+    // summary — HH at 100 does, with estimate within the deficit bound
+    val sk = q.head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.size <= 16, sk.toString)
+    assert(sk.contains("HH"), sk.toString)
+    assert(sk("HH") <= 100L && sk("HH") >= 100L - 400L / 17L, sk.toString)
+  }
+
   test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {
     import spark.implicits._
     import graft.functions.KmvSketch
