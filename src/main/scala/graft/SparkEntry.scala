@@ -2926,18 +2926,11 @@ object SparkEntry {
       n = 3, k = 50)
   }
 
-  // φ-frequent n-grams via Misra–Gries + exact recount — t19's SCALE
-  // path: the exact top-k report shuffles the whole (gram, count)
-  // vocabulary, which is unbounded for raw web phrases; the MG pass
-  // bounds state and wire at O(m) per partition, its guaranteed-superset
-  // candidates get ONE exact recount (InSet filter, no join), and the
-  // output — every gram with count ≥ ceil(φ·N), true counts — is
-  // provably identical to brute force whatever the partitioning (the
-  // merge-order-dependent sketch internals never reach the output; the
-  // exact second pass is what makes a sketch oracle-able, the d6/s11
-  // discipline). φ = 0.001 on 2-grams puts the threshold mid-
-  // distribution on this corpus: both HAVING branches live.
-  define("t38_frequent_ngrams",
+  // Shared φ-frequent-2-gram oracle (t38 one-shot, t39 persisted store,
+  // st25 streaming — three paths, one function by construction: the
+  // exact recount makes each output the φ-frequent set with true
+  // counts, independent of sketch internals).
+  private val hhOracleSql: String =
     """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+')
            AS wds FROM documents),
        g AS (SELECT array_to_string(wds[pos : pos + 1], ' ') AS gram
@@ -2949,9 +2942,52 @@ object SparkEntry {
        SELECT gram, CAST(count(*) AS BIGINT) AS cnt
        FROM g CROSS JOIN tot
        GROUP BY gram, n
-       HAVING count(*) >= CAST(ceil(0.001 * n) AS BIGINT)""") { (s, d) =>
+       HAVING count(*) >= CAST(ceil(0.001 * n) AS BIGINT)"""
+
+  // φ-frequent n-grams via Misra–Gries + exact recount — t19's SCALE
+  // path: the exact top-k report shuffles the whole (gram, count)
+  // vocabulary, which is unbounded for raw web phrases; the MG pass
+  // bounds state and wire at O(m) per partition, its guaranteed-superset
+  // candidates get ONE exact recount (InSet filter, no join), and the
+  // output — every gram with count ≥ ceil(φ·N), true counts — is
+  // provably identical to brute force whatever the partitioning (the
+  // merge-order-dependent sketch internals never reach the output; the
+  // exact second pass is what makes a sketch oracle-able, the d6/s11
+  // discipline). φ = 0.001 on 2-grams puts the threshold mid-
+  // distribution on this corpus: both HAVING branches live.
+  define("t38_frequent_ngrams", hhOracleSql) { (s, d) =>
     graft.operators.HeavyHitters.frequentNgrams(
       t(s, d, "documents"), "text", n = 2, phi = 0.001)
+  }
+
+  // Persisted MG summary store (the KMV table's frequent-items sibling,
+  // Sketches mg family): even/odd corpus slices summarize INDEPENDENTLY
+  // and append their (group, summary, n_items) rows — no slice ever
+  // rescans another; the serve folds stored summaries (Agarwal'12
+  // mergeability keeps the deficit ≤ N/(m+1) over the union) and
+  // recounts the folded candidates exactly, so the output equals the
+  // one-shot t38 answer — the oracle transfers verbatim (the d13/d16
+  // build-vs-append trick, third family to use it).
+  define("t39_frequent_ngrams_store", hhOracleSql) { (s, d) =>
+    import graft.operators.{HeavyHitters, Sketches}
+    val docs = t(s, d, "documents")
+    val m = 2000 // = ceil(margin/phi) at margin 2, phi 0.001
+    val dir = sessionIndexDir(s"hh_$d") { p =>
+      Sketches.saveMgSummaries(
+        HeavyHitters.summarizeItems(
+          HeavyHitters.ngramItems(
+            docs.filter(col("doc_id") % 2 === 0), "text", 2), "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m)
+      Sketches.appendMgSummaries(
+        HeavyHitters.summarizeItems(
+          HeavyHitters.ngramItems(
+            docs.filter(col("doc_id") % 2 =!= 0), "text", 2), "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m)
+    }
+    HeavyHitters.frequentItemsFromStore(
+      HeavyHitters.ngramItems(docs, "text", 2), "gram", s"$dir/hh",
+      phi = 0.001)
+      .withColumnRenamed("item", "gram")
   }
 
   // KMV (k-minimum-values) distinct sketch: per-language vocabulary
@@ -4838,6 +4874,16 @@ object SparkEntry {
   // one-shot batch sketch whatever the batch boundaries, so t33's oracle
   // applies verbatim. Completes the KMV triad (batch / set-ops /
   // streaming).
+  // Streaming φ-frequent n-grams: per-trigger MG summaries fold into
+  // bounded durable driver state (Agarwal'12 mergeability), and the
+  // final serve recounts the merged candidates exactly over the
+  // ingested corpus — batch boundaries and merge order never reach the
+  // output, so t38's oracle transfers verbatim. Completes the heavy-
+  // hitters triad (one-shot t38 / persisted t39 / streaming).
+  define("st25_stream_heavy_hitters", hhOracleSql) { (s, d) =>
+    graft.streaming.Streaming.streamingHeavyHitters(s, d, "st25")
+  }
+
   define("st23_stream_kmv", kmvVocabSql) { (s, d) =>
     graft.streaming.Streaming.streamingKmv(s, d, "st23", k = 32)
   }

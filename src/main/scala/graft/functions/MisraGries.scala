@@ -51,6 +51,45 @@ final class MgBuffer(val m: Int) {
   }
 }
 
+private[functions] object MgCodec {
+  def serialize(b: MgBuffer): Array[Byte] = {
+    val entries = b.counts.toArray
+      .map { case (k, v) => (UTF8String.fromString(k).getBytes, v) }
+    val size = 8 + entries.map(e => 4 + e._1.length + 8).sum
+    val buf = java.nio.ByteBuffer.allocate(size)
+    buf.putInt(b.m).putInt(entries.length)
+    entries.foreach { case (bytes, v) =>
+      buf.putInt(bytes.length).put(bytes).putLong(v)
+    }
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val b = new MgBuffer(buf.getInt())
+    val n = buf.getInt()
+    var i = 0
+    while (i < n) {
+      val len = buf.getInt()
+      val arr = new Array[Byte](len)
+      buf.get(arr)
+      b.counts.update(UTF8String.fromBytes(arr).toString, buf.getLong())
+      i += 1
+    }
+    b
+  }
+
+  /** Deterministic output array: (est desc, item asc) rows. */
+  def evalRows(b: MgBuffer): GenericArrayData = {
+    val rows: Array[Any] = b.counts.toArray
+      .sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) =>
+        InternalRow(UTF8String.fromString(k), v): Any
+      }
+    new GenericArrayData(rows)
+  }
+}
+
 /** `mg_summary(item, m)` — Misra–Gries heavy-hitter candidates as a
   * Spark aggregate. State is O(m) per group however many rows stream
   * through, and the shuffle carries ≤ m (string, count) pairs per
@@ -92,41 +131,11 @@ case class MisraGriesSummary(child: Expression, m: Int,
     b.mergeFrom(o); b
   }
 
-  override def eval(b: MgBuffer): Any = {
-    val rows: Array[Any] = b.counts.toArray
-      .sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) =>
-        InternalRow(UTF8String.fromString(k), v): Any
-      }
-    new GenericArrayData(rows)
-  }
+  override def eval(b: MgBuffer): Any = MgCodec.evalRows(b)
 
-  override def serialize(b: MgBuffer): Array[Byte] = {
-    val entries = b.counts.toArray
-      .map { case (k, v) => (UTF8String.fromString(k).getBytes, v) }
-    val size = 8 + entries.map(e => 4 + e._1.length + 8).sum
-    val buf = java.nio.ByteBuffer.allocate(size)
-    buf.putInt(b.m).putInt(entries.length)
-    entries.foreach { case (bytes, v) =>
-      buf.putInt(bytes.length).put(bytes).putLong(v)
-    }
-    buf.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): MgBuffer = {
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-    val b = new MgBuffer(buf.getInt())
-    val n = buf.getInt()
-    var i = 0
-    while (i < n) {
-      val len = buf.getInt()
-      val arr = new Array[Byte](len)
-      buf.get(arr)
-      b.counts.update(UTF8String.fromBytes(arr).toString, buf.getLong())
-      i += 1
-    }
-    b
-  }
+  override def serialize(b: MgBuffer): Array[Byte] = MgCodec.serialize(b)
+  override def deserialize(bytes: Array[Byte]): MgBuffer =
+    MgCodec.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): MisraGriesSummary =
     copy(mutableAggBufferOffset = o)
@@ -138,11 +147,76 @@ case class MisraGriesSummary(child: Expression, m: Int,
   override def prettyName: String = "mg_summary"
 }
 
+/** `mg_merge(summary, m)` — fold PRE-BUILT Misra–Gries summaries (the
+  * array<struct<item, est>> shape [[MisraGriesSummary]] emits) into one:
+  * each input array reconstitutes as a buffer and merges by the
+  * Agarwal'12 rule, so the combined deficit bound is Σ N_i/(m+1) =
+  * N/(m+1) over everything the inputs ever saw — slices summarized
+  * independently (different jobs, different days) compose exactly as if
+  * one pass had seen the union. This is the LOAD path of the persisted
+  * summary store ([[graft.operators.Sketches]] mg family). */
+case class MisraGriesMerge(child: Expression, m: Int,
+                           override val mutableAggBufferOffset: Int = 0,
+                           override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] {
+  require(m >= 1 && m <= (1 << 20), s"m must be in [1, 2^20], got $m")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(m)
+
+  override def update(b: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val tmp = new MgBuffer(m)
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        tmp.counts.update(row.getUTF8String(0).toString, row.getLong(1))
+        i += 1
+      }
+      b.mergeFrom(tmp)
+    }
+    b
+  }
+
+  override def merge(b: MgBuffer, o: MgBuffer): MgBuffer = {
+    b.mergeFrom(o); b
+  }
+
+  override def eval(b: MgBuffer): Any = MgCodec.evalRows(b)
+
+  override def serialize(b: MgBuffer): Array[Byte] = MgCodec.serialize(b)
+  override def deserialize(bytes: Array[Byte]): MgBuffer =
+    MgCodec.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "mg_merge"
+}
+
 object MisraGries {
 
   /** Misra–Gries candidate summary Column over a string item column. */
   def mgSummary(item: Column, m: Int): Column =
     ColumnBridge.column(
       MisraGriesSummary(ColumnBridge.expression(item.cast("string")), m)
+        .toAggregateExpression())
+
+  /** Fold pre-built summaries (array<struct<item, est>>) into one. */
+  def mgMerge(summary: Column, m: Int): Column =
+    ColumnBridge.column(
+      MisraGriesMerge(ColumnBridge.expression(summary), m)
         .toAggregateExpression())
 }

@@ -77,9 +77,64 @@ object HeavyHitters {
                      phi: Double, margin: Double = 2.0)
                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     require(n > 0, "n must be positive")
-    val grams = spread(docs.select(col(textCol).as("__t")))
-      .select(explode(TF.shingles(col("__t"), n)).as("gram"))
-    frequentItems(grams, "gram", phi, margin)
+    frequentItems(ngramItems(docs, textCol, n), "gram", phi, margin)
       .withColumnRenamed("item", "gram")
+  }
+
+  /** The shared gram-construction projection (spread-before-HOF). */
+  def ngramItems(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    spread(docs.select(col(textCol).as("__t")))
+      .select(explode(TF.shingles(col("__t"), n)).as("gram"))
+
+  /** One (group = "all", summary, n_items) row summarizing a corpus
+    * slice's items — the ingest shape of the persisted store
+    * ([[Sketches.saveMgSummaries]]/[[Sketches.appendMgSummaries]]):
+    * daily slices summarize independently, append their row, and never
+    * rescan each other. */
+  def summarizeItems(df: DataFrame, itemCol: String, m: Int): DataFrame = {
+    import graft.functions.MisraGries
+    df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .agg(MisraGries.mgSummary(col("item"), m).as("summary"),
+        count(lit(1)).as("n_items"))
+      .select(lit("all").as("group"), col("summary"), col("n_items"))
+  }
+
+  /** Exact φ-frequent items served FROM a persisted summary store: the
+    * candidate set and total N come from the store (whose appended
+    * slices must partition `corpus` — the d13/d16 index-family
+    * contract), the recount runs over `corpus`. Because the merged
+    * summary is a guaranteed superset whenever the stored capacity
+    * satisfies m + 1 > 1/φ, the output equals [[frequentItems]] run
+    * one-shot over the union — however the slices were batched, and
+    * whatever merge order the store's fold used (the merge-order-
+    * dependent estimates never reach the output). Single-group ("all")
+    * stores only. */
+  def frequentItemsFromStore(corpus: DataFrame, itemCol: String,
+                             path: String, phi: Double)
+                            (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, "phi must be in (0, 1]")
+    val spark = corpus.sparkSession
+    val m = Sketches.mgCapacity(spark, path)
+    require((m + 1).toDouble > 1.0 / phi,
+      s"stored capacity m=$m cannot guarantee support phi=$phi — " +
+        s"rebuild the store with m >= ${math.ceil(1.0 / phi).toInt}")
+    val merged = Sketches.loadMgSummaries(spark, path).collect()
+    require(merged.length == 1 && merged.head.getAs[String]("group") == "all",
+      s"store at $path is not a single-group ('all') summary table")
+    val head = merged.head
+    val n = head.getAs[Long]("n_items")
+    val cands = head.getSeq[org.apache.spark.sql.Row](
+      head.fieldIndex("summary")).map(_.getString(0))
+    val items = scope.cache(
+      corpus.select(col(itemCol).cast("string").as("item"))
+        .filter(col("item").isNotNull))
+    if (n == 0L || cands.isEmpty)
+      return items.limit(0).groupBy("item")
+        .agg(count(lit(1)).as("cnt"))
+    val thr = math.ceil(phi * n).toLong
+    items.filter(col("item").isin(cands: _*))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(thr))
   }
 }

@@ -79,4 +79,76 @@ object Sketches {
       .groupBy("group")
       .agg(KmvSketch.kmvSketch(col("h"), k).as("sk"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted Misra–Gries summaries — the KMV table's frequent-items
+  // sibling. Same append-only design: slices summarize independently
+  // ([[graft.functions.MisraGries.mgSummary]]) and append their
+  // (group, summary, n_items) rows; the reader folds stored rows per
+  // group with [[graft.functions.MisraGries.mgMerge]] (Agarwal'12
+  // mergeability: the combined deficit stays ≤ ΣN_i/(m+1)), so there is
+  // no read-modify-write and no generation machinery to crash-proof.
+  // n_items persists per slice because the GUARANTEE is stated against
+  // total N — a reader needs Σn to turn a support fraction φ into a
+  // count threshold. m validates on every append/load (a different-m
+  // merge silently weakens the deficit bound — refuse, the KMV k
+  // discipline). Unlike KMV, the merged ESTIMATES are merge-order
+  // dependent — deterministic serving goes through the exact recount
+  // ([[HeavyHitters.frequentItemsFromStore]]), never the raw estimates.
+  // ------------------------------------------------------------------
+
+  private val MgLayout = "mg_v1"
+
+  /** Create a summary table at `path` from a (group, summary, n_items)
+    * frame — summary in the [[graft.functions.MisraGries.mgSummary]]
+    * output shape, n_items the slice's total (non-null) item count. */
+  def saveMgSummaries(summaries: DataFrame, groupCol: String,
+                      summaryCol: String, nCol: String,
+                      path: String, m: Int): Unit = {
+    require(m >= 1, s"m must be positive, got $m")
+    val spark = summaries.sparkSession
+    import spark.implicits._
+    summaries.select(col(groupCol).as("group"),
+        col(summaryCol).as("summary"), col(nCol).cast("long").as("n_items"))
+      .write.mode("overwrite").parquet(s"$path/summaries")
+    Seq((MgLayout, m)).toDF("layout", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readM(spark: SparkSession, path: String): Int = {
+    val p = Similarity.readParams(spark, path).head()
+    require(p.getAs[String]("layout") == MgLayout,
+      s"summary table at $path has layout ${p.getAs[String]("layout")}, " +
+        s"expected $MgLayout")
+    p.getAs[Int]("m")
+  }
+
+  /** Append a new slice's (group, summary, n_items) rows — same-m only. */
+  def appendMgSummaries(summaries: DataFrame, groupCol: String,
+                        summaryCol: String, nCol: String,
+                        path: String, m: Int): Unit = {
+    val stored = readM(summaries.sparkSession, path)
+    require(stored == m,
+      s"summary table at $path was built at m=$stored, got m=$m — " +
+        "summaries merge with the guaranteed bound only at equal m")
+    summaries.select(col(groupCol).as("group"),
+        col(summaryCol).as("summary"), col(nCol).cast("long").as("n_items"))
+      .write.mode("append").parquet(s"$path/summaries")
+  }
+
+  /** Load the table, folding every appended row per group into one
+    * summary over the union stream. Output: (group, summary, n_items
+    * = Σ slice counts). Candidate guarantee after the fold: every item
+    * with total frequency > n_items/(m+1) is present. */
+  def loadMgSummaries(spark: SparkSession, path: String): DataFrame = {
+    val m = readM(spark, path)
+    spark.read.parquet(s"$path/summaries")
+      .groupBy("group")
+      .agg(graft.functions.MisraGries.mgMerge(col("summary"), m)
+          .as("summary"),
+        sum(col("n_items")).as("n_items"))
+  }
+
+  /** The stored m knob (needed to restate the guarantee at serve time). */
+  def mgCapacity(spark: SparkSession, path: String): Int = readM(spark, path)
 }

@@ -836,6 +836,70 @@ object Streaming {
         KmvSketch.estimate(array_sort(col("sk")), k).as("est_phrases"))
   }
 
+  /** Streaming φ-frequent n-grams: each trigger folds its micro-batch
+    * into a Misra–Gries summary DISTRIBUTED (map-side combined, ≤ m
+    * (item, count) pairs on the wire — never the gram vocabulary), the
+    * driver merges batch summaries under the Agarwal'12 mergeability
+    * bound (deficit ≤ N/(m+1) over everything the stream has carried)
+    * and checkpoints the ≤ m-entry state to parquet, and the final
+    * serve recounts the merged candidates EXACTLY over the ingested
+    * corpus — so the answer equals the batch t38 gate whatever the
+    * batch boundaries and merge order (the two-pass determinism
+    * argument: sketch internals never reach the output). Driver state
+    * is bounded by construction: m entries + one total counter. */
+  def streamingHeavyHitters(spark: SparkSession, sfDir: String,
+                            name: String, n: Int = 2, phi: Double = 0.001,
+                            ingestFiles: Int = 4): DataFrame = {
+    import graft.functions.MgBuffer
+    import graft.operators.HeavyHitters
+    val m = math.ceil(2.0 / phi).toInt
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val ckpt = base.resolve("ckpt").toString
+    val stateDir = base.resolve("hhstate").toString
+    val ingestDir = base.resolve("ingest").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    batchDocs.repartition(ingestFiles)
+      .write.mode("overwrite").parquet(ingestDir)
+    val state = new MgBuffer(m)
+    var nTotal = 0L
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        if (!mb.isEmpty) {
+          val sqlc = mb.sparkSession
+          import sqlc.implicits._
+          val row = HeavyHitters.summarizeItems(
+            HeavyHitters.ngramItems(mb, "text", n), "gram", m).head()
+          nTotal += row.getAs[Long]("n_items")
+          val tmp = new MgBuffer(m)
+          row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("summary"))
+            .foreach(r => tmp.counts.update(r.getString(0), r.getLong(1)))
+          state.mergeFrom(tmp)
+          // durable per-trigger state: ≤ m rows + the running N
+          state.counts.toSeq
+            .toDF("item", "est")
+            .withColumn("n_total", lit(nTotal))
+            .coalesce(1).write.mode("overwrite").parquet(stateDir)
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // serve from the DURABLE state: exact recount of its candidates
+    val st = spark.read.parquet(stateDir)
+    val cands = st.select("item").collect().map(_.getString(0)).toSeq
+    val nTot = st.select("n_total").head().getLong(0)
+    val thr = math.ceil(phi * nTot).toLong
+    HeavyHitters.ngramItems(spark.read.parquet(ingestDir), "text", n)
+      .filter(col("gram").isin(cands: _*))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(thr))
+  }
+
   /** Streaming model-based filtering: documents stream in and each
     * micro-batch is scored against a PERSISTED NaiveBayes model
     * ([[graft.operators.NaiveBayes.save]]) loaded once at stream setup —

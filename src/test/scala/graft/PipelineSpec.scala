@@ -3984,6 +3984,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(sk("HH") <= 100L && sk("HH") >= 100L - 400L / 17L, sk.toString)
   }
 
+  test("mg store: independent slice appends serve the one-shot answer; m and layout guards refuse; capacity guard at serve") {
+    import spark.implicits._
+    import graft.operators.{HeavyHitters, Sketches}
+    // 3 slices that partition a stream where pruning engages per slice
+    // (m = 8 < distinct items within each slice)
+    val slices = Seq(
+      Seq.fill(200)("hot") ++ (1 to 50).map(i => s"a$i"),
+      Seq.fill(150)("hot") ++ Seq.fill(120)("warm") ++ (1 to 50).map(i => s"b$i"),
+      Seq.fill(80)("warm") ++ (1 to 50).map(i => s"c$i"))
+    val all = slices.flatten
+    val m = 8
+    withTempDir("graft_mg_store_") { dir =>
+      Sketches.saveMgSummaries(
+        HeavyHitters.summarizeItems(slices(0).toDF("item"), "item", m),
+        "group", "summary", "n_items", dir, m)
+      for (sl <- slices.drop(1))
+        Sketches.appendMgSummaries(
+          HeavyHitters.summarizeItems(sl.toDF("item"), "item", m),
+          "group", "summary", "n_items", dir, m)
+      // N = 700; phi = 0.2 → thr = 140: hot (350) and warm (200) — and
+      // m + 1 = 9 > 1/phi = 5 upholds the superset guarantee across the
+      // merged slices
+      val served = HeavyHitters.frequentItemsFromStore(
+        all.toDF("item"), "item", dir, phi = 0.2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(served == Set(("hot", 350L), ("warm", 200L)), served.toString)
+      // ≡ one-shot over the union
+      val oneShot = HeavyHitters.frequentItems(
+        all.toDF("item"), "item", phi = 0.2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(served == oneShot)
+      // a too-small stored capacity cannot guarantee a finer phi
+      val eCap = intercept[IllegalArgumentException] {
+        HeavyHitters.frequentItemsFromStore(
+          all.toDF("item"), "item", dir, phi = 0.05)
+      }
+      assert(eCap.getMessage.contains("cannot guarantee"), eCap.getMessage)
+      // different-m appends refuse (the bound would silently weaken)
+      val eM = intercept[IllegalArgumentException] {
+        Sketches.appendMgSummaries(
+          HeavyHitters.summarizeItems(slices(0).toDF("item"), "item", 16),
+          "group", "summary", "n_items", dir, 16)
+      }
+      assert(eM.getMessage.contains("m="), eM.getMessage)
+      // a foreign layout refuses
+      Seq(("kmv_v1", 8)).toDF("layout", "m")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+      val eL = intercept[IllegalArgumentException] {
+        Sketches.loadMgSummaries(spark, dir)
+      }
+      assert(eL.getMessage.contains("layout"), eL.getMessage)
+    }
+  }
+
   test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {
     import spark.implicits._
     import graft.functions.KmvSketch

@@ -33,13 +33,25 @@ for name in missing:
 import time as _time
 slow = []  # (seconds, gate) — surfaced at the end so sweep logs name the
            # oracles that dominate the sf0.1 leg's wall clock
+# Oracle families share SQL verbatim (17 ANN gates pin one brute-force
+# window; d17/d18 re-run one recursive closure; r1/r2/st17 one BM25
+# derivation): memoize DuckDB results by exact SQL text — 144 distinct
+# statements for 183 gates, and the duplicates include the heaviest
+# (the sweep's sf0.1 leg was ~95% DuckDB work). Downstream column-sort/
+# row-sort build NEW frames, so the cached one is never mutated.
+oracle_cache = {}
 for name in sorted(oracles):
     if name in missing:
         continue  # already reported MISSING OUTPUT above
     _t0 = _time.time()
     try:
         got = pd.read_parquet(f"{out}/{name}")
-        exp = con.sql(oracles[name]).df()
+        sql = oracles[name]
+        if sql in oracle_cache:
+            exp = oracle_cache[sql]
+        else:
+            exp = con.sql(sql).df()
+            oracle_cache[sql] = exp
         slow.append((_time.time() - _t0, name))
         got = got[sorted(got.columns)]
         exp = exp[sorted(exp.columns)]
