@@ -100,7 +100,14 @@ object Bench {
     // append lifecycle served end-to-end, and the KMV distinct sketch
     // (one scan pass, ≤k longs per partition-group on the wire)
     "r4_hybrid_persisted", "r5_bm25_append", "t33_kmv_vocab",
-    "t34_kmv_overlap", "t35_intradoc_line_dedup")
+    "t34_kmv_overlap", "t35_intradoc_line_dedup",
+    // round-12 additions: SQ8 drift probe (two fused folds + scalar
+    // aggs), the waterfill→token-budget capstone, the cross-snapshot
+    // drift report (two independent scans, sketch-only join), and the
+    // heavy-hitters pair (MG sketch pass + exact InSet recount; t39
+    // serves the same answer from the persisted summary store)
+    "s18_sq8_drift", "p13_curation_v5", "t37_snapshot_drift",
+    "t38_frequent_ngrams", "t39_frequent_ngrams_store", "t40_countmin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2990,6 +2990,60 @@ object SparkEntry {
       .withColumnRenamed("item", "gram")
   }
 
+  // Count-Min point-frequency estimates — the third sketch (KMV =
+  // distinct, MG = frequent items, CM = "how often did THIS phrase
+  // occur"). CM is a LINEAR sketch over the portable md5 hash: counter
+  // tables are order-independent sums, so — unlike MG — the ESTIMATES
+  // themselves are bit-identical in any engine and the oracle replays
+  // the full sketch (4 hash rows × 1024 cells, same strpos/md5 hash
+  // arithmetic as t34) rather than needing an exact-recount escape.
+  // Probe set: the distinct 2-grams of every 97th document. Wire cost
+  // of the build: partitions × depth × width counters — constant in the
+  // vocabulary; serving joins the broadcast probe batch to the
+  // metadata-sized counter table, the corpus untouched.
+  define("t40_countmin",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+           AS wds FROM documents),
+       g AS (SELECT array_to_string(wds[pos : pos + 1], ' ') AS gram
+             FROM (SELECT wds,
+                     unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                       AS pos
+                   FROM w)),
+       q AS (SELECT DISTINCT array_to_string(wds[pos : pos + 1], ' ')
+               AS gram
+             FROM (SELECT wds,
+                     unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                       AS pos
+                   FROM w WHERE doc_id % 97 = 0)),
+       hr AS (SELECT unnest(generate_series(0, 3)) AS row),
+       gc AS (SELECT row,
+                CAST(list_sum(list_transform(range(1, 16),
+                  p2 -> (strpos('0123456789abcdef',
+                           md5(CAST(row AS VARCHAR) || ':' || gram)[p2]) - 1)
+                       * (1::BIGINT << (4*(15-p2))))) AS BIGINT) % 1024
+                  AS cell
+              FROM g CROSS JOIN hr),
+       counters AS (SELECT row, cell, CAST(count(*) AS BIGINT) AS cnt
+                    FROM gc GROUP BY row, cell),
+       qc AS (SELECT gram, row,
+                CAST(list_sum(list_transform(range(1, 16),
+                  p2 -> (strpos('0123456789abcdef',
+                           md5(CAST(row AS VARCHAR) || ':' || gram)[p2]) - 1)
+                       * (1::BIGINT << (4*(15-p2))))) AS BIGINT) % 1024
+                  AS cell
+              FROM q CROSS JOIN hr)
+       SELECT gram, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+       FROM qc LEFT JOIN counters USING (row, cell)
+       GROUP BY gram""") { (s, d) =>
+    import graft.functions.{TextFunctions => TFx}
+    val docs = t(s, d, "documents")
+    val probes = graft.operators.spread(
+        docs.filter(col("doc_id") % 97 === 0).select(col("text").as("__t")))
+      .select(explode(TFx.shingles(col("__t"), 2)).as("phrase"))
+    graft.operators.CountMin.cmNgramFrequencies(docs, probes,
+      "text", n = 2, phraseCol = "phrase", depth = 4, width = 1024)
+  }
+
   // KMV (k-minimum-values) distinct sketch: per-language vocabulary
   // estimate — the REPRODUCIBLE approximate-distinct primitive
   // (approx_count_distinct/HLL is neither cross-engine nor cross-version

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{KmvSketch, TextFunctions => TF}
+
+/** Count-Min sketch (Cormode & Muthukrishnan'05) — point FREQUENCY
+  * estimates over an unbounded item vocabulary, completing the repo's
+  * sketch suite (KMV = distinct counts, Misra–Gries = frequent items,
+  * CM = "how often did THIS item occur"). depth×width counters; item
+  * increments one cell per row via independent hashes; estimate = min
+  * over rows (always ≥ truth; over by ≤ 2N/width with prob 1−2⁻ᵈᵉᵖᵗʰ).
+  *
+  * Unlike MG, CM is a LINEAR sketch: the counter table is a sum of
+  * per-item one-hot updates, so it is order-independent, exactly
+  * mergeable by cell-wise addition, and — over the portable md5 hash —
+  * bit-identical in any engine: the estimates themselves are
+  * oracle-checkable, no exact-recount pass needed.
+  *
+  * Representation is deliberately RELATIONAL, not a custom aggregate:
+  * the counter table is a (row, cell, cnt) DataFrame of ≤ depth·width
+  * rows. Build is one explode(depth) + hash-agg pass — partial
+  * aggregation caps the wire at partitions · depth · width counters,
+  * CONSTANT in the vocabulary (the exact `groupBy(item)` alternative
+  * shuffles the vocabulary itself). Estimation joins the BROADCAST
+  * query batch to the counter table on (row, cell): the corpus is
+  * never touched. Persistence is append-only rows with sum-at-read
+  * (linearity), the t36 KMV-table discipline — no read-modify-write.
+  */
+object CountMin {
+
+  private val Layout = "cm_v1"
+
+  /** Cell index of `item` in hash row `i`: the portable 60-bit md5 hash
+    * of "i:item", mod width — built-ins only, so DuckDB reproduces every
+    * cell assignment (the [[KmvSketch.portableHash60]] argument). */
+  private def cell(item: org.apache.spark.sql.Column, i: Int,
+                   width: Int): org.apache.spark.sql.Column =
+    KmvSketch.portableHash60(concat(lit(s"$i:"), item)) % width
+
+  /** Build the counter table: (row, cell, cnt), ≤ depth·width rows
+    * however many items stream through. NULL items are ignored. */
+  def cmBuild(df: DataFrame, itemCol: String, depth: Int,
+              width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be at least 2, got $width")
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    items.select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cell(col("item"), i, width).as("cell"))): _*))
+        .as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for a query batch: min over hash rows of the
+    * matching cells (an absent cell is 0 — the estimate floor). The
+    * query side broadcasts; the counter table is metadata-sized. Output:
+    * (item, est). Duplicate query items are deduplicated. */
+  def cmEstimate(queries: DataFrame, counters: DataFrame, itemCol: String,
+                 depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, "depth must be positive")
+    val q = queries.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val qc = q.select(col("item"),
+      explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cell(col("item"), i, width).as("cell"))): _*))
+        .as("rc"))
+      .select(col("item"), col("rc.row").as("row"), col("rc.cell").as("cell"))
+    broadcast(qc).join(counters, Seq("row", "cell"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** One-shot convenience: estimates of `queries` item frequencies in
+    * `corpus`. */
+  def cmFrequencies(corpus: DataFrame, queries: DataFrame, itemCol: String,
+                    depth: Int = 4, width: Int = 1024)
+                   (implicit scope: CacheScope = CacheScope.global): DataFrame =
+    cmEstimate(queries, scope.cache(cmBuild(corpus, itemCol, depth, width)),
+      itemCol, depth, width)
+
+  /** Word n-gram frequency estimates: the "how common is this exact
+    * phrase" probe (blocklist candidates, contamination spot checks)
+    * without ever shuffling the gram vocabulary. */
+  def cmNgramFrequencies(docs: DataFrame, queries: DataFrame,
+                         textCol: String, n: Int, phraseCol: String,
+                         depth: Int = 4, width: Int = 1024)
+                        (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val grams = spread(docs.select(col(textCol).as("__t")))
+      .select(explode(TF.shingles(col("__t"), n)).as("gram"))
+    cmEstimate(queries.select(col(phraseCol).as("gram")),
+      scope.cache(cmBuild(grams, "gram", depth, width)),
+      "gram", depth, width)
+      .withColumnRenamed("item", "gram")
+  }
+
+  // ------------------------------------------------------------------
+  // Persistence: linearity makes the store APPEND-ONLY — slices build
+  // counter tables independently and append their rows; the reader sums
+  // per (row, cell), which by linearity equals the one-shot build over
+  // the union. depth/width validate on every append/load (different
+  // geometries do not add meaningfully — refuse, the k/m discipline).
+  // ------------------------------------------------------------------
+
+  /** Create a counter store at `path` from a [[cmBuild]] output. */
+  def saveCm(counters: DataFrame, path: String, depth: Int,
+             width: Int): Unit = {
+    val spark = counters.sparkSession
+    import spark.implicits._
+    counters.select(col("row"), col("cell"), col("cnt"))
+      .write.mode("overwrite").parquet(s"$path/counters")
+    Seq((Layout, depth, width)).toDF("layout", "depth", "width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readGeometry(spark: SparkSession, path: String): (Int, Int) = {
+    val p = Similarity.readParams(spark, path).head()
+    require(p.getAs[String]("layout") == Layout,
+      s"counter store at $path has layout ${p.getAs[String]("layout")}, " +
+        s"expected $Layout")
+    (p.getAs[Int]("depth"), p.getAs[Int]("width"))
+  }
+
+  /** Append a slice's counter table — same geometry only. */
+  def appendCm(counters: DataFrame, path: String, depth: Int,
+               width: Int): Unit = {
+    val (d, w) = readGeometry(counters.sparkSession, path)
+    require(d == depth && w == width,
+      s"counter store at $path has geometry ${d}x$w, got ${depth}x$width" +
+        " — different-geometry sketches do not merge")
+    counters.select(col("row"), col("cell"), col("cnt"))
+      .write.mode("append").parquet(s"$path/counters")
+  }
+
+  /** Load the store, summing appended rows per cell (= the one-shot
+    * sketch of the union, by linearity). Output: counter table +
+    * geometry for [[cmEstimate]]. */
+  def loadCm(spark: SparkSession, path: String): (DataFrame, Int, Int) = {
+    val (d, w) = readGeometry(spark, path)
+    (spark.read.parquet(s"$path/counters")
+      .groupBy("row", "cell").agg(sum("cnt").as("cnt")), d, w)
+  }
+}

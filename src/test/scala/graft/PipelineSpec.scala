@@ -4038,6 +4038,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min: estimates dominate true counts, exact at ample width; append-only store sums to the one-shot sketch") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val items = Seq.fill(300)("hot") ++ Seq.fill(60)("warm") ++
+      (1 to 120).map(i => s"rare$i")
+    val truth = items.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val corpus = items.toDF("item").repartition(6)
+    val queries =
+      (truth.keys.toSeq.sorted.take(30) :+ "hot" :+ "warm" :+ "absent")
+        .toDF("item")
+    val est = CountMin.cmFrequencies(corpus, queries, "item",
+      depth = 4, width = 2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CM never underestimates (one-sided error)…
+    est.foreach { case (k, v) =>
+      assert(v >= truth.getOrElse(k, 0L), s"$k: $v") }
+    // …and at width ≫ distinct items the min row is collision-free
+    assert(est("hot") == 300L && est("warm") == 60L, est.toString)
+    assert(est("absent") == 0L)
+    // a deliberately tight width: collisions inflate, never deflate
+    val tight = CountMin.cmFrequencies(corpus, queries, "item",
+      depth = 2, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tight.foreach { case (k, v) =>
+      assert(v >= truth.getOrElse(k, 0L), s"$k: $v") }
+    // store: independent slice builds + append ≡ one-shot (linearity)
+    withTempDir("graft_cm_") { dir =>
+      val (a, b) = items.splitAt(200)
+      CountMin.saveCm(
+        CountMin.cmBuild(a.toDF("item"), "item", 4, 2048), dir, 4, 2048)
+      CountMin.appendCm(
+        CountMin.cmBuild(b.toDF("item"), "item", 4, 2048), dir, 4, 2048)
+      val (counters, d, wd) = CountMin.loadCm(spark, dir)
+      val served = CountMin.cmEstimate(queries, counters, "item", d, wd)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served == est)
+      // different-geometry appends refuse
+      val eG = intercept[IllegalArgumentException] {
+        CountMin.appendCm(
+          CountMin.cmBuild(a.toDF("item"), "item", 2, 8), dir, 2, 8)
+      }
+      assert(eG.getMessage.contains("geometry"), eG.getMessage)
+    }
+  }
+
   test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {
     import spark.implicits._
     import graft.functions.KmvSketch

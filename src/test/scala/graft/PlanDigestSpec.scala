@@ -105,7 +105,26 @@ class PlanDigestSpec extends AnyFunSuite {
     // intra-doc line dedup: ONE projection pass — spread's round-robin
     // is the only exchange; any join/window/extra shuffle means the
     // in-row dedup regressed toward an exploded corpus-wide pass
-    "t35_intradoc_line_dedup" -> Digest(1, 0, 0, 0, 0))
+    "t35_intradoc_line_dedup" -> Digest(1, 0, 0, 0, 0),
+    // round-11: snapshot drift — all exchanges here move |groups|-row
+    // agg outputs and k-long sketch arrays (two independent corpus-side
+    // scans feed 4 tiny aggs; the full-outer meet is the 2-sort SMJ);
+    // corpus text never joins anything. The heavy-hitter pair's served
+    // plan is spread + the exact InSet recount agg — the MG sketch pass
+    // runs as a bounded driver action during construction; a window or
+    // join appearing here means the recount regressed toward a
+    // vocabulary-wide rank. p13's served plan is the RDD-backed
+    // range-exchange cumsum (exchanges live below the RDD boundary).
+    "t37_snapshot_drift"      -> Digest(8, 2, 0, 0, 2),
+    "t38_frequent_ngrams"     -> Digest(2, 0, 0, 0, 0),
+    "t39_frequent_ngrams_store" -> Digest(2, 0, 0, 0, 0),
+    "p13_curation_v5"         -> Digest(0, 0, 0, 0, 0),
+    // CM estimate: the probe batch (spread + distinct + its own tiny
+    // agg) broadcasts into the cached counter table, then the min agg —
+    // all 4 shuffles move probe-batch/counter-table rows, never corpus;
+    // broadcasts must stay ≥ 1 (losing it means the metadata-sized
+    // counter table started shuffling against the probe side)
+    "t40_countmin"            -> Digest(4, 1, 0, 0, 0))
 
   /** Loose per-gate ceiling on total expression tree nodes — see the
     * exprNodes check below. Current max across pinned gates is measured
