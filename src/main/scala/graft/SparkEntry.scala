@@ -3001,7 +3001,37 @@ object SparkEntry {
   // of the build: partitions × depth × width counters — constant in the
   // vocabulary; serving joins the broadcast probe batch to the
   // metadata-sized counter table, the corpus untouched.
-  define("t40_countmin",
+  // Per-GROUP φ-frequent n-grams: one MG summary per language in a
+  // single map-side-combined agg, the union of candidates recounted
+  // exactly per (lang, gram) against per-lang thresholds — exact per
+  // group (each group's φ-frequent set is inside its own candidates).
+  define("t41_frequent_ngrams_by_lang",
+    """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+')
+           AS wds FROM documents),
+       g AS (SELECT lang, array_to_string(wds[pos : pos + 1], ' ') AS gram
+             FROM (SELECT lang, wds,
+                     unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                       AS pos
+                   FROM w)),
+       tot AS (SELECT lang, count(*) AS n FROM g GROUP BY lang)
+       SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+       FROM g JOIN tot USING (lang)
+       GROUP BY lang, gram, n
+       HAVING count(*) >= CAST(ceil(0.0013 * n) AS BIGINT)""") { (s, d) =>
+    import graft.functions.{TextFunctions => TFx}
+    val grams = graft.operators.spread(
+        t(s, d, "documents").select(col("lang"), col("text")))
+      .select(col("lang"),
+        explode(TFx.shingles(col("text"), 2)).as("gram"))
+    graft.operators.HeavyHitters.frequentItemsByGroup(
+      grams, "lang", "gram", phi = 0.0013)
+      .select(col("group").as("lang"), col("item").as("gram"), col("cnt"))
+  }
+
+  // Shared CM oracle (t40 one-shot, st26 streaming — linearity makes
+  // the per-batch-built, appended, summed-at-read counter table equal
+  // the one-shot build bit for bit, so one oracle covers both).
+  private val cmOracleSql: String =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
            AS wds FROM documents),
        g AS (SELECT array_to_string(wds[pos : pos + 1], ' ') AS gram
@@ -3034,7 +3064,9 @@ object SparkEntry {
               FROM q CROSS JOIN hr)
        SELECT gram, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
        FROM qc LEFT JOIN counters USING (row, cell)
-       GROUP BY gram""") { (s, d) =>
+       GROUP BY gram"""
+
+  define("t40_countmin", cmOracleSql) { (s, d) =>
     import graft.functions.{TextFunctions => TFx}
     val docs = t(s, d, "documents")
     val probes = graft.operators.spread(
@@ -4936,6 +4968,14 @@ object SparkEntry {
   // hitters triad (one-shot t38 / persisted t39 / streaming).
   define("st25_stream_heavy_hitters", hhOracleSql) { (s, d) =>
     graft.streaming.Streaming.streamingHeavyHitters(s, d, "st25")
+  }
+
+  // Streaming Count-Min: per-trigger counter tables append to the
+  // persisted store; linearity makes sum-at-read ≡ the one-shot build
+  // bit for bit, so t40's oracle transfers with NO recount step. The
+  // driver holds zero state — restart safety falls out of the store.
+  define("st26_stream_countmin", cmOracleSql) { (s, d) =>
+    graft.streaming.Streaming.streamingCountMin(s, d, "st26")
   }
 
   define("st23_stream_kmv", kmvVocabSql) { (s, d) =>

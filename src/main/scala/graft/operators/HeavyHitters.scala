@@ -81,6 +81,57 @@ object HeavyHitters {
       .withColumnRenamed("item", "gram")
   }
 
+  /** Per-GROUP exact φ-frequent items — "which phrases dominate each
+    * language/source": pass 1 folds one MG summary PER GROUP in a
+    * single map-side-combined agg (wire: ≤ m pairs per partition-group)
+    * and collects the |groups|-row result — driver state is
+    * groups × m entries, validated against the bounded-driver contract;
+    * at higher group cardinality, thresholds would move to a broadcast
+    * join (the temperatureSample note). Pass 2 recounts the UNION of
+    * all groups' candidates exactly per (group, item) and keeps
+    * count ≥ ceil(φ·N_group) — exact per group, because each group's
+    * φ-frequent items are guaranteed inside its own candidate set, and
+    * counting a candidate under extra groups can only add true
+    * positives. Output: (group, item, cnt). */
+  def frequentItemsByGroup(df: DataFrame, groupCol: String,
+                           itemCol: String, phi: Double,
+                           margin: Double = 2.0)
+                          (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    import graft.functions.MisraGries
+    require(phi > 0.0 && phi <= 1.0, "phi must be in (0, 1]")
+    require(margin > 1.0, "margin must exceed 1 for the superset guarantee")
+    val m = math.ceil(margin / phi).toInt
+    require(m <= (1 << 20),
+      s"phi=$phi needs $m candidate counters per group — raise phi")
+    val items = scope.cache(
+      df.select(col(groupCol).as("group"),
+          col(itemCol).cast("string").as("item"))
+        .filter(col("item").isNotNull))
+    val rows = items.groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        MisraGries.mgSummary(col("item"), m).as("s"))
+      .collect()
+    val totalEntries = rows.map(
+      _.getSeq[org.apache.spark.sql.Row](2).size.toLong).sum
+    require(totalEntries <= (1L << 20),
+      s"groups x m = $totalEntries candidate entries exceed the " +
+        "bounded-driver contract — raise phi or reduce group cardinality")
+    val cands = rows.flatMap(
+      _.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0)))
+      .distinct.toSeq
+    if (rows.isEmpty || cands.isEmpty)
+      return items.limit(0).groupBy("group", "item")
+        .agg(count(lit(1)).as("cnt"))
+    val thrCol = rows.foldLeft(lit(Long.MaxValue): org.apache.spark.sql.Column) {
+      case (acc, r) =>
+        when(col("group") === lit(r.get(0)),
+          lit(math.ceil(phi * r.getLong(1)).toLong)).otherwise(acc)
+    }
+    items.filter(col("item").isin(cands: _*))
+      .groupBy("group", "item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thrCol)
+  }
+
   /** The shared gram-construction projection (spread-before-HOF). */
   def ngramItems(docs: DataFrame, textCol: String, n: Int): DataFrame =
     spread(docs.select(col(textCol).as("__t")))

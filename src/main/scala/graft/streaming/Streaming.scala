@@ -900,6 +900,60 @@ object Streaming {
       .filter(col("cnt") >= lit(thr))
   }
 
+  /** Streaming Count-Min frequency sketching: each trigger builds its
+    * micro-batch's counter table distributed ([[graft.operators
+    * .CountMin.cmBuild]] — ≤ depth·width counters on the wire however
+    * big the batch) and APPENDS it to the persisted store; linearity
+    * (CM is a sum of one-hot updates) means the summed-at-read table
+    * equals the one-shot build over everything ingested, bit for bit,
+    * whatever the batch boundaries — t40's oracle transfers verbatim
+    * with no recount step (contrast the MG stream, where only the
+    * exact second pass restores determinism). State is ENTIRELY in the
+    * parquet store — the driver holds nothing, so restart safety is
+    * free: the checkpoint skips ingested files and their counters are
+    * already in the store. */
+  def streamingCountMin(spark: SparkSession, sfDir: String, name: String,
+                        n: Int = 2, depth: Int = 4, width: Int = 1024,
+                        ingestFiles: Int = 4): DataFrame = {
+    import graft.operators.{CountMin, HeavyHitters}
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val ckpt = base.resolve("ckpt").toString
+    val storeDir = base.resolve("cmstore").toString
+    val ingestDir = base.resolve("ingest").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    batchDocs.repartition(ingestFiles)
+      .write.mode("overwrite").parquet(ingestDir)
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        if (!mb.isEmpty) {
+          val counters = CountMin.cmBuild(
+            HeavyHitters.ngramItems(mb, "text", n), "gram", depth, width)
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(storeDir, "_params")))
+            CountMin.appendCm(counters, storeDir, depth, width)
+          else
+            CountMin.saveCm(counters, storeDir, depth, width)
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // serve the t40 probe shape from the STORE alone (corpus untouched)
+    val probes = graft.operators.spread(
+        spark.read.parquet(ingestDir).filter(col("doc_id") % 97 === 0)
+          .select(col("text").as("__t")))
+      .select(explode(graft.functions.TextFunctions.shingles(col("__t"), n))
+        .as("gram"))
+    val (counters, d, w) = CountMin.loadCm(spark, storeDir)
+    CountMin.cmEstimate(probes, counters, "gram", d, w)
+      .withColumnRenamed("item", "gram")
+  }
+
   /** Streaming model-based filtering: documents stream in and each
     * micro-batch is scored against a PERSISTED NaiveBayes model
     * ([[graft.operators.NaiveBayes.save]]) loaded once at stream setup —

@@ -4038,6 +4038,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("frequentItemsByGroup: per-group thresholds exact under pruning; union candidates never leak false positives") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // group a: N=300 — "hot" 120, "both" 60, 120 singletons
+    // group b: N=100 — "both" 9 (frequent in a's terms, NOT in b at
+    //   phi=0.1 → thr=10), "bhot" 40, 51 singletons
+    val rows =
+      (Seq.fill(120)("hot") ++ Seq.fill(60)("both") ++
+        (1 to 120).map(i => s"a$i")).map(("a", _)) ++
+      (Seq.fill(9)("both") ++ Seq.fill(40)("bhot") ++
+        (1 to 51).map(i => s"b$i")).map(("b", _))
+    val out = HeavyHitters.frequentItemsByGroup(
+      rows.toDF("g", "item").repartition(9), "g", "item", phi = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // thr(a)=30, thr(b)=10: "both" passes in a (60) but NOT in b (9),
+    // even though "both" certainly sits in b's candidate union via a
+    assert(out == Set(("a", "hot", 120L), ("a", "both", 60L),
+      ("b", "bhot", 40L)), out.toString)
+    // pruning engaged: m = 20 < 122 distinct in group a
+    assert(math.ceil(2.0 / 0.1).toInt == 20)
+  }
+
   test("count-min: estimates dominate true counts, exact at ample width; append-only store sums to the one-shot sketch") {
     import spark.implicits._
     import graft.operators.CountMin

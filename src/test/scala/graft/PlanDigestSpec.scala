@@ -124,7 +124,9 @@ class PlanDigestSpec extends AnyFunSuite {
     // all 4 shuffles move probe-batch/counter-table rows, never corpus;
     // broadcasts must stay ≥ 1 (losing it means the metadata-sized
     // counter table started shuffling against the probe side)
-    "t40_countmin"            -> Digest(4, 1, 0, 0, 0))
+    "t40_countmin"            -> Digest(4, 1, 0, 0, 0),
+    // grouped recount: spread + the (group, item) exact count agg
+    "t41_frequent_ngrams_by_lang" -> Digest(2, 0, 0, 0, 0))
 
   /** Loose per-gate ceiling on total expression tree nodes — see the
     * exprNodes check below. Current max across pinned gates is measured
