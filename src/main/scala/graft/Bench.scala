@@ -108,7 +108,9 @@ object Bench {
     // serves the same answer from the persisted summary store)
     "s18_sq8_drift", "p13_curation_v5", "t37_snapshot_drift",
     "t38_frequent_ngrams", "t39_frequent_ngrams_store", "t40_countmin",
-    "t41_frequent_ngrams_by_lang")
+    "t41_frequent_ngrams_by_lang",
+    // the discover→remove composition (top-k blocklist + line scrub)
+    "p14_boilerplate_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4095,6 +4095,65 @@ object SparkEntry {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
+  // Boilerplate scrub — the discover→remove composition: the corpus's
+  // own top-25 2-grams (t19's exact TakeOrdered top-k with the
+  // occurrences-DESC/gram-ASC tie-break; at open vocabulary the t38
+  // heavy-hitters pass is the drop-in source of the same list) become
+  // the LINE blocklist, and cleanLines drops every line containing one
+  // (d11's fixed 5-word segmentation). This is the C4 pipeline's
+  // "discover boilerplate, then strip it" loop as one gate — blocklist
+  // discovery at corpus scale is a bounded driver list (top-k), line
+  // removal is the zero-join projection pass. Word/punct rules are off
+  // so the composition is isolated to the discovered blocklist.
+  define("p14_boilerplate_scrub",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+           AS wds FROM documents),
+       g2 AS (SELECT doc_id, array_to_string(wds[pos : pos + 1], ' ')
+                AS gram
+              FROM (SELECT doc_id, wds,
+                      unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                        AS pos
+                    FROM w)),
+       pg AS (SELECT doc_id, gram, count(*) AS c FROM g2
+              GROUP BY doc_id, gram),
+       blk AS (SELECT gram FROM (
+                 SELECT gram, sum(c) AS occurrences FROM pg GROUP BY gram
+                 ORDER BY occurrences DESC, gram LIMIT 25)),
+       lines AS (SELECT doc_id, g AS pos,
+                   array_to_string(wds[g*5+1 : g*5+5], ' ') AS line
+                 FROM (SELECT doc_id, wds,
+                         unnest(generate_series(0,
+                           CAST(ceil(len(wds) / 5.0) AS INT) - 1)) AS g
+                       FROM w)),
+       kept AS (SELECT doc_id, pos, line FROM lines
+                WHERE NOT EXISTS (SELECT 1 FROM blk
+                  WHERE contains(lower(line), lower(gram)))),
+       nl AS (SELECT doc_id, count(*) AS n_lines FROM lines
+              GROUP BY doc_id),
+       nk AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id)
+       SELECT nl.doc_id,
+         CAST(nl.n_lines AS BIGINT) AS n_lines,
+         CAST(coalesce(nk.n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(nk.n_kept, 0) >= 1 AS keep,
+         coalesce(nk.text, '') AS text
+       FROM nl LEFT JOIN nk ON nl.doc_id = nk.doc_id""") { (s, d) =>
+    import graft.operators.{LineClean, TfIdf}
+    val docs = t(s, d, "documents")
+    // bounded driver list: exactly 25 grams whatever the corpus size
+    val block = TfIdf.topNgrams(docs, "text", "doc_id", n = 2, k = 25)
+      .select("gram").collect().map(_.getString(0)).toSeq
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    LineClean.cleanLines(
+      docs.select(col("doc_id"), lines.as("lines")), "lines", "doc_id",
+      minWordsPerLine = 0, requireTerminalPunct = false,
+      blocklist = block, minKeptLines = 1)
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus

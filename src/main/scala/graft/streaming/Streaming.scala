@@ -846,22 +846,43 @@ object Streaming {
     * corpus — so the answer equals the batch t38 gate whatever the
     * batch boundaries and merge order (the two-pass determinism
     * argument: sketch internals never reach the output). Driver state
-    * is bounded by construction: m entries + one total counter. */
+    * is bounded by construction: m entries + one total counter — and a
+    * RESTART re-seeds both from the durable state table (the stream
+    * checkpoint skips already-processed files; their contributions
+    * exist only there — the streamingKmv restart contract). Pass
+    * `baseDir` to pin the checkpoint/state/ingest root across calls —
+    * a second call with the same `baseDir` IS a restart (StreamingSpec
+    * pins restart + new files ≡ one shot over the union; exact, because
+    * the recount — not the merge-order-dependent state — is what
+    * reaches the output). */
   def streamingHeavyHitters(spark: SparkSession, sfDir: String,
                             name: String, n: Int = 2, phi: Double = 0.001,
-                            ingestFiles: Int = 4): DataFrame = {
+                            ingestFiles: Int = 4,
+                            baseDir: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
     import graft.functions.MgBuffer
     import graft.operators.HeavyHitters
     val m = math.ceil(2.0 / phi).toInt
-    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val base = baseDir match {
+      case Some(p) => Files.createDirectories(Paths.get(p))
+      case None => Files.createTempDirectory(s"graft_stream_${name}_")
+    }
     val ckpt = base.resolve("ckpt").toString
     val stateDir = base.resolve("hhstate").toString
     val ingestDir = base.resolve("ingest").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-    batchDocs.repartition(ingestFiles)
-      .write.mode("overwrite").parquet(ingestDir)
+    // stage only on first start (a restart must not mint new file names
+    // past the checkpoint — the streamingKmv staging rule)
+    if (!Files.exists(Paths.get(ingestDir)))
+      batchDocs.repartition(ingestFiles)
+        .write.mode("overwrite").parquet(ingestDir)
     val state = new MgBuffer(m)
     var nTotal = 0L
+    if (Files.exists(Paths.get(stateDir))) {
+      val st0 = spark.read.parquet(stateDir).collect()
+      st0.foreach(r => state.counts.update(r.getString(0), r.getLong(1)))
+      if (st0.nonEmpty) nTotal = st0.head.getLong(2)
+    }
     val stream = spark.readStream
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)

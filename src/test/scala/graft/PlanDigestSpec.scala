@@ -126,7 +126,11 @@ class PlanDigestSpec extends AnyFunSuite {
     // counter table started shuffling against the probe side)
     "t40_countmin"            -> Digest(4, 1, 0, 0, 0),
     // grouped recount: spread + the (group, item) exact count agg
-    "t41_frequent_ngrams_by_lang" -> Digest(2, 0, 0, 0, 0))
+    "t41_frequent_ngrams_by_lang" -> Digest(2, 0, 0, 0, 0),
+    // blocklist discovery is a bounded driver action (top-k collect);
+    // the served plan is the zero-join cleanLines projection — spread's
+    // round-robin must stay the ONLY exchange
+    "p14_boilerplate_scrub"   -> Digest(1, 0, 0, 0, 0))
 
   /** Loose per-gate ceiling on total expression tree nodes — see the
     * exprNodes check below. Current max across pinned gates is measured

@@ -223,6 +223,53 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streamingHeavyHitters restart re-seeds durable state: resume + new files equals one shot over the union") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_hh_rs_")
+    try {
+      // "hot hot" dominates slice A, "warm warm" only reaches the
+      // φ threshold once slice B arrives — the restart must both keep
+      // A's counts (re-seeded N) and fold B's into them
+      def mk(ids: Range, word: String) = ids.map { i =>
+        (i.toLong, "en", s"$word $word $word filler$i x$i")
+      }.toDF("doc_id", "lang", "text")
+      val sfA = root.resolve("sfA"); val sfAll = root.resolve("sfAll")
+      mk(0 until 30, "hot").coalesce(1)
+        .write.parquet(sfA.resolve("documents.parquet").toString)
+      (mk(0 until 30, "hot") unionByName mk(30 until 60, "warm"))
+        .coalesce(1)
+        .write.parquet(sfAll.resolve("documents.parquet").toString)
+      val base = root.resolve("base").toString
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+      val run1 = grab(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sfA.toString, "hhrs1", n = 2, phi = 0.05,
+        ingestFiles = 2, baseDir = Some(base)))
+      // restart with nothing new reproduces the pre-restart answer
+      val idle = grab(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sfA.toString, "hhrs2", n = 2, phi = 0.05,
+        ingestFiles = 2, baseDir = Some(base)))
+      assert(idle == run1, s"$idle vs $run1")
+      // new slices arrive; the resumed stream processes only them and
+      // the recount answers over the full ingested corpus
+      mk(30 until 60, "warm").repartition(2)
+        .write.mode("append").parquet(s"$base/ingest")
+      val resumed = grab(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sfA.toString, "hhrs3", n = 2, phi = 0.05,
+        ingestFiles = 2, baseDir = Some(base)))
+      val oneShot = grab(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sfAll.toString, "hhrs4", n = 2, phi = 0.05,
+        ingestFiles = 4))
+      assert(resumed == oneShot, s"$resumed vs $oneShot")
+      assert(resumed != run1)
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streamingKmv restart re-seeds durable state: resume + new files equals one shot over the union") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
