@@ -584,6 +584,39 @@ object CurationSoak {
         5L
       }
     }
+
+    if (sections("hh")) {
+      // Heavy hitters + Count-Min at 100k docs. Claims under test:
+      // (a) the MG pass's wire cost is O(m) per partition-group —
+      //     CONSTANT in the vocabulary (vs t19's exact (gram, count)
+      //     shuffle, benched alongside);
+      // (b) the grouped variant stays balanced when one group carries
+      //     90% of the grams (the t16 hot-group discipline) — skew
+      //     lands on the map-side-combined per-group summaries, never a
+      //     per-group sort;
+      // (c) the CM build's wire is partitions × depth × width counters.
+      import graft.operators.{HeavyHitters, CountMin, spread}
+      import graft.functions.{TextFunctions => TFx}
+      // 90% of documents rebadged into one hot language
+      val skewed = docs100k.withColumn("lang",
+        when(col("doc_id") % 10 < 9, lit("hot")).otherwise(col("lang")))
+      val grams = spread(skewed.select(col("lang"), col("text")))
+        .select(col("lang"), explode(TFx.shingles(col("text"), 2)).as("gram"))
+      time("hh_global_100k") {
+        HeavyHitters.frequentItems(grams, "gram", phi = 0.001).count()
+      }
+      time("hh_grouped_90pct_skew_100k") {
+        HeavyHitters.frequentItemsByGroup(grams, "lang", "gram",
+          phi = 0.001).count()
+      }
+      time("t19_exact_topk_100k") {
+        graft.operators.TfIdf.topNgrams(docs100k, "text", "doc_id",
+          n = 2, k = 50).count()
+      }
+      time("cm_build_100k_4x1024") {
+        CountMin.cmBuild(grams, "gram", depth = 4, width = 1024).count()
+      }
+    }
     spark.stop()
   }
 }
