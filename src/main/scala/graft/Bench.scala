@@ -110,7 +110,9 @@ object Bench {
     "t38_frequent_ngrams", "t39_frequent_ngrams_store", "t40_countmin",
     "t41_frequent_ngrams_by_lang",
     // the discover→remove composition (top-k blocklist + line scrub)
-    "p14_boilerplate_scrub")
+    "p14_boilerplate_scrub",
+    // embedding-space decontamination (broadcast eval, one corpus scan)
+    "t42_semantic_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

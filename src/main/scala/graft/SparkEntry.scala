@@ -4267,6 +4267,26 @@ object SparkEntry {
   // for eval suites too big to broadcast — the sketch is the only thing
   // shipped corpus-wide. PipelineSpec additionally pins exactness under
   // a pathological fpp.
+  // Semantic decontamination — the EMBEDDING-space complement of the
+  // n-gram pipeline (t6/t21/t22/t31 see exact shingle containment;
+  // paraphrased/translated leakage only shows in embedding space).
+  // Every 4th vector plays the benchmark; the bounded eval side
+  // broadcasts whole and the corpus scans once against it — when the
+  // probe set is small, brute force IS the scale path. τ = 0.42 keeps
+  // planted near-dup pairs flagged at every SF (13/18/167 pairs).
+  define("t42_semantic_decontaminate",
+    """SELECT t.vec_id AS t_id, e.vec_id AS e_id
+       FROM embeddings t, embeddings e
+       WHERE t.vec_id % 4 <> 0 AND e.vec_id % 4 = 0
+         AND list_cosine_similarity(t.embedding, e.embedding)
+               >= 0.42""") { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Decontaminate.semanticFlags(
+      emb.filter(col("vec_id") % 4 =!= 0),
+      emb.filter(col("vec_id") % 4 === 0),
+      "embedding", "vec_id", threshold = 0.42)
+  }
+
   define("t31_bloom_decontaminate", contamPairsSql) { (s, d) =>
     val docs = t(s, d, "documents")
     val dir = sessionIndexDir(s"contam_$d") { p =>

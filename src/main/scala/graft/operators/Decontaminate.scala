@@ -308,4 +308,31 @@ object Decontaminate {
     train.join(broadcast(flagged), train(idCol) === flagged("t_id"),
       "left_anti")
   }
+
+  /** SEMANTIC decontamination — flag training documents whose EMBEDDING
+    * sits near an eval-set embedding (cosine ≥ `threshold`): catches
+    * paraphrased/translated leakage the n-gram pipeline
+    * ([[buildIndex]]/[[flagFromIndex]], exact shingle containment)
+    * cannot see; run BOTH — they are complements, not alternatives
+    * (GPT-4/Llama technical reports do exactly this pairing).
+    *
+    * Plan shape at 100 TB: the eval side is a benchmark suite — bounded
+    * by construction — so it BROADCASTS whole and the corpus scans ONCE
+    * against it (per-row fused cosine per eval vector), no shuffle of
+    * anything corpus-sized, no index, no candidate generation: when the
+    * probe set is small, brute-force IS the scale path (the s15/t21
+    * broadcast-side argument). Output: (t_id, e_id) flagged pairs —
+    * join fodder for [[removeContaminated]]-style anti-joins. */
+  def semanticFlags(train: DataFrame, eval: DataFrame, vecCol: String,
+                    idCol: String, threshold: Double): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val t = spread(train.select(col(idCol).as("t_id"),
+      col(vecCol).as("__tv")))
+    val e = eval.select(col(idCol).as("e_id"), col(vecCol).as("__ev"))
+    t.crossJoin(broadcast(e))
+      .filter(VF.cosineSimilarity(col("__tv"), col("__ev")) >= threshold)
+      .select("t_id", "e_id")
+  }
 }

@@ -130,7 +130,11 @@ class PlanDigestSpec extends AnyFunSuite {
     // blocklist discovery is a bounded driver action (top-k collect);
     // the served plan is the zero-join cleanLines projection — spread's
     // round-robin must stay the ONLY exchange
-    "p14_boilerplate_scrub"   -> Digest(1, 0, 0, 0, 0))
+    "p14_boilerplate_scrub"   -> Digest(1, 0, 0, 0, 0),
+    // semantic decontam: spread + the broadcast nested-loop against the
+    // bounded eval side — a shuffle join here means the benchmark side
+    // stopped broadcasting
+    "t42_semantic_decontaminate" -> Digest(1, 1, 0, 0, 0))
 
   /** Loose per-gate ceiling on total expression tree nodes — see the
     * exprNodes check below. Current max across pinned gates is measured
