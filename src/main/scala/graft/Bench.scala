@@ -112,7 +112,9 @@ object Bench {
     // the discover→remove composition (top-k blocklist + line scrub)
     "p14_boilerplate_scrub",
     // embedding-space decontamination (broadcast eval, one corpus scan)
-    "t42_semantic_decontaminate")
+    "t42_semantic_decontaminate",
+    // topic-balanced mix (centroid argmax projection + a16 mix chain)
+    "p15_topic_balanced_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

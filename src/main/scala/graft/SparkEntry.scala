@@ -1628,6 +1628,58 @@ object SparkEntry {
       t(s, d, "embeddings"), "embedding", "vec_id", "label")
   }
 
+  // Topic-balanced training mix — the SemDeDup-style composition:
+  // label centroids (s13) → nearest-centroid ASSIGNMENT (fused argmax,
+  // cosines rounded 6dp before the argmax so summation-order noise
+  // cannot flip near-ties; rounded ties break label-ASC on both
+  // engines) → temperature-0.5 mix over the ASSIGNED topic (the a16
+  // integer-exact quota chain). This is "balance the mix by what the
+  // documents ARE (embedding cluster), not what their source tag says"
+  // — the topic counts n, quotas, and kept set are all engine-exact.
+  define("p15_topic_balanced_mix",
+    """WITH c AS (SELECT label, pos,
+           round(avg(CAST(embedding[pos + 1] AS DOUBLE)), 6) AS c
+         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS pos)
+         GROUP BY label, pos),
+       nb AS (SELECT label, sum(c * c) AS nb FROM c GROUP BY label),
+       dots AS (SELECT e.vec_id, c.label,
+           sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.c) AS dot
+         FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, c.label),
+       na AS (SELECT vec_id,
+           sum(CAST(embedding[pos + 1] AS DOUBLE)
+             * CAST(embedding[pos + 1] AS DOUBLE)) AS na
+         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS pos)
+         GROUP BY vec_id),
+       cosv AS (SELECT d.vec_id, d.label,
+           round(d.dot / (sqrt(na.na) * sqrt(nb.nb)), 6) AS cos
+         FROM dots d JOIN na USING (vec_id) JOIN nb USING (label)),
+       asg AS (SELECT vec_id, label AS topic FROM (
+           SELECT vec_id, label,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, label) AS rk
+           FROM cosv) WHERE rk = 1),
+       mc AS (SELECT topic, count(*) AS n FROM asg GROUP BY topic),
+       mw AS (SELECT topic, n, n * n AS w FROM mc),
+       mt AS (SELECT sum(w) AS tw FROM mw),
+       mq AS (SELECT topic,
+                least(n, CAST((100 * w) // tw AS BIGINT)) AS quota
+              FROM mw CROSS JOIN mt),
+       mr AS (SELECT vec_id, topic,
+                row_number() OVER (PARTITION BY topic
+                  ORDER BY md5('p15' || CAST(vec_id AS VARCHAR)), vec_id)
+                  AS rk
+              FROM asg)
+       SELECT vec_id, topic FROM mr JOIN mq USING (topic)
+       WHERE rk <= quota""") { (s, d) =>
+    import graft.operators.{Similarity, Splits}
+    val emb = t(s, d, "embeddings")
+    val assigned = Similarity.assignToCentroids(emb,
+      Similarity.labelCentroids(emb, "embedding", "label"),
+      "embedding", "vec_id").select("vec_id", "topic")
+    Splits.temperatureSample(assigned, "topic", "vec_id",
+      totalN = 100, temperature = 0.5, salt = "p15")
+  }
+
   // ==================================================================
   // Multimodal columns (operators.Multimodal)
   // ==================================================================

@@ -1925,6 +1925,51 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(round(avg(col("v").cast("double")), 6).as("c"))
 
+  /** Assign every vector to its NEAREST label centroid (cosine argmax
+    * over the [[labelCentroids]] table) — the SemDeDup cluster-
+    * assignment step as a pure projection: the |labels|·dim centroid
+    * table collects driver-side (bounded by construction), embeds as
+    * literals, and each row computes its |labels| cosines in one fused
+    * pass — no join, no explode, no corpus shuffle. Cosines round to
+    * 6dp BEFORE the argmax on BOTH engines, so summation-order noise
+    * (~1e-16) cannot flip a near-tie; exact rounded ties break toward
+    * the SMALLEST label (strict > keeps the first candidate in
+    * ascending label order — the oracle's ORDER BY cos DESC, label).
+    * Per-label ‖c‖² is a driver-side constant; ‖x‖² is computed once
+    * per row in a separate aliased column so the |labels| references
+    * cannot inline copies of the fold (the BPE blow-up lesson).
+    * Output: (idCol, topic, topic_cos). */
+  def assignToCentroids(df: DataFrame, centroids: DataFrame,
+                        vecCol: String, idCol: String): DataFrame = {
+    val rows = centroids.collect() // |labels|·dim rows — bounded
+    require(rows.nonEmpty, "assignToCentroids: empty centroid table")
+    val byLabel = rows.groupBy(_.getInt(0)).toSeq
+      .map { case (l, rs) =>
+        (l, rs.sortBy(_.getInt(1)).map(_.getDouble(2))) }
+      .sortBy(_._1)
+    val xsq = aggregate(col(vecCol), lit(0.0),
+      (a, x) => a + x.cast("double") * x)
+    val prep = spread(df.select(col(idCol), col(vecCol)))
+      .withColumn("__xsq", xsq)
+    val scored = byLabel.map { case (lbl, comps) =>
+      val cLit = typedLit(comps.toSeq)
+      val dot = aggregate(
+        zip_with(col(vecCol), cLit, (a, b) => a.cast("double") * b),
+        lit(0.0), (a, x) => a + x)
+      val nb = comps.map(c => c * c).sum
+      struct(
+        round(dot / (sqrt(col("__xsq")) * sqrt(lit(nb))), 6).as("cos"),
+        lit(lbl).as("topic"))
+    }
+    val zero = struct(lit(-2.0).as("cos"), lit(-1).as("topic"))
+    val best = aggregate(array(scored: _*), zero,
+      (acc, s) => when(s.getField("cos") > acc.getField("cos"), s)
+        .otherwise(acc))
+    prep.withColumn("__best", best)
+      .select(col(idCol), col("__best.topic").as("topic"),
+        col("__best.cos").as("topic_cos"))
+  }
+
   /** Each vector's cosine to its own label centroid — the assignment-
     * quality / outlier signal (a low score marks a vector the cluster
     * summary does not represent; SemDeDup prunes or re-clusters those).

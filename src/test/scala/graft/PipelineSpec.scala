@@ -4061,6 +4061,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.ceil(2.0 / 0.1).toInt == 20)
   }
 
+  test("assignToCentroids: nearest-centroid argmax crosses label lines; rounded tie breaks to smallest label") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 1, Seq(1f, 0f, 0f, 0f)),
+      (2L, 1, Seq(1f, 0.1f, 0f, 0f)),
+      (3L, 2, Seq(0f, 1f, 0f, 0f)),
+      (4L, 2, Seq(0.1f, 1f, 0f, 0f)),
+      // labeled 1 but sitting on label 2's axis: assignment must follow
+      // the GEOMETRY, not the tag
+      (5L, 1, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.labelCentroids(emb, "embedding", "label")
+    val out = Similarity.assignToCentroids(emb, cents, "embedding",
+      "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 2),
+      out.toString)
+    // exact rounded tie → smallest label
+    val train = Seq((10L, 1, Seq(1f, 0f)), (11L, 2, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val tie = Seq((20L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val t0 = Similarity.assignToCentroids(tie,
+      Similarity.labelCentroids(train, "embedding", "label"),
+      "embedding", "vec_id").head()
+    assert(t0.getInt(1) == 1, t0.toString)
+  }
+
   test("count-min: estimates dominate true counts, exact at ample width; append-only store sums to the one-shot sketch") {
     import spark.implicits._
     import graft.operators.CountMin

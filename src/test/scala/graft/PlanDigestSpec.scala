@@ -134,7 +134,11 @@ class PlanDigestSpec extends AnyFunSuite {
     // semantic decontam: spread + the broadcast nested-loop against the
     // bounded eval side — a shuffle join here means the benchmark side
     // stopped broadcasting
-    "t42_semantic_decontaminate" -> Digest(1, 1, 0, 0, 0))
+    "t42_semantic_decontaminate" -> Digest(1, 1, 0, 0, 0),
+    // topic mix: the centroid argmax is a pure projection over spread
+    // partitions; the mix rank is the RDD-backed cumsum — no window,
+    // no join in the served plan
+    "p15_topic_balanced_mix"  -> Digest(0, 0, 0, 0, 0))
 
   /** Loose per-gate ceiling on total expression tree nodes — see the
     * exprNodes check below. Current max across pinned gates is measured
