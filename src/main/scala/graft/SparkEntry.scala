@@ -4148,15 +4148,20 @@ object SparkEntry {
   }
 
   // Boilerplate scrub — the discover→remove composition: the corpus's
-  // own top-25 2-grams (t19's exact TakeOrdered top-k with the
-  // occurrences-DESC/gram-ASC tie-break; at open vocabulary the t38
-  // heavy-hitters pass is the drop-in source of the same list) become
-  // the LINE blocklist, and cleanLines drops every line containing one
-  // (d11's fixed 5-word segmentation). This is the C4 pipeline's
-  // "discover boilerplate, then strip it" loop as one gate — blocklist
-  // discovery at corpus scale is a bounded driver list (top-k), line
-  // removal is the zero-join projection pass. Word/punct rules are off
-  // so the composition is isolated to the discovered blocklist.
+  // own top-25 2-grams become the LINE blocklist, and cleanLines drops
+  // every line containing one (d11's fixed 5-word segmentation). This
+  // is the C4 pipeline's "discover boilerplate, then strip it" loop as
+  // one gate. Discovery runs the SKETCH path (HeavyHitters.topKNgrams:
+  // MG summary + bounded exact recount, wire O(m) per partition —
+  // CONSTANT in the vocabulary), NOT the exact t19 report whose two
+  // shuffles carry the (doc, gram) corpus and the (gram, count)
+  // vocabulary — the hh soak measured that at 100.8 MB vs ~17 MB sketch
+  // wire at a THIRTY-ONE-word vocabulary, unbounded at an open one.
+  // Exactness is preserved (the adaptive-φ recounted set provably
+  // contains the global top-25, same DESC/ASC tie-break), so the oracle
+  // below is unchanged. Line removal is the zero-join projection pass.
+  // Word/punct rules are off so the composition is isolated to the
+  // discovered blocklist.
   define("p14_boilerplate_scrub",
     """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
            AS wds FROM documents),
@@ -4191,10 +4196,11 @@ object SparkEntry {
          coalesce(nk.n_kept, 0) >= 1 AS keep,
          coalesce(nk.text, '') AS text
        FROM nl LEFT JOIN nk ON nl.doc_id = nk.doc_id""") { (s, d) =>
-    import graft.operators.{LineClean, TfIdf}
+    import graft.operators.{HeavyHitters, LineClean}
     val docs = t(s, d, "documents")
-    // bounded driver list: exactly 25 grams whatever the corpus size
-    val block = TfIdf.topNgrams(docs, "text", "doc_id", n = 2, k = 25)
+    // bounded driver list: exactly 25 grams whatever the corpus size,
+    // discovered at sketch wire cost (never a vocabulary shuffle)
+    val block = HeavyHitters.topKNgrams(docs, "text", n = 2, k = 25)
       .select("gram").collect().map(_.getString(0)).toSeq
     val toks = split(trim(col("text")), "\\s+")
     val lines = transform(
