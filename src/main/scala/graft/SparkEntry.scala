@@ -3053,11 +3053,11 @@ object SparkEntry {
   // of the build: partitions × depth × width counters — constant in the
   // vocabulary; serving joins the broadcast probe batch to the
   // metadata-sized counter table, the corpus untouched.
-  // Per-GROUP φ-frequent n-grams: one MG summary per language in a
-  // single map-side-combined agg, the union of candidates recounted
-  // exactly per (lang, gram) against per-lang thresholds — exact per
-  // group (each group's φ-frequent set is inside its own candidates).
-  define("t41_frequent_ngrams_by_lang",
+  // Shared per-lang φ-frequent-2-gram oracle (t41 one-shot grouped,
+  // t44 grouped store, t45 forced-broadcast plan — three paths, one
+  // exact answer; sharing the text verbatim also dedupes the DuckDB
+  // memoization).
+  private val hhByLangOracleSql: String =
     """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+')
            AS wds FROM documents),
        g AS (SELECT lang, array_to_string(wds[pos : pos + 1], ' ') AS gram
@@ -3069,14 +3069,65 @@ object SparkEntry {
        SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
        FROM g JOIN tot USING (lang)
        GROUP BY lang, gram, n
-       HAVING count(*) >= CAST(ceil(0.0013 * n) AS BIGINT)""") { (s, d) =>
-    import graft.functions.{TextFunctions => TFx}
-    val grams = graft.operators.spread(
-        t(s, d, "documents").select(col("lang"), col("text")))
+       HAVING count(*) >= CAST(ceil(0.0013 * n) AS BIGINT)"""
+
+  /** The (lang, gram) explode t41/t44/t45 share (spread-before-HOF). */
+  private def langGrams(docs: DataFrame): DataFrame =
+    graft.operators.spread(docs.select(col("lang"), col("text")))
       .select(col("lang"),
-        explode(TFx.shingles(col("text"), 2)).as("gram"))
+        explode(graft.functions.TextFunctions.shingles(col("text"), 2))
+          .as("gram"))
+
+  // Per-GROUP φ-frequent n-grams: one MG summary per language in a
+  // single map-side-combined agg, the union of candidates recounted
+  // exactly per (lang, gram) against per-lang thresholds — exact per
+  // group (each group's φ-frequent set is inside its own candidates).
+  define("t41_frequent_ngrams_by_lang", hhByLangOracleSql) { (s, d) =>
     graft.operators.HeavyHitters.frequentItemsByGroup(
-      grams, "lang", "gram", phi = 0.0013)
+      langGrams(t(s, d, "documents")), "lang", "gram", phi = 0.0013)
+      .select(col("group").as("lang"), col("item").as("gram"), col("cnt"))
+  }
+
+  // t41's SCALE-variant plan, same exact answer: the candidate recount
+  // ships as a broadcast left-semi join instead of an InSet literal
+  // (the expression-tree ceiling at ~10⁶ candidates) and the per-group
+  // thresholds as a broadcast (group, thr) join instead of a when-chain
+  // (the expression-tree ceiling at ~10⁵ groups). Caps forced to 0 so
+  // the gate pins the high-cardinality plan the soak exercises at 10⁵
+  // groups; the oracle is t41's verbatim — two plans, one answer.
+  define("t45_frequent_by_lang_bcast", hhByLangOracleSql) { (s, d) =>
+    graft.operators.HeavyHitters.frequentItemsByGroup(
+      langGrams(t(s, d, "documents")), "lang", "gram", phi = 0.0013,
+      inSetCap = 0, whenChainCap = 0)
+      .select(col("group").as("lang"), col("item").as("gram"), col("cnt"))
+  }
+
+  // Grouped MG summary STORE (the t39↔t38 relationship, per group):
+  // even/odd corpus slices summarize per lang independently and append
+  // their (lang, summary, n_items) rows; the serve folds stored
+  // summaries per lang (Agarwal'12 mergeability holds group-wise),
+  // recounts the folded candidates exactly per (lang, gram), and
+  // thresholds come from the STORED per-lang totals via a broadcast
+  // join — so the output equals the one-shot t41 answer and the oracle
+  // transfers verbatim (the d13/d16 build-vs-append trick, grouped).
+  define("t44_frequent_by_lang_store", hhByLangOracleSql) { (s, d) =>
+    import graft.operators.{HeavyHitters, Sketches}
+    val docs = t(s, d, "documents")
+    val m = 2000 // m + 1 > 1/phi at phi = 0.0013 (needs ≥ 770)
+    val dir = sessionIndexDir(s"hhg_$d") { p =>
+      Sketches.saveMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(
+          langGrams(docs.filter(col("doc_id") % 2 === 0)),
+          "lang", "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m)
+      Sketches.appendMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(
+          langGrams(docs.filter(col("doc_id") % 2 =!= 0)),
+          "lang", "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m)
+    }
+    HeavyHitters.frequentItemsByGroupFromStore(
+      langGrams(docs), "lang", "gram", s"$dir/hh", phi = 0.0013)
       .select(col("group").as("lang"), col("item").as("gram"), col("cnt"))
   }
 
@@ -3126,6 +3177,60 @@ object SparkEntry {
       .select(explode(TFx.shingles(col("__t"), 2)).as("phrase"))
     graft.operators.CountMin.cmNgramFrequencies(docs, probes,
       "text", n = 2, phraseCol = "phrase", depth = 4, width = 1024)
+  }
+
+  // Grouped Count-Min: one LINEAR sketch per language in the same
+  // single explode + hash-agg pass (wire ≤ |langs|·depth·width
+  // counters, constant in the vocabulary); each (lang, gram) probe is
+  // scored against ITS language's counters only. Linearity per group
+  // means the estimates are bit-identical cross-engine, so the oracle
+  // replays the full grouped sketch — the t40 argument with a lang key.
+  // Probes: the distinct (lang, 2-gram)s of every 97th document.
+  define("t43_countmin_by_lang",
+    """WITH w AS (SELECT doc_id, lang,
+           regexp_split_to_array(trim(text), '\s+') AS wds FROM documents),
+       g AS (SELECT lang, array_to_string(wds[pos : pos + 1], ' ') AS gram
+             FROM (SELECT lang, wds,
+                     unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                       AS pos
+                   FROM w)),
+       q AS (SELECT DISTINCT lang,
+               array_to_string(wds[pos : pos + 1], ' ') AS gram
+             FROM (SELECT lang, wds,
+                     unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                       AS pos
+                   FROM w WHERE doc_id % 97 = 0)),
+       hr AS (SELECT unnest(generate_series(0, 3)) AS row),
+       gc AS (SELECT lang, row,
+                CAST(list_sum(list_transform(range(1, 16),
+                  p2 -> (strpos('0123456789abcdef',
+                           md5(CAST(row AS VARCHAR) || ':' || gram)[p2]) - 1)
+                       * (1::BIGINT << (4*(15-p2))))) AS BIGINT) % 1024
+                  AS cell
+              FROM g CROSS JOIN hr),
+       counters AS (SELECT lang, row, cell, CAST(count(*) AS BIGINT) AS cnt
+                    FROM gc GROUP BY lang, row, cell),
+       qc AS (SELECT lang, gram, row,
+                CAST(list_sum(list_transform(range(1, 16),
+                  p2 -> (strpos('0123456789abcdef',
+                           md5(CAST(row AS VARCHAR) || ':' || gram)[p2]) - 1)
+                       * (1::BIGINT << (4*(15-p2))))) AS BIGINT) % 1024
+                  AS cell
+              FROM q CROSS JOIN hr)
+       SELECT lang, gram, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+       FROM qc LEFT JOIN counters USING (lang, row, cell)
+       GROUP BY lang, gram""") { (s, d) =>
+    import graft.operators.CountMin
+    val docs = t(s, d, "documents")
+    val probes = graft.operators.spread(
+        docs.filter(col("doc_id") % 97 === 0).select(col("lang"), col("text")))
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 2))
+          .as("gram"))
+    CountMin.cmEstimateByGroup(probes,
+      CountMin.cmBuildByGroup(langGrams(docs), "lang", "gram", 4, 1024),
+      "lang", "gram", depth = 4, width = 1024)
+      .select(col("group").as("lang"), col("item").as("gram"), col("est"))
   }
 
   // KMV (k-minimum-values) distinct sketch: per-language vocabulary

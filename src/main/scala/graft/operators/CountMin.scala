@@ -30,7 +30,8 @@ import graft.functions.{KmvSketch, TextFunctions => TF}
   */
 object CountMin {
 
-  private val Layout = "cm_v1"
+  // v2: counter rows carry the writer's slice_id (idempotent appends)
+  private val Layout = "cm_v2"
 
   /** Cell index of `item` in hash row `i`: the portable 60-bit md5 hash
     * of "i:item", mod width — built-ins only, so DuckDB reproduces every
@@ -56,8 +57,10 @@ object CountMin {
 
   /** Point estimates for a query batch: min over hash rows of the
     * matching cells (an absent cell is 0 — the estimate floor). The
-    * query side broadcasts; the counter table is metadata-sized. Output:
-    * (item, est). Duplicate query items are deduplicated. */
+    * COUNTER table broadcasts (≤ depth·width rows — metadata-sized by
+    * construction, and the only side a left-outer probe join can build
+    * from); the probe batch streams, so it may be arbitrarily large.
+    * Output: (item, est). Duplicate query items are deduplicated. */
   def cmEstimate(queries: DataFrame, counters: DataFrame, itemCol: String,
                  depth: Int, width: Int): DataFrame = {
     require(depth >= 1, "depth must be positive")
@@ -68,8 +71,54 @@ object CountMin {
         struct(lit(i).as("row"), cell(col("item"), i, width).as("cell"))): _*))
         .as("rc"))
       .select(col("item"), col("rc.row").as("row"), col("rc.cell").as("cell"))
-    broadcast(qc).join(counters, Seq("row", "cell"), "left")
+    qc.join(broadcast(counters), Seq("row", "cell"), "left")
       .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Grouped counter tables: one CM sketch PER GROUP in the same single
+    * explode + hash-agg pass — (group, row, cell, cnt), ≤ |groups| ·
+    * depth · width rows on the wire however many items stream through.
+    * Each group's table is an independent LINEAR sketch, so everything
+    * [[cmBuild]] guarantees (order independence, cell-wise
+    * mergeability, engine-portable md5 cells) holds per group — the
+    * per-language/per-source frequency serving rung. */
+  def cmBuildByGroup(df: DataFrame, groupCol: String, itemCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be at least 2, got $width")
+    val items = df.select(col(groupCol).as("group"),
+        col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    items.select(col("group"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("row"),
+            cell(col("item"), i, width).as("cell"))): _*)).as("rc"))
+      .select(col("group"), col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .groupBy("group", "row", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group point estimates: each (group, item) probe is scored
+    * against ITS group's counters only — min over that group's hash
+    * rows. The grouped counter table broadcasts (≤ |groups| · depth ·
+    * width rows — fine for language/source cardinalities; a
+    * 10⁶-group table should flip to a shuffle join on (group, row,
+    * cell) instead). Output: (group, item, est), probes deduplicated. */
+  def cmEstimateByGroup(queries: DataFrame, counters: DataFrame,
+                        groupCol: String, itemCol: String,
+                        depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, "depth must be positive")
+    val q = queries.select(col(groupCol).as("group"),
+        col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val qc = q.select(col("group"), col("item"),
+      explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cell(col("item"), i, width).as("cell"))): _*))
+        .as("rc"))
+      .select(col("group"), col("item"),
+        col("rc.row").as("row"), col("rc.cell").as("cell"))
+    qc.join(broadcast(counters), Seq("group", "row", "cell"), "left")
+      .groupBy("group", "item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
@@ -102,14 +151,24 @@ object CountMin {
   // per (row, cell), which by linearity equals the one-shot build over
   // the union. depth/width validate on every append/load (different
   // geometries do not add meaningfully — refuse, the k/m discipline).
+  // Every write carries the caller's SLICE ID and the reader keeps one
+  // row per (slice, row, cell) before summing, which makes appends
+  // IDEMPOTENT per slice: an at-least-once writer (streaming foreachBatch
+  // replaying a batch after a crash, including a crash that committed
+  // only part of the slice's files) re-appends byte-identical rows and
+  // the dedup collapses them — sum-at-read still equals the one-shot
+  // build. The caller's contract: one slice id names ONE slice's
+  // counters (re-appending the same id is a no-op by design; reusing an
+  // id for different data silently drops the second write).
   // ------------------------------------------------------------------
 
   /** Create a counter store at `path` from a [[cmBuild]] output. */
   def saveCm(counters: DataFrame, path: String, depth: Int,
-             width: Int): Unit = {
+             width: Int, sliceId: String = "s0"): Unit = {
     val spark = counters.sparkSession
     import spark.implicits._
-    counters.select(col("row"), col("cell"), col("cnt"))
+    counters.select(lit(sliceId).as("slice_id"),
+        col("row"), col("cell"), col("cnt"))
       .write.mode("overwrite").parquet(s"$path/counters")
     Seq((Layout, depth, width)).toDF("layout", "depth", "width")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
@@ -123,23 +182,30 @@ object CountMin {
     (p.getAs[Int]("depth"), p.getAs[Int]("width"))
   }
 
-  /** Append a slice's counter table — same geometry only. */
+  /** Append a slice's counter table — same geometry only. `sliceId` is
+    * the idempotence key: re-appending the same id (an at-least-once
+    * writer's replay) is collapsed at read, so it must uniquely name
+    * this slice of the corpus. */
   def appendCm(counters: DataFrame, path: String, depth: Int,
-               width: Int): Unit = {
+               width: Int, sliceId: String): Unit = {
     val (d, w) = readGeometry(counters.sparkSession, path)
     require(d == depth && w == width,
       s"counter store at $path has geometry ${d}x$w, got ${depth}x$width" +
         " — different-geometry sketches do not merge")
-    counters.select(col("row"), col("cell"), col("cnt"))
+    counters.select(lit(sliceId).as("slice_id"),
+        col("row"), col("cell"), col("cnt"))
       .write.mode("append").parquet(s"$path/counters")
   }
 
-  /** Load the store, summing appended rows per cell (= the one-shot
-    * sketch of the union, by linearity). Output: counter table +
-    * geometry for [[cmEstimate]]. */
+  /** Load the store: keep one row per (slice, row, cell) — collapsing
+    * any replayed appends, whose rows are byte-identical by the slice
+    * contract — then sum per cell (= the one-shot sketch of the union,
+    * by linearity). Output: counter table + geometry for
+    * [[cmEstimate]]. */
   def loadCm(spark: SparkSession, path: String): (DataFrame, Int, Int) = {
     val (d, w) = readGeometry(spark, path)
     (spark.read.parquet(s"$path/counters")
+      .dropDuplicates("slice_id", "row", "cell")
       .groupBy("row", "cell").agg(sum("cnt").as("cnt")), d, w)
   }
 }

@@ -1050,24 +1050,35 @@ object Similarity {
     * grace are swept after the flip; single-writer ownership, like every
     * append path in the repo. */
   private[operators] def commitParams(path: String)
+                                     (writeTo: String => Unit): Unit =
+    commitGeneration(path, "_params")(writeTo)
+
+  /** The [[commitParams]] discipline generalized to ANY mutable side
+    * table `sub` under `path` — used by the streaming sketch-state
+    * checkpoints (kmv/hh driver state rewritten every trigger), which
+    * have the identical failure mode: an in-place `mode("overwrite")`
+    * of the only copy truncates it first, so a crash mid-write corrupts
+    * exactly the state a restart's re-seed depends on. Here a crash at
+    * ANY point leaves the previously committed generation live. */
+  private[graft] def commitGeneration(path: String, sub: String)
                                      (writeTo: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val liveName =
-      Paths.get(resolveDataDir(path, "_params")).getFileName.toString
+      Paths.get(resolveDataDir(path, sub)).getFileName.toString
     val gen = liveName match {
-      case s if s.startsWith("_params.g") =>
-        f"_params.g${s.stripPrefix("_params.g").toInt + 1}%04d"
-      case _ => f"_params.g${1}%04d"
+      case s if s.startsWith(s"$sub.g") =>
+        f"$sub.g${s.stripPrefix(s"$sub.g").toInt + 1}%04d"
+      case _ => f"$sub.g${1}%04d"
     }
     writeTo(Paths.get(path, gen).toString)
-    val tmp = Paths.get(path, "_params.ptr.tmp")
+    val tmp = Paths.get(path, s"$sub.ptr.tmp")
     Files.write(tmp, gen.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(path, "_params.ptr"),
+    Files.move(tmp, Paths.get(path, s"$sub.ptr"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // sweep superseded generations beyond the grace one (liveName); the
-    // builder's plain `_params` dir is never swept — a rebuild reclaims it
-    val genRe = "_params\\.g\\d+".r
+    // builder's plain `<sub>` dir is never swept — a rebuild reclaims it
+    val genRe = (java.util.regex.Pattern.quote(sub) + "\\.g\\d+").r
     val listing = {
       val s = Files.list(Paths.get(path))
       try s.iterator().asScala.toSeq finally s.close()

@@ -779,8 +779,8 @@ object Streaming {
       case Some(p) => Files.createDirectories(Paths.get(p))
       case None => Files.createTempDirectory(s"graft_stream_${name}_")
     }
+    import graft.operators.Similarity
     val ckpt = base.resolve("ckpt").toString
-    val stateDir = base.resolve("kmvstate").toString
     val ingestDir = base.resolve("ingest").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
     // stage only on first start: a restart must not rewrite the ingest
@@ -789,12 +789,24 @@ object Streaming {
     if (!Files.exists(Paths.get(ingestDir)))
       batchDocs.repartition(ingestFiles)
         .write.mode("overwrite").parquet(ingestDir)
+    // re-seed from the COMMITTED state generation (pointer-resolved):
+    // per-trigger state commits go through commitGeneration, never an
+    // in-place overwrite of the only copy — a crash mid-write must
+    // leave the previous generation live, or the restart re-seed
+    // starts empty while the checkpoint skips processed files (the
+    // silent-undercount shape the BM25 _params fix closed). A batch
+    // REPLAY (foreachBatch is at-least-once) re-merges the same
+    // hashes, which KMV's union closure makes a no-op — idempotence
+    // is free here, unlike the MG stream's counted state.
     val state = scala.collection.mutable.Map.empty[String, KmvBuffer]
-    if (Files.exists(Paths.get(stateDir)))
-      spark.read.parquet(stateDir).collect().foreach { r =>
-        val buf = state.getOrElseUpdate(r.getString(0), new KmvBuffer(k))
-        r.getSeq[Long](1).foreach(buf.insert)
-      }
+    locally {
+      val seed = Similarity.resolveDataDir(base.toString, "kmvstate")
+      if (Files.exists(Paths.get(seed)))
+        spark.read.parquet(seed).collect().foreach { r =>
+          val buf = state.getOrElseUpdate(r.getString(0), new KmvBuffer(k))
+          r.getSeq[Long](1).foreach(buf.insert)
+        }
+    }
     val stream = spark.readStream
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
@@ -818,11 +830,14 @@ object Streaming {
             val buf = state.getOrElseUpdate(r.getString(0), new KmvBuffer(k))
             r.getSeq[Long](1).foreach(buf.insert)
           }
-          // durable checkpoint of the merged state: restart-safe, tiny
-          state.toSeq
-            .map { case (g, b) => (g, b.values.take(b.n).toSeq) }
-            .toDF("lang", "sk")
-            .coalesce(1).write.mode("overwrite").parquet(stateDir)
+          // durable checkpoint of the merged state: a fresh generation
+          // + atomic pointer flip (never overwrite the only copy)
+          Similarity.commitGeneration(base.toString, "kmvstate") { dest =>
+            state.toSeq
+              .map { case (g, b) => (g, b.values.take(b.n).toSeq) }
+              .toDF("lang", "sk")
+              .coalesce(1).write.mode("overwrite").parquet(dest)
+          }
         }
       }
       .option("checkpointLocation", ckpt)
@@ -830,7 +845,7 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
     // serve the t33 shape from the DURABLE state, not the driver map
-    spark.read.parquet(stateDir)
+    spark.read.parquet(Similarity.resolveDataDir(base.toString, "kmvstate"))
       .select(col("lang"),
         size(col("sk")).cast("long").as("n_kept"),
         KmvSketch.estimate(array_sort(col("sk")), k).as("est_phrases"))
@@ -867,8 +882,8 @@ object Streaming {
       case Some(p) => Files.createDirectories(Paths.get(p))
       case None => Files.createTempDirectory(s"graft_stream_${name}_")
     }
+    import graft.operators.Similarity
     val ckpt = base.resolve("ckpt").toString
-    val stateDir = base.resolve("hhstate").toString
     val ingestDir = base.resolve("ingest").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
     // stage only on first start (a restart must not mint new file names
@@ -876,20 +891,37 @@ object Streaming {
     if (!Files.exists(Paths.get(ingestDir)))
       batchDocs.repartition(ingestFiles)
         .write.mode("overwrite").parquet(ingestDir)
+    // re-seed from the COMMITTED state generation (pointer-resolved;
+    // commits below go through commitGeneration so a crash mid-write
+    // leaves the previous generation live). Unlike KMV, the MG state
+    // is COUNTED — a replayed batch (foreachBatch is at-least-once:
+    // crash after the state commit but before the checkpoint's offset
+    // commit re-delivers it) would double-merge the summary and
+    // inflate n_total, raising the serve threshold ceil(φ·N) past the
+    // truth and silently DROPPING genuinely φ-frequent grams. The
+    // committed `last_batch` watermark makes the merge idempotent:
+    // batches at or below it are already in the state and are skipped.
     val state = new MgBuffer(m)
     var nTotal = 0L
-    if (Files.exists(Paths.get(stateDir))) {
-      val st0 = spark.read.parquet(stateDir).collect()
-      st0.foreach(r => state.counts.update(r.getString(0), r.getLong(1)))
-      if (st0.nonEmpty) nTotal = st0.head.getLong(2)
+    var lastBatch = -1L
+    locally {
+      val seed = Similarity.resolveDataDir(base.toString, "hhstate")
+      if (Files.exists(Paths.get(seed))) {
+        val st0 = spark.read.parquet(seed).collect()
+        st0.foreach(r => state.counts.update(r.getString(0), r.getLong(1)))
+        if (st0.nonEmpty) {
+          nTotal = st0.head.getLong(2)
+          lastBatch = st0.head.getLong(3)
+        }
+      }
     }
     val stream = spark.readStream
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(ingestDir)
     val q = stream.writeStream
-      .foreachBatch { (mb: DataFrame, _: Long) =>
-        if (!mb.isEmpty) {
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        if (batchId > lastBatch && !mb.isEmpty) {
           val sqlc = mb.sparkSession
           import sqlc.implicits._
           val row = HeavyHitters.summarizeItems(
@@ -899,11 +931,16 @@ object Streaming {
           row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("summary"))
             .foreach(r => tmp.counts.update(r.getString(0), r.getLong(1)))
           state.mergeFrom(tmp)
-          // durable per-trigger state: ≤ m rows + the running N
-          state.counts.toSeq
-            .toDF("item", "est")
-            .withColumn("n_total", lit(nTotal))
-            .coalesce(1).write.mode("overwrite").parquet(stateDir)
+          lastBatch = batchId
+          // durable per-trigger state (≤ m rows + running N + the
+          // replay watermark): fresh generation + atomic pointer flip
+          Similarity.commitGeneration(base.toString, "hhstate") { dest =>
+            state.counts.toSeq
+              .toDF("item", "est")
+              .withColumn("n_total", lit(nTotal))
+              .withColumn("last_batch", lit(batchId))
+              .coalesce(1).write.mode("overwrite").parquet(dest)
+          }
         }
       }
       .option("checkpointLocation", ckpt)
@@ -911,12 +948,14 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
     // serve from the DURABLE state: exact recount of its candidates
-    val st = spark.read.parquet(stateDir)
+    val st = spark.read.parquet(
+      Similarity.resolveDataDir(base.toString, "hhstate"))
     val cands = st.select("item").collect().map(_.getString(0)).toSeq
     val nTot = st.select("n_total").head().getLong(0)
     val thr = math.ceil(phi * nTot).toLong
-    HeavyHitters.ngramItems(spark.read.parquet(ingestDir), "text", n)
-      .filter(col("gram").isin(cands: _*))
+    HeavyHitters.candidateFilter(
+        HeavyHitters.ngramItems(spark.read.parquet(ingestDir), "text", n),
+        "gram", cands)
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= lit(thr))
   }
@@ -930,34 +969,54 @@ object Streaming {
     * whatever the batch boundaries — t40's oracle transfers verbatim
     * with no recount step (contrast the MG stream, where only the
     * exact second pass restores determinism). State is ENTIRELY in the
-    * parquet store — the driver holds nothing, so restart safety is
-    * free: the checkpoint skips ingested files and their counters are
-    * already in the store. */
+    * parquet store — the driver holds nothing — and each batch appends
+    * under its own BATCH-ID slice key, which is what makes restart
+    * honest against foreachBatch's at-least-once delivery: a batch
+    * replayed after a crash (even one that committed only part of the
+    * slice's files) re-appends byte-identical rows that
+    * [[graft.operators.CountMin.loadCm]]'s per-slice dedup collapses —
+    * without the key, a replay double-counts its counters and the
+    * bit-for-bit claim breaks. Pass `baseDir` to pin the checkpoint/
+    * store/ingest root across calls — a second call with the same
+    * `baseDir` IS a restart (StreamingSpec pins restart + new files ≡
+    * one shot over the union). */
   def streamingCountMin(spark: SparkSession, sfDir: String, name: String,
                         n: Int = 2, depth: Int = 4, width: Int = 1024,
-                        ingestFiles: Int = 4): DataFrame = {
+                        ingestFiles: Int = 4,
+                        baseDir: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
     import graft.operators.{CountMin, HeavyHitters}
-    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val base = baseDir match {
+      case Some(p) => Files.createDirectories(Paths.get(p))
+      case None => Files.createTempDirectory(s"graft_stream_${name}_")
+    }
     val ckpt = base.resolve("ckpt").toString
     val storeDir = base.resolve("cmstore").toString
     val ingestDir = base.resolve("ingest").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-    batchDocs.repartition(ingestFiles)
-      .write.mode("overwrite").parquet(ingestDir)
+    // stage only on first start (the streamingKmv staging rule)
+    if (!Files.exists(Paths.get(ingestDir)))
+      batchDocs.repartition(ingestFiles)
+        .write.mode("overwrite").parquet(ingestDir)
     val stream = spark.readStream
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(ingestDir)
     val q = stream.writeStream
-      .foreachBatch { (mb: DataFrame, _: Long) =>
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
         if (!mb.isEmpty) {
           val counters = CountMin.cmBuild(
             HeavyHitters.ngramItems(mb, "text", n), "gram", depth, width)
-          if (java.nio.file.Files.exists(
-              java.nio.file.Paths.get(storeDir, "_params")))
-            CountMin.appendCm(counters, storeDir, depth, width)
+          // the batch id is the slice key: a replayed batch
+          // (foreachBatch is at-least-once) re-appends byte-identical
+          // rows that loadCm's per-slice dedup collapses, so the
+          // "sum-at-read == one-shot build" claim survives crashes
+          if (Files.exists(Paths.get(storeDir, "_params")))
+            CountMin.appendCm(counters, storeDir, depth, width,
+              sliceId = s"b$batchId")
           else
-            CountMin.saveCm(counters, storeDir, depth, width)
+            CountMin.saveCm(counters, storeDir, depth, width,
+              sliceId = s"b$batchId")
         }
       }
       .option("checkpointLocation", ckpt)

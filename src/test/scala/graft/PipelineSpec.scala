@@ -4059,6 +4059,83 @@ class PipelineSpec extends AnyFunSuite {
       ("b", "bhot", 40L)), out.toString)
     // pruning engaged: m = 20 < 122 distinct in group a
     assert(math.ceil(2.0 / 0.1).toInt == 20)
+    // the SCALE plan — broadcast left-semi candidate filter + broadcast
+    // (group, thr) join instead of InSet + when-chain (forced by zero
+    // caps) — is a different physical shape with the identical answer
+    val bcast = HeavyHitters.frequentItemsByGroup(
+      rows.toDF("g", "item").repartition(9), "g", "item", phi = 0.1,
+      inSetCap = 0, whenChainCap = 0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(bcast == out, bcast.toString)
+  }
+
+  test("topKItems: exact top-k at sketch cost — adaptive support, deterministic tie-break, loud refusal below the cap") {
+    import spark.implicits._
+    import graft.operators.{HeavyHitters, TfIdf}
+    // zipf-ish: item i appears 600/i times (i = 1..60) over N ≈ 2808
+    // rows; top-10 shares reach down to 60/2808 ≈ 0.021, so phi0 = 0.2
+    // must adapt DOWN (two quarterings) before 10 items survive
+    val items = (1 to 60).flatMap(i => Seq.fill(600 / i)(f"w$i%02d"))
+    val df = items.toDF("item").repartition(7)
+    val got = HeavyHitters.topKItems(df, "item", k = 10, phi0 = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = TfIdf.topNgrams(
+      df.select(col("item").as("text")), "text", "text", n = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact, s"$got vs $exact")
+    // ordering is (cnt DESC, item ASC): w59 and w60 both count 10 — the
+    // k-boundary region must break ties lexically like the exact report
+    assert(got.map(_._1) == got.sortBy(r => (-r._2, r._1)).map(_._1))
+    // fewer distinct items than k once the driver cap blocks further
+    // quartering refuses loudly rather than returning a short list:
+    // margin puts the first pass just under the 2^20 cap (m ≈ 943718)
+    // and the next quartering over it, and the corpus has only 1 item
+    // above thr = ceil(0.5·3) = 2
+    val tiny = Seq("a", "a", "b").toDF("item")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.topKItems(tiny, "item", k = 5, phi0 = 0.5,
+        margin = 471859.0)
+    }
+    assert(e.getMessage.contains("bounded-driver cap"), e.getMessage)
+  }
+
+  test("grouped MG store: per-group slice appends serve the one-shot grouped answer; capacity validates") {
+    import spark.implicits._
+    import graft.operators.{HeavyHitters, Sketches}
+    val rows =
+      (Seq.fill(120)("hot") ++ Seq.fill(60)("both") ++
+        (1 to 120).map(i => s"a$i")).map(("a", _)) ++
+      (Seq.fill(9)("both") ++ Seq.fill(40)("bhot") ++
+        (1 to 51).map(i => s"b$i")).map(("b", _))
+    val df = rows.toDF("g", "item")
+    withTempDir("graft_mgg_") { dir =>
+      val m = 20
+      // slices split by hash of the item — each carries BOTH groups
+      val (s0, s1) = (df.filter(abs(hash(col("item"))) % 2 === 0),
+        df.filter(abs(hash(col("item"))) % 2 === 1))
+      Sketches.saveMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(s0, "g", "item", m),
+        "group", "summary", "n_items", dir, m)
+      Sketches.appendMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(s1, "g", "item", m),
+        "group", "summary", "n_items", dir, m)
+      val served = HeavyHitters.frequentItemsByGroupFromStore(
+        df, "g", "item", dir, phi = 0.1)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val oneShot = HeavyHitters.frequentItemsByGroup(
+        df, "g", "item", phi = 0.1)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(served == oneShot, s"$served vs $oneShot")
+      // a support the stored capacity can't guarantee refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        HeavyHitters.frequentItemsByGroupFromStore(
+          df, "g", "item", dir, phi = 0.01)
+      }
+      assert(e.getMessage.contains("capacity"), e.getMessage)
+    }
   }
 
   test("assignToCentroids: nearest-centroid argmax crosses label lines; rounded tie breaks to smallest label") {
@@ -4118,17 +4195,31 @@ class PipelineSpec extends AnyFunSuite {
     withTempDir("graft_cm_") { dir =>
       val (a, b) = items.splitAt(200)
       CountMin.saveCm(
-        CountMin.cmBuild(a.toDF("item"), "item", 4, 2048), dir, 4, 2048)
+        CountMin.cmBuild(a.toDF("item"), "item", 4, 2048), dir, 4, 2048,
+        sliceId = "b0")
       CountMin.appendCm(
-        CountMin.cmBuild(b.toDF("item"), "item", 4, 2048), dir, 4, 2048)
+        CountMin.cmBuild(b.toDF("item"), "item", 4, 2048), dir, 4, 2048,
+        sliceId = "b1")
       val (counters, d, wd) = CountMin.loadCm(spark, dir)
       val served = CountMin.cmEstimate(queries, counters, "item", d, wd)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(served == est)
+      // an at-least-once writer REPLAYS a slice (crash between the data
+      // append and the checkpoint's offset commit): the re-appended
+      // rows collapse in loadCm's per-slice dedup — estimates unchanged
+      CountMin.appendCm(
+        CountMin.cmBuild(b.toDF("item"), "item", 4, 2048), dir, 4, 2048,
+        sliceId = "b1")
+      val (counters2, d2, wd2) = CountMin.loadCm(spark, dir)
+      val replayed = CountMin.cmEstimate(queries, counters2, "item", d2, wd2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(replayed == est,
+        "replayed slice double-counted — per-slice dedup broken")
       // different-geometry appends refuse
       val eG = intercept[IllegalArgumentException] {
         CountMin.appendCm(
-          CountMin.cmBuild(a.toDF("item"), "item", 2, 8), dir, 2, 8)
+          CountMin.cmBuild(a.toDF("item"), "item", 2, 8), dir, 2, 8,
+          sliceId = "b2")
       }
       assert(eG.getMessage.contains("geometry"), eG.getMessage)
     }

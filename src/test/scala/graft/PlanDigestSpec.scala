@@ -127,6 +127,21 @@ class PlanDigestSpec extends AnyFunSuite {
     "t40_countmin"            -> Digest(4, 1, 0, 0, 0),
     // grouped recount: spread + the (group, item) exact count agg
     "t41_frequent_ngrams_by_lang" -> Digest(2, 0, 0, 0, 0),
+    // round-12: grouped CM — same shape as t40 with a lang key riding
+    // every exchange; the counter table must stay on the broadcast side
+    "t43_countmin_by_lang"    -> Digest(4, 1, 0, 0, 0),
+    // grouped store serve: spread + (group, item) recount agg + the
+    // stored-totals threshold aggregate, which must arrive by BROADCAST
+    // (a shuffle join here means metadata-sized thresholds started
+    // exchanging the counted corpus)
+    "t44_frequent_by_lang_store" -> Digest(3, 1, 0, 0, 0),
+    // t41's forced high-cardinality plan: candidate list and thresholds
+    // both ship as broadcasts (left-semi + thr join) instead of
+    // InSet/when-chain literals — exchanges must still move only
+    // (group, item, cnt) rows. 4 = spread's round-robin counted once
+    // per reference of the cached items (recount + threshold agg both
+    // consume it) + the two tiny agg exchanges.
+    "t45_frequent_by_lang_bcast" -> Digest(4, 2, 0, 0, 0),
     // blocklist discovery is a bounded driver action (top-k collect);
     // the served plan is the zero-join cleanLines projection — spread's
     // round-robin must stay the ONLY exchange

@@ -316,4 +316,182 @@ class StreamingSpec extends AnyFunSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("streamingCountMin restart appends only new slices: resume + new files equals one shot over the union") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_cm_rs_")
+    try {
+      // doc 0 is the %97 probe doc in every variant; its grams' counts
+      // grow as slices arrive, so a stale/duplicated store is visible
+      def mk(ids: Range) = ids.map { i =>
+        (i.toLong, "en", s"hot hot common w${i % 5} y$i")
+      }.toDF("doc_id", "lang", "text")
+      val sfA = root.resolve("sfA"); val sfAll = root.resolve("sfAll")
+      mk(0 until 30).coalesce(1)
+        .write.parquet(sfA.resolve("documents.parquet").toString)
+      mk(0 until 60).coalesce(1)
+        .write.parquet(sfAll.resolve("documents.parquet").toString)
+      val base = root.resolve("base").toString
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+      val run1 = grab(graft.streaming.Streaming.streamingCountMin(
+        spark, sfA.toString, "cmrs1", n = 2, ingestFiles = 2,
+        baseDir = Some(base)))
+      // restart with nothing new: store untouched, same estimates
+      val idle = grab(graft.streaming.Streaming.streamingCountMin(
+        spark, sfA.toString, "cmrs2", n = 2, ingestFiles = 2,
+        baseDir = Some(base)))
+      assert(idle == run1, s"$idle vs $run1")
+      // new slices arrive; the resumed stream appends ONLY their
+      // counters (checkpoint skips the pre-restart files) and linearity
+      // makes sum-at-read equal the one-shot build over the union
+      mk(30 until 60).repartition(2)
+        .write.mode("append").parquet(s"$base/ingest")
+      val resumed = grab(graft.streaming.Streaming.streamingCountMin(
+        spark, sfA.toString, "cmrs3", n = 2, ingestFiles = 2,
+        baseDir = Some(base)))
+      val oneShot = grab(graft.streaming.Streaming.streamingCountMin(
+        spark, sfAll.toString, "cmrs4", n = 2, ingestFiles = 4))
+      assert(resumed == oneShot, s"$resumed vs $oneShot")
+      assert(resumed != run1)
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Simulate foreachBatch's at-least-once delivery precisely: delete
+    * the stream checkpoint's LAST commit marker, so the restart
+    * re-delivers the final batch (its offsets are recorded, its commit
+    * is not — exactly the crash-after-side-effect window). */
+  private def dropLastCommit(base: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val commits = java.nio.file.Paths.get(base, "ckpt", "commits")
+    val listing = {
+      val s = java.nio.file.Files.list(commits)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val last = listing.filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(last)
+    // the local FS keeps a .crc sidecar; a stale one makes the re-write
+    // look like a concurrent writer to the checkpoint file manager
+    java.nio.file.Files.deleteIfExists(
+      last.resolveSibling("." + last.getFileName.toString + ".crc"))
+  }
+
+  test("sketch streams are idempotent under batch REPLAY (crash after state write, before checkpoint commit)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_replay_")
+    try {
+      def mk(ids: Range) = ids.map { i =>
+        (i.toLong, "en", s"hot hot common w${i % 5} y$i")
+      }.toDF("doc_id", "lang", "text")
+      val sf = root.resolve("sf")
+      mk(0 until 40).coalesce(1)
+        .write.parquet(sf.resolve("documents.parquet").toString)
+      def grabHh(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+      // Misra-Gries stream: without the last_batch watermark a replayed
+      // batch double-merges the summary AND inflates n_total, raising
+      // the serve threshold ceil(phi*N) past the truth and dropping
+      // genuinely phi-frequent grams
+      val hhBase = root.resolve("hh").toString
+      val hh1 = grabHh(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sf.toString, "rp1", n = 2, phi = 0.05,
+        ingestFiles = 3, baseDir = Some(hhBase)))
+      dropLastCommit(hhBase)
+      val hh2 = grabHh(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sf.toString, "rp2", n = 2, phi = 0.05,
+        ingestFiles = 3, baseDir = Some(hhBase)))
+      assert(hh2 == hh1, s"replayed batch double-merged: $hh2 vs $hh1")
+      // Count-Min stream: a replayed batch re-appends its slice under
+      // the same batch id; loadCm's per-slice dedup must collapse it or
+      // every estimate the batch touched inflates
+      val cmBase = root.resolve("cm").toString
+      val cm1 = grabHh(graft.streaming.Streaming.streamingCountMin(
+        spark, sf.toString, "rp3", n = 2, ingestFiles = 3,
+        baseDir = Some(cmBase)))
+      dropLastCommit(cmBase)
+      val cm2 = grabHh(graft.streaming.Streaming.streamingCountMin(
+        spark, sf.toString, "rp4", n = 2, ingestFiles = 3,
+        baseDir = Some(cmBase)))
+      assert(cm2 == cm1, s"replayed slice double-counted: $cm2 vs $cm1")
+      // KMV stream: replay idempotence is free (union closure), but pin
+      // it so a future state-shape change can't silently lose it
+      val kmvBase = root.resolve("kmv").toString
+      def grabKmv(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).sortBy(_._1).toSeq
+      val kv1 = grabKmv(graft.streaming.Streaming.streamingKmv(
+        spark, sf.toString, "rp5", k = 16, ingestFiles = 3,
+        baseDir = Some(kmvBase)))
+      dropLastCommit(kmvBase)
+      val kv2 = grabKmv(graft.streaming.Streaming.streamingKmv(
+        spark, sf.toString, "rp6", k = 16, ingestFiles = 3,
+        baseDir = Some(kmvBase)))
+      assert(kv2 == kv1, s"$kv2 vs $kv1")
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("sketch state commits are crash-atomic: half-written generation debris never shadows the committed state") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_atomic_")
+    try {
+      def mk(ids: Range) = ids.map { i =>
+        (i.toLong, "en", s"hot hot common w${i % 5} y$i")
+      }.toDF("doc_id", "lang", "text")
+      val sf = root.resolve("sf")
+      mk(0 until 40).coalesce(1)
+        .write.parquet(sf.resolve("documents.parquet").toString)
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+      val base = root.resolve("hh").toString
+      val run1 = grab(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sf.toString, "at1", n = 2, phi = 0.05,
+        ingestFiles = 3, baseDir = Some(base)))
+      // the state must live under a pointer-committed generation, not a
+      // plain overwritten dir — that's what MAKES the crash window safe
+      val ptr = java.nio.file.Paths.get(base, "hhstate.ptr")
+      assert(java.nio.file.Files.exists(ptr), "state is not pointer-committed")
+      val live = new String(
+        java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim
+      // simulate a crash MID-WRITE of the next generation: debris dir
+      // with a torn file exists, pointer still names the old generation
+      val debris = java.nio.file.Paths.get(base, "hhstate.g9998")
+      java.nio.file.Files.createDirectories(debris)
+      java.nio.file.Files.write(debris.resolve("part-torn.parquet"),
+        Array[Byte](0, 1, 2, 3))
+      // restart with nothing new: the re-seed must read the COMMITTED
+      // generation (debris is invisible — resolveDataDir follows the
+      // pointer), and the answer is the pre-crash one
+      val idle = grab(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sf.toString, "at2", n = 2, phi = 0.05,
+        ingestFiles = 3, baseDir = Some(base)))
+      assert(idle == run1, s"$idle vs $run1")
+      // and a restart that COMMITS (new files arrive) sweeps the debris
+      mk(40 until 50).repartition(1)
+        .write.mode("append").parquet(s"$base/ingest")
+      grab(graft.streaming.Streaming.streamingHeavyHitters(
+        spark, sf.toString, "at3", n = 2, phi = 0.05,
+        ingestFiles = 3, baseDir = Some(base)))
+      assert(!java.nio.file.Files.exists(debris),
+        "superseded/torn generation debris not swept on commit")
+      val live2 = new String(java.nio.file.Files.readAllBytes(ptr),
+        "UTF-8").trim
+      assert(live2 != live, "commit did not advance the state generation")
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
