@@ -4485,8 +4485,11 @@ object SparkEntry {
          FROM l0),
        kept AS (
          SELECT doc_id, pos, line FROM lines
-         WHERE (CASE WHEN trim(line) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(line), '\s+')) END) >= 5
+         WHERE (CASE
+                 WHEN regexp_replace(line, '^\s+|\s+$', '', 'g') = '' THEN 0
+                 ELSE len(regexp_split_to_array(
+                        regexp_replace(line, '^\s+|\s+$', '', 'g'), '\s+'))
+                END) >= 5
            AND NOT contains(lower(line), 'slow')),
        nl AS (SELECT doc_id, count(*) AS n_lines FROM lines
               GROUP BY doc_id),
@@ -5194,6 +5197,29 @@ object SparkEntry {
            ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
          FROM q, c) WHERE rank <= 5""") { (s, d) =>
     graft.streaming.Streaming.streamingSq8IngestServe(s, d, "st22")
+  }
+
+  // st22 under DISTRIBUTION DRIFT: a shape-shifted slice (dimension 0
+  // spiked — s18's finding: drift probes must change vector SHAPE, a
+  // uniform offset vanishes under unit norm) arrives via restart. The
+  // drift-gated append must flag exactly that batch against the
+  // threshold STORED at build (the gate requires the flag pattern —
+  // silent drift fails loudly), and the frozen-bounds append must still
+  // serve exactly: clamped codes only perturb approximate candidate
+  // order, the blanket re-rank sees true vectors — so brute force over
+  // the corpus WITH the spiked vectors is the oracle, verbatim.
+  define("st27_stream_sq8_drift",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id,
+               CASE WHEN vec_id % 4 = 1
+                 THEN list_concat([CAST(6.0 AS FLOAT)], embedding[2:])
+                 ELSE embedding END AS nv
+             FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    graft.streaming.Streaming.streamingSq8DriftServe(s, d, "st27")
   }
 
   // Streaming KMV distinct sketching: per-trigger batch sketches merge

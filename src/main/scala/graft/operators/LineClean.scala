@@ -36,10 +36,14 @@ object LineClean {
     * is the document-level verdict `n_kept >= minKeptLines`.
     *
     *  - `minWordsPerLine`: drop lines with fewer whitespace-split words
-    *    (C4 drops under-3-word lines). Words are counted on the TRIMMED
-    *    line (the [[graft.functions.TextFunctions.tokens]] convention) —
-    *    leading whitespace must not mint a phantom empty first token —
-    *    and an empty/all-whitespace line counts 0 words, not 1.
+    *    (C4 drops under-3-word lines). Words are counted on the
+    *    whitespace-STRIPPED line — stripping uses the regex `\s` class,
+    *    not `trim()`, because trim strips only ASCII spaces: a
+    *    tab-indented line would otherwise mint a phantom empty first
+    *    token and a tab-only line would count 1 word instead of 0
+    *    (round-11 ADVICE). `\s` is the ASCII whitespace class in BOTH
+    *    engines (Java and RE2 alike exclude NBSP/Unicode spaces by
+    *    default — exotic spaces are out of scope, consistently).
     *  - `requireTerminalPunct`: drop lines not ending in terminal
     *    punctuation (C4's "ends in a terminal punctuation mark" rule) —
     *    off for corpora without punctuation.
@@ -56,9 +60,10 @@ object LineClean {
     require(minWordsPerLine >= 0, "minWordsPerLine must be non-negative")
     require(minKeptLines >= 0, "minKeptLines must be non-negative")
     val keepLine: Column => Column = { line =>
+      val stripped = regexp_replace(line, "^\\s+|\\s+$", "")
       val wordsOk =
-        when(trim(line) === "", lit(0))
-          .otherwise(size(split(trim(line), "\\s+"))) >=
+        when(stripped === "", lit(0))
+          .otherwise(size(split(stripped, "\\s+"))) >=
           lit(minWordsPerLine)
       val punctOk =
         if (requireTerminalPunct) line.rlike("[.!?\"”]$") else lit(true)

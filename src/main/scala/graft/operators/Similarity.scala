@@ -839,7 +839,9 @@ object Similarity {
     * `bounds` (dim rows: i, mn, step), `_params` (layout, dim). The
     * train+encode pass is paid once; serving reads 1 byte/dim. */
   def buildSq8Index(corpus: DataFrame, vecCol: String, idCol: String,
-                    path: String, dim: Int): Unit = {
+                    path: String, dim: Int,
+                    maxRatio: Double = 4.0): Unit = {
+    require(maxRatio > 1.0, "maxRatio must exceed 1 (ratio ~1 = in-dist)")
     val spark = corpus.sparkSession
     import spark.implicits._
     dropStalePointer(path, "codes")
@@ -851,9 +853,14 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
     // base_err: the build corpus's own reconstruction error against the
     // just-trained bounds — the drift baseline ([[ivfDriftCheck]]'s
-    // base_err contract, transplanted to scalar quantization)
+    // base_err contract, transplanted to scalar quantization). The
+    // rebuild tripwire THRESHOLD persists beside it so every appender
+    // applies the same policy the builder chose (maxRatio: how far a
+    // batch's error may exceed base_err before the frozen-bounds
+    // contract is considered violated — [[appendToSq8IndexChecked]]).
     val (baseErr, _) = sq8BatchError(corpus, vecCol, bounds)
-    Seq(("sq8_v1", dim, baseErr)).toDF("layout", "dim", "base_err")
+    Seq(("sq8_v1", dim, baseErr, maxRatio))
+      .toDF("layout", "dim", "base_err", "max_ratio")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
@@ -884,6 +891,56 @@ object Similarity {
     val bounds = readSq8Bounds(newCorpus.sparkSession, path)
     sq8Encode(newCorpus, bounds, vecCol, idCol)
       .write.mode("append").parquet(resolveDataDir(path, "codes"))
+  }
+
+  /** Drift-GATED frozen-bounds append — [[sq8DriftCheck]] wired into the
+    * ingest lifecycle instead of left as standalone telemetry: the
+    * batch's reconstruction error is checked against the index's STORED
+    * `max_ratio` threshold (chosen at build, so every appender applies
+    * the builder's policy), the report is appended as a row to the
+    * index's `$path/drift` side log (the ivfDriftCheck report-parquet
+    * convention — flagged rows are the rebuild tripwire a deployment
+    * polls), and then either:
+    *
+    *  - `refuse = false` (default): the append proceeds EVEN WHEN
+    *    flagged — correctness is never at stake (out-of-range values
+    *    clamp in the codes, and the exact re-rank sees true vectors;
+    *    only approximate candidate quality for the drifted batch
+    *    degrades), so flag-and-continue is the serving-safe default;
+    *  - `refuse = true`: a flagged batch throws BEFORE any codes are
+    *    written — the strict mode for pipelines that would rather halt
+    *    ingest than accumulate badly-quantized codes until the rebuild.
+    *
+    * Returns the report. Cost over the plain append: one fused
+    * projection + one scalar aggregate over the batch. */
+  def appendToSq8IndexChecked(newCorpus: DataFrame, vecCol: String,
+                              idCol: String, path: String,
+                              refuse: Boolean = false): Sq8DriftReport = {
+    val spark = newCorpus.sparkSession
+    import spark.implicits._
+    val p = readParams(spark, path).head()
+    // pre-threshold indexes fall back to the build default rather than
+    // refusing to append (the drift check itself requires base_err)
+    val maxRatio =
+      if (p.schema.fieldNames.contains("max_ratio"))
+        p.getAs[Double]("max_ratio")
+      else 4.0
+    val r = sq8DriftCheck(newCorpus, vecCol, path)
+    val flagged = r.ratio > maxRatio
+    Seq((r.baseErr, r.batchErr, r.ratio, r.outOfRangeFrac, maxRatio,
+        flagged))
+      .toDF("base_err", "batch_err", "ratio", "oob_frac", "max_ratio",
+        "flagged")
+      .coalesce(1).write.mode("append").parquet(s"$path/drift")
+    if (refuse)
+      require(!flagged,
+        f"sq8 drift ratio ${r.ratio}%.3f exceeds the stored threshold " +
+          f"$maxRatio%.1f (batch_err ${r.batchErr}%.6g vs base_err " +
+          f"${r.baseErr}%.6g, oob ${r.outOfRangeFrac}%.4f) — the batch " +
+          "distribution no longer matches the frozen bounds; rebuild " +
+          "the index or append with refuse = false")
+    appendToSq8Index(newCorpus, vecCol, idCol, path)
+    r
   }
 
   /** Mean per-vector squared reconstruction error and out-of-range

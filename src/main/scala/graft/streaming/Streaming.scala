@@ -628,7 +628,10 @@ object Streaming {
             Similarity.buildSq8Index(mb, "embedding", "vec_id", idxDir,
               dim = 64)
           else
-            Similarity.appendToSq8Index(mb, "embedding", "vec_id", idxDir)
+            // drift-gated (flag mode): every append rides the stored
+            // max_ratio tripwire and logs to the index's drift table
+            Similarity.appendToSq8IndexChecked(mb, "embedding", "vec_id",
+              idxDir)
           Similarity.sq8TopKFromIndex(queries, staged, idxDir,
             "embedding", "vec_id", k = 5, rerank = 1024)
             .select("q_id", "n_id", "rank")
@@ -640,6 +643,92 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
     spark.read.parquet(outDir)
+  }
+
+  /** [[streamingSq8IngestServe]] under DISTRIBUTION DRIFT — the st22
+    * lifecycle extended with a shape-shifted ingest batch, proving the
+    * two halves of the freeze contract together: (1) the drift-gated
+    * append ([[graft.operators.Similarity.appendToSq8IndexChecked]])
+    * LOUDLY flags the batch whose vectors no longer match the frozen
+    * bounds (spiked dimension — a shape change; a uniform offset
+    * vanishes under unit normalization, the s18 finding) while clean
+    * appends stay unflagged, and (2) the flagged batch still APPENDS
+    * and the final serve is still EXACT, because out-of-range values
+    * clamp only in the approximate codes and the blanket re-rank sees
+    * true vectors — so the brute-force oracle (over the corpus WITH the
+    * spiked vectors) transfers verbatim. The spiked slice arrives via a
+    * RESTART (second stream run over the same checkpoint), which makes
+    * batch order deterministic: clean batches build+append first, the
+    * drifted batch is ingested by the resumed stream. The gate itself
+    * `require`s the flag pattern — a silent drift pass fails loudly,
+    * not just approximately. */
+  def streamingSq8DriftServe(spark: SparkSession, sfDir: String,
+                             name: String, ingestFiles: Int = 3): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory(s"graft_stream_${name}_")
+    val ckpt = base.resolve("ckpt").toString
+    val idxDir = base.resolve("sq8").toString
+    val ingestDir = base.resolve("ingest").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val clean = emb.filter(col("vec_id") >= 5 && col("vec_id") % 4 =!= 1)
+    // the drifted slice: dimension 0 spiked to a constant 6 — a SHAPE
+    // change the frozen bounds never trained on
+    val spiked = emb.filter(col("vec_id") >= 5 && col("vec_id") % 4 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(6.0f)).otherwise(x)).as("embedding"))
+    clean.repartition(ingestFiles)
+      .write.mode("overwrite").parquet(ingestDir)
+    def runStream(): Unit = {
+      val stream = spark.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ingestDir)
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, _: Long) =>
+          if (!mb.isEmpty) {
+            if (!new java.io.File(s"$idxDir/bounds").exists())
+              // maxRatio 500, not the representative-build default 4:
+              // bounds trained on ONE micro-batch clamp the extreme
+              // ~1.5% of values in later SAME-distribution batches, and
+              // against a tiny base_err that reads as ratio ~60-75
+              // (MEASURED, sf0.01) — while the genuinely shape-shifted
+              // batch reads ~12600, two orders above. A subset-trained
+              // build must store the wider margin; the default assumes
+              // bounds trained on a representative sample (s18's
+              // in-dist ratio = 1.0 exactly because build corpus =
+              // probe corpus).
+              Similarity.buildSq8Index(mb, "embedding", "vec_id", idxDir,
+                dim = 64, maxRatio = 500.0)
+            else {
+              Similarity.appendToSq8IndexChecked(mb, "embedding", "vec_id",
+                idxDir)
+              ()
+            }
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runStream() // clean batches: build, then unflagged checked appends
+    spiked.repartition(1).write.mode("append").parquet(ingestDir)
+    runStream() // restart ingests ONLY the drifted slice
+    // the tripwire must have fired for the drifted batch and stayed
+    // quiet for the clean ones — loud, not a log line to maybe read
+    val rep = spark.read.parquet(s"$idxDir/drift")
+    require(rep.filter(col("flagged")).count() == 1,
+      "drifted batch was not flagged by the checked append")
+    require(rep.filter(!col("flagged")).count() == (ingestFiles - 1).toLong,
+      "clean appends should pass the stored drift threshold unflagged")
+    // serve over everything ingested (spiked vectors included): blanket
+    // exact re-rank — clamped codes never reach the output
+    Similarity.sq8TopKFromIndex(queries, spark.read.parquet(ingestDir),
+      idxDir, "embedding", "vec_id", k = 5, rerank = 1024)
+      .select("q_id", "n_id", "rank")
   }
 
   /** Streaming corpus-wide keep-first line dedup: the persisted line-hash

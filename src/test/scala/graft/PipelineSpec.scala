@@ -3662,6 +3662,18 @@ class PipelineSpec extends AnyFunSuite {
     // whitespace-only and empty lines count 0 words, not 1
     assert(out(1L) == ((4L, 1L, true, "three real words.")),
       out(1L).toString)
+    // TAB whitespace (round-11 ADVICE): trim() strips only ASCII
+    // spaces, so a tab-only line minted a phantom token (1 word) and a
+    // tab-indented line a phantom leading token — the \s-class strip
+    // must catch both
+    val tabs = Seq((1L, Seq("\t\t", "\tone two.", "\tthree real words.")))
+      .toDF("doc_id", "lines")
+    val tout = LineClean.cleanLines(tabs, "lines", "doc_id",
+      minWordsPerLine = 3, requireTerminalPunct = false,
+      blocklist = Nil, minKeptLines = 1).head()
+    assert(tout.getAs[Long]("n_kept") == 1L &&
+      tout.getAs[String]("text") == "\tthree real words.",
+      tout.toString)
     // a null lines array is an empty document, not a −1-line one
     assert(out(2L) == ((0L, 0L, false, "")), out(2L).toString)
     val dd = LineClean.dedupLinesWithinDoc(in, "lines", "doc_id")
