@@ -114,7 +114,15 @@ object Bench {
     // embedding-space decontamination (broadcast eval, one corpus scan)
     "t42_semantic_decontaminate",
     // topic-balanced mix (centroid argmax projection + a16 mix chain)
-    "p15_topic_balanced_mix")
+    "p15_topic_balanced_mix",
+    // round-12: representative-vocabulary (Zipf) twins of the serve
+    // paths the 31-word fixture turns into fan-out ceilings — BM25
+    // serve, decontamination serve, heavy-hitter discovery. These are
+    // the rows where a serve-path regression is VISIBLE (candidate sets
+    // are small corpus fractions); the adversarial originals stay
+    // benched alongside as the worst case. Index/corpus builds land on
+    // the warm-up rep (sessionIndexDir), so medians time serving.
+    "z1_bm25_serve_zipf", "z2_contam_serve_zipf", "z3_hh_frequent_zipf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -5594,6 +5594,84 @@ object SparkEntry {
            AND EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
          GROUP BY o_orderpriority""")
+  }
+
+  // ------------------------------------------------------------------
+  // Representative-vocabulary (Zipf) bench twins — round-8 verdict #4,
+  // carried to round-11 #4: the driver documents table has ~31 distinct
+  // words, which makes every retrieval / contamination / heavy-hitter
+  // number a fan-out WORST-CASE ceiling (every term a stopword,
+  // candidate sets ≈ |Q|×|corpus|) — a 2× serve-path regression hides
+  // inside that noise. These z* gates run the same serve paths on a
+  // deterministic Zipf-vocabulary twin of the documents table (same
+  // rows/doc_ids, text re-synthesized), where candidate sets are small
+  // corpus fractions — the REPRESENTATIVE numbers, benched
+  // round-over-round beside the adversarial originals. Synthesis uses
+  // xxhash64, which DuckDB cannot replay — so z* are rows-only gates by
+  // design (their CORRECTNESS is covered by the oracled originals; the
+  // twins exist for the bench).
+  // ------------------------------------------------------------------
+
+  /** Zipf twin of `documents`: 60 tokens/doc over a 30k-word vocabulary,
+    * rank = floor(V^u) with u log-uniform from xxhash64(doc_id, pos) —
+    * density ∝ 1/rank (Zipf s=1), no RNG state, byte-stable across runs.
+    * Same construction as the CurationSoak `zipf` section, seeded from
+    * the real table's doc_ids so row count tracks the SF. */
+  private def zipfDocs(docs: DataFrame): DataFrame = {
+    val wordsPerDoc = 60
+    val vocab = 30000.0
+    val u = (pos: Column) =>
+      (abs(xxhash64(col("doc_id") * 131 + pos)) % 1000000L)
+        .cast("double") / 1000000.0
+    docs.select(col("doc_id"), array_join(
+      transform(sequence(lit(0), lit(wordsPerDoc - 1)),
+        p => concat(lit("w"),
+          floor(pow(lit(vocab), u(p))).cast("long"))),
+      " ").as("text"))
+  }
+
+  // BM25 serving at realistic term selectivity: mid-frequency query
+  // terms (rank ~100-1000) hit many docs but nowhere near all — the
+  // postings the serve joins are small corpus fractions, unlike r2's
+  // every-term-matches-everything ceiling.
+  defineNoOracle("z1_bm25_serve_zipf") { (s, d) =>
+    import s.implicits._
+    import graft.operators.Retrieval
+    val z = zipfDocs(t(s, d, "documents"))
+    val dir = sessionIndexDir(s"zbm_$d") { p =>
+      Retrieval.buildBm25Index(z, "text", "doc_id", s"$p/bm")
+    }
+    val queries = (1 to 10)
+      .map(i => (i.toLong, s"w${i * 97 + 100} w${i * 89 + 500}"))
+      .toDF("q_id", "q_text")
+    Retrieval.bm25TopKFromIndex(queries, s"$dir/bm", "q_text", "q_id",
+      k = 10)
+  }
+
+  // Decontamination serving with a real vocabulary: trigram postings
+  // match sparsely (random Zipf docs never reach 0.5 containment), so
+  // the measured cost is posting-intersection volume, not the 31-word
+  // everything-matches fan-out. Output is a 1-row audit summary
+  // (scanned/flagged) — deterministic, rows ≥ 1 for the smoke check.
+  defineNoOracle("z2_contam_serve_zipf") { (s, d) =>
+    import graft.operators.Decontaminate
+    val z = zipfDocs(t(s, d, "documents"))
+    val dir = sessionIndexDir(s"zct_$d") { p =>
+      Decontaminate.buildIndex(z.filter(col("doc_id") % 20 === 0),
+        "text", "doc_id", s"$p/ct", shingleSize = 3)
+    }
+    Decontaminate.flagFromIndex(z.filter(col("doc_id") % 20 =!= 0),
+      s"$dir/ct", "text", "doc_id", threshold = 0.5)
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
+  // Heavy hitters over an OPEN-ish vocabulary (the case the sketch
+  // exists for): ~900k distinct 2-grams at sf0.1 instead of 961 — the
+  // MG candidate set is a tiny vocabulary fraction and the recount's
+  // InSet filter actually prunes (the 31-word corpus keeps every gram).
+  defineNoOracle("z3_hh_frequent_zipf") { (s, d) =>
+    graft.operators.HeavyHitters.frequentNgrams(
+      zipfDocs(t(s, d, "documents")), "text", n = 2, phi = 0.001)
   }
 
   // ------------------------------------------------------------------

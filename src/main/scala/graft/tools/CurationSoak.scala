@@ -616,6 +616,28 @@ object CurationSoak {
       time("cm_build_100k_4x1024") {
         CountMin.cmBuild(grams, "gram", depth = 4, width = 1024).count()
       }
+      // p14's blocklist discovery, both ways (round-11 verdict #1): the
+      // sketch path's shuffle must sit at MG-wire scale, the exact path
+      // shuffles (doc, gram) + the vocabulary — same k, same answer
+      time("p14_discovery_sketch_100k") {
+        HeavyHitters.topKNgrams(docs100k, "text", n = 2, k = 25).count()
+      }
+      time("p14_discovery_exact_100k") {
+        graft.operators.TfIdf.topNgrams(docs100k, "text", "doc_id",
+          n = 2, k = 25).count()
+      }
+      // 10⁵ groups (round-11 verdict #7): per-group thresholds must ride
+      // the broadcast join — a 10⁵-deep when-chain would stall analysis
+      // long before the data did. One group per document; m = 4 keeps
+      // groups × m at 4·10⁵ driver entries, inside the 2^20 contract.
+      time("hh_grouped_1e5_groups") {
+        val byDoc = spread(docs100k.select(col("doc_id").as("grp"),
+            col("text")))
+          .select(col("grp"),
+            explode(TFx.shingles(col("text"), 2)).as("gram"))
+        HeavyHitters.frequentItemsByGroup(byDoc, "grp", "gram",
+          phi = 0.4, margin = 1.5).count()
+      }
     }
     spark.stop()
   }
