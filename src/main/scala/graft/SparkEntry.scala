@@ -3179,14 +3179,11 @@ object SparkEntry {
       "text", n = 2, phraseCol = "phrase", depth = 4, width = 1024)
   }
 
-  // Grouped Count-Min: one LINEAR sketch per language in the same
-  // single explode + hash-agg pass (wire ≤ |langs|·depth·width
-  // counters, constant in the vocabulary); each (lang, gram) probe is
-  // scored against ITS language's counters only. Linearity per group
-  // means the estimates are bit-identical cross-engine, so the oracle
-  // replays the full grouped sketch — the t40 argument with a lang key.
-  // Probes: the distinct (lang, 2-gram)s of every 97th document.
-  define("t43_countmin_by_lang",
+  // Shared grouped-CM oracle (t43 one-shot, t46 persisted grouped
+  // store — per-group linearity makes the appended, summed-at-read
+  // tables equal the one-shot grouped build bit for bit, so one oracle
+  // covers both).
+  private val cmByLangOracleSql: String =
     """WITH w AS (SELECT doc_id, lang,
            regexp_split_to_array(trim(text), '\s+') AS wds FROM documents),
        g AS (SELECT lang, array_to_string(wds[pos : pos + 1], ' ') AS gram
@@ -3219,17 +3216,57 @@ object SparkEntry {
               FROM q CROSS JOIN hr)
        SELECT lang, gram, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
        FROM qc LEFT JOIN counters USING (lang, row, cell)
-       GROUP BY lang, gram""") { (s, d) =>
-    import graft.operators.CountMin
-    val docs = t(s, d, "documents")
-    val probes = graft.operators.spread(
+       GROUP BY lang, gram"""
+
+  /** The (lang, gram) probe batch t43/t46 share: distinct 2-grams of
+    * every 97th document, scored against their own language. */
+  private def langProbes(docs: DataFrame): DataFrame =
+    graft.operators.spread(
         docs.filter(col("doc_id") % 97 === 0).select(col("lang"), col("text")))
       .select(col("lang"),
         explode(graft.functions.TextFunctions.shingles(col("text"), 2))
           .as("gram"))
-    CountMin.cmEstimateByGroup(probes,
+
+  // Grouped Count-Min: one LINEAR sketch per language in the same
+  // single explode + hash-agg pass (wire ≤ |langs|·depth·width
+  // counters, constant in the vocabulary); each (lang, gram) probe is
+  // scored against ITS language's counters only. Linearity per group
+  // means the estimates are bit-identical cross-engine, so the oracle
+  // replays the full grouped sketch — the t40 argument with a lang key.
+  define("t43_countmin_by_lang", cmByLangOracleSql) { (s, d) =>
+    import graft.operators.CountMin
+    val docs = t(s, d, "documents")
+    CountMin.cmEstimateByGroup(langProbes(docs),
       CountMin.cmBuildByGroup(langGrams(docs), "lang", "gram", 4, 1024),
       "lang", "gram", depth = 4, width = 1024)
+      .select(col("group").as("lang"), col("item").as("gram"), col("est"))
+  }
+
+  // Persisted GROUPED counter store (the t39↔t38 / t44↔t41 store rung
+  // for grouped CM, completing the grouped symmetry across all three
+  // sketch families): even/odd corpus slices build their grouped
+  // tables independently and append them under their own slice ids;
+  // the reader dedups replays and sums per (lang, row, cell), which by
+  // per-group linearity equals the one-shot t43 build bit for bit —
+  // the oracle transfers verbatim, no recount step.
+  define("t46_countmin_by_lang_store", cmByLangOracleSql) { (s, d) =>
+    import graft.operators.CountMin
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"cmg_$d") { p =>
+      CountMin.saveCmGroups(
+        CountMin.cmBuildByGroup(
+          langGrams(docs.filter(col("doc_id") % 2 === 0)),
+          "lang", "gram", 4, 1024),
+        s"$p/cm", 4, 1024, sliceId = "even")
+      CountMin.appendCmGroups(
+        CountMin.cmBuildByGroup(
+          langGrams(docs.filter(col("doc_id") % 2 =!= 0)),
+          "lang", "gram", 4, 1024),
+        s"$p/cm", 4, 1024, sliceId = "odd")
+    }
+    val (counters, dp, w) = CountMin.loadCmGroups(s, s"$dir/cm")
+    CountMin.cmEstimateByGroup(langProbes(docs), counters,
+      "lang", "gram", dp, w)
       .select(col("group").as("lang"), col("item").as("gram"), col("est"))
   }
 

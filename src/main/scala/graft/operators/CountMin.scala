@@ -208,4 +208,60 @@ object CountMin {
       .dropDuplicates("slice_id", "row", "cell")
       .groupBy("row", "cell").agg(sum("cnt").as("cnt")), d, w)
   }
+
+  // ------------------------------------------------------------------
+  // Grouped store — the [[cmBuildByGroup]] tables persisted with the
+  // same discipline (append-only slices, slice-id idempotence,
+  // sum-at-read): linearity holds PER GROUP, so however slices were
+  // batched, the summed table equals the one-shot grouped build and
+  // [[cmEstimateByGroup]]'s estimates are bit-identical. Completes the
+  // grouped symmetry with the KMV and MG stores.
+  // ------------------------------------------------------------------
+
+  private val GroupLayout = "cmg_v1"
+
+  /** Create a grouped counter store from a [[cmBuildByGroup]] output. */
+  def saveCmGroups(counters: DataFrame, path: String, depth: Int,
+                   width: Int, sliceId: String = "s0"): Unit = {
+    val spark = counters.sparkSession
+    import spark.implicits._
+    counters.select(lit(sliceId).as("slice_id"),
+        col("group"), col("row"), col("cell"), col("cnt"))
+      .write.mode("overwrite").parquet(s"$path/counters")
+    Seq((GroupLayout, depth, width)).toDF("layout", "depth", "width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readGroupGeometry(spark: SparkSession,
+                                path: String): (Int, Int) = {
+    val p = Similarity.readParams(spark, path).head()
+    require(p.getAs[String]("layout") == GroupLayout,
+      s"counter store at $path has layout ${p.getAs[String]("layout")}, " +
+        s"expected $GroupLayout")
+    (p.getAs[Int]("depth"), p.getAs[Int]("width"))
+  }
+
+  /** Append a slice's grouped counter table — same geometry only;
+    * `sliceId` is the idempotence key (the [[appendCm]] contract). */
+  def appendCmGroups(counters: DataFrame, path: String, depth: Int,
+                     width: Int, sliceId: String): Unit = {
+    val (d, w) = readGroupGeometry(counters.sparkSession, path)
+    require(d == depth && w == width,
+      s"counter store at $path has geometry ${d}x$w, got ${depth}x$width" +
+        " — different-geometry sketches do not merge")
+    counters.select(lit(sliceId).as("slice_id"),
+        col("group"), col("row"), col("cell"), col("cnt"))
+      .write.mode("append").parquet(s"$path/counters")
+  }
+
+  /** Load the grouped store: per-slice dedup, then sum per
+    * (group, row, cell). Output: grouped counter table + geometry for
+    * [[cmEstimateByGroup]]. */
+  def loadCmGroups(spark: SparkSession,
+                   path: String): (DataFrame, Int, Int) = {
+    val (d, w) = readGroupGeometry(spark, path)
+    (spark.read.parquet(s"$path/counters")
+      .dropDuplicates("slice_id", "group", "row", "cell")
+      .groupBy("group", "row", "cell").agg(sum("cnt").as("cnt")), d, w)
+  }
 }

@@ -4235,6 +4235,47 @@ class PipelineSpec extends AnyFunSuite {
       }
       assert(eG.getMessage.contains("geometry"), eG.getMessage)
     }
+    // GROUPED store: per-group linearity — slice appends sum to the
+    // one-shot grouped build, replays collapse, estimates group-local
+    withTempDir("graft_cmg_") { dir =>
+      val g = items.zipWithIndex
+        .map { case (it, i) => (if (i % 2 == 0) "en" else "de", it) }
+        .toDF("g", "item")
+      val oneShot = CountMin
+        .cmEstimateByGroup(g, CountMin.cmBuildByGroup(g, "g", "item", 4, 2048),
+          "g", "item", 4, 2048)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val (sa, sb) = (g.filter(abs(hash(col("item"))) % 2 === 0),
+        g.filter(abs(hash(col("item"))) % 2 === 1))
+      CountMin.saveCmGroups(
+        CountMin.cmBuildByGroup(sa, "g", "item", 4, 2048), dir, 4, 2048,
+        sliceId = "s0")
+      CountMin.appendCmGroups(
+        CountMin.cmBuildByGroup(sb, "g", "item", 4, 2048), dir, 4, 2048,
+        sliceId = "s1")
+      // a replayed slice append must collapse in the per-slice dedup
+      CountMin.appendCmGroups(
+        CountMin.cmBuildByGroup(sb, "g", "item", 4, 2048), dir, 4, 2048,
+        sliceId = "s1")
+      val (cs, d2, w2) = CountMin.loadCmGroups(spark, dir)
+      val served = CountMin.cmEstimateByGroup(g, cs, "g", "item", d2, w2)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(served == oneShot,
+        "grouped store sum-at-read diverged from the one-shot build")
+      // group-locality: "rare1" lands only in en under the even/odd
+      // interleave — probing it against de must hit de's OWN counters
+      // (collision noise ≤ 2N_de/width ≈ 0, never en's 150-count), so
+      // the estimate stays at the collision floor
+      val probe = Seq(("de", "rare1"), ("en", "hot")).toDF("g", "item")
+      val cross = CountMin.cmEstimateByGroup(probe, cs, "g", "item", d2, w2)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(cross(("de", "rare1")) <= 2L,
+        s"cross-group probe leaked en counters: $cross")
+      assert(cross(("en", "hot")) >= 150L, cross.toString)
+    }
   }
 
   test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {

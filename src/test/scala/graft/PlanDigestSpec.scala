@@ -130,6 +130,10 @@ class PlanDigestSpec extends AnyFunSuite {
     // round-12: grouped CM — same shape as t40 with a lang key riding
     // every exchange; the counter table must stay on the broadcast side
     "t43_countmin_by_lang"    -> Digest(4, 1, 0, 0, 0),
+    // grouped CM served from the persisted store: the inline build agg
+    // is replaced by the store's dedup+sum (metadata-sized rows) — the
+    // counter side must STAY broadcast
+    "t46_countmin_by_lang_store" -> Digest(4, 1, 0, 0, 0),
     // grouped store serve: spread + (group, item) recount agg + the
     // stored-totals threshold aggregate, which must arrive by BROADCAST
     // (a shuffle join here means metadata-sized thresholds started
