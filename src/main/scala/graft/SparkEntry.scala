@@ -5653,18 +5653,26 @@ object SparkEntry {
     * rank = floor(V^u) with u log-uniform from xxhash64(doc_id, pos) —
     * density ∝ 1/rank (Zipf s=1), no RNG state, byte-stable across runs.
     * Same construction as the CurationSoak `zipf` section, seeded from
-    * the real table's doc_ids so row count tracks the SF. */
+    * the real table's doc_ids so row count tracks the SF.
+    * MATERIALIZED (localCheckpoint, like the soak): the synthesis is an
+    * interpreted HOF projection, and downstream shingle HOFs reference
+    * `text` once per window position — CollapseProject would inline the
+    * 60-element pow/xxhash64 fold into EVERY reference (the BPE
+    * blow-up), turning a serve bench into a synthesis bench (measured:
+    * z2 at 14 s un-checkpointed vs the real serve cost). */
   private def zipfDocs(docs: DataFrame): DataFrame = {
     val wordsPerDoc = 60
     val vocab = 30000.0
     val u = (pos: Column) =>
       (abs(xxhash64(col("doc_id") * 131 + pos)) % 1000000L)
         .cast("double") / 1000000.0
-    docs.select(col("doc_id"), array_join(
-      transform(sequence(lit(0), lit(wordsPerDoc - 1)),
-        p => concat(lit("w"),
-          floor(pow(lit(vocab), u(p))).cast("long"))),
-      " ").as("text"))
+    graft.operators.spread(docs.select(col("doc_id")))
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(0), lit(wordsPerDoc - 1)),
+          p => concat(lit("w"),
+            floor(pow(lit(vocab), u(p))).cast("long"))),
+        " ").as("text"))
+      .localCheckpoint(true)
   }
 
   // BM25 serving at realistic term selectivity: mid-frequency query
