@@ -5245,6 +5245,29 @@ object SparkEntry {
   // serve exactly: clamped codes only perturb approximate candidate
   // order, the blanket re-rank sees true vectors — so brute force over
   // the corpus WITH the spiked vectors is the oracle, verbatim.
+  // Streaming per-lang φ-frequent n-grams — the grouped MG triad's
+  // streaming rung (one-shot t41 / store t44 / this): per-trigger
+  // per-group summaries fold into bounded durable driver state
+  // (groups × m entries, generation-committed, last_batch-watermarked),
+  // the serve recounts the candidate union exactly per (lang, gram)
+  // against per-lang thresholds from the durable totals — batch
+  // boundaries, merge order, and replays never reach the output, so
+  // t41's oracle transfers verbatim.
+  define("st28_stream_hh_by_lang", hhByLangOracleSql) { (s, d) =>
+    graft.streaming.Streaming.streamingHeavyHittersByGroup(s, d, "st28")
+      .select(col("group").as("lang"), col("item").as("gram"), col("cnt"))
+  }
+
+  // Streaming per-lang Count-Min — the grouped CM triad's streaming
+  // rung (one-shot t43 / store t46 / this): per-trigger grouped counter
+  // tables append under batch-id slice keys; per-group linearity makes
+  // the deduped-and-summed store equal the one-shot grouped build bit
+  // for bit, so t43's oracle transfers with no recount step.
+  define("st29_stream_cm_by_lang", cmByLangOracleSql) { (s, d) =>
+    graft.streaming.Streaming.streamingCountMinByGroup(s, d, "st29")
+      .select(col("group").as("lang"), col("item").as("gram"), col("est"))
+  }
+
   define("st27_stream_sq8_drift",
     """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        c AS (SELECT vec_id AS n_id,

@@ -1049,6 +1049,116 @@ object Streaming {
       .filter(col("cnt") >= lit(thr))
   }
 
+  /** [[streamingHeavyHitters]] per GROUP — the streaming rung of the
+    * grouped MG family (one-shot t41 / persisted store t44 / this):
+    * each trigger folds one MG summary PER LANGUAGE in a single
+    * map-side-combined agg (wire ≤ m pairs per partition-group), the
+    * driver merges per-group summaries and per-group totals under the
+    * same Agarwal'12 bound, state (group, item, est, n_group,
+    * last_batch) commits via generation + atomic pointer, a replayed
+    * batch is skipped by the last_batch watermark (the
+    * streamingHeavyHitters at-least-once contract, per group), and the
+    * final serve recounts the candidate UNION exactly per
+    * (group, item) against per-group thresholds ceil(φ·N_g) — so the
+    * output equals the one-shot grouped gate whatever the batch
+    * boundaries, and t41's oracle transfers verbatim. Driver state is
+    * groups × m entries, validated against the bounded-driver
+    * contract. */
+  def streamingHeavyHittersByGroup(spark: SparkSession, sfDir: String,
+                                   name: String, n: Int = 2,
+                                   phi: Double = 0.0013,
+                                   ingestFiles: Int = 4,
+                                   baseDir: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.functions.MgBuffer
+    import graft.operators.{HeavyHitters, Similarity}
+    val m = math.ceil(2.0 / phi).toInt
+    require(m <= (1 << 20), s"phi=$phi needs $m counters per group")
+    val base = baseDir match {
+      case Some(p) => Files.createDirectories(Paths.get(p))
+      case None => Files.createTempDirectory(s"graft_stream_${name}_")
+    }
+    val ckpt = base.resolve("ckpt").toString
+    val ingestDir = base.resolve("ingest").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (!Files.exists(Paths.get(ingestDir)))
+      batchDocs.repartition(ingestFiles)
+        .write.mode("overwrite").parquet(ingestDir)
+    def grams(df: DataFrame): DataFrame =
+      graft.operators.spread(df.select(col("lang"), col("text")))
+        .select(col("lang"), explode(graft.functions.TextFunctions
+          .shingles(col("text"), n)).as("gram"))
+    val state = scala.collection.mutable.Map.empty[String, MgBuffer]
+    val totals = scala.collection.mutable.Map.empty[String, Long]
+    var lastBatch = -1L
+    locally {
+      val seed = Similarity.resolveDataDir(base.toString, "hhgstate")
+      if (Files.exists(Paths.get(seed))) {
+        val st0 = spark.read.parquet(seed).collect()
+        st0.foreach { r =>
+          state.getOrElseUpdate(r.getString(0), new MgBuffer(m))
+            .counts.update(r.getString(1), r.getLong(2))
+          totals.update(r.getString(0), r.getLong(3))
+          lastBatch = r.getLong(4)
+        }
+      }
+    }
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        if (batchId > lastBatch && !mb.isEmpty) {
+          val sqlc = mb.sparkSession
+          import sqlc.implicits._
+          val rows = HeavyHitters.summarizeItemsByGroup(
+            grams(mb), "lang", "gram", m).collect()
+          rows.foreach { r =>
+            val g = r.getString(0)
+            totals.update(g,
+              totals.getOrElse(g, 0L) + r.getAs[Long]("n_items"))
+            val tmp = new MgBuffer(m)
+            r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("summary"))
+              .foreach(e => tmp.counts.update(e.getString(0), e.getLong(1)))
+            state.getOrElseUpdate(g, new MgBuffer(m)).mergeFrom(tmp)
+          }
+          require(state.valuesIterator.map(_.counts.size.toLong).sum
+              <= (1L << 20),
+            "groups x m exceed the bounded-driver contract — raise phi")
+          lastBatch = batchId
+          Similarity.commitGeneration(base.toString, "hhgstate") { dest =>
+            state.toSeq.flatMap { case (g, buf) =>
+              buf.counts.toSeq.map { case (it, est) =>
+                (g, it, est, totals(g), batchId) }
+            }.toDF("group", "item", "est", "n_group", "last_batch")
+              .coalesce(1).write.mode("overwrite").parquet(dest)
+          }
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // serve: exact per-(group, item) recount of the candidate union,
+    // per-group thresholds from the DURABLE totals via broadcast join
+    val st = spark.read.parquet(
+      Similarity.resolveDataDir(base.toString, "hhgstate"))
+    val cands = st.select("item").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val thr = st.select("group", "n_group").distinct()
+      .select(col("group"),
+        ceil(lit(phi) * col("n_group")).cast("long").as("__thr"))
+    HeavyHitters.candidateFilter(
+        grams(spark.read.parquet(ingestDir))
+          .select(col("lang").as("group"), col("gram").as("item")),
+        "item", cands)
+      .groupBy("group", "item").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(thr), Seq("group"))
+      .filter(col("cnt") >= col("__thr"))
+      .select("group", "item", "cnt")
+  }
+
   /** Streaming Count-Min frequency sketching: each trigger builds its
     * micro-batch's counter table distributed ([[graft.operators
     * .CountMin.cmBuild]] — ≤ depth·width counters on the wire however
@@ -1121,6 +1231,65 @@ object Streaming {
     val (counters, d, w) = CountMin.loadCm(spark, storeDir)
     CountMin.cmEstimate(probes, counters, "gram", d, w)
       .withColumnRenamed("item", "gram")
+  }
+
+  /** [[streamingCountMin]] per GROUP — the streaming rung of the
+    * grouped CM family (one-shot t43 / persisted store t46 / this):
+    * each trigger builds its micro-batch's GROUPED counter table
+    * distributed ([[graft.operators.CountMin.cmBuildByGroup]] — ≤
+    * |groups|·depth·width counters on the wire) and appends it under
+    * its batch-id slice key; per-group linearity makes the
+    * deduped-and-summed store equal the one-shot grouped build bit for
+    * bit, so t43's oracle transfers verbatim — replay safety and the
+    * baseDir restart path are inherited from the slice-key contract
+    * (the driver holds zero state). */
+  def streamingCountMinByGroup(spark: SparkSession, sfDir: String,
+                               name: String, n: Int = 2, depth: Int = 4,
+                               width: Int = 1024, ingestFiles: Int = 4,
+                               baseDir: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.CountMin
+    val base = baseDir match {
+      case Some(p) => Files.createDirectories(Paths.get(p))
+      case None => Files.createTempDirectory(s"graft_stream_${name}_")
+    }
+    val ckpt = base.resolve("ckpt").toString
+    val storeDir = base.resolve("cmgstore").toString
+    val ingestDir = base.resolve("ingest").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (!Files.exists(Paths.get(ingestDir)))
+      batchDocs.repartition(ingestFiles)
+        .write.mode("overwrite").parquet(ingestDir)
+    def grams(df: DataFrame): DataFrame =
+      graft.operators.spread(df.select(col("lang"), col("text")))
+        .select(col("lang"), explode(graft.functions.TextFunctions
+          .shingles(col("text"), n)).as("gram"))
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        if (!mb.isEmpty) {
+          val counters = CountMin.cmBuildByGroup(
+            grams(mb), "lang", "gram", depth, width)
+          if (Files.exists(Paths.get(storeDir, "_params")))
+            CountMin.appendCmGroups(counters, storeDir, depth, width,
+              sliceId = s"b$batchId")
+          else
+            CountMin.saveCmGroups(counters, storeDir, depth, width,
+              sliceId = s"b$batchId")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // serve the t43 probe shape from the STORE alone
+    val probes = grams(
+      spark.read.parquet(ingestDir).filter(col("doc_id") % 97 === 0))
+    val (counters, d, w) = CountMin.loadCmGroups(spark, storeDir)
+    CountMin.cmEstimateByGroup(probes, counters, "lang", "gram", d, w)
   }
 
   /** Streaming model-based filtering: documents stream in and each

@@ -3580,6 +3580,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToSq8IndexChecked: flag mode appends + logs, refuse mode throws BEFORE writing codes, both log the report") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val spiked = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, lit(10.0f)).otherwise(x)).as("embedding"))
+    withTempDir("graft_sq8_gate_") { dir =>
+      Similarity.buildSq8Index(corpus, "embedding", "vec_id", dir,
+        dim = 64, maxRatio = 2.0)
+      val codes0 = spark.read.parquet(s"$dir/codes").count()
+      // in-distribution append: unflagged, codes written, report logged
+      val rOk = Similarity.appendToSq8IndexChecked(
+        corpus.limit(20), "embedding", "vec_id", dir)
+      assert(rOk.ratio <= 2.0, rOk.toString)
+      assert(spark.read.parquet(s"$dir/codes").count() == codes0 + 20)
+      // drifted append in FLAG mode: logged as flagged, still appended
+      val rFlag = Similarity.appendToSq8IndexChecked(
+        spiked.limit(10), "embedding", "vec_id", dir)
+      assert(rFlag.ratio > 2.0, rFlag.toString)
+      assert(spark.read.parquet(s"$dir/codes").count() == codes0 + 30)
+      // drifted append in REFUSE mode: throws with the stored threshold
+      // in the message and writes NO codes — but the report row lands
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendToSq8IndexChecked(
+          spiked.limit(10), "embedding", "vec_id", dir, refuse = true)
+      }
+      assert(e.getMessage.contains("rebuild"), e.getMessage)
+      assert(spark.read.parquet(s"$dir/codes").count() == codes0 + 30,
+        "refused append wrote codes")
+      val rep = spark.read.parquet(s"$dir/drift")
+      assert(rep.count() == 3L)
+      assert(rep.filter(col("flagged")).count() == 2L)
+      // threshold is the STORED one (2.0), not the 4.0 default
+      assert(rep.select("max_ratio").distinct().head().getDouble(0) == 2.0)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Bloom-prefiltered decontamination
   // ------------------------------------------------------------------

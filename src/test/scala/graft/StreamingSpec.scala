@@ -441,6 +441,73 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped sketch streams: restart + new files equals one shot; batch replay is idempotent per group") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_hhg_rs_")
+    try {
+      // two languages with different hot phrases; "warm warm" reaches
+      // de's φ threshold only once slice B arrives — per-group totals
+      // and summaries must both survive the restart
+      def mk(ids: Range, enWord: String, deWord: String) = ids.map { i =>
+        if (i % 2 == 0) (i.toLong, "en", s"$enWord $enWord $enWord f$i x$i")
+        else (i.toLong, "de", s"$deWord $deWord $deWord f$i x$i")
+      }.toDF("doc_id", "lang", "text")
+      val sfA = root.resolve("sfA"); val sfAll = root.resolve("sfAll")
+      mk(0 until 30, "hot", "warm").coalesce(1)
+        .write.parquet(sfA.resolve("documents.parquet").toString)
+      (mk(0 until 30, "hot", "warm") unionByName
+        mk(30 until 60, "hot", "warm")).coalesce(1)
+        .write.parquet(sfAll.resolve("documents.parquet").toString)
+      val base = root.resolve("base").toString
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+      val run1 = grab(graft.streaming.Streaming.streamingHeavyHittersByGroup(
+        spark, sfA.toString, "hg1", n = 2, phi = 0.05,
+        ingestFiles = 2, baseDir = Some(base)))
+      // replay the last batch (crash between state commit and
+      // checkpoint commit): the per-group watermark must skip it, or
+      // every group's n_total inflates and thresholds over-shoot
+      dropLastCommit(base)
+      val replay = grab(graft.streaming.Streaming.streamingHeavyHittersByGroup(
+        spark, sfA.toString, "hg2", n = 2, phi = 0.05,
+        ingestFiles = 2, baseDir = Some(base)))
+      assert(replay == run1, s"$replay vs $run1")
+      // resume with new slices: recount over the full ingested corpus
+      mk(30 until 60, "hot", "warm").repartition(2)
+        .write.mode("append").parquet(s"$base/ingest")
+      val resumed = grab(graft.streaming.Streaming.streamingHeavyHittersByGroup(
+        spark, sfA.toString, "hg3", n = 2, phi = 0.05,
+        ingestFiles = 2, baseDir = Some(base)))
+      val oneShot = grab(graft.streaming.Streaming.streamingHeavyHittersByGroup(
+        spark, sfAll.toString, "hg4", n = 2, phi = 0.05,
+        ingestFiles = 4))
+      assert(resumed == oneShot, s"$resumed vs $oneShot")
+      // grouped CM stream: restart + replay through the slice-key store
+      val cmBase = root.resolve("cm").toString
+      val cm1 = grab(graft.streaming.Streaming.streamingCountMinByGroup(
+        spark, sfA.toString, "hg5", n = 2, ingestFiles = 2,
+        baseDir = Some(cmBase)))
+      dropLastCommit(cmBase)
+      val cm2 = grab(graft.streaming.Streaming.streamingCountMinByGroup(
+        spark, sfA.toString, "hg6", n = 2, ingestFiles = 2,
+        baseDir = Some(cmBase)))
+      assert(cm2 == cm1, s"replayed grouped slice double-counted")
+      mk(30 until 60, "hot", "warm").repartition(2)
+        .write.mode("append").parquet(s"$cmBase/ingest")
+      val cmResumed = grab(graft.streaming.Streaming.streamingCountMinByGroup(
+        spark, sfA.toString, "hg7", n = 2, ingestFiles = 2,
+        baseDir = Some(cmBase)))
+      val cmOneShot = grab(graft.streaming.Streaming.streamingCountMinByGroup(
+        spark, sfAll.toString, "hg8", n = 2, ingestFiles = 4))
+      assert(cmResumed == cmOneShot, s"$cmResumed vs $cmOneShot")
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("sketch state commits are crash-atomic: half-written generation debris never shadows the committed state") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
