@@ -122,7 +122,13 @@ object Bench {
     // are small corpus fractions); the adversarial originals stay
     // benched alongside as the worst case. Index/corpus builds land on
     // the warm-up rep (sessionIndexDir), so medians time serving.
-    "z1_bm25_serve_zipf", "z2_contam_serve_zipf", "z3_hh_frequent_zipf")
+    "z1_bm25_serve_zipf", "z2_contam_serve_zipf", "z3_hh_frequent_zipf",
+    // round-12: exact quantiles by histogram refinement — the global
+    // three-quantile pass over lineitem (the built-in `percentile`
+    // buffers every value; this path's cost is ~log_bins passes of
+    // scan+agg) and the grouped median served from the persisted
+    // mergeable histogram store (store build lands on the warm-up rep)
+    "t47_exact_quantiles", "t49_quantile_by_lang_store")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3270,6 +3270,144 @@ object SparkEntry {
       .select(col("group").as("lang"), col("item").as("gram"), col("est"))
   }
 
+  // ------------------------------------------------------------------
+  // Exact distributed quantiles (operators.Quantiles) — the RANK rung
+  // of the sketch suite. Spark's built-in exact `percentile` buffers
+  // every group value in executor memory (dead at 100 TB); these gates
+  // pin the scale path: iterative histogram refinement, O(log) scans,
+  // O(bins) driver state, and an answer EXACT to percentile_disc
+  // semantics (monotone FP bucketing + snap-to-data-values — see the
+  // operator scaladoc for the exactness argument).
+  // ------------------------------------------------------------------
+
+  define("t47_exact_quantiles",
+    """SELECT CAST(0.5 AS DOUBLE) AS q,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+           AS value FROM lineitem
+       UNION ALL
+       SELECT CAST(0.9 AS DOUBLE),
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+           FROM lineitem
+       UNION ALL
+       SELECT CAST(0.99 AS DOUBLE),
+         percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)
+           FROM lineitem""") { (s, d) =>
+    graft.operators.Quantiles.exactQuantiles(
+      t(s, d, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
+  }
+
+  // Shared grouped-quantile oracle (t48 one-shot, t49 persisted
+  // histogram store, st30 streaming — the store serve continues the
+  // refinement from the merged histogram's exact rank prefix, so all
+  // three produce the identical exact value).
+  private val quantileByLangSql: String =
+    """SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+         AS p50 FROM documents GROUP BY lang"""
+
+  // Per-group exact median: ONE simultaneous refinement serves every
+  // language (pass count = max depth over groups, not the sum).
+  define("t48_quantile_by_lang", quantileByLangSql) { (s, d) =>
+    graft.operators.Quantiles.exactQuantilesByGroup(
+        t(s, d, "documents"), "lang", "n_chars", 0.5)
+      .select(col("group").as("lang"), col("value").cast("long").as("p50"))
+  }
+
+  // Persisted mergeable histogram store (the t36/t44/t46 store rung for
+  // quantiles): even/odd corpus slices histogram independently against
+  // a fixed geometry and append under their own slice ids; the linear
+  // merge (sum cnt, min/max bounds per bucket) equals the one-shot
+  // histogram, and the serve continues refinement from the stored exact
+  // rank prefix — so the served median equals t48's bit for bit and the
+  // oracle transfers verbatim. The geometry is DELIBERATELY too narrow
+  // ([0, 256) while n_chars runs higher) so the overflow bucket is
+  // exercised: a store whose geometry drifted from the data still
+  // serves exactly, just with one less prepaid refinement level.
+  define("t49_quantile_by_lang_store", quantileByLangSql) { (s, d) =>
+    import graft.operators.Quantiles
+    val docs = t(s, d, "documents")
+    val (lo, hi, bins) = (0.0, 256.0, 64)
+    val dir = sessionIndexDir(s"hq_$d") { p =>
+      Quantiles.saveHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 === 0),
+          "lang", "n_chars", lo, hi, bins),
+        s"$p/h", lo, hi, bins, sliceId = "even")
+      Quantiles.appendHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 =!= 0),
+          "lang", "n_chars", lo, hi, bins),
+        s"$p/h", lo, hi, bins, sliceId = "odd")
+    }
+    Quantiles.quantileByGroupFromStore(docs, "lang", "n_chars",
+        s"$dir/h", 0.5)
+      .select(col("group").as("lang"), col("value").cast("long").as("p50"))
+  }
+
+  // Token-WEIGHTED median document length per language: the smallest
+  // n_chars whose cumulative token weight reaches half the language's
+  // tokens — "half the TOKENS live in docs this short", the quantity
+  // mix/budget decisions actually need (an unweighted median over-
+  // represents short docs). Rank space is cumulative LONG weight, so
+  // every boundary comparison is exact and order-independent; the
+  // oracle states the same definition relationally (cumulative weight
+  // over value order, min value reaching ceil(q·Σw)).
+  define("t50_weighted_quantile_by_lang",
+    """WITH t AS (SELECT lang, n_chars AS v,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS w
+         FROM documents),
+       g AS (SELECT lang, v, sum(w) AS w FROM t GROUP BY lang, v),
+       c AS (SELECT lang, v,
+               sum(w) OVER (PARTITION BY lang ORDER BY v) AS cumw,
+               sum(w) OVER (PARTITION BY lang) AS tot
+             FROM g)
+       SELECT lang, CAST(min(v) AS BIGINT) AS wp50
+       FROM c WHERE cumw >= ceil(0.5 * tot) GROUP BY lang""") { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    val docs = t(s, d, "documents").select(col("lang"), col("n_chars"),
+      TF.tokenCount(col("text")).cast("long").as("w"))
+    graft.operators.Quantiles.exactWeightedQuantilesByGroup(
+        docs, "lang", "n_chars", "w", 0.5)
+      .select(col("group").as("lang"), col("value").cast("long").as("wp50"))
+  }
+
+  // IQR outlier trim — exact quantiles wired INTO a curation stage (the
+  // p14 lesson: compositions must ride their own scale paths): per-lang
+  // p25/p75 via ONE simultaneous refinement (bounded driver action, the
+  // only alternative at scale to Spark's buffer-everything percentile),
+  // Tukey-style fences on the driver (|langs| rows), then one broadcast-join
+  // filter pass and survivor stats. The fence arithmetic is exact in
+  // both engines: the quantiles are integer-valued and 0.5·IQR is a
+  // dyadic multiple, so every comparison is FP-identical. (0.5, not
+  // Tukey's 1.5: the synthetic lengths have thin tails, and a fence
+  // nothing crosses would make the gate vacuous — at 0.5 three of the
+  // five languages genuinely lose docs.)
+  define("p16_iqr_trim",
+    """WITH q AS (SELECT lang,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75
+         FROM documents GROUP BY lang)
+       SELECT d.lang, CAST(count(*) AS BIGINT) AS kept,
+         round(avg(d.n_chars), 4) AS avg_chars
+       FROM documents d JOIN q ON d.lang = q.lang
+       WHERE d.n_chars >= p25 - 0.5 * (p75 - p25)
+         AND d.n_chars <= p75 + 0.5 * (p75 - p25)
+       GROUP BY d.lang""") { (s, d) =>
+    import graft.operators.Quantiles
+    val docs = t(s, d, "documents")
+    val fences = Quantiles.exactQuantilesByGroupMulti(
+        docs, "lang", "n_chars", Seq(0.25, 0.75))
+      .collect().groupBy(_.getString(0)).map { case (g, rows) =>
+        val byQ = rows.map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+        val iqr = byQ(0.75) - byQ(0.25)
+        (g, byQ(0.25) - 0.5 * iqr, byQ(0.75) + 0.5 * iqr)
+      }.toSeq
+    import s.implicits._
+    docs.join(broadcast(fences.toDF("lang", "lo", "hi")), Seq("lang"))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+  }
+
   // KMV (k-minimum-values) distinct sketch: per-language vocabulary
   // estimate — the REPRODUCIBLE approximate-distinct primitive
   // (approx_count_distinct/HLL is neither cross-engine nor cross-version
@@ -5304,6 +5442,15 @@ object SparkEntry {
   // driver holds zero state — restart safety falls out of the store.
   define("st26_stream_countmin", cmOracleSql) { (s, d) =>
     graft.streaming.Streaming.streamingCountMin(s, d, "st26")
+  }
+
+  // Streaming exact quantile: per-batch histogram slices appended under
+  // batch-id keys (linear merge ≡ one-shot histogram), serve continues
+  // the refinement from the stored exact rank prefix — the answer IS
+  // the one-shot exact median, so t48's oracle transfers verbatim.
+  define("st30_stream_quantile", quantileByLangSql) { (s, d) =>
+    graft.streaming.Streaming.streamingQuantile(s, d, "st30")
+      .select(col("group").as("lang"), col("value").cast("long").as("p50"))
   }
 
   define("st23_stream_kmv", kmvVocabSql) { (s, d) =>

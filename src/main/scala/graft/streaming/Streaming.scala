@@ -1292,6 +1292,69 @@ object Streaming {
     CountMin.cmEstimateByGroup(probes, counters, "lang", "gram", d, w)
   }
 
+  /** Streaming exact quantiles — the streaming rung of the histogram/
+    * rank family (one-shot t47/t48 / persisted store t49 / this): each
+    * trigger histograms its micro-batch against the store's FIXED
+    * geometry ([[graft.operators.Quantiles.histogramByGroup]] — wire ≤
+    * |groups|·(bins+2) summary rows however big the batch) and appends
+    * it under its batch-id slice key; the histogram merge is LINEAR
+    * (sum counts, widen bounds), so the deduped-and-summed store equals
+    * the one-shot histogram of everything ingested, and the serve
+    * ([[graft.operators.Quantiles.quantileByGroupFromStore]]) continues
+    * refinement from its exact rank prefix — the served quantile is the
+    * EXACT one-shot answer and the batch oracle transfers verbatim.
+    * Replay safety and the `baseDir` restart path follow the slice-key
+    * contract (at-least-once foreachBatch re-appends byte-identical
+    * rows that the load's per-slice dedup collapses; the driver holds
+    * zero state). The default geometry is deliberately narrower than
+    * the data so the overflow bucket is always live — a stream whose
+    * value range drifts past the build-time guess stays exact. */
+  def streamingQuantile(spark: SparkSession, sfDir: String, name: String,
+                        q: Double = 0.5, lo: Double = 0.0,
+                        hi: Double = 256.0, bins: Int = 64,
+                        ingestFiles: Int = 4,
+                        baseDir: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Quantiles
+    val base = baseDir match {
+      case Some(p) => Files.createDirectories(Paths.get(p))
+      case None => Files.createTempDirectory(s"graft_stream_${name}_")
+    }
+    val ckpt = base.resolve("ckpt").toString
+    val storeDir = base.resolve("qstore").toString
+    val ingestDir = base.resolve("ingest").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // stage only on first start (the streamingKmv staging rule)
+    if (!Files.exists(Paths.get(ingestDir)))
+      batchDocs.repartition(ingestFiles)
+        .write.mode("overwrite").parquet(ingestDir)
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val sq = stream.writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        if (!mb.isEmpty) {
+          val hist = Quantiles.histogramByGroup(
+            mb, "lang", "n_chars", lo, hi, bins)
+          if (Files.exists(Paths.get(storeDir, "_params")))
+            Quantiles.appendHistogram(hist, storeDir, lo, hi, bins,
+              sliceId = s"b$batchId")
+          else
+            Quantiles.saveHistogram(hist, storeDir, lo, hi, bins,
+              sliceId = s"b$batchId")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    sq.processAllAvailable()
+    sq.stop()
+    // serve the exact per-group quantile: stored rank prefix + the
+    // refinement continuation over the ingested corpus
+    Quantiles.quantileByGroupFromStore(
+      spark.read.parquet(ingestDir), "lang", "n_chars", storeDir, q)
+  }
+
   /** Streaming model-based filtering: documents stream in and each
     * micro-batch is scored against a PERSISTED NaiveBayes model
     * ([[graft.operators.NaiveBayes.save]]) loaded once at stream setup —

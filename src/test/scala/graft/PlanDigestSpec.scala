@@ -157,7 +157,21 @@ class PlanDigestSpec extends AnyFunSuite {
     // topic mix: the centroid argmax is a pure projection over spread
     // partitions; the mix rank is the RDD-backed cumsum — no window,
     // no join in the served plan
-    "p15_topic_balanced_mix"  -> Digest(0, 0, 0, 0, 0))
+    "p15_topic_balanced_mix"  -> Digest(0, 0, 0, 0, 0),
+    // exact quantiles: every refinement pass is a bounded driver action
+    // (one scan + one ≤ states·bins-row hash agg) during construction;
+    // the served frame is the collected (group, value) result — any
+    // operator appearing here means the exact-percentile path regressed
+    // toward Spark's buffer-everything `percentile` or a full sort
+    "t47_exact_quantiles"     -> Digest(0, 0, 0, 0, 0),
+    "t48_quantile_by_lang"    -> Digest(0, 0, 0, 0, 0),
+    "t49_quantile_by_lang_store" -> Digest(0, 0, 0, 0, 0),
+    "t50_weighted_quantile_by_lang" -> Digest(0, 0, 0, 0, 0),
+    // quantiles composed into curation: the fences are a bounded driver
+    // action; the served plan is ONE broadcast-join filter pass + the
+    // survivor agg — a window or second shuffle here means the trim
+    // regressed toward a per-row percentile rank
+    "p16_iqr_trim"            -> Digest(1, 1, 0, 0, 0))
 
   /** Loose per-gate ceiling on total expression tree nodes — see the
     * exprNodes check below. Current max across pinned gates is measured

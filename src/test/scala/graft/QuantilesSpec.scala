@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantiles
+
+/** Exact-quantile refinement: answers must equal the sort-based
+  * percentile_disc truth EXACTLY (no epsilon — the operator's whole
+  * claim), across duplicates, skew, FP-adjacent values, and the
+  * persisted-store/append/replay lifecycle. */
+class QuantilesSpec extends AnyFunSuite {
+  import SparkSpec.spark
+  import spark.implicits._
+
+  /** percentile_disc truth: value at rank ceil(q·n), 1-indexed. */
+  private def disc(vals: Seq[Double], q: Double): Double = {
+    val s = vals.sorted
+    s((math.ceil(q * s.size).toLong max 1L).toInt - 1)
+  }
+
+  test("global quantiles equal sort truth on skewed data with duplicates") {
+    val rnd = new scala.util.Random(42)
+    // heavy ties (ints 0..49) + a long tail — both rank-walk branches
+    val vals = Seq.fill(5000)(rnd.nextInt(50).toDouble) ++
+      Seq.fill(500)(rnd.nextDouble() * 1e9) ++ Seq.fill(100)(7.0)
+    val df = vals.toDF("v")
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Quantiles.exactQuantiles(df, "v", qs, bins = 16)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    qs.foreach { q =>
+      assert(got(q) == disc(vals, q),
+        s"q=$q: got ${got(q)}, truth ${disc(vals, q)}")
+    }
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("adjacent-double and subnormal-width intervals still converge exactly") {
+    // hi − lo = one ulp: bucket width is normal but tiny
+    val a = Seq.fill(10)(1.0) ++ Seq.fill(10)(math.nextUp(1.0))
+    val gotA = Quantiles.exactQuantiles(a.toDF("v"), "v", Seq(0.5, 0.9),
+      bins = 4).collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(gotA(0.5) == disc(a, 0.5) && gotA(0.9) == disc(a, 0.9))
+    // hi − lo subnormal enough that width/bins underflows to 0: the
+    // two-way x <= lo split must take over and still give the exact rank
+    val b = Seq.fill(7)(0.0) ++ Seq.fill(3)(java.lang.Double.MIN_VALUE)
+    val gotB = Quantiles.exactQuantiles(b.toDF("v"), "v", Seq(0.5, 0.8),
+      bins = 256).collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(gotB(0.5) == disc(b, 0.5) && gotB(0.8) == disc(b, 0.8))
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("grouped quantile: per-group truth, single-value groups, null/NaN excluded") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 5}", rnd.nextGaussian() * (i % 5 + 1))
+    } ++ Seq(("solo", 42.0))
+    val withJunk = rows.map { case (g, v) => (g, Option(v)) }
+      .toDF("g", "v")
+      .union(Seq(("g0", Some(Double.NaN)), ("g1", Option.empty[Double]))
+        .toDF("g", "v"))
+    val got = Quantiles.exactQuantilesByGroup(withJunk, "g", "v", 0.5,
+        bins = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> disc(vs.map(_._2), 0.5) }
+    assert(got == truth)
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("histogram store: append == one-shot; replay idempotent; overflow bucket exact; geometry refusal") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, s"g${i % 3}", rnd.nextInt(500).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qstore_").toString
+    // geometry DELIBERATELY narrower than the data ([0,100) vs 0..499):
+    // ~80% of values land in the overflow bucket and the serve must
+    // still be exact via the refinement continuation
+    val (lo, hi, bins) = (0.0, 100.0, 16)
+    Quantiles.saveHistogram(
+      Quantiles.histogramByGroup(df.filter(col("id") % 2 === 0),
+        "g", "v", lo, hi, bins), dir, lo, hi, bins, sliceId = "even")
+    Quantiles.appendHistogram(
+      Quantiles.histogramByGroup(df.filter(col("id") % 2 =!= 0),
+        "g", "v", lo, hi, bins), dir, lo, hi, bins, sliceId = "odd")
+    val truth = rows.groupBy(_._2).map { case (g, vs) =>
+      g -> disc(vs.map(_._3), 0.9) }
+    def serve(): Map[String, Double] =
+      Quantiles.quantileByGroupFromStore(df, "g", "v", dir, 0.9, bins = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(serve() == truth, "store serve != one-shot sort truth")
+    // at-least-once replay: byte-identical re-append of a slice id must
+    // collapse in the per-slice dedup — answers unchanged
+    Quantiles.appendHistogram(
+      Quantiles.histogramByGroup(df.filter(col("id") % 2 =!= 0),
+        "g", "v", lo, hi, bins), dir, lo, hi, bins, sliceId = "odd")
+    assert(serve() == truth, "replayed slice changed the served quantile")
+    // different geometry must refuse, not silently mis-merge
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.appendHistogram(
+        Quantiles.histogramByGroup(df, "g", "v", lo, 200.0, bins),
+        dir, lo, 200.0, bins, sliceId = "bad")
+    }
+    assert(e.getMessage.contains("geometry"))
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("weighted quantile equals the cumulative-weight sort truth; zero weights inert") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 2000).map { i =>
+      (s"g${i % 3}", rnd.nextInt(300).toDouble, rnd.nextInt(10).toLong)
+    }
+    def truth(vs: Seq[(Double, Long)], q: Double): Double = {
+      val tot = vs.map(_._2).sum
+      val r = math.ceil(q * tot).toLong max 1L
+      var cum = 0L
+      vs.sortBy(_._1).find { case (_, w) => cum += w; cum >= r }.get._1
+    }
+    val got = Quantiles.exactWeightedQuantilesByGroup(
+        rows.toDF("g", "v", "w"), "g", "v", "w", 0.5, bins = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = rows.groupBy(_._1).map { case (g, rs) =>
+      // zero-weight rows can never satisfy the threshold first — the
+      // truth walk skips them implicitly (cum unchanged), the operator
+      // filters them; both give the same minimal value
+      g -> truth(rs.map(t => (t._2, t._3)).filter(_._2 > 0), 0.5) }
+    assert(got == exp)
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("q domain validated; convergence declared within maxPasses on adversarial clusters") {
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(Seq(1.0).toDF("v"), "v", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(Seq(1.0).toDF("v"), "v", Seq(1.1))
+    }
+    // two tight clusters a huge gulf apart: early passes collapse one
+    // side into single buckets — must still land exactly
+    val vals = (0 until 100).map(i => 1e-9 + i * 1e-18) ++
+      (0 until 100).map(i => 1e9 + i)
+    val got = Quantiles.exactQuantiles(vals.toDF("v"), "v", Seq(0.5),
+        bins = 4)
+      .collect().head.getDouble(1)
+    assert(got == disc(vals, 0.5))
+    graft.operators.CacheScope.global.release()
+  }
+}

@@ -362,6 +362,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingQuantile: restart + new files == one shot; batch replay idempotent") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_q_rs_")
+    try {
+      // n_chars straddles the default [0, 256) geometry so the overflow
+      // bucket is live on every slice; medians shift as slices arrive
+      def mk(ids: Range) = ids.map { i =>
+        (i.toLong, s"l${i % 2}", 100L + (i * 37) % 400)
+      }.toDF("doc_id", "lang", "n_chars")
+      val sfA = root.resolve("sfA"); val sfAll = root.resolve("sfAll")
+      mk(0 until 30).coalesce(1)
+        .write.parquet(sfA.resolve("documents.parquet").toString)
+      mk(0 until 60).coalesce(1)
+        .write.parquet(sfAll.resolve("documents.parquet").toString)
+      val base = root.resolve("base").toString
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getDouble(1)))
+          .sortBy(_._1).toSeq
+      val run1 = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qrs1", ingestFiles = 2,
+        baseDir = Some(base)))
+      // restart with nothing new: store untouched, same medians
+      val idle = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qrs2", ingestFiles = 2,
+        baseDir = Some(base)))
+      assert(idle == run1, s"$idle vs $run1")
+      // crash window: last batch's offsets committed, commit marker
+      // gone — the restart REPLAYS it; the batch-id slice key must
+      // collapse in the per-slice dedup or counts double and the
+      // median's rank prefix shifts
+      dropLastCommit(base)
+      val replayed = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qrs3", ingestFiles = 2,
+        baseDir = Some(base)))
+      assert(replayed == run1, s"replayed batch shifted ranks: $replayed vs $run1")
+      // new slices arrive; the resumed stream appends only their
+      // histograms and the linear merge equals the one-shot histogram
+      // over the union — served medians equal the one-shot run's
+      mk(30 until 60).repartition(2)
+        .write.mode("append").parquet(s"$base/ingest")
+      val resumed = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qrs4", ingestFiles = 2,
+        baseDir = Some(base)))
+      val oneShot = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfAll.toString, "qrs5", ingestFiles = 4))
+      assert(resumed == oneShot, s"$resumed vs $oneShot")
+      assert(resumed != run1) // the new slices genuinely moved the medians
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Simulate foreachBatch's at-least-once delivery precisely: delete
     * the stream checkpoint's LAST commit marker, so the restart
     * re-delivers the final batch (its offsets are recorded, its commit
