@@ -3341,6 +3341,71 @@ object SparkEntry {
       .select(col("group").as("lang"), col("value").cast("long").as("p50"))
   }
 
+  // Robust dispersion per language: (median, MAD) — two refinements
+  // composed, the second over the broadcast-derived |x − med|. The
+  // MAD-fence outlier cut survives the heavy tails that dominate a
+  // stddev; exactness transfers because the derived values are
+  // integer-valued (|bigint − bigint|) so both engines rank identical
+  // numbers.
+  define("t51_mad_by_lang",
+    """WITH m AS (SELECT lang,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med
+         FROM documents GROUP BY lang)
+       SELECT d.lang, CAST(min(m.med) AS BIGINT) AS med,
+         CAST(percentile_disc(0.5)
+           WITHIN GROUP (ORDER BY abs(d.n_chars - m.med)) AS BIGINT)
+           AS mad
+       FROM documents d JOIN m ON d.lang = m.lang
+       GROUP BY d.lang""") { (s, d) =>
+    graft.operators.Quantiles.madByGroup(
+        t(s, d, "documents"), "lang", "n_chars")
+      .select(col("group").as("lang"), col("med").cast("long").as("med"),
+        col("mad").cast("long").as("mad"))
+  }
+
+  // Quantile BOUNDS served from the histogram store ALONE — no base
+  // corpus: the pure-sketch serve (ship histograms across snapshots,
+  // never values; the t37 drift-report posture for distributions).
+  // The target bucket's stored actual min/max bracket the true median
+  // within the bucket's data spread (width-4 buckets here). The oracle
+  // replays the ENTIRE sketch relationally — equal-width floor
+  // bucketing is plain IEEE arithmetic, reproducible in any engine
+  // (the CM portable-hash argument without the hash): build slices,
+  // linear merge, rank walk, bucket bounds, bit for bit.
+  define("t52_quantile_bounds_sketch",
+    """WITH b AS (SELECT lang, n_chars,
+           CASE WHEN n_chars < 0 THEN -1 WHEN n_chars > 1024 THEN 256
+                ELSE least(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0)
+                       / 4.0) AS INT), 255) END AS bucket
+         FROM documents),
+       h AS (SELECT lang, bucket, count(*) AS cnt,
+               min(CAST(n_chars AS DOUBLE)) AS mn,
+               max(CAST(n_chars AS DOUBLE)) AS mx
+             FROM b GROUP BY lang, bucket),
+       c AS (SELECT lang, bucket, cnt, mn, mx,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS tot
+             FROM h)
+       SELECT lang, mn AS lo_bound, mx AS hi_bound
+       FROM c WHERE cum >= ceil(0.5 * tot)
+         AND cum - cnt < ceil(0.5 * tot)""") { (s, d) =>
+    import graft.operators.Quantiles
+    val docs = t(s, d, "documents")
+    val (lo, hi, bins) = (0.0, 1024.0, 256)
+    val dir = sessionIndexDir(s"hqb_$d") { p =>
+      Quantiles.saveHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 === 0),
+          "lang", "n_chars", lo, hi, bins),
+        s"$p/h", lo, hi, bins, sliceId = "even")
+      Quantiles.appendHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 =!= 0),
+          "lang", "n_chars", lo, hi, bins),
+        s"$p/h", lo, hi, bins, sliceId = "odd")
+    }
+    Quantiles.quantileBoundsFromStore(s, s"$dir/h", 0.5)
+      .select(col("group").as("lang"), col("lo_bound"), col("hi_bound"))
+  }
+
   // Token-WEIGHTED median document length per language: the smallest
   // n_chars whose cumulative token weight reaches half the language's
   // tokens — "half the TOKENS live in docs this short", the quantity

@@ -239,6 +239,31 @@ object Quantiles {
     done.toSeq
   }
 
+  /** Median absolute deviation per group — the robust dispersion pair
+    * (med, mad = median of |x − med|): two refinements composed, the
+    * second over a derived column (|x − med| with med arriving by
+    * broadcast — exact for integer-valued inputs, deterministic IEEE
+    * otherwise). The MAD-fence outlier cut is the robust alternative
+    * to stddev at heavy tails — stddev itself is dominated by the
+    * outliers it is supposed to find. Output: (group, med, mad). */
+  def madByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                 bins: Int = 256, maxPasses: Int = 64)
+                (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val med = exactQuantilesByGroupValues(df, groupCol, valueCol,
+      Seq(0.5), bins, maxPasses).map { case (g, _, v) => (g, v) }
+    val medDf = med.toDF("__mg", "__med")
+    val dev = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__x"))
+      .join(broadcast(medDf), col("__g") === col("__mg"))
+      .select(col("__g").as("g"), abs(col("__x") - col("__med")).as("d"))
+    val mad = exactQuantilesByGroupValues(dev, "g", "d", Seq(0.5), bins,
+      maxPasses).map { case (g, _, v) => (g, v) }.toMap
+    med.map { case (g, m) => (g, m, mad(g)) }
+      .toDF("group", "med", "mad")
+  }
+
   // ------------------------------------------------------------------
   // Persisted mergeable histograms — the quantile family's store rung,
   // in the cm_v2 discipline: slices histogram independently against a
@@ -398,5 +423,38 @@ object Quantiles {
       }
     (finished.toSeq ++ refined).map(s => (s.g, s.lo))
       .toDF("group", "value")
+  }
+
+  /** Quantile BOUNDS from the store ALONE — no base corpus: the merged
+    * histogram's target bucket brackets the exact quantile between its
+    * stored actual min/max data values ([lo_bound, hi_bound] ∋ the
+    * true rank-ceil(q·n) value, with n from the stored counts). This
+    * is the pure-sketch serve — cross-corpus distribution monitoring
+    * (drift dashboards, admission thresholds) by shipping histograms,
+    * never values; error is bounded by the bucket's data spread, and
+    * the bounds themselves are deterministic (the bucketing is plain
+    * IEEE floor arithmetic, reproducible in any engine — oracled
+    * relationally, the CM portable-hash argument without the hash).
+    * Output: (group, lo_bound, hi_bound). */
+  def quantileBoundsFromStore(spark: SparkSession, path: String,
+                              q: Double): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"quantile must lie in (0, 1], got $q")
+    import spark.implicits._
+    val (hist, _, _, storeBins) = loadHistogram(spark, path)
+    val merged = hist.collect().groupBy(_.getAs[String]("group"))
+    require(merged.size.toLong * storeBins <= (1L << 22),
+      s"${merged.size} groups x $storeBins bins exceeds the " +
+        "bounded-driver ceiling — batch the groups across calls")
+    merged.toSeq.map { case (g, rows) =>
+      val buckets = rows.sortBy(_.getAs[Int]("bucket"))
+      val n = buckets.map(_.getAs[Long]("cnt")).sum
+      val r = math.ceil(q * n).toLong max 1L
+      var cum = 0L
+      val hit = buckets.find { bk =>
+        cum += bk.getAs[Long]("cnt"); cum >= r }
+      require(hit.isDefined,
+        s"rank $r not found in stored histogram of group $g")
+      (g, hit.get.getAs[Double]("mn"), hit.get.getAs[Double]("mx"))
+    }.toDF("group", "lo_bound", "hi_bound")
   }
 }

@@ -167,6 +167,8 @@ class PlanDigestSpec extends AnyFunSuite {
     "t48_quantile_by_lang"    -> Digest(0, 0, 0, 0, 0),
     "t49_quantile_by_lang_store" -> Digest(0, 0, 0, 0, 0),
     "t50_weighted_quantile_by_lang" -> Digest(0, 0, 0, 0, 0),
+    "t51_mad_by_lang"         -> Digest(0, 0, 0, 0, 0),
+    "t52_quantile_bounds_sketch" -> Digest(0, 0, 0, 0, 0),
     // quantiles composed into curation: the fences are a bounded driver
     // action; the served plan is ONE broadcast-join filter pass + the
     // survivor agg — a window or second shuffle here means the trim

@@ -130,6 +130,41 @@ class QuantilesSpec extends AnyFunSuite {
     graft.operators.CacheScope.global.release()
   }
 
+  test("madByGroup equals sort truth; sketch bounds bracket the true quantile") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 2500).map(i =>
+      (i.toLong, s"g${i % 4}", rnd.nextInt(1000).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val got = Quantiles.madByGroup(df, "g", "v", bins = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val exp = rows.groupBy(_._2).map { case (g, rs) =>
+      val vs = rs.map(_._3)
+      val med = disc(vs, 0.5)
+      (g, med, disc(vs.map(v => math.abs(v - med)), 0.5))
+    }.toSeq.sortBy(_._1)
+    assert(got == exp)
+    // bounds-only serve: the true median must lie inside the stored
+    // bucket's [mn, mx], and the bounds must be actual data values
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qbounds_").toString
+    val (lo, hi, bins) = (0.0, 512.0, 32) // data runs to 1000: overflow live
+    Quantiles.saveHistogram(
+      Quantiles.histogramByGroup(df, "g", "v", lo, hi, bins),
+      dir, lo, hi, bins)
+    val bounds = Quantiles.quantileBoundsFromStore(spark, dir, 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val valSet = rows.map(_._3).toSet
+    exp.foreach { case (g, med, _) =>
+      val (bl, bh) = bounds(g)
+      assert(bl <= med && med <= bh, s"$g: median $med outside [$bl, $bh]")
+      assert(valSet.contains(bl) && valSet.contains(bh),
+        s"$g: bounds not data values")
+    }
+    graft.operators.CacheScope.global.release()
+  }
+
   test("q domain validated; convergence declared within maxPasses on adversarial clusters") {
     intercept[IllegalArgumentException] {
       Quantiles.exactQuantiles(Seq(1.0).toDF("v"), "v", Seq(0.0))
