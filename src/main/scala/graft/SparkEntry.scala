@@ -1414,6 +1414,73 @@ object SparkEntry {
         round(col("oob_frac"), 6).as("oob_frac"))
   }
 
+  // Engine-portable Lloyd's k-means (2 iterations, k=4): the ORACLE-
+  // CHECKED clustering rung — kmeansCells (MLlib, IVF training) and
+  // pqTrain (in-memory k-means++) are seeded-deterministic but not
+  // reproducible outside Spark; this one is: deterministic init (the k
+  // smallest-id vectors), 6dp-rounded cosine argmax assignment (fused
+  // projection over literal centroids — NO join, NO corpus shuffle),
+  // 6dp-rounded component means, empty clusters keep their previous
+  // centroid. The oracle unrolls both iterations relationally — every
+  // intermediate (assignment, means) is engine-exact by the rounding
+  // discipline, so the final assignment matches bit for bit.
+  define("s19_kmeans",
+    """WITH grid AS (SELECT unnest(generate_series(0, 63)) AS pos),
+       init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                  AS INT) AS cl, embedding
+                FROM embeddings WHERE vec_id < 4),
+       c0 AS (SELECT cl, pos, CAST(embedding[pos + 1] AS DOUBLE) AS c
+              FROM init, grid),
+       na AS (SELECT vec_id,
+                sum(CAST(embedding[pos + 1] AS DOUBLE)
+                  * CAST(embedding[pos + 1] AS DOUBLE)) AS na
+              FROM embeddings, grid GROUP BY vec_id),
+       nb1 AS (SELECT cl, sum(c * c) AS nb FROM c0 GROUP BY cl),
+       d1 AS (SELECT e.vec_id, c.cl,
+                sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.c) AS dot
+              FROM embeddings e CROSS JOIN c0 c GROUP BY e.vec_id, c.cl),
+       cos1 AS (SELECT d.vec_id, d.cl,
+                  round(d.dot / (sqrt(na.na) * sqrt(nb1.nb)), 6) AS cos
+                FROM d1 d JOIN na USING (vec_id) JOIN nb1 USING (cl)),
+       a1 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cl) AS rk FROM cos1) WHERE rk = 1),
+       m1 AS (SELECT a1.cl, pos,
+                round(avg(CAST(e.embedding[pos + 1] AS DOUBLE)), 6) AS c
+              FROM embeddings e JOIN a1 USING (vec_id), grid
+              GROUP BY a1.cl, pos),
+       c1 AS (SELECT c0.cl, c0.pos, coalesce(m1.c, c0.c) AS c
+              FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl AND c0.pos = m1.pos),
+       nb2 AS (SELECT cl, sum(c * c) AS nb FROM c1 GROUP BY cl),
+       d2 AS (SELECT e.vec_id, c.cl,
+                sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.c) AS dot
+              FROM embeddings e CROSS JOIN c1 c GROUP BY e.vec_id, c.cl),
+       cos2 AS (SELECT d.vec_id, d.cl,
+                  round(d.dot / (sqrt(na.na) * sqrt(nb2.nb)), 6) AS cos
+                FROM d2 d JOIN na USING (vec_id) JOIN nb2 USING (cl)),
+       a2 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cl) AS rk FROM cos2) WHERE rk = 1),
+       m2 AS (SELECT a2.cl, pos,
+                round(avg(CAST(e.embedding[pos + 1] AS DOUBLE)), 6) AS c
+              FROM embeddings e JOIN a2 USING (vec_id), grid
+              GROUP BY a2.cl, pos),
+       c2 AS (SELECT c1.cl, c1.pos, coalesce(m2.c, c1.c) AS c
+              FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl AND c1.pos = m2.pos),
+       nb3 AS (SELECT cl, sum(c * c) AS nb FROM c2 GROUP BY cl),
+       d3 AS (SELECT e.vec_id, c.cl,
+                sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.c) AS dot
+              FROM embeddings e CROSS JOIN c2 c GROUP BY e.vec_id, c.cl),
+       cos3 AS (SELECT d.vec_id, d.cl,
+                  round(d.dot / (sqrt(na.na) * sqrt(nb3.nb)), 6) AS cos
+                FROM d3 d JOIN na USING (vec_id) JOIN nb3 USING (cl))
+       SELECT vec_id, CAST(cl AS INT) AS cluster, cos FROM (
+         SELECT vec_id, cl, cos, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, cl) AS rk FROM cos3) WHERE rk = 1""") { (s, d) =>
+    graft.operators.Similarity.kmeans(
+      t(s, d, "embeddings"), "embedding", "vec_id", k = 4, iters = 2)
+  }
+
   // IVFPQ — coarse cells × PQ codes, the 10⁸⁺-vector layout. With nprobe
   // covering all 10 label cells the composition provably equals flat PQ
   // (PipelineSpec asserts it), whose candidates cover the true top-5 at

@@ -2013,14 +2013,27 @@ object Similarity {
     require(rows.nonEmpty, "assignToCentroids: empty centroid table")
     val byLabel = rows.groupBy(_.getInt(0)).toSeq
       .map { case (l, rs) =>
-        (l, rs.sortBy(_.getInt(1)).map(_.getDouble(2))) }
+        (l, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
       .sortBy(_._1)
     val xsq = aggregate(col(vecCol), lit(0.0),
       (a, x) => a + x.cast("double") * x)
     val prep = spread(df.select(col(idCol), col(vecCol)))
       .withColumn("__xsq", xsq)
+    prep.withColumn("__best", nearestCentroid(vecCol, byLabel))
+      .select(col(idCol), col("__best.topic").as("topic"),
+        col("__best.cos").as("topic_cos"))
+  }
+
+  /** The fused nearest-centroid argmax over literal centroids: one
+    * struct per centroid (6dp-rounded cosine + its id), folded with a
+    * strict > so rounded ties break toward the SMALLEST id (matching
+    * the oracle's ORDER BY cos DESC, id). Requires an `__xsq` column
+    * (per-row ‖x‖², aliased once so the |centroids| references cannot
+    * inline copies of the fold — the BPE blow-up lesson). */
+  private def nearestCentroid(vecCol: String,
+                              byLabel: Seq[(Int, Seq[Double])]): Column = {
     val scored = byLabel.map { case (lbl, comps) =>
-      val cLit = typedLit(comps.toSeq)
+      val cLit = typedLit(comps)
       val dot = aggregate(
         zip_with(col(vecCol), cLit, (a, b) => a.cast("double") * b),
         lit(0.0), (a, x) => a + x)
@@ -2030,12 +2043,67 @@ object Similarity {
         lit(lbl).as("topic"))
     }
     val zero = struct(lit(-2.0).as("cos"), lit(-1).as("topic"))
-    val best = aggregate(array(scored: _*), zero,
+    aggregate(array(scored: _*), zero,
       (acc, s) => when(s.getField("cos") > acc.getField("cos"), s)
         .otherwise(acc))
-    prep.withColumn("__best", best)
-      .select(col(idCol), col("__best.topic").as("topic"),
-        col("__best.cos").as("topic_cos"))
+  }
+
+  /** Engine-portable distributed Lloyd's k-means — the ORACLE-CHECKABLE
+    * clustering rung (kmeansCells' MLlib fit and pqTrain's in-memory
+    * k-means++ are seeded and deterministic per-JVM, but neither is
+    * reproducible outside Spark; this one is deterministic END TO END
+    * across engines): init = the k smallest-id vectors (cluster id =
+    * rank in id order); each iteration assigns by the 6dp-rounded
+    * cosine argmax (the [[assignToCentroids]] fused projection —
+    * centroids embed as literals, NO join, NO corpus shuffle) and
+    * recomputes 6dp-rounded component means (one (cluster, pos) hash
+    * agg; wire ≤ partitions·k·dim, driver folds k·dim rows). Empty
+    * clusters keep their previous centroid. Rounding before every
+    * argmax and after every mean is what makes the fixture exact:
+    * summation-order noise (~1e-16) cannot flip a near-tie, and both
+    * engines iterate from the identical decimal centroids.
+    *
+    * At 100 TB: per iteration one cached-scan projection + one slim
+    * agg; corpus rows never shuffle and never collect. For large k
+    * prefer [[kmeansCells]] (this path's per-row cost is O(k·dim)
+    * literal arithmetic — right for the tens-of-topics regime).
+    * Output: (idCol, cluster, cos) at the final centroids. */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
+             iters: Int = 2)
+            (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val xsq = aggregate(col("__v"), lit(0.0),
+      (a, x) => a + x.cast("double") * x)
+    val data = scope.cache(
+      spread(df.select(col(idCol).as("__id"), col(vecCol).as("__v")))
+        .withColumn("__xsq", xsq))
+    val initRows = data.select(col("__id"), col("__v"))
+      .orderBy(col("__id")).limit(k).collect()
+    require(initRows.length == k,
+      s"kmeans needs at least k=$k vectors, found ${initRows.length}")
+    val dim = initRows.head.getSeq[Float](1).length
+    require(k.toLong * dim <= (1L << 20),
+      s"k=$k x dim=$dim exceeds the bounded-driver centroid ceiling " +
+        "(2^20) — use kmeansCells for large k")
+    var cents: Seq[(Int, Seq[Double])] = initRows.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toSeq) }
+    for (_ <- 1 to iters) {
+      val assigned = data.withColumn("__cl",
+        nearestCentroid("__v", cents).getField("topic"))
+      val byCl = assigned
+        .select(col("__cl"), posexplode(col("__v")).as(Seq("pos", "v")))
+        .groupBy("__cl", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .collect()
+        .groupBy(_.getInt(0)).map { case (cl, rs) =>
+          cl -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      cents = cents.map { case (cl, prev) =>
+        (cl, byCl.getOrElse(cl, prev)) } // empty cluster: keep previous
+    }
+    data.withColumn("__best", nearestCentroid("__v", cents))
+      .select(col("__id").as(idCol), col("__best.topic").as("cluster"),
+        col("__best.cos").as("cos"))
   }
 
   /** Each vector's cosine to its own label centroid — the assignment-

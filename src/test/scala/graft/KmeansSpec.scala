@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** The portable k-means must equal a plain in-JVM Lloyd with the same
+  * init/rounding rules — pins the distributed composition (fused argmax,
+  * slim means agg, empty-cluster carry) against sequential truth. */
+class KmeansSpec extends AnyFunSuite {
+  import SparkSpec.{spark, sf}
+
+  test("distributed kmeans equals sequential Lloyd with identical rounding") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val k = 4; val iters = 2
+    val dim = rows.head._2.length
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents: Seq[Array[Double]] = rows.take(k).map(_._2)
+    def assign(v: Array[Double]): (Int, Double) = {
+      val xsq = v.map(x => x * x).sum
+      var best = (-1, -2.0)
+      for ((c, i) <- cents.zipWithIndex) {
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        val nb = c.map(x => x * x).sum
+        val cos = r6(dot / (math.sqrt(xsq) * math.sqrt(nb)))
+        if (cos > best._2) best = (i, cos)
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val asg = rows.map { case (_, v) => (assign(v)._1, v) }
+      cents = cents.zipWithIndex.map { case (prev, i) =>
+        val members = asg.filter(_._1 == i).map(_._2)
+        if (members.isEmpty) prev
+        else (0 until dim).map(p => r6(members.map(_(p)).sum / members.length))
+          .toArray
+      }
+    }
+    val exp = rows.map { case (id, v) =>
+      val (cl, cos) = assign(v); (id, cl, cos) }.toSeq
+    val got = Similarity.kmeans(
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        "embedding", "vec_id", k, iters)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == exp,
+      s"first diffs: ${got.zip(exp).filter(p => p._1 != p._2).take(3)}")
+    graft.operators.CacheScope.global.release()
+  }
+}

@@ -169,6 +169,12 @@ class PlanDigestSpec extends AnyFunSuite {
     "t50_weighted_quantile_by_lang" -> Digest(0, 0, 0, 0, 0),
     "t51_mad_by_lang"         -> Digest(0, 0, 0, 0, 0),
     "t52_quantile_bounds_sketch" -> Digest(0, 0, 0, 0, 0),
+    // portable k-means: the mean updates are bounded driver actions
+    // during construction; the SERVED plan is the cached spread (its
+    // round-robin exchange) + the fused literal-centroid argmax — a
+    // join or window appearing here means assignment regressed toward
+    // a corpus × centroid shuffle
+    "s19_kmeans"              -> Digest(1, 0, 0, 0, 0),
     // quantiles composed into curation: the fences are a bounded driver
     // action; the served plan is ONE broadcast-join filter pass + the
     // survivor agg — a window or second shuffle here means the trim
