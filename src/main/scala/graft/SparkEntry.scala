@@ -1424,7 +1424,7 @@ object SparkEntry {
   // centroid. The oracle unrolls both iterations relationally — every
   // intermediate (assignment, means) is engine-exact by the rounding
   // discipline, so the final assignment matches bit for bit.
-  define("s19_kmeans",
+  private val kmeansOracleSql: String =
     """WITH grid AS (SELECT unnest(generate_series(0, 63)) AS pos),
        init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                   AS INT) AS cl, embedding
@@ -1476,9 +1476,46 @@ object SparkEntry {
                 FROM d3 d JOIN na USING (vec_id) JOIN nb3 USING (cl))
        SELECT vec_id, CAST(cl AS INT) AS cluster, cos FROM (
          SELECT vec_id, cl, cos, row_number() OVER (PARTITION BY vec_id
-           ORDER BY cos DESC, cl) AS rk FROM cos3) WHERE rk = 1""") { (s, d) =>
+           ORDER BY cos DESC, cl) AS rk FROM cos3) WHERE rk = 1"""
+
+  define("s19_kmeans", kmeansOracleSql) { (s, d) =>
     graft.operators.Similarity.kmeans(
       t(s, d, "embeddings"), "embedding", "vec_id", k = 4, iters = 2)
+  }
+
+  // Persisted k-means model (fit once, commit via generation + atomic
+  // pointer, assign from the stored centroid table): per-vector
+  // independence means assignment-under-the-model equals the one-shot
+  // s19 final assignment — the oracle transfers verbatim. Completes
+  // the fit/persist/serve triad for clustering.
+  define("s20_kmeans_persisted", kmeansOracleSql) { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val dir = sessionIndexDir(s"km_$d") { p =>
+      Similarity.saveKmeansModel(
+        Similarity.kmeansFit(emb, "embedding", "vec_id", k = 4,
+          iters = 2),
+        s"$p/km", k = 4, dim = 64)
+    }
+    Similarity.assignToCentroids(emb,
+        Similarity.loadKmeansModel(s, s"$dir/km"), "embedding", "vec_id")
+      .select(col("vec_id"), col("topic").as("cluster"),
+        col("topic_cos").as("cos"))
+  }
+
+  // Streaming assignment against the same persisted model (the st16
+  // serve shape for embeddings): micro-batch union == full batch by
+  // per-vector independence — same oracle once more.
+  define("st31_stream_kmeans", kmeansOracleSql) { (s, d) =>
+    import graft.operators.Similarity
+    val dir = sessionIndexDir(s"km_$d") { p =>
+      Similarity.saveKmeansModel(
+        Similarity.kmeansFit(t(s, d, "embeddings"), "embedding",
+          "vec_id", k = 4, iters = 2),
+        s"$p/km", k = 4, dim = 64)
+    }
+    graft.streaming.Streaming.streamingKmeansAssign(s, d, "st31",
+      s"$dir/km")
   }
 
   // IVFPQ — coarse cells × PQ codes, the 10⁸⁺-vector layout. With nprobe

@@ -2071,6 +2071,33 @@ object Similarity {
   def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
              iters: Int = 2)
             (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val (data, cents) = lloyd(df, vecCol, idCol, k, iters)
+    data.withColumn("__best", nearestCentroid("__v", cents))
+      .select(col("__id").as(idCol), col("__best.topic").as("cluster"),
+        col("__best.cos").as("cos"))
+  }
+
+  /** The trained centroid TABLE from the same Lloyd loop — (cluster,
+    * pos, c) exploded rows, the [[labelCentroids]] shape, directly
+    * consumable by [[assignToCentroids]]. This is the k-means "model"
+    * a serving pipeline persists: assignment of ANY batch against it
+    * (one fused projection) equals [[kmeans]]'s final assignment on
+    * rows it trained on — per-row independence, so one-shot oracles
+    * transfer to persisted and streaming serves verbatim. */
+  def kmeansFit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                iters: Int = 2)
+               (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, cents) = lloyd(df, vecCol, idCol, k, iters)
+    cents.flatMap { case (cl, comps) =>
+      comps.zipWithIndex.map { case (c, pos) => (cl, pos, c) } }
+      .toDF("cluster", "pos", "c")
+  }
+
+  private def lloyd(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                    iters: Int)
+                   (implicit scope: CacheScope): (DataFrame, Seq[(Int, Seq[Double])]) = {
     require(k >= 1, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be positive, got $iters")
     val xsq = aggregate(col("__v"), lit(0.0),
@@ -2101,9 +2128,38 @@ object Similarity {
       cents = cents.map { case (cl, prev) =>
         (cl, byCl.getOrElse(cl, prev)) } // empty cluster: keep previous
     }
-    data.withColumn("__best", nearestCentroid("__v", cents))
-      .select(col("__id").as(idCol), col("__best.topic").as("cluster"),
-        col("__best.cos").as("cos"))
+    (data, cents)
+  }
+
+  /** Persist a [[kmeansFit]] centroid table as a served model. REFITS
+    * are whole-table replacements (centroids are not mergeable — this
+    * is a versioned artifact, not an append-merge store), so the write
+    * goes through the generation + atomic-pointer commit: a crash at
+    * any point leaves the previously committed model live (the BM25
+    * `_params` discipline — never `mode("overwrite")` the only copy).
+    * `_params` records (layout, k, dim) and is validated at load. */
+  def saveKmeansModel(cents: DataFrame, path: String, k: Int,
+                      dim: Int): Unit = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    commitGeneration(path, "centroids") { dir =>
+      cents.select(col("cluster"), col("pos"), col("c"))
+        .coalesce(1).write.parquet(dir)
+    }
+    commitParams(path) { dir =>
+      Seq(("kmeans_v1", k, dim)).toDF("layout", "k", "dim")
+        .coalesce(1).write.parquet(dir)
+    }
+  }
+
+  /** Load a persisted k-means model's centroid table. */
+  def loadKmeansModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val p = readParams(spark, path).head()
+    require(p.getAs[String]("layout") == "kmeans_v1",
+      s"model at $path has layout ${p.getAs[String]("layout")}, " +
+        "expected kmeans_v1")
+    spark.read.parquet(resolveDataDir(path, "centroids"))
   }
 
   /** Each vector's cosine to its own label centroid — the assignment-

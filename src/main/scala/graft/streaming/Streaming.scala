@@ -1355,6 +1355,51 @@ object Streaming {
       spark.read.parquet(ingestDir), "lang", "n_chars", storeDir, q)
   }
 
+  /** Streaming k-means assignment against a PERSISTED model — the
+    * clustering serve shape (fit offline, assign the firehose): each
+    * micro-batch runs the fused literal-centroid argmax
+    * ([[graft.operators.Similarity.assignToCentroids]]) against the
+    * model loaded once at stream setup; per-vector independence makes
+    * the micro-batch union equal the full-batch assignment, which is
+    * what lets the one-shot s19 oracle transfer verbatim (the st16
+    * NB-classifier-serve pattern for embeddings). */
+  def streamingKmeansAssign(spark: SparkSession, sfDir: String,
+                            name: String, modelDir: String,
+                            ingestFiles: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ingestDir = base.resolve("ingest").toString
+    val batchVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    batchVecs.repartition(ingestFiles)
+      .write.mode("overwrite").parquet(ingestDir)
+    val cents = Similarity.loadKmeansModel(spark, modelDir)
+      .collect() // k·dim rows — bounded by the fit's own ceiling
+    val centDf = {
+      import spark.implicits._
+      cents.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .toSeq.toDF("cluster", "pos", "c")
+    }
+    val stream = spark.readStream
+      .schema(batchVecs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ingestDir)
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        if (!mb.isEmpty)
+          Similarity.assignToCentroids(mb, centDf, "embedding", "vec_id")
+            .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("topic").as("cluster"),
+        col("topic_cos").as("cos"))
+  }
+
   /** Streaming model-based filtering: documents stream in and each
     * micro-batch is scored against a PERSISTED NaiveBayes model
     * ([[graft.operators.NaiveBayes.save]]) loaded once at stream setup —

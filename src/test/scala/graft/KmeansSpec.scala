@@ -51,4 +51,32 @@ class KmeansSpec extends AnyFunSuite {
       s"first diffs: ${got.zip(exp).filter(p => p._1 != p._2).take(3)}")
     graft.operators.CacheScope.global.release()
   }
+
+  test("model store: serve == fit; refit supersedes atomically; torn generation invisible") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_km_store_").toString
+    val fit2 = Similarity.kmeansFit(emb, "embedding", "vec_id", 3, 2)
+    Similarity.saveKmeansModel(fit2, dir, 3, 64)
+    def serve(): Seq[(Long, Int)] =
+      Similarity.assignToCentroids(emb,
+          Similarity.loadKmeansModel(spark, dir), "embedding", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val direct = Similarity.kmeans(emb, "embedding", "vec_id", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(serve() == direct, "stored-model serve != one-shot assignment")
+    // refit with different iters: the generation commit supersedes the
+    // old model; a crash-torn HALF-WRITTEN generation (no pointer flip)
+    // must stay invisible to loads
+    val fit3 = Similarity.kmeansFit(emb, "embedding", "vec_id", 3, 3)
+    Similarity.saveKmeansModel(fit3, dir, 3, 64)
+    val after = serve()
+    assert(after == Similarity.kmeans(emb, "embedding", "vec_id", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq)
+    val torn = java.nio.file.Paths.get(dir, "centroids.g9999")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-junk.parquet"), "x")
+    assert(serve() == after, "torn generation changed the served model")
+    graft.operators.CacheScope.global.release()
+  }
 }

@@ -175,6 +175,9 @@ class PlanDigestSpec extends AnyFunSuite {
     // join or window appearing here means assignment regressed toward
     // a corpus × centroid shuffle
     "s19_kmeans"              -> Digest(1, 0, 0, 0, 0),
+    // the persisted-model serve must keep the same fused shape: spread
+    // + literal-centroid argmax, centroids collected from the store
+    "s20_kmeans_persisted"    -> Digest(1, 0, 0, 0, 0),
     // quantiles composed into curation: the fences are a bounded driver
     // action; the served plan is ONE broadcast-join filter pass + the
     // survivor agg — a window or second shuffle here means the trim
