@@ -128,7 +128,10 @@ object Bench {
     // buffers every value; this path's cost is ~log_bins passes of
     // scan+agg) and the grouped median served from the persisted
     // mergeable histogram store (store build lands on the warm-up rep)
-    "t47_exact_quantiles", "t49_quantile_by_lang_store")
+    "t47_exact_quantiles", "t49_quantile_by_lang_store",
+    // round-12: portable k-means (iters fused scans + slim mean aggs
+    // during construction; the timed serve is the final fused argmax)
+    "s19_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1503,6 +1503,22 @@ object SparkEntry {
         col("topic_cos").as("cos"))
   }
 
+  // Cluster-quality report — the k-selection telemetry (sizes, mean
+  // and worst member cosine per cluster): one slim agg over the s19
+  // assignment; the oracle nests the full unrolled k-means as a
+  // subquery and aggregates identically (avg of rounded cosines is
+  // re-rounded on both sides — accumulation order).
+  define("s21_kmeans_quality",
+    s"""SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        round(avg(cos), 6) AS avg_cos, min(cos) AS min_cos
+        FROM ($kmeansOracleSql) asg GROUP BY cluster""") { (s, d) =>
+    graft.operators.Similarity.kmeans(
+        t(s, d, "embeddings"), "embedding", "vec_id", k = 4, iters = 2)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg("cos"), 6).as("avg_cos"),
+        min("cos").as("min_cos"))
+  }
+
   // Streaming assignment against the same persisted model (the st16
   // serve shape for embeddings): micro-batch union == full batch by
   // per-vector independence — same oracle once more.

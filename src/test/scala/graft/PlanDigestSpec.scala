@@ -178,6 +178,8 @@ class PlanDigestSpec extends AnyFunSuite {
     // the persisted-model serve must keep the same fused shape: spread
     // + literal-centroid argmax, centroids collected from the store
     "s20_kmeans_persisted"    -> Digest(1, 0, 0, 0, 0),
+    // quality report: spread + the per-cluster agg's exchange
+    "s21_kmeans_quality"      -> Digest(2, 0, 0, 0, 0),
     // quantiles composed into curation: the fences are a bounded driver
     // action; the served plan is ONE broadcast-join filter pass + the
     // survivor agg — a window or second shuffle here means the trim
