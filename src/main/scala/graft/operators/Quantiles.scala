@@ -150,15 +150,17 @@ object Quantiles {
     val data = scope.cache(proj)
 
     // Pass 0: per-group extent. |groups| rows to the driver — the same
-    // bounded-driver contract as every sketch serve (loud refusal, not
-    // silent OOM, past the ceiling).
-    val extent = data.groupBy("g")
+    // bounded-driver contract as every sketch serve. The ceiling is
+    // checked BEFORE the collect (distributed count of the agg output —
+    // a post-collect require cannot prevent the OOM it refuses).
+    val grouped = data.groupBy("g")
       .agg(sum("wt").as("n"), min("x").as("mn"), max("x").as("mx"))
-      .collect()
-    require(extent.length.toLong * qs.size * bins <= (1L << 22),
-      s"${extent.length} groups x ${qs.size} quantiles x $bins bins " +
+    val nGroups = grouped.count()
+    require(nGroups * qs.size * bins <= (1L << 22),
+      s"$nGroups groups x ${qs.size} quantiles x $bins bins " +
         "exceeds the bounded-driver pass ceiling (2^22 summary rows) — " +
         "batch the groups across calls or lower bins")
+    val extent = grouped.collect()
 
     val states = scala.collection.mutable.ArrayBuffer.empty[St]
     val done = scala.collection.mutable.ArrayBuffer.empty[St]
@@ -215,28 +217,58 @@ object Quantiles {
       val still = scala.collection.mutable.ArrayBuffer.empty[St]
       for ((s, i) <- states.zipWithIndex) {
         val buckets = hist.getOrElse(i, Array.empty[Row])
-          .sortBy(_.getAs[Int]("b"))
-        var cum = s.below
-        var found = false
-        for (bk <- buckets if !found) {
-          val cnt = bk.getAs[Long]("cnt")
-          if (cum + cnt >= s.r) {
-            found = true
-            val mn = bk.getAs[Double]("mn")
-            val mx = bk.getAs[Double]("mx")
-            s.below = cum; s.lo = mn; s.hi = mx
-            if (mn == mx) done += s else still += s
-          } else cum += cnt
-        }
+          .sortBy(_.getAs[Int]("b")).toSeq
         // The interval always contains rank r by the loop invariant
         // (below < r <= below + interval count); a miss means the
         // invariant broke — refuse loudly rather than return garbage.
-        require(found, s"rank ${s.r} not found in [${s.lo}, ${s.hi}] " +
-          s"for group ${s.g} — refinement invariant violated")
+        val (bk, cum) = locateBucket(buckets, s.r, s.below).getOrElse(
+          throw new IllegalArgumentException(
+            s"rank ${s.r} not found in [${s.lo}, ${s.hi}] " +
+              s"for group ${s.g} — refinement invariant violated"))
+        val mn = bk.getAs[Double]("mn")
+        val mx = bk.getAs[Double]("mx")
+        s.below = cum; s.lo = mn; s.hi = mx
+        if (mn == mx) done += s else still += s
       }
       states.clear(); states ++= still
     }
     done.toSeq
+  }
+
+  /** Walk `buckets` (already in ascending bucket order) for the first
+    * whose cumulative count reaches rank `r`, starting the cumulation
+    * at `below`. Returns (bucket, count strictly before it) — the ONE
+    * rank-walk shared by the refinement loop and both store serves, so
+    * a semantics fix cannot drift between them. */
+  private def locateBucket(buckets: Seq[Row], r: Long,
+                           below: Long): Option[(Row, Long)] = {
+    var cum = below
+    var i = 0
+    while (i < buckets.length) {
+      val cnt = buckets(i).getAs[Long]("cnt")
+      if (cum + cnt >= r) return Some((buckets(i), cum))
+      cum += cnt
+      i += 1
+    }
+    None
+  }
+
+  /** Load a histogram store and fold it per group on the driver, with
+    * the bounded-driver ceiling enforced BEFORE anything collects (a
+    * post-collect require cannot prevent the OOM it exists to refuse —
+    * `count()` on the merged frame is a distributed metadata-sized
+    * job). Shared by both store serves. */
+  private def loadMergedByGroup(spark: SparkSession, path: String)
+      : (Map[String, Seq[Row]], Int) = {
+    val (hist, _, _, storeBins) = loadHistogram(spark, path)
+    val nRows = hist.count()
+    require(nRows <= (1L << 22),
+      s"merged histogram at $path holds $nRows (group, bucket) rows — " +
+        "past the bounded-driver ceiling (2^22); batch the groups " +
+        "across calls")
+    (hist.collect().toSeq.groupBy(_.getAs[String]("group"))
+      .map { case (g, rs) => g -> rs.sortBy(_.getAs[Int]("bucket")) },
+      storeBins)
   }
 
   /** Median absolute deviation per group — the robust dispersion pair
@@ -385,32 +417,24 @@ object Quantiles {
     require(q > 0.0 && q <= 1.0, s"quantile must lie in (0, 1], got $q")
     val spark = base.sparkSession
     import spark.implicits._
-    val (hist, _, _, storeBins) = loadHistogram(spark, path)
-    // Driver fold over |groups| · (storeBins + 2) summary rows — the
-    // same bounded collect as one refinement pass.
-    val merged = hist.collect().groupBy(_.getAs[String]("group"))
-    require(merged.size.toLong * storeBins <= (1L << 22),
-      s"${merged.size} groups x $storeBins bins exceeds the " +
+    val (merged, storeBins) = loadMergedByGroup(spark, path)
+    // The continuation passes collect ≤ groups · bins rows each — hold
+    // them to the same ceiling the store fold just passed.
+    require(merged.size.toLong * (bins max storeBins) <= (1L << 22),
+      s"${merged.size} groups x ${bins max storeBins} bins exceeds the " +
         "bounded-driver ceiling — batch the groups across calls")
     val finished = scala.collection.mutable.ArrayBuffer.empty[St]
     val open = scala.collection.mutable.ArrayBuffer.empty[St]
-    for ((g, rows) <- merged) {
-      val buckets = rows.sortBy(_.getAs[Int]("bucket"))
+    for ((g, buckets) <- merged) {
       val n = buckets.map(_.getAs[Long]("cnt")).sum
       val r = math.ceil(q * n).toLong max 1L
-      var cum = 0L
-      var found = false
-      for (bk <- buckets if !found) {
-        val cnt = bk.getAs[Long]("cnt")
-        if (cum + cnt >= r) {
-          found = true
-          val mn = bk.getAs[Double]("mn")
-          val mx = bk.getAs[Double]("mx")
-          val s = St(g, q, r, cum, mn, mx)
-          if (mn == mx) finished += s else open += s
-        } else cum += cnt
-      }
-      require(found, s"rank $r not found in stored histogram of group $g")
+      val (bk, cum) = locateBucket(buckets, r, 0L).getOrElse(
+        throw new IllegalArgumentException(
+          s"rank $r not found in stored histogram of group $g"))
+      val mn = bk.getAs[Double]("mn")
+      val mx = bk.getAs[Double]("mx")
+      val s = St(g, q, r, cum, mn, mx)
+      if (mn == mx) finished += s else open += s
     }
     val refined =
       if (open.isEmpty) Seq.empty[St]
@@ -440,21 +464,14 @@ object Quantiles {
                               q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, s"quantile must lie in (0, 1], got $q")
     import spark.implicits._
-    val (hist, _, _, storeBins) = loadHistogram(spark, path)
-    val merged = hist.collect().groupBy(_.getAs[String]("group"))
-    require(merged.size.toLong * storeBins <= (1L << 22),
-      s"${merged.size} groups x $storeBins bins exceeds the " +
-        "bounded-driver ceiling — batch the groups across calls")
-    merged.toSeq.map { case (g, rows) =>
-      val buckets = rows.sortBy(_.getAs[Int]("bucket"))
+    val (merged, _) = loadMergedByGroup(spark, path)
+    merged.toSeq.map { case (g, buckets) =>
       val n = buckets.map(_.getAs[Long]("cnt")).sum
       val r = math.ceil(q * n).toLong max 1L
-      var cum = 0L
-      val hit = buckets.find { bk =>
-        cum += bk.getAs[Long]("cnt"); cum >= r }
-      require(hit.isDefined,
-        s"rank $r not found in stored histogram of group $g")
-      (g, hit.get.getAs[Double]("mn"), hit.get.getAs[Double]("mx"))
+      val (bk, _) = locateBucket(buckets, r, 0L).getOrElse(
+        throw new IllegalArgumentException(
+          s"rank $r not found in stored histogram of group $g"))
+      (g, bk.getAs[Double]("mn"), bk.getAs[Double]("mx"))
     }.toDF("group", "lo_bound", "hi_bound")
   }
 }

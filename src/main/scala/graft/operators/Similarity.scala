@@ -2015,8 +2015,20 @@ object Similarity {
       .map { case (l, rs) =>
         (l, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
       .sortBy(_._1)
-    val xsq = aggregate(col(vecCol), lit(0.0),
+    val dims = byLabel.map(_._2.length).distinct
+    require(dims.size == 1, s"assignToCentroids: centroid table mixes " +
+      s"dimensions $dims — one truncated/ragged centroid row set")
+    // Dimension guard fused into the per-row ‖x‖² (the one expression
+    // every cosine consumes, so pruning can't drop it): zip_with would
+    // otherwise NULL-pad a mismatched vector and the argmax would
+    // silently emit cluster −1 for every row — garbage, not an error.
+    val xsqRaw = aggregate(col(vecCol), lit(0.0),
       (a, x) => a + x.cast("double") * x)
+    val xsq = when(size(col(vecCol)) === lit(dims.head), xsqRaw)
+      .otherwise(raise_error(concat(
+        lit("assignToCentroids: vector dim "),
+        size(col(vecCol)).cast("string"),
+        lit(s" != centroid dim ${dims.head}"))))
     val prep = spread(df.select(col(idCol), col(vecCol)))
       .withColumn("__xsq", xsq)
     prep.withColumn("__best", nearestCentroid(vecCol, byLabel))
@@ -2142,6 +2154,10 @@ object Similarity {
                       dim: Int): Unit = {
     val spark = cents.sparkSession
     import spark.implicits._
+    val n = cents.count()
+    require(n == k.toLong * dim,
+      s"centroid table has $n rows, expected k x dim = ${k.toLong * dim}" +
+        " — the declared geometry does not describe this fit")
     commitGeneration(path, "centroids") { dir =>
       cents.select(col("cluster"), col("pos"), col("c"))
         .coalesce(1).write.parquet(dir)
@@ -2152,14 +2168,23 @@ object Similarity {
     }
   }
 
-  /** Load a persisted k-means model's centroid table. */
+  /** Load a persisted k-means model's centroid table — layout tag AND
+    * geometry validated against the stored rows (a model whose table
+    * lost rows to a partial copy must refuse here, not emit null
+    * cosines downstream). */
   def loadKmeansModel(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame = {
     val p = readParams(spark, path).head()
     require(p.getAs[String]("layout") == "kmeans_v1",
       s"model at $path has layout ${p.getAs[String]("layout")}, " +
         "expected kmeans_v1")
-    spark.read.parquet(resolveDataDir(path, "centroids"))
+    val cents = spark.read.parquet(resolveDataDir(path, "centroids"))
+    val expected = p.getAs[Int]("k").toLong * p.getAs[Int]("dim")
+    val n = cents.count()
+    require(n == expected,
+      s"model at $path stores $n centroid rows, _params declares " +
+        s"k x dim = $expected — refusing a torn/foreign table")
+    cents
   }
 
   /** Each vector's cosine to its own label centroid — the assignment-

@@ -1349,10 +1349,17 @@ object Streaming {
       .start()
     sq.processAllAvailable()
     sq.stop()
-    // serve the exact per-group quantile: stored rank prefix + the
-    // refinement continuation over the ingested corpus
-    Quantiles.quantileByGroupFromStore(
-      spark.read.parquet(ingestDir), "lang", "n_chars", storeDir, q)
+    // An all-empty ingest never creates the store — serve the empty
+    // frame (GROUP BY over nothing) instead of dying in readGeometry
+    // with a bare FileNotFoundException.
+    if (!Files.exists(Paths.get(storeDir, "_params"))) {
+      import spark.implicits._
+      Seq.empty[(String, Double)].toDF("group", "value")
+    } else
+      // serve the exact per-group quantile: stored rank prefix + the
+      // refinement continuation over the ingested corpus
+      Quantiles.quantileByGroupFromStore(
+        spark.read.parquet(ingestDir), "lang", "n_chars", storeDir, q)
   }
 
   /** Streaming k-means assignment against a PERSISTED model — the

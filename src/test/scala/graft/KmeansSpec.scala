@@ -79,4 +79,29 @@ class KmeansSpec extends AnyFunSuite {
     assert(serve() == after, "torn generation changed the served model")
     graft.operators.CacheScope.global.release()
   }
+
+  test("dimension mismatches refuse loudly instead of emitting null-cosine garbage") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // a 3-dim centroid table against 64-dim vectors: the fused ‖x‖²
+    // guard must raise with the dims named, not assign cluster −1
+    val tiny = Seq((0, 0, 0.1), (0, 1, 0.2), (0, 2, 0.3))
+      .toDF("cluster", "pos", "c")
+    val e = intercept[Exception] {
+      Similarity.assignToCentroids(emb, tiny, "embedding", "vec_id")
+        .collect()
+    }
+    assert(e.getMessage.contains("centroid dim 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("centroid dim 3")),
+      s"unexpected error: ${e.getMessage}")
+    // a save whose declared geometry disagrees with the fit refuses
+    val fit = Similarity.kmeansFit(emb, "embedding", "vec_id", 3, 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_km_badgeo_").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.saveKmeansModel(fit, dir, 3, 32) // real dim is 64
+    }
+    assert(e2.getMessage.contains("does not describe this fit"))
+    graft.operators.CacheScope.global.release()
+  }
 }

@@ -410,6 +410,13 @@ class StreamingSpec extends AnyFunSuite {
         spark, sfAll.toString, "qrs5", ingestFiles = 4))
       assert(resumed == oneShot, s"$resumed vs $oneShot")
       assert(resumed != run1) // the new slices genuinely moved the medians
+      // an all-empty corpus never creates the store: serve the empty
+      // frame, not a FileNotFoundException from readGeometry
+      val sfEmpty = root.resolve("sfEmpty")
+      mk(0 until 0).coalesce(1)
+        .write.parquet(sfEmpty.resolve("documents.parquet").toString)
+      assert(grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfEmpty.toString, "qrs6", ingestFiles = 1)).isEmpty)
     } finally {
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
