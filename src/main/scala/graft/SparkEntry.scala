@@ -1534,6 +1534,38 @@ object SparkEntry {
       s"$dir/km")
   }
 
+  // Unsupervised topic-balanced mix — p15 with the label crutch
+  // removed: the topics come from the engine's own k-means clusters
+  // (what the documents ARE in embedding space, no labels consulted),
+  // then the a16 temperature-mix quota chain balances them. The
+  // composition rides the portable-kmeans scale path end to end:
+  // fused argmax assignment (no corpus shuffle), integer-exact quotas,
+  // md5-ranked selection. Oracle = the unrolled k-means subquery
+  // feeding p15's mix tail verbatim.
+  define("p17_kmeans_topic_mix",
+    s"""WITH asg AS (SELECT vec_id, cluster AS topic
+          FROM ($kmeansOracleSql) k),
+       mc AS (SELECT topic, count(*) AS n FROM asg GROUP BY topic),
+       mw AS (SELECT topic, n, n * n AS w FROM mc),
+       mt AS (SELECT sum(w) AS tw FROM mw),
+       mq AS (SELECT topic,
+                least(n, CAST((100 * w) // tw AS BIGINT)) AS quota
+              FROM mw CROSS JOIN mt),
+       mr AS (SELECT vec_id, topic,
+                row_number() OVER (PARTITION BY topic
+                  ORDER BY md5('p17' || CAST(vec_id AS VARCHAR)), vec_id)
+                  AS rk
+              FROM asg)
+       SELECT vec_id, topic FROM mr JOIN mq USING (topic)
+       WHERE rk <= quota""") { (s, d) =>
+    import graft.operators.{Similarity, Splits}
+    val asg = Similarity.kmeans(t(s, d, "embeddings"), "embedding",
+        "vec_id", k = 4, iters = 2)
+      .select(col("vec_id"), col("cluster").as("topic"))
+    Splits.temperatureSample(asg, "topic", "vec_id",
+      totalN = 100, temperature = 0.5, salt = "p17")
+  }
+
   // IVFPQ — coarse cells × PQ codes, the 10⁸⁺-vector layout. With nprobe
   // covering all 10 label cells the composition provably equals flat PQ
   // (PipelineSpec asserts it), whose candidates cover the true top-5 at

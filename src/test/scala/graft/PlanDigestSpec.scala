@@ -180,6 +180,9 @@ class PlanDigestSpec extends AnyFunSuite {
     "s20_kmeans_persisted"    -> Digest(1, 0, 0, 0, 0),
     // quality report: spread + the per-cluster agg's exchange
     "s21_kmeans_quality"      -> Digest(2, 0, 0, 0, 0),
+    // unsupervised mix: assignment + quota selection both live below
+    // the RDD boundary of the rank chain (the p15 shape)
+    "p17_kmeans_topic_mix"    -> Digest(0, 0, 0, 0, 0),
     // quantiles composed into curation: the fences are a bounded driver
     // action; the served plan is ONE broadcast-join filter pass + the
     // survivor agg — a window or second shuffle here means the trim
