@@ -3566,7 +3566,7 @@ object SparkEntry {
   // every boundary comparison is exact and order-independent; the
   // oracle states the same definition relationally (cumulative weight
   // over value order, min value reaching ceil(q·Σw)).
-  define("t50_weighted_quantile_by_lang",
+  private val weightedQuantileSql: String =
     """WITH t AS (SELECT lang, n_chars AS v,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
              AS w
@@ -3577,12 +3577,45 @@ object SparkEntry {
                sum(w) OVER (PARTITION BY lang) AS tot
              FROM g)
        SELECT lang, CAST(min(v) AS BIGINT) AS wp50
-       FROM c WHERE cumw >= ceil(0.5 * tot) GROUP BY lang""") { (s, d) =>
+       FROM c WHERE cumw >= ceil(0.5 * tot) GROUP BY lang"""
+
+  define("t50_weighted_quantile_by_lang", weightedQuantileSql) { (s, d) =>
     import graft.functions.{TextFunctions => TF}
     val docs = t(s, d, "documents").select(col("lang"), col("n_chars"),
       TF.tokenCount(col("text")).cast("long").as("w"))
     graft.operators.Quantiles.exactWeightedQuantilesByGroup(
         docs, "lang", "n_chars", "w", 0.5)
+      .select(col("group").as("lang"), col("value").cast("long").as("wp50"))
+  }
+
+  // The weighted store rung (t49's relationship to t48, in the
+  // token-weighted rank space): slices histogram Σweight per bucket
+  // against the fixed geometry, the linear merge equals the one-shot
+  // weighted histogram, and the serve continues the WEIGHTED
+  // refinement from the stored exact rank prefix — equal to t50's
+  // answer, so its oracle transfers verbatim. Same deliberately-narrow
+  // geometry as t49: the overflow bucket carries most of the weight
+  // and the serve is still exact.
+  define("t53_weighted_quantile_store", weightedQuantileSql) { (s, d) =>
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Quantiles
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      col("n_chars"), TF.tokenCount(col("text")).cast("long").as("w"))
+    val (lo, hi, bins) = (0.0, 256.0, 64)
+    val dir = sessionIndexDir(s"hqw_$d") { p =>
+      Quantiles.saveHistogram(
+        Quantiles.weightedHistogramByGroup(
+          docs.filter(col("doc_id") % 2 === 0),
+          "lang", "n_chars", "w", lo, hi, bins),
+        s"$p/h", lo, hi, bins, sliceId = "even")
+      Quantiles.appendHistogram(
+        Quantiles.weightedHistogramByGroup(
+          docs.filter(col("doc_id") % 2 =!= 0),
+          "lang", "n_chars", "w", lo, hi, bins),
+        s"$p/h", lo, hi, bins, sliceId = "odd")
+    }
+    Quantiles.quantileByGroupFromStore(docs, "lang", "n_chars",
+        s"$dir/h", 0.5, weightCol = Some("w"))
       .select(col("group").as("lang"), col("value").cast("long").as("wp50"))
   }
 

@@ -347,6 +347,27 @@ object Quantiles {
       .agg(count(lit(1)).as("cnt"), min("x").as("mn"), max("x").as("mx"))
   }
 
+  /** [[histogramByGroup]] in the WEIGHTED rank space: bucket counts are
+    * Σweight (long — the [[exactWeightedQuantilesByGroup]] exactness
+    * argument), so a store of these serves token-weighted quantiles.
+    * Same layout, same linear merge, same slice-id idempotence —
+    * weighted and unweighted stores differ only in what `cnt` means,
+    * which the CALLER owns (mixing the two in one store is a data bug
+    * the geometry tag cannot see; keep separate paths). */
+  def weightedHistogramByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String, weightCol: String,
+                               lo: Double, hi: Double,
+                               bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be at least 2, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    df.select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("double").as("x"),
+        col(weightCol).cast("long").as("wt"))
+      .filter(col("x").isNotNull && !isnan(col("x")) && col("wt") > 0)
+      .groupBy(col("group"), storeBucket(col("x"), lo, hi, bins).as("bucket"))
+      .agg(sum("wt").as("cnt"), min("x").as("mn"), max("x").as("mx"))
+  }
+
   /** Create a histogram store at `path` from a [[histogramByGroup]]
     * output built at the same geometry. */
   def saveHistogram(hist: DataFrame, path: String, lo: Double, hi: Double,
@@ -412,7 +433,8 @@ object Quantiles {
     * than [[exactQuantilesByGroup]] from cold. */
   def quantileByGroupFromStore(base: DataFrame, groupCol: String,
                                valueCol: String, path: String, q: Double,
-                               bins: Int = 256, maxPasses: Int = 64)
+                               bins: Int = 256, maxPasses: Int = 64,
+                               weightCol: Option[String] = None)
                               (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     require(q > 0.0 && q <= 1.0, s"quantile must lie in (0, 1], got $q")
     val spark = base.sparkSession
@@ -439,10 +461,16 @@ object Quantiles {
     val refined =
       if (open.isEmpty) Seq.empty[St]
       else {
+        // The continuation ranks in whatever space the STORE counted:
+        // pass the same weight column the slices were histogrammed with
+        // (None for plain counts) — a mismatch is a caller data bug.
+        val wt = weightCol.map(w => col(w).cast("long"))
+          .getOrElse(lit(1L)).as("wt")
         val data = scope.cache(base
           .select(col(groupCol).cast("string").as("g"),
-            col(valueCol).cast("double").as("x"), lit(1L).as("wt"))
-          .filter(col("x").isNotNull && !isnan(col("x"))))
+            col(valueCol).cast("double").as("x"), wt)
+          .filter(col("x").isNotNull && !isnan(col("x")) &&
+            col("wt") > 0))
         refine(data, open, bins, maxPasses)
       }
     (finished.toSeq ++ refined).map(s => (s.g, s.lo))
