@@ -3558,6 +3558,53 @@ object SparkEntry {
       .select(col("group").as("lang"), col("lo_bound"), col("hi_bound"))
   }
 
+  // Distribution drift between two snapshots' HISTOGRAM STORES — the
+  // t37 cross-snapshot posture for value distributions: per-lang L1
+  // distance between bucket-mass vectors, computed from the sketches
+  // alone (neither corpus rescanned or shipped). The oracle replays
+  // both halves' bucketings relationally (plain IEEE floor arithmetic)
+  // and the same normalized L1, rounded 6dp against summation order.
+  define("t54_histogram_drift",
+    """WITH b AS (SELECT lang, doc_id % 2 AS half,
+           CASE WHEN n_chars < 0 THEN -1 WHEN n_chars > 1024 THEN 256
+                ELSE least(CAST(floor(CAST(n_chars AS DOUBLE) / 4.0)
+                       AS INT), 255) END AS bucket
+         FROM documents),
+       h AS (SELECT lang, half, bucket, count(*) AS cnt
+             FROM b GROUP BY lang, half, bucket),
+       f AS (SELECT lang, bucket,
+               coalesce(sum(CASE WHEN half = 0 THEN cnt END), 0) AS ca,
+               coalesce(sum(CASE WHEN half = 1 THEN cnt END), 0) AS cb
+             FROM h GROUP BY lang, bucket),
+       nn AS (SELECT lang,
+                sum(CASE WHEN half = 0 THEN cnt ELSE 0 END) AS na,
+                sum(CASE WHEN half = 1 THEN cnt ELSE 0 END) AS nb
+              FROM h GROUP BY lang)
+       SELECT lang,
+         round(sum(abs(CAST(ca AS DOUBLE) / na
+           - CAST(cb AS DOUBLE) / nb)), 6) AS l1,
+         CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b
+       FROM f JOIN nn USING (lang)
+       WHERE na > 0 AND nb > 0
+       GROUP BY lang""") { (s, d) =>
+    import graft.operators.Quantiles
+    val docs = t(s, d, "documents")
+    val (lo, hi, bins) = (0.0, 1024.0, 256)
+    val dir = sessionIndexDir(s"hqd_$d") { p =>
+      Quantiles.saveHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 === 0),
+          "lang", "n_chars", lo, hi, bins),
+        s"$p/a", lo, hi, bins, sliceId = "even")
+      Quantiles.saveHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 =!= 0),
+          "lang", "n_chars", lo, hi, bins),
+        s"$p/b", lo, hi, bins, sliceId = "odd")
+    }
+    Quantiles.histogramDrift(s, s"$dir/a", s"$dir/b")
+      .select(col("group").as("lang"), col("l1"),
+        col("n_a"), col("n_b"))
+  }
+
   // Token-WEIGHTED median document length per language: the smallest
   // n_chars whose cumulative token weight reaches half the language's
   // tokens — "half the TOKENS live in docs this short", the quantity

@@ -477,6 +477,41 @@ object Quantiles {
       .toDF("group", "value")
   }
 
+  /** Distribution DRIFT between two histogram stores — the t37
+    * snapshot-drift posture for value distributions: per group, the
+    * L1 distance between the two stores' bucket-mass vectors
+    * (Σ|aᵢ/n_A − bᵢ/n_B| ∈ [0, 2]), computed from the sketches ALONE —
+    * two corpora compare without either being rescanned or shipped.
+    * Geometries must match (different bucketings do not align —
+    * refuse, the append discipline); groups present in only one store
+    * are omitted (no distribution to compare against). l1 rounds to
+    * 6dp — the per-term doubles are engine-exact (long/long division),
+    * only the summation order differs. Output: (group, l1, n_a, n_b). */
+  def histogramDrift(spark: SparkSession, pathA: String,
+                     pathB: String): DataFrame = {
+    import spark.implicits._
+    val ga = readGeometry(spark, pathA)
+    val gb = readGeometry(spark, pathB)
+    require(ga == gb,
+      s"histogram stores have geometries $ga vs $gb — different " +
+        "bucketings do not align")
+    val (ma, _) = loadMergedByGroup(spark, pathA)
+    val (mb, _) = loadMergedByGroup(spark, pathB)
+    (ma.keySet intersect mb.keySet).toSeq.sorted.map { g =>
+      val na = ma(g).map(_.getAs[Long]("cnt")).sum
+      val nb = mb(g).map(_.getAs[Long]("cnt")).sum
+      val ba = ma(g).map(r => r.getAs[Int]("bucket") ->
+        r.getAs[Long]("cnt")).toMap
+      val bb = mb(g).map(r => r.getAs[Int]("bucket") ->
+        r.getAs[Long]("cnt")).toMap
+      val l1 = (ba.keySet ++ bb.keySet).toSeq.sorted.map { b =>
+        math.abs(ba.getOrElse(b, 0L).toDouble / na -
+          bb.getOrElse(b, 0L).toDouble / nb) }.sum
+      (g, BigDecimal(l1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, na, nb)
+    }.toDF("group", "l1", "n_a", "n_b")
+  }
+
   /** Quantile BOUNDS from the store ALONE — no base corpus: the merged
     * histogram's target bucket brackets the exact quantile between its
     * stored actual min/max data values ([lo_bound, hi_bound] ∋ the

@@ -170,6 +170,7 @@ class PlanDigestSpec extends AnyFunSuite {
     "t51_mad_by_lang"         -> Digest(0, 0, 0, 0, 0),
     "t52_quantile_bounds_sketch" -> Digest(0, 0, 0, 0, 0),
     "t53_weighted_quantile_store" -> Digest(0, 0, 0, 0, 0),
+    "t54_histogram_drift"     -> Digest(0, 0, 0, 0, 0),
     // portable k-means: the mean updates are bounded driver actions
     // during construction; the SERVED plan is the cached spread (its
     // round-robin exchange) + the fused literal-centroid argmax — a
