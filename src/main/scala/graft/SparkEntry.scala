@@ -1428,7 +1428,8 @@ object SparkEntry {
     """WITH grid AS (SELECT unnest(generate_series(0, 63)) AS pos),
        init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                   AS INT) AS cl, embedding
-                FROM embeddings WHERE vec_id < 4),
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 4)),
        c0 AS (SELECT cl, pos, CAST(embedding[pos + 1] AS DOUBLE) AS c
               FROM init, grid),
        na AS (SELECT vec_id,
@@ -6098,6 +6099,114 @@ object SparkEntry {
            AND EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
          GROUP BY o_orderpriority""")
+  }
+
+  // ------------------------------------------------------------------
+  // Sketch-store COMPACTION (operators.SketchStore) — the lifecycle
+  // rung the append-only stores were missing: at production cadence
+  // the raw slice table grows without bound (every serve pays
+  // |slices| x |groups| x bins rows of scan plus the small-file tax)
+  // even though the folded answer is constant-sized. compact() folds
+  // all slices into ONE in a fresh generation committed by atomic
+  // pointer flip (the compactIndex discipline). Linear merges make
+  // fold ≡ merge-at-read, so each family's store gate re-served from
+  // a COMPACTED store must be hash-equal to its uncompacted sibling —
+  // the oracles transfer verbatim (t55↔t36, t56↔t44, t57↔t46,
+  // t58↔t49: four families, eight paths, four exact answers).
+  // ------------------------------------------------------------------
+
+  define("t55_kmv_compacted", kmvVocabSql) { (s, d) =>
+    import graft.functions.{KmvSketch, TextFunctions => TFx}
+    import graft.operators.{spread, SketchStore, Sketches}
+    val k = 32
+    def sk(docFilter: org.apache.spark.sql.Column) =
+      spread(t(s, d, "documents").filter(docFilter)
+        .select(col("lang"), col("text")))
+        .select(col("lang"),
+          explode(TFx.shingles(col("text"), 3)).as("gram"))
+        .select(col("lang"), KmvSketch.portableHash60(col("gram")).as("h"))
+        .groupBy("lang").agg(KmvSketch.kmvSketch(col("h"), k).as("sk"))
+    val dir = sessionIndexDir(s"kmvc_$d") { p =>
+      Sketches.saveKmvSketches(sk(col("doc_id") % 2 === 0),
+        "lang", "sk", s"$p/kmv", k)
+      Sketches.appendKmvSketches(sk(col("doc_id") % 2 === 1),
+        "lang", "sk", s"$p/kmv", k)
+      SketchStore.compact(s, s"$p/kmv")
+    }
+    graft.operators.Sketches.loadKmvSketches(s, s"$dir/kmv")
+      .select(col("group").as("lang"),
+        size(col("sk")).cast("long").as("n_kept"),
+        KmvSketch.estimate(col("sk"), k).as("est_phrases"))
+  }
+
+  define("t56_frequent_compacted", hhByLangOracleSql) { (s, d) =>
+    import graft.operators.{HeavyHitters, SketchStore, Sketches}
+    val docs = t(s, d, "documents")
+    val m = 2000 // the t44 capacity: m + 1 > 1/phi at phi = 0.0013
+    val dir = sessionIndexDir(s"hhgc_$d") { p =>
+      Sketches.saveMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(
+          langGrams(docs.filter(col("doc_id") % 2 === 0)),
+          "lang", "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m)
+      Sketches.appendMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(
+          langGrams(docs.filter(col("doc_id") % 2 =!= 0)),
+          "lang", "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m)
+      // compaction folds the two summaries per lang into one; the
+      // deficit bound composes (Σ Nᵢ/(m+1)), so the candidate set
+      // still covers every φ-frequent gram and the exact recount
+      // serves the identical answer
+      SketchStore.compact(s, s"$p/hh")
+    }
+    HeavyHitters.frequentItemsByGroupFromStore(
+      langGrams(docs), "lang", "gram", s"$dir/hh", phi = 0.0013)
+      .select(col("group").as("lang"), col("item").as("gram"), col("cnt"))
+  }
+
+  define("t57_countmin_compacted", cmByLangOracleSql) { (s, d) =>
+    import graft.operators.{CountMin, SketchStore}
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"cmgc_$d") { p =>
+      CountMin.saveCmGroups(
+        CountMin.cmBuildByGroup(
+          langGrams(docs.filter(col("doc_id") % 2 === 0)),
+          "lang", "gram", 4, 1024),
+        s"$p/cm", 4, 1024, sliceId = "even")
+      CountMin.appendCmGroups(
+        CountMin.cmBuildByGroup(
+          langGrams(docs.filter(col("doc_id") % 2 =!= 0)),
+          "lang", "gram", 4, 1024),
+        s"$p/cm", 4, 1024, sliceId = "odd")
+      // cell-wise sums are linear: the folded counter table IS the
+      // one-shot build, so the estimates stay bit-identical
+      SketchStore.compact(s, s"$p/cm")
+    }
+    val (counters, dp, w) = CountMin.loadCmGroups(s, s"$dir/cm")
+    CountMin.cmEstimateByGroup(langProbes(docs), counters,
+      "lang", "gram", dp, w)
+      .select(col("group").as("lang"), col("item").as("gram"), col("est"))
+  }
+
+  define("t58_quantile_compacted", quantileByLangSql) { (s, d) =>
+    import graft.operators.{Quantiles, SketchStore}
+    val docs = t(s, d, "documents")
+    val (lo, hi, bins) = (0.0, 256.0, 64) // the t49 narrow geometry
+    val dir = sessionIndexDir(s"hqc_$d") { p =>
+      Quantiles.saveHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 === 0),
+          "lang", "n_chars", lo, hi, bins),
+        s"$p/h", lo, hi, bins, sliceId = "even")
+      Quantiles.appendHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 =!= 0),
+          "lang", "n_chars", lo, hi, bins),
+        s"$p/h", lo, hi, bins, sliceId = "odd")
+      SketchStore.compact(s, s"$p/h")
+    }
+    Quantiles.quantileByGroupFromStore(docs, "lang", "n_chars",
+        s"$dir/h", 0.5)
+      .select(col("group").as("lang"), col("value").cast("long").as("p50"))
   }
 
   // ------------------------------------------------------------------

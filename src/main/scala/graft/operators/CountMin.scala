@@ -31,7 +31,7 @@ import graft.functions.{KmvSketch, TextFunctions => TF}
 object CountMin {
 
   // v2: counter rows carry the writer's slice_id (idempotent appends)
-  private val Layout = "cm_v2"
+  private[operators] val Layout = "cm_v2"
 
   /** Cell index of `item` in hash row `i`: the portable 60-bit md5 hash
     * of "i:item", mod width — built-ins only, so DuckDB reproduces every
@@ -167,6 +167,7 @@ object CountMin {
              width: Int, sliceId: String = "s0"): Unit = {
     val spark = counters.sparkSession
     import spark.implicits._
+    Similarity.dropStalePointer(path, "counters")
     counters.select(lit(sliceId).as("slice_id"),
         col("row"), col("cell"), col("cnt"))
       .write.mode("overwrite").parquet(s"$path/counters")
@@ -194,7 +195,8 @@ object CountMin {
         " — different-geometry sketches do not merge")
     counters.select(lit(sliceId).as("slice_id"),
         col("row"), col("cell"), col("cnt"))
-      .write.mode("append").parquet(s"$path/counters")
+      .write.mode("append")
+      .parquet(Similarity.resolveDataDir(path, "counters"))
   }
 
   /** Load the store: keep one row per (slice, row, cell) — collapsing
@@ -204,7 +206,7 @@ object CountMin {
     * [[cmEstimate]]. */
   def loadCm(spark: SparkSession, path: String): (DataFrame, Int, Int) = {
     val (d, w) = readGeometry(spark, path)
-    (spark.read.parquet(s"$path/counters")
+    (spark.read.parquet(Similarity.resolveDataDir(path, "counters"))
       .dropDuplicates("slice_id", "row", "cell")
       .groupBy("row", "cell").agg(sum("cnt").as("cnt")), d, w)
   }
@@ -218,13 +220,14 @@ object CountMin {
   // grouped symmetry with the KMV and MG stores.
   // ------------------------------------------------------------------
 
-  private val GroupLayout = "cmg_v1"
+  private[operators] val GroupLayout = "cmg_v1"
 
   /** Create a grouped counter store from a [[cmBuildByGroup]] output. */
   def saveCmGroups(counters: DataFrame, path: String, depth: Int,
                    width: Int, sliceId: String = "s0"): Unit = {
     val spark = counters.sparkSession
     import spark.implicits._
+    Similarity.dropStalePointer(path, "counters")
     counters.select(lit(sliceId).as("slice_id"),
         col("group"), col("row"), col("cell"), col("cnt"))
       .write.mode("overwrite").parquet(s"$path/counters")
@@ -251,7 +254,8 @@ object CountMin {
         " — different-geometry sketches do not merge")
     counters.select(lit(sliceId).as("slice_id"),
         col("group"), col("row"), col("cell"), col("cnt"))
-      .write.mode("append").parquet(s"$path/counters")
+      .write.mode("append")
+      .parquet(Similarity.resolveDataDir(path, "counters"))
   }
 
   /** Load the grouped store: per-slice dedup, then sum per
@@ -260,7 +264,7 @@ object CountMin {
   def loadCmGroups(spark: SparkSession,
                    path: String): (DataFrame, Int, Int) = {
     val (d, w) = readGroupGeometry(spark, path)
-    (spark.read.parquet(s"$path/counters")
+    (spark.read.parquet(Similarity.resolveDataDir(path, "counters"))
       .dropDuplicates("slice_id", "group", "row", "cell")
       .groupBy("group", "row", "cell").agg(sum("cnt").as("cnt")), d, w)
   }

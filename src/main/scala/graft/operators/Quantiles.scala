@@ -42,6 +42,35 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** The value-admission policy, one predicate shared by every front:
+    * NULL, NaN, and ±Infinity are all EXCLUDED. NaN has no place in a
+    * total order two engines agree on; an infinite value makes the
+    * group extent infinite, so the equal-width bucket arithmetic
+    * degenerates ((x−lo)/w is NaN at x=±Inf — the bucket index would
+    * silently go null and misorder the rank walk) — dropping is the
+    * same stated policy as NaN, not a silent wrong answer. (Spark
+    * orders NaN above +Inf, so the explicit isnan guard keeps the
+    * range test honest.) */
+  private def finite(c: Column): Column =
+    c.isNotNull && !isnan(c) &&
+      c > Double.NegativeInfinity && c < Double.PositiveInfinity
+
+  /** Weight admission: weights must be non-negative INTEGER-VALUED
+    * numbers (the LONG cumulative-sum exactness argument). A
+    * fractional weight is refused PER ROW with a fused raise_error —
+    * silently truncating 0.9 to 0 would drop the row instead of
+    * erroring, the k-means dim-guard discipline. NULL weights pass
+    * through as null (dropped by the wt > 0 filter, the documented
+    * policy). */
+  private def integralWeight(w: Column): Column =
+    when(w.isNull, lit(null).cast("long"))
+      .when(w.cast("double") === w.cast("long").cast("double"),
+        w.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("non-integer weight "), w.cast("string"),
+        lit(" — weighted ranks are exact only over integer weights; " +
+          "scale to an integer grid first"))).cast("long"))
+
   /** One refinement state: the target is the `r`-th smallest value of
     * group `g` overall, currently known to lie in [`lo`, `hi`] with
     * exactly `below` of the group's values strictly left of the
@@ -51,9 +80,10 @@ object Quantiles {
                               var hi: Double)
 
   /** Exact discrete quantiles of `valueCol`, `percentile_disc`
-    * semantics (value at rank ceil(q·n), 1-indexed). NULL and NaN
-    * values are excluded (a stated NaN policy, rather than inheriting
-    * two engines' disagreeing NaN orderings). Output: (q, value), one
+    * semantics (value at rank ceil(q·n), 1-indexed). NULL, NaN, and
+    * ±Infinity values are excluded (a stated non-finite policy — see
+    * [[finite]] — rather than inheriting two engines' disagreeing NaN
+    * orderings or degenerating the bucket width). Output: (q, value), one
     * row per requested quantile, `value` in the column's double image —
     * exact for integer columns up to 2^53. */
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
@@ -118,8 +148,8 @@ object Quantiles {
     refineFromProjection(
       df.select(col(groupCol).cast("string").as("g"),
           col(valueCol).cast("double").as("x"),
-          col(weightCol).cast("long").as("wt"))
-        .filter(col("x").isNotNull && !isnan(col("x")) && col("wt") > 0),
+          integralWeight(col(weightCol)).as("wt"))
+        .filter(finite(col("x")) && col("wt") > 0),
       Seq(q), bins, maxPasses)
       .map { case (g, _, v) => (g, v) }.toDF("group", "value")
   }
@@ -133,7 +163,7 @@ object Quantiles {
     refineFromProjection(
       df.select(col(groupCol).cast("string").as("g"),
           col(valueCol).cast("double").as("x"), lit(1L).as("wt"))
-        .filter(col("x").isNotNull && !isnan(col("x"))),
+        .filter(finite(col("x"))),
       qs, bins, maxPasses)
 
   /** The (g, x, wt) core: rank space is cumulative WEIGHT (count = all
@@ -314,7 +344,7 @@ object Quantiles {
   // quantile (the one-shot oracle transfers verbatim).
   // ------------------------------------------------------------------
 
-  private val Layout = "hist_v1"
+  private[operators] val Layout = "hist_v1"
 
   /** Bucket index against the STORE geometry: −1 below lo, `bins` above
     * hi, else the monotone equal-width floor (same exactness argument
@@ -342,7 +372,7 @@ object Quantiles {
     require(lo < hi, s"need lo < hi, got [$lo, $hi]")
     df.select(col(groupCol).cast("string").as("group"),
         col(valueCol).cast("double").as("x"))
-      .filter(col("x").isNotNull && !isnan(col("x")))
+      .filter(finite(col("x")))
       .groupBy(col("group"), storeBucket(col("x"), lo, hi, bins).as("bucket"))
       .agg(count(lit(1)).as("cnt"), min("x").as("mn"), max("x").as("mx"))
   }
@@ -362,8 +392,8 @@ object Quantiles {
     require(lo < hi, s"need lo < hi, got [$lo, $hi]")
     df.select(col(groupCol).cast("string").as("group"),
         col(valueCol).cast("double").as("x"),
-        col(weightCol).cast("long").as("wt"))
-      .filter(col("x").isNotNull && !isnan(col("x")) && col("wt") > 0)
+        integralWeight(col(weightCol)).as("wt"))
+      .filter(finite(col("x")) && col("wt") > 0)
       .groupBy(col("group"), storeBucket(col("x"), lo, hi, bins).as("bucket"))
       .agg(sum("wt").as("cnt"), min("x").as("mn"), max("x").as("mx"))
   }
@@ -375,6 +405,7 @@ object Quantiles {
     require(bins >= 2 && lo < hi, s"bad geometry [$lo, $hi] x $bins")
     val spark = hist.sparkSession
     import spark.implicits._
+    Similarity.dropStalePointer(path, "hist")
     hist.select(lit(sliceId).as("slice_id"), col("group"), col("bucket"),
         col("cnt"), col("mn"), col("mx"))
       .write.mode("overwrite").parquet(s"$path/hist")
@@ -404,7 +435,8 @@ object Quantiles {
         s"[$lo, $hi] x $bins — different-geometry histograms do not merge")
     hist.select(lit(sliceId).as("slice_id"), col("group"), col("bucket"),
         col("cnt"), col("mn"), col("mx"))
-      .write.mode("append").parquet(s"$path/hist")
+      .write.mode("append")
+      .parquet(Similarity.resolveDataDir(path, "hist"))
   }
 
   /** Load the store: per-slice dedup (replay idempotence), then the
@@ -413,7 +445,7 @@ object Quantiles {
   def loadHistogram(spark: SparkSession,
                     path: String): (DataFrame, Double, Double, Int) = {
     val (lo, hi, bins) = readGeometry(spark, path)
-    (spark.read.parquet(s"$path/hist")
+    (spark.read.parquet(Similarity.resolveDataDir(path, "hist"))
       .dropDuplicates("slice_id", "group", "bucket")
       .groupBy("group", "bucket")
       .agg(sum("cnt").as("cnt"), min("mn").as("mn"), max("mx").as("mx")),
@@ -464,13 +496,12 @@ object Quantiles {
         // The continuation ranks in whatever space the STORE counted:
         // pass the same weight column the slices were histogrammed with
         // (None for plain counts) — a mismatch is a caller data bug.
-        val wt = weightCol.map(w => col(w).cast("long"))
+        val wt = weightCol.map(w => integralWeight(col(w)))
           .getOrElse(lit(1L)).as("wt")
         val data = scope.cache(base
           .select(col(groupCol).cast("string").as("g"),
             col(valueCol).cast("double").as("x"), wt)
-          .filter(col("x").isNotNull && !isnan(col("x")) &&
-            col("wt") > 0))
+          .filter(finite(col("x")) && col("wt") > 0))
         refine(data, open, bins, maxPasses)
       }
     (finished.toSeq ++ refined).map(s => (s.g, s.lo))

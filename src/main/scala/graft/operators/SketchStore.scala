@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compaction rung for the persisted sketch stores — the lifecycle
+  * operator the append-only discipline was missing. Every sketch store
+  * in the repo (KMV distinct sketches, Misra–Gries summaries, Count-Min
+  * counters plain and grouped, quantile histograms) is APPEND-ONLY with
+  * merge-at-read: slices land as rows, the reader folds them. That is
+  * the right crash-safety story, but at production cadence (daily
+  * appends × groups × bins) the RAW table grows without bound — every
+  * serve pays |slices| × |groups| × bins rows of scan + the classic
+  * small-file listing/footer tax, even though the FOLDED answer is
+  * metadata-sized and constant. This operator folds all appended slices
+  * into ONE slice in a fresh generation directory and commits it with
+  * the atomic-pointer discipline of [[Similarity.compactIndex]] — after
+  * which the store reads like a single fresh save, and appends continue
+  * on top.
+  *
+  * Correctness is free by construction: each family's merge is LINEAR
+  * (KMV union closure, MG Agarwal'12 mergeability, CM cell-wise sums,
+  * histogram bucket-wise sum/min/max), so fold ≡ merge-at-read and
+  * re-merging the folded slice with later appends equals merging the
+  * original slices — every serve oracle transfers verbatim across a
+  * compaction (pinned by the t55–t58 gates and the many-slice soak).
+  *
+  * Crash safety: the fold writes a NEW generation dir (`<sub>.gNNNN`);
+  * the ONLY commit point is the atomic `<sub>.ptr` rename inside
+  * [[Similarity.commitGeneration]]. A crash before the flip leaves the
+  * old slices live (a torn generation is invisible — readers resolve
+  * through the pointer); a crash after leaves the compacted store live
+  * and the old dir as a sweepable orphan reclaimed next compaction
+  * (the one-cycle reader grace of compactIndex).
+  *
+  * Ownership: compaction is a WRITER-side operation under the same
+  * single-writer contract as appends — run it at a quiesce point. In
+  * particular, slice-id replay idempotence only covers slices still
+  * PRESENT in the live table: an at-least-once writer must not replay
+  * a slice id that a compaction already folded (the streaming writers'
+  * committed `last_batch` watermark guarantees exactly this — replayed
+  * batches are skipped before the append, so a fold between crash and
+  * restart is safe).
+  */
+object SketchStore {
+
+  /** The slice id the fold writes under. Reserved: callers must not
+    * append under it (the leading `__` keeps it out of any batchId- or
+    * date-derived id scheme). At most one lives at a time — each
+    * compaction folds the previous one into the next generation. */
+  val CompactedSliceId = "__compacted"
+
+  /** Compact the sketch store at `path`, whatever its family — the
+    * layout tag in `_params` dispatches. Refuses unknown layouts
+    * rather than guessing at a fold that might not be linear. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val layout =
+      Similarity.readParams(spark, path).head().getAs[String]("layout")
+    layout match {
+      case Sketches.Layout =>    // kmv_v1: (group, sk), no slice ids —
+        // re-sketching the union of stored k-min sets IS the k-min of
+        // the union (closure), and re-folding a single folded row is
+        // the identity (k-min of k values)
+        commit(path, "sketches")(Sketches.loadKmvSketches(spark, path)
+          .select(col("group"), col("sk")))
+      case Sketches.MgLayout =>  // mg_v1: (group, summary, n_items)
+        commit(path, "summaries")(Sketches.loadMgSummaries(spark, path)
+          .select(col("group"), col("summary"), col("n_items")))
+      case CountMin.Layout =>    // cm_v2: (slice_id, row, cell, cnt)
+        commit(path, "counters")(withSlice(
+          CountMin.loadCm(spark, path)._1
+            .select(col("row"), col("cell"), col("cnt"))))
+      case CountMin.GroupLayout => // cmg_v1: + group
+        commit(path, "counters")(withSlice(
+          CountMin.loadCmGroups(spark, path)._1
+            .select(col("group"), col("row"), col("cell"), col("cnt"))))
+      case Quantiles.Layout =>   // hist_v1: (slice_id, group, bucket, …)
+        commit(path, "hist")(withSlice(
+          Quantiles.loadHistogram(spark, path)._1
+            .select(col("group"), col("bucket"), col("cnt"),
+              col("mn"), col("mx"))))
+      case other =>
+        throw new IllegalArgumentException(
+          s"store at $path has layout '$other' — not a compactable " +
+            "sketch store (ANN indexes compact via Similarity.compactIndex)")
+    }
+  }
+
+  private def withSlice(folded: DataFrame): DataFrame =
+    folded.select(lit(CompactedSliceId).as("slice_id") +: folded.columns
+      .map(col).toIndexedSeq: _*)
+
+  /** Fold `folded` (a lazy read of the LIVE dir — commitGeneration
+    * writes the new dir first, so the read-while-write is between
+    * different directories) into the next generation and flip. The
+    * folded table is metadata-sized by construction (≤ groups × bins
+    * rows, the same ceiling every serve already enforces), so one
+    * output file keeps the store listing-cheap — the point. */
+  private def commit(path: String, sub: String)(folded: DataFrame): Unit =
+    Similarity.commitGeneration(path, sub) { dir =>
+      folded.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+}

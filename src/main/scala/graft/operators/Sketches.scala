@@ -31,15 +31,19 @@ import graft.functions.KmvSketch
   */
 object Sketches {
 
-  private val Layout = "kmv_v1"
+  private[operators] val Layout = "kmv_v1"
 
   /** Create a sketch table at `path` from a (group, sk) frame — the
-    * output shape of `groupBy(group).agg(kmvSketch(h, k))`. */
+    * output shape of `groupBy(group).agg(kmvSketch(h, k))`. A re-save
+    * is a REBUILD: any compaction pointer from the previous lineage is
+    * dropped so the plain dir written here is live again (the
+    * [[Similarity.dropStalePointer]] rule every rebuild follows). */
   def saveKmvSketches(sketches: DataFrame, groupCol: String, skCol: String,
                       path: String, k: Int): Unit = {
     require(k >= 2, s"k must be at least 2, got $k")
     val spark = sketches.sparkSession
     import spark.implicits._
+    Similarity.dropStalePointer(path, "sketches")
     sketches.select(col(groupCol).as("group"), col(skCol).as("sk"))
       .write.mode("overwrite").parquet(s"$path/sketches")
     Seq((Layout, k)).toDF("layout", "k")
@@ -65,7 +69,8 @@ object Sketches {
       s"sketch table at $path was built at k=$stored, got k=$k — " +
         "sketches merge exactly only at equal k")
     sketches.select(col(groupCol).as("group"), col(skCol).as("sk"))
-      .write.mode("append").parquet(s"$path/sketches")
+      .write.mode("append")
+      .parquet(Similarity.resolveDataDir(path, "sketches"))
   }
 
   /** Load the table, merging every appended row per group into one exact
@@ -74,7 +79,7 @@ object Sketches {
     * slices ever saw. Output: (group, sk). */
   def loadKmvSketches(spark: SparkSession, path: String): DataFrame = {
     val k = readK(spark, path)
-    spark.read.parquet(s"$path/sketches")
+    spark.read.parquet(Similarity.resolveDataDir(path, "sketches"))
       .select(col("group"), explode(col("sk")).as("h"))
       .groupBy("group")
       .agg(KmvSketch.kmvSketch(col("h"), k).as("sk"))
@@ -97,7 +102,7 @@ object Sketches {
   // ([[HeavyHitters.frequentItemsFromStore]]), never the raw estimates.
   // ------------------------------------------------------------------
 
-  private val MgLayout = "mg_v1"
+  private[operators] val MgLayout = "mg_v1"
 
   /** Create a summary table at `path` from a (group, summary, n_items)
     * frame — summary in the [[graft.functions.MisraGries.mgSummary]]
@@ -108,6 +113,7 @@ object Sketches {
     require(m >= 1, s"m must be positive, got $m")
     val spark = summaries.sparkSession
     import spark.implicits._
+    Similarity.dropStalePointer(path, "summaries")
     summaries.select(col(groupCol).as("group"),
         col(summaryCol).as("summary"), col(nCol).cast("long").as("n_items"))
       .write.mode("overwrite").parquet(s"$path/summaries")
@@ -133,7 +139,8 @@ object Sketches {
         "summaries merge with the guaranteed bound only at equal m")
     summaries.select(col(groupCol).as("group"),
         col(summaryCol).as("summary"), col(nCol).cast("long").as("n_items"))
-      .write.mode("append").parquet(s"$path/summaries")
+      .write.mode("append")
+      .parquet(Similarity.resolveDataDir(path, "summaries"))
   }
 
   /** Load the table, folding every appended row per group into one
@@ -142,7 +149,7 @@ object Sketches {
     * with total frequency > n_items/(m+1) is present. */
   def loadMgSummaries(spark: SparkSession, path: String): DataFrame = {
     val m = readM(spark, path)
-    spark.read.parquet(s"$path/summaries")
+    spark.read.parquet(Similarity.resolveDataDir(path, "summaries"))
       .groupBy("group")
       .agg(graft.functions.MisraGries.mgMerge(col("summary"), m)
           .as("summary"),

@@ -1402,9 +1402,16 @@ object Streaming {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(outDir)
-      .select(col("vec_id"), col("topic").as("cluster"),
-        col("topic_cos").as("cos"))
+    // An all-empty ingest never writes outDir — serve the empty frame
+    // (the streamingQuantile empty-corpus contract) instead of dying
+    // in spark.read.parquet with a bare FileNotFoundException.
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(outDir))) {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Double)].toDF("vec_id", "cluster", "cos")
+    } else
+      spark.read.parquet(outDir)
+        .select(col("vec_id"), col("topic").as("cluster"),
+          col("topic_cos").as("cos"))
   }
 
   /** Streaming model-based filtering: documents stream in and each

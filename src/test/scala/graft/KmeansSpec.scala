@@ -80,6 +80,26 @@ class KmeansSpec extends AnyFunSuite {
     graft.operators.CacheScope.global.release()
   }
 
+  test("streaming assignment of an empty corpus serves the empty frame") {
+    import spark.implicits._
+    // the streamingQuantile empty-corpus contract: an all-empty ingest
+    // never writes the output dir — serve empty, not FileNotFoundException
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft_km_empty_model_").toString
+    Similarity.saveKmeansModel(
+      Similarity.kmeansFit(emb, "embedding", "vec_id", 3, 1), modelDir, 3, 64)
+    val sfEmpty = java.nio.file.Files
+      .createTempDirectory("graft_km_empty_sf_")
+    emb.limit(0).write
+      .parquet(sfEmpty.resolve("embeddings.parquet").toString)
+    val out = graft.streaming.Streaming.streamingKmeansAssign(
+      spark, sfEmpty.toString, "kme", modelDir, ingestFiles = 1)
+    assert(out.columns.toSeq == Seq("vec_id", "cluster", "cos"))
+    assert(out.isEmpty)
+    graft.operators.CacheScope.global.release()
+  }
+
   test("dimension mismatches refuse loudly instead of emitting null-cosine garbage") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -185,6 +185,14 @@ class PlanDigestSpec extends AnyFunSuite {
     // unsupervised mix: assignment + quota selection both live below
     // the RDD boundary of the rank chain (the p15 shape)
     "p17_kmeans_topic_mix"    -> Digest(0, 0, 0, 0, 0),
+    // round-13: COMPACTED-store serves must keep their uncompacted
+    // siblings' plan shape exactly — compaction changes the files
+    // under the store, never the serve plan (t55↔t36's explode+merge
+    // agg, t56↔t44, t57↔t46, t58↔t49)
+    "t55_kmv_compacted"       -> Digest(1, 0, 0, 0, 0),
+    "t56_frequent_compacted"  -> Digest(3, 1, 0, 0, 0),
+    "t57_countmin_compacted"  -> Digest(4, 1, 0, 0, 0),
+    "t58_quantile_compacted"  -> Digest(0, 0, 0, 0, 0),
     // quantiles composed into curation: the fences are a bounded driver
     // action; the served plan is ONE broadcast-join filter pass + the
     // survivor agg — a window or second shuffle here means the trim

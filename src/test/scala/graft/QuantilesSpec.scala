@@ -165,6 +165,47 @@ class QuantilesSpec extends AnyFunSuite {
     graft.operators.CacheScope.global.release()
   }
 
+  test("±Infinity excluded like NaN — never a silent misorder or a maxPasses loop") {
+    val rnd = new scala.util.Random(23)
+    val clean = (0 until 1500).map(i => (s"g${i % 3}", rnd.nextInt(400).toDouble))
+    val junk = Seq(("g0", Double.PositiveInfinity),
+      ("g1", Double.NegativeInfinity), ("g2", Double.NaN))
+    val got = Quantiles.exactQuantilesByGroup(
+        (clean ++ junk).toDF("g", "v"), "g", "v", 0.5, bins = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = clean.groupBy(_._1).map { case (g, vs) =>
+      g -> disc(vs.map(_._2), 0.5) }
+    assert(got == exp)
+    // the store path states the same policy: infinite rows never land
+    // in a bucket (not even overflow — they have no finite extent)
+    val hist = Quantiles.histogramByGroup(
+        (clean ++ junk).toDF("g", "v"), "g", "v", 0.0, 100.0, 4)
+      .agg(sum("cnt")).collect().head.getLong(0)
+    assert(hist == clean.size)
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("fractional weights refuse loudly; integer-valued doubles accepted") {
+    val rows = Seq(("g0", 1.0, 2.0), ("g0", 2.0, 0.9), ("g0", 3.0, 1.0))
+    val e = intercept[Exception] {
+      Quantiles.exactWeightedQuantilesByGroup(
+        rows.toDF("g", "v", "w"), "g", "v", "w", 0.5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("non-integer weight")),
+      s"unexpected error: ${e.getMessage}")
+    // integer-valued doubles are fine (the documented value semantics,
+    // not a static type restriction); null weights still drop silently
+    val ok = Seq(("g0", 1.0, Some(2.0)), ("g0", 2.0, Some(3.0)),
+        ("g0", 3.0, Option.empty[Double]))
+      .toDF("g", "v", "w")
+    val got = Quantiles.exactWeightedQuantilesByGroup(
+        ok, "g", "v", "w", 0.5).collect().head.getDouble(1)
+    assert(got == 2.0) // ranks: 1.0 has w2 (cum 2), 2.0 has w3 (cum 5); r=ceil(0.5*5)=3
+    graft.operators.CacheScope.global.release()
+  }
+
   test("q domain validated; convergence declared within maxPasses on adversarial clusters") {
     intercept[IllegalArgumentException] {
       Quantiles.exactQuantiles(Seq(1.0).toDF("v"), "v", Seq(0.0))

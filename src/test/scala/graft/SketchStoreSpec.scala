@@ -1,0 +1,252 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CountMin, HeavyHitters, Quantiles, SketchStore,
+  Sketches, Similarity}
+import graft.functions.{KmvSketch, MisraGries}
+
+/** Sketch-store compaction: fold-all-slices must be invisible to every
+  * serve (linear merge ≡ merge-at-read), collapse the raw table to a
+  * constant independent of append count, survive torn generations, and
+  * compose with appends that continue afterwards. */
+class SketchStoreSpec extends AnyFunSuite {
+  import SparkSpec.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_compact_$tag").toString
+
+  /** Raw (pre-merge) rows + part-file count of the LIVE data dir. */
+  private def rawShape(path: String, sub: String): (Long, Int) = {
+    val live = Similarity.resolveDataDir(path, sub)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(live))
+    val parts = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    } finally files.close()
+    (spark.read.parquet(live).count(), parts)
+  }
+
+  test("histogram store: compact preserves the serve, collapses raw rows, appends continue") {
+    val rnd = new scala.util.Random(31)
+    // slice key (id % 3) and group key (id % 5) are coprime, so every
+    // slice carries every group — the fold genuinely collapses rows
+    val rows = (0 until 3000).map(i =>
+      (i.toLong, s"g${i % 5}", rnd.nextInt(300).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val (lo, hi, bins) = (0.0, 128.0, 16) // narrow: overflow bucket live
+    val dir = tmp("hist")
+    Quantiles.saveHistogram(
+      Quantiles.histogramByGroup(df.filter(col("id") % 3 === 0),
+        "g", "v", lo, hi, bins), dir, lo, hi, bins, sliceId = "s0")
+    (1 to 2).foreach { k =>
+      Quantiles.appendHistogram(
+        Quantiles.histogramByGroup(df.filter(col("id") % 3 === k),
+          "g", "v", lo, hi, bins), dir, lo, hi, bins, sliceId = s"s$k")
+    }
+    def serve(base: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      Quantiles.quantileByGroupFromStore(base, "g", "v", dir, 0.5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val before = serve(df)
+    val (rawBefore, _) = rawShape(dir, "hist")
+    SketchStore.compact(spark, dir)
+    val (rawAfter, filesAfter) = rawShape(dir, "hist")
+    assert(serve(df) == before, "compaction changed the served quantile")
+    assert(rawAfter < rawBefore && filesAfter == 1,
+      s"raw $rawBefore -> $rawAfter in $filesAfter files")
+    // the merged frame itself is byte-equal to merge-at-read
+    val merged = Quantiles.loadHistogram(spark, dir)._1
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    // appends continue on top of the compacted generation and the union
+    // still equals the one-shot answer over everything
+    val extra = (3000 until 4000).map(i =>
+      (i.toLong, s"g${i % 5}", rnd.nextInt(300).toDouble))
+    Quantiles.appendHistogram(
+      Quantiles.histogramByGroup(extra.toDF("id", "g", "v"), "g", "v",
+        lo, hi, bins), dir, lo, hi, bins, sliceId = "s3")
+    val all = rows ++ extra.map { case (id, g, v) => (id, g, v) }
+    val afterAppend = serve(all.toDF("id", "g", "v"))
+    val truth = all.groupBy(_._2).map { case (g, rs) =>
+      val s = rs.map(_._3).sorted
+      g -> s((math.ceil(0.5 * s.size).toLong max 1L).toInt - 1)
+    }
+    assert(afterAppend == truth, s"$afterAppend vs $truth")
+    assert(merged.nonEmpty)
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("kmv + mg + grouped cm stores: serves hash-equal across compaction") {
+    val rnd = new scala.util.Random(37)
+    // every 7th doc draws from a 5-word head (each head word lands at
+    // ~3% of a group's items), the rest from a 400-word tail (~0.4%
+    // each) — a φ between the two separates them deterministically
+    val docs = (0 until 600).map { i =>
+      (i.toLong, s"g${i % 2}",
+        (0 until 12).map(_ => s"w${rnd.nextInt(if (i % 7 == 0) 5 else 400)}")
+          .mkString(" "))
+    }.toDF("id", "g", "text")
+    val items = docs.select(col("id"), col("g"),
+      explode(split(col("text"), " ")).as("item"))
+    // KMV
+    val kdir = tmp("kmv"); val k = 16
+    def kmvSlice(f: org.apache.spark.sql.Column) =
+      items.filter(f).select(col("g"),
+          KmvSketch.portableHash60(col("item")).as("h"))
+        .groupBy("g").agg(KmvSketch.kmvSketch(col("h"), k).as("sk"))
+    Sketches.saveKmvSketches(kmvSlice(col("item") =!= "w0"), "g", "sk",
+      kdir, k)
+    Sketches.appendKmvSketches(kmvSlice(col("item") === "w0"), "g", "sk",
+      kdir, k)
+    def kmvServe(): Set[(String, Int, Double)] =
+      Sketches.loadKmvSketches(spark, kdir)
+        .select(col("group"), size(col("sk")).as("n"),
+          KmvSketch.estimate(col("sk"), k).as("est"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .toSet
+    val kBefore = kmvServe()
+    SketchStore.compact(spark, kdir)
+    assert(kmvServe() == kBefore, "kmv serve changed across compaction")
+    assert(rawShape(kdir, "sketches")._2 == 1)
+    // MG (grouped summaries + exact-recount serve); slices by id parity
+    // so every group holds TWO stored summaries and the fold exercises
+    // the Agarwal merge, not just a copy
+    val mdir = tmp("mg"); val m = 150
+    def mgSlice(f: org.apache.spark.sql.Column) = {
+      val sliced = items.filter(f)
+      sliced.groupBy("g").agg(
+        MisraGries.mgSummary(col("item"), m).as("summary"),
+        count(lit(1)).as("n_items"))
+    }
+    Sketches.saveMgSummaries(mgSlice(col("id") % 2 === 0), "g", "summary",
+      "n_items", mdir, m)
+    Sketches.appendMgSummaries(mgSlice(col("id") % 2 =!= 0), "g", "summary",
+      "n_items", mdir, m)
+    def mgServe(): Set[(String, String, Long)] =
+      HeavyHitters.frequentItemsByGroupFromStore(items, "g", "item",
+          mdir, phi = 0.015)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val mBefore = mgServe()
+    assert(mBefore.nonEmpty) // the skewed w0..w9 head must surface
+    SketchStore.compact(spark, mdir)
+    assert(mgServe() == mBefore, "mg serve changed across compaction")
+    // grouped CM (linear: estimates bit-identical across compaction)
+    val cdir = tmp("cmg"); val (depth, width) = (4, 256)
+    CountMin.saveCmGroups(
+      CountMin.cmBuildByGroup(items.filter(col("id") % 2 === 0), "g",
+        "item", depth, width), cdir, depth, width, sliceId = "even")
+    CountMin.appendCmGroups(
+      CountMin.cmBuildByGroup(items.filter(col("id") % 2 === 1), "g",
+        "item", depth, width), cdir, depth, width, sliceId = "odd")
+    val probes = items.limit(50)
+    def cmServe(): Set[(String, String, Long)] = {
+      val (counters, d, w) = CountMin.loadCmGroups(spark, cdir)
+      CountMin.cmEstimateByGroup(probes, counters, "g", "item", d, w)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    }
+    val cBefore = cmServe()
+    SketchStore.compact(spark, cdir)
+    assert(cmServe() == cBefore, "cm serve changed across compaction")
+    assert(rawShape(cdir, "counters")._2 == 1)
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("plain cm store compacts; unknown layout refuses") {
+    val items = (0 until 500).map(i => s"w${i % 40}").toDF("item")
+    val dir = tmp("cm"); val (depth, width) = (4, 128)
+    CountMin.saveCm(CountMin.cmBuild(items.filter(col("item") =!= "w0"),
+      "item", depth, width), dir, depth, width, sliceId = "a")
+    CountMin.appendCm(CountMin.cmBuild(items.filter(col("item") === "w0"),
+      "item", depth, width), dir, depth, width, sliceId = "b")
+    def serve(): Set[(String, Long)] = {
+      val (counters, d, w) = CountMin.loadCm(spark, dir)
+      CountMin.cmEstimate(items.distinct(), counters, "item", d, w)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    val before = serve()
+    SketchStore.compact(spark, dir)
+    assert(serve() == before)
+    // a second compaction folds the __compacted slice again — stable
+    SketchStore.compact(spark, dir)
+    assert(serve() == before)
+    // unknown layout refuses rather than guessing a fold
+    val bogus = tmp("bogus")
+    Seq(("wat_v9", 1)).toDF("layout", "k")
+      .coalesce(1).write.parquet(s"$bogus/_params")
+    val e = intercept[IllegalArgumentException] {
+      SketchStore.compact(spark, bogus)
+    }
+    assert(e.getMessage.contains("not a compactable"))
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("torn compaction generation is invisible; next compact sweeps it") {
+    val rows = (0 until 1000).map(i => (i.toLong, "g", (i % 97).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    val dir = tmp("torn")
+    Quantiles.saveHistogram(Quantiles.histogramByGroup(df, "g", "v",
+      lo, hi, bins), dir, lo, hi, bins, sliceId = "s0")
+    def serve(): Double =
+      Quantiles.quantileByGroupFromStore(df, "g", "v", dir, 0.5)
+        .collect().head.getDouble(1)
+    val truth = serve()
+    // a crash mid-compaction: generation dir exists, pointer never
+    // flipped — readers must keep resolving the old live dir
+    val torn = java.nio.file.Paths.get(dir, "hist.g9999")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-junk.parquet"), "x")
+    assert(serve() == truth, "torn generation leaked into the serve")
+    // a real compaction commits and sweeps the orphan
+    SketchStore.compact(spark, dir)
+    assert(serve() == truth)
+    assert(!java.nio.file.Files.exists(torn),
+      "orphaned torn generation survived the sweep")
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("many-slice soak: the raw table collapses to a constant after compaction") {
+    // 500 appended slices — the daily-append-for-a-year-plus shape. The
+    // slice histograms are built once and re-stamped per slice id (the
+    // bytes appended are identical to 500 independent API appends of
+    // the same per-slice data; what the soak measures is the READ and
+    // COMPACTION behavior as slice count grows, not the append loop).
+    val slices = 500
+    val (lo, hi, bins) = (0.0, 64.0, 8)
+    val dir = tmp("soak")
+    val one = (0 until 200).map(i => (s"g${i % 4}", (i % 80).toDouble))
+      .toDF("g", "v")
+    val hist = Quantiles.histogramByGroup(one, "g", "v", lo, hi, bins)
+      .cache()
+    Quantiles.saveHistogram(hist, dir, lo, hi, bins, sliceId = "s0")
+    val live = Similarity.resolveDataDir(dir, "hist")
+    (1 until slices).toDF("i").crossJoin(hist)
+      .select(concat(lit("s"), col("i")).as("slice_id"),
+        col("group"), col("bucket"), col("cnt"), col("mn"), col("mx"))
+      .write.mode("append").parquet(live)
+    hist.unpersist()
+    val (rawBefore, _) = rawShape(dir, "hist")
+    val perSlice = Quantiles.loadHistogram(spark, dir)._1.count()
+    assert(rawBefore >= slices * perSlice,
+      s"soak staging broke: $rawBefore raw rows for $slices slices")
+    // serve truth: every slice holds the same data, so the median is
+    // the single-slice median (counts scale by 500 uniformly)
+    val big = (0 until slices).toDF("rep").crossJoin(one).select("g", "v")
+    val served = Quantiles.quantileByGroupFromStore(big, "g", "v", dir, 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    SketchStore.compact(spark, dir)
+    val (rawAfter, filesAfter) = rawShape(dir, "hist")
+    assert(rawAfter == perSlice && filesAfter == 1,
+      s"compacted raw table is $rawAfter rows / $filesAfter files — " +
+        s"should be the per-slice constant $perSlice in one file")
+    val servedAfter = Quantiles.quantileByGroupFromStore(big, "g", "v",
+        dir, 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(servedAfter == served, "soak serve changed across compaction")
+    graft.operators.CacheScope.global.release()
+  }
+}
