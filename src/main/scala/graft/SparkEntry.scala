@@ -6219,52 +6219,124 @@ object SparkEntry {
   // deterministic Zipf-vocabulary twin of the documents table (same
   // rows/doc_ids, text re-synthesized), where candidate sets are small
   // corpus fractions — the REPRESENTATIVE numbers, benched
-  // round-over-round beside the adversarial originals. Synthesis uses
-  // xxhash64, which DuckDB cannot replay — so z* are rows-only gates by
-  // design (their CORRECTNESS is covered by the oracled originals; the
-  // twins exist for the bench).
+  // round-over-round beside the adversarial originals.
+  //
+  // Round-13: the twins are now FULLY ORACLED (the r12 verdict's
+  // rows-only soft spot). The original synthesis used xxhash64 + pow,
+  // neither of which DuckDB replays (pow is not correctly rounded —
+  // floor(pow(...)) can flip a word across engines at an integer
+  // boundary). The portable rebuild: the log-uniform rank map is
+  // QUANTIZED to a 1024-entry table computed ONCE in Scala
+  // (floor(30000^((k+0.5)/1024))) and embedded as a literal array on
+  // BOTH sides — no cross-engine pow at all — and the per-position
+  // index is the repo's portable-hash idiom (first 3 hex digits of
+  // md5, the Splits/CM discipline), so DuckDB reproduces every token.
+  // Every 100th-ish train doc (doc_id % 100 = 57) copies the text of
+  // eval doc (doc_id − 37) — planted leaks that give the containment
+  // serve real flags to find (z2's answer is no longer trivially 0).
   // ------------------------------------------------------------------
 
-  /** Zipf twin of `documents`: 60 tokens/doc over a 30k-word vocabulary,
-    * rank = floor(V^u) with u log-uniform from xxhash64(doc_id, pos) —
-    * density ∝ 1/rank (Zipf s=1), no RNG state, byte-stable across runs.
-    * Same construction as the CurationSoak `zipf` section, seeded from
-    * the real table's doc_ids so row count tracks the SF.
+  /** The quantized Zipf rank table: rank(k) = floor(V^((k+0.5)/1024)),
+    * V = 30000 — density ∝ 1/rank across the table (Zipf s=1), byte-
+    * stable, and shared verbatim with the oracle SQL as a literal. */
+  private val zipfRanks: Seq[Long] =
+    (0 until 1024).map(k =>
+      math.floor(math.pow(30000.0, (k + 0.5) / 1024.0)).toLong)
+
+  /** Mid-frequency query pairs for z1, drawn FROM the rank-table image
+    * (ranks ~120-730: hit many docs, nowhere near all) — a term not in
+    * the table image would match nothing and void the gate's point. */
+  private val zipfQueries: Seq[(Long, String)] =
+    (1 to 10).map { i =>
+      (i.toLong, s"w${zipfRanks(455 + i * 20)} w${zipfRanks(560 + i * 9)}")
+    }
+
+  /** Zipf twin of `documents`: 60 tokens/doc, token = "w" + rank-table
+    * lookup at the md5-derived index; doc_id % 100 = 57 rows take eval
+    * doc (doc_id − 37)'s seed — full-text planted leaks.
     * MATERIALIZED (localCheckpoint, like the soak): the synthesis is an
     * interpreted HOF projection, and downstream shingle HOFs reference
     * `text` once per window position — CollapseProject would inline the
-    * 60-element pow/xxhash64 fold into EVERY reference (the BPE
-    * blow-up), turning a serve bench into a synthesis bench (measured:
-    * z2 at 14 s un-checkpointed vs the real serve cost). */
+    * 60-element hash fold into EVERY reference (the BPE blow-up),
+    * turning a serve bench into a synthesis bench (measured: z2 at
+    * 14 s un-checkpointed vs the real serve cost). */
   private def zipfDocs(docs: DataFrame): DataFrame = {
     val wordsPerDoc = 60
-    val vocab = 30000.0
-    val u = (pos: Column) =>
-      (abs(xxhash64(col("doc_id") * 131 + pos)) % 1000000L)
-        .cast("double") / 1000000.0
+    val rt = typedLit(zipfRanks)
+    val seed = when(col("doc_id") % 100 === 57, col("doc_id") - 37)
+      .otherwise(col("doc_id"))
+    val idx = (pos: Column) =>
+      conv(substring(md5(concat(lit("z"), seed.cast("string"), lit(":"),
+        pos.cast("string"))), 1, 3), 16, 10).cast("int") % 1024
     graft.operators.spread(docs.select(col("doc_id")))
       .select(col("doc_id"), array_join(
         transform(sequence(lit(0), lit(wordsPerDoc - 1)),
           p => concat(lit("w"),
-            floor(pow(lit(vocab), u(p))).cast("long"))),
+            element_at(rt, idx(p) + lit(1)).cast("string"))),
         " ").as("text"))
       .localCheckpoint(true)
   }
 
+  /** The synthesized corpus as a DuckDB CTE — the exact zipfDocs rule:
+    * same rank literal, same md5 index, same leak seeds. */
+  private val zipfCte: String =
+    s"""WITH rt AS (SELECT ${zipfRanks.mkString("[", ", ", "]")} AS r),
+       zdocs AS (
+         SELECT doc_id, array_to_string(list_transform(range(0, 60),
+             p -> 'w' || CAST(r[(('0x' || substr(md5('z' ||
+                    CAST(seed AS VARCHAR) || ':' || CAST(p AS VARCHAR)),
+                    1, 3))::INT % 1024) + 1] AS VARCHAR)), ' ') AS text
+         FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 100 = 57 THEN doc_id - 37
+                      ELSE doc_id END AS seed
+               FROM documents) CROSS JOIN rt)"""
+
   // BM25 serving at realistic term selectivity: mid-frequency query
-  // terms (rank ~100-1000) hit many docs but nowhere near all — the
-  // postings the serve joins are small corpus fractions, unlike r2's
-  // every-term-matches-everything ceiling.
-  defineNoOracle("z1_bm25_serve_zipf") { (s, d) =>
+  // terms hit many docs but nowhere near all — the postings the serve
+  // joins are small corpus fractions, unlike r2's every-term-matches-
+  // everything ceiling. Oracle = the r2 BM25 derivation over the
+  // synthesized CTE (clean synthetic text makes the normalization a
+  // plain space split on both sides); 2-term scores are sums of two
+  // doubles (commutative in IEEE), so the 6dp rounding is engine-exact.
+  define("z1_bm25_serve_zipf", zipfCte + s""",
+       tok AS (SELECT doc_id AS n_id,
+           unnest(regexp_split_to_array(text, ' ')) AS term FROM zdocs),
+       tf AS (SELECT n_id, term, count(*) AS tf FROM tok
+              GROUP BY n_id, term),
+       dl AS (SELECT n_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+              GROUP BY n_id),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                 FROM dl),
+       qt AS (SELECT DISTINCT CAST(q_id AS BIGINT) AS q_id, term
+              FROM (VALUES ${zipfQueries.flatMap { case (qid, qtext) =>
+                qtext.split(" ").map(tm => s"($qid, '$tm')")
+              }.mkString(", ")}) AS t(q_id, term)),
+       scored AS (
+         SELECT qt.q_id, tf.n_id,
+           round(sum(ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6)
+             AS score
+         FROM qt JOIN tf USING (term)
+         JOIN dfr USING (term)
+         JOIN dl ON dl.n_id = tf.n_id
+         CROSS JOIN stats
+         GROUP BY qt.q_id, tf.n_id)
+       SELECT q_id, n_id, rank, score FROM (
+         SELECT q_id, n_id, score,
+           CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, n_id) AS INT) AS rank
+         FROM scored)
+       WHERE rank <= 10""") { (s, d) =>
     import s.implicits._
     import graft.operators.Retrieval
     val z = zipfDocs(t(s, d, "documents"))
     val dir = sessionIndexDir(s"zbm_$d") { p =>
       Retrieval.buildBm25Index(z, "text", "doc_id", s"$p/bm")
     }
-    val queries = (1 to 10)
-      .map(i => (i.toLong, s"w${i * 97 + 100} w${i * 89 + 500}"))
-      .toDF("q_id", "q_text")
+    val queries = zipfQueries.toDF("q_id", "q_text")
     Retrieval.bm25TopKFromIndex(queries, s"$dir/bm", "q_text", "q_id",
       k = 10)
   }
@@ -6272,25 +6344,57 @@ object SparkEntry {
   // Decontamination serving with a real vocabulary: trigram postings
   // match sparsely (random Zipf docs never reach 0.5 containment), so
   // the measured cost is posting-intersection volume, not the 31-word
-  // everything-matches fan-out. Output is a 1-row audit summary
-  // (scanned/flagged) — deterministic, rows ≥ 1 for the smoke check.
-  defineNoOracle("z2_contam_serve_zipf") { (s, d) =>
+  // everything-matches fan-out — and the planted doc_id%100=57 leaks
+  // give the serve real flags (containment 1.0 against their eval
+  // twins). String postings (hashPostings=false, the t22 discipline)
+  // so the oracle reproduces the intersection counts exactly. Output
+  // is a 1-row audit summary — deterministic, rows ≥ 1 for the smoke
+  // check, and 0/0 at SFs too small to contain a planted leak.
+  define("z2_contam_serve_zipf", zipfCte + """,
+       zd AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS wds
+              FROM zdocs),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(wds) - 2),
+           i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])) AS sh
+         FROM zd WHERE len(wds) >= 3),
+       ev AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+       tr AS (SELECT * FROM sh WHERE doc_id % 20 != 0),
+       pairs AS (SELECT tr.doc_id AS t_id, ev.doc_id AS e_id
+         FROM ev, tr
+         WHERE CAST(len(list_intersect(ev.sh, tr.sh)) AS DOUBLE)
+           / len(ev.sh) >= 0.5)
+       SELECT CAST(count(*) AS BIGINT) AS n_flagged,
+         CAST(count(DISTINCT t_id) AS BIGINT) AS n_docs FROM pairs""") {
+    (s, d) =>
     import graft.operators.Decontaminate
     val z = zipfDocs(t(s, d, "documents"))
     val dir = sessionIndexDir(s"zct_$d") { p =>
       Decontaminate.buildIndex(z.filter(col("doc_id") % 20 === 0),
-        "text", "doc_id", s"$p/ct", shingleSize = 3)
+        "text", "doc_id", s"$p/ct", shingleSize = 3, hashPostings = false)
     }
     Decontaminate.flagFromIndex(z.filter(col("doc_id") % 20 =!= 0),
       s"$dir/ct", "text", "doc_id", threshold = 0.5)
-      .agg(count(lit(1)).as("n_flagged"))
+      .agg(count(lit(1)).as("n_flagged"),
+        countDistinct(col("t_id")).as("n_docs"))
   }
 
   // Heavy hitters over an OPEN-ish vocabulary (the case the sketch
-  // exists for): ~900k distinct 2-grams at sf0.1 instead of 961 — the
+  // exists for): ~600k distinct 2-grams at sf0.1 instead of 961 — the
   // MG candidate set is a tiny vocabulary fraction and the recount's
   // InSet filter actually prunes (the 31-word corpus keeps every gram).
-  defineNoOracle("z3_hh_frequent_zipf") { (s, d) =>
+  // Oracle = the t38 φ-frequent derivation over the synthesized CTE.
+  define("z3_hh_frequent_zipf", zipfCte + """,
+       w AS (SELECT regexp_split_to_array(text, ' ') AS wds FROM zdocs),
+       g AS (SELECT array_to_string(wds[pos : pos + 1], ' ') AS gram
+             FROM (SELECT wds,
+                     unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                       AS pos
+                   FROM w)),
+       tot AS (SELECT count(*) AS n FROM g)
+       SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+       FROM g CROSS JOIN tot
+       GROUP BY gram, n
+       HAVING count(*) >= CAST(ceil(0.001 * n) AS BIGINT)""") { (s, d) =>
     graft.operators.HeavyHitters.frequentNgrams(
       zipfDocs(t(s, d, "documents")), "text", n = 2, phi = 0.001)
   }
