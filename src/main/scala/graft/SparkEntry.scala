@@ -3417,9 +3417,26 @@ object SparkEntry {
           "lang", "gram", 4, 1024),
         s"$p/cm", 4, 1024, sliceId = "odd")
     }
-    val (counters, dp, w) = CountMin.loadCmGroups(s, s"$dir/cm")
-    CountMin.cmEstimateByGroup(langProbes(docs), counters,
-      "lang", "gram", dp, w)
+    // the store serve probes its own group count (cheap — the counter
+    // table is parquet) and picks broadcast at language cardinality;
+    // the digest pins that the probe never changes this plan
+    CountMin.cmEstimateByGroupFromStore(langProbes(docs), s"$dir/cm",
+      "lang", "gram")
+      .select(col("group").as("lang"), col("item").as("gram"), col("est"))
+  }
+
+  // t43's SCALE-variant plan, same exact answer (the t45↔t41
+  // relationship for CM): broadcastGroupCap = 0 forces the probe join
+  // to SHUFFLE HASH on (group, row, cell) — the 10⁶-group regime where
+  // the counter table outgrows any broadcast budget. Both sides
+  // exchange the same slim keys; corpus rows never move; the oracle is
+  // t43's verbatim — two plans, one bit-identical answer.
+  define("t59_countmin_by_lang_shuffle", cmByLangOracleSql) { (s, d) =>
+    import graft.operators.CountMin
+    val docs = t(s, d, "documents")
+    CountMin.cmEstimateByGroup(langProbes(docs),
+      CountMin.cmBuildByGroup(langGrams(docs), "lang", "gram", 4, 1024),
+      "lang", "gram", depth = 4, width = 1024, broadcastGroupCap = 0)
       .select(col("group").as("lang"), col("item").as("gram"), col("est"))
   }
 

@@ -100,13 +100,24 @@ object CountMin {
 
   /** Per-group point estimates: each (group, item) probe is scored
     * against ITS group's counters only — min over that group's hash
-    * rows. The grouped counter table broadcasts (≤ |groups| · depth ·
-    * width rows — fine for language/source cardinalities; a
-    * 10⁶-group table should flip to a shuffle join on (group, row,
-    * cell) instead). Output: (group, item, est), probes deduplicated. */
+    * rows. The grouped counter table BROADCASTS by default (≤ |groups|
+    * · depth · width rows — metadata-sized at language/source
+    * cardinalities). At extreme group counts (~10⁶ groups × depth ·
+    * width cells is past any executor broadcast budget) the probe join
+    * flips to a SHUFFLE HASH join on (group, row, cell) — both sides
+    * exchange on the same slim key, corpus rows still never move, and
+    * the plan is O(1) in size however many groups exist (the
+    * `whenChainCap` argument, join-shaped). Pass `broadcastGroupCap =
+    * 0` to force the shuffle plan (the t45 pinning convention). The
+    * flip is caller-declared here rather than probed because probing
+    * an UNMATERIALIZED build would execute its corpus scan twice; the
+    * store serve ([[cmEstimateByGroupFromStore]]) probes automatically
+    * — its counter table sits in parquet, one count over it is cheap.
+    * Output: (group, item, est), probes deduplicated. */
   def cmEstimateByGroup(queries: DataFrame, counters: DataFrame,
                         groupCol: String, itemCol: String,
-                        depth: Int, width: Int): DataFrame = {
+                        depth: Int, width: Int,
+                        broadcastGroupCap: Long = 1L << 16): DataFrame = {
     require(depth >= 1, "depth must be positive")
     val q = queries.select(col(groupCol).as("group"),
         col(itemCol).cast("string").as("item"))
@@ -117,9 +128,33 @@ object CountMin {
         .as("rc"))
       .select(col("group"), col("item"),
         col("rc.row").as("row"), col("rc.cell").as("cell"))
-    qc.join(broadcast(counters), Seq("group", "row", "cell"), "left")
+    val counterSide =
+      if (broadcastGroupCap > 0) broadcast(counters)
+      // shuffle HASH (not sort-merge): the join is an equi-probe with
+      // no ordering need, and each partition's counter slice is
+      // groups/partitions · depth · width rows — a fine build side
+      else counters.hint("shuffle_hash")
+    qc.join(counterSide, Seq("group", "row", "cell"), "left")
       .groupBy("group", "item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Per-group estimates straight from a persisted grouped store
+    * ([[loadCmGroups]]), with the broadcast-vs-shuffle decision PROBED
+    * from the store: the stored counter table is metadata-sized
+    * relative to the corpus it summarizes, so one distinct-count over
+    * it is cheap — above `broadcastGroupCap` groups the probe join
+    * flips to the shuffle plan automatically. */
+  def cmEstimateByGroupFromStore(queries: DataFrame, path: String,
+                                 groupCol: String, itemCol: String,
+                                 broadcastGroupCap: Long = 1L << 16)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    val (counters, d, w) = loadCmGroups(spark, path)
+    val nGroups = counters.select("group").distinct().count()
+    cmEstimateByGroup(queries, counters, groupCol, itemCol, d, w,
+      if (broadcastGroupCap > 0 && nGroups > broadcastGroupCap) 0
+      else broadcastGroupCap)
   }
 
   /** One-shot convenience: estimates of `queries` item frequencies in

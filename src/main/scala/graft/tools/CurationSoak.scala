@@ -638,6 +638,22 @@ object CurationSoak {
         HeavyHitters.frequentItemsByGroup(byDoc, "grp", "gram",
           phi = 0.4, margin = 1.5).count()
       }
+      // 10⁵ grouped CM sketches probed through the FORCED shuffle join
+      // (round-12 verdict #6): at this group count the counter table
+      // (≤ groups·depth·width rows) is past sane broadcast budgets, so
+      // the probe join must exchange (group, row, cell) keys instead —
+      // the timing pins that the flip stays wire-bounded (counters +
+      // probe keys, never corpus text)
+      time("cm_grouped_1e5_groups_shuffle") {
+        val byDoc = spread(docs100k.select(col("doc_id").as("group"),
+            col("text")))
+          .select(col("group"),
+            explode(TFx.shingles(col("text"), 2)).as("gram"))
+        CountMin.cmEstimateByGroup(
+          byDoc.filter(col("group") % 97 === 0),
+          CountMin.cmBuildByGroup(byDoc, "group", "gram", 4, 8),
+          "group", "gram", 4, 8, broadcastGroupCap = 0).count()
+      }
     }
     spark.stop()
   }

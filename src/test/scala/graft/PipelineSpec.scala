@@ -4315,6 +4315,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped CM scale plan: forced shuffle join and store auto-probe match broadcast bit for bit") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val g = (0 until 3000).map(i => (s"g${i % 7}", s"w${i % 97}"))
+      .toDF("g", "item").repartition(5)
+    def est(cap: Long): Map[(String, String), Long] =
+      CountMin.cmEstimateByGroup(g,
+          CountMin.cmBuildByGroup(g, "g", "item", 4, 512),
+          "g", "item", 4, 512, broadcastGroupCap = cap)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    val bcast = est(1L << 16)
+    // cap 0 forces the 10⁶-group regime's plan: shuffle hash join on
+    // (group, row, cell), no broadcast anywhere — identical estimates
+    // (the join keys and the min-fold don't care how rows co-located)
+    assert(est(0) == bcast, "shuffle-join estimates diverged")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = CountMin.cmEstimateByGroup(g,
+          CountMin.cmBuildByGroup(g, "g", "item", 4, 512),
+          "g", "item", 4, 512, broadcastGroupCap = 0)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), plan.take(600))
+      assert(!plan.contains("BroadcastExchange"), plan.take(600))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // the store serve probes its own (cheap, parquet-backed) group
+    // count: a cap below the 7 groups must flip to the shuffle plan
+    // and still serve the identical estimates
+    withTempDir("graft_cmflip_") { dir =>
+      CountMin.saveCmGroups(
+        CountMin.cmBuildByGroup(g, "g", "item", 4, 512), dir, 4, 512)
+      val auto = CountMin.cmEstimateByGroupFromStore(g, dir, "g", "item",
+          broadcastGroupCap = 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(auto == bcast, "store auto-probe flip diverged")
+    }
+  }
+
   test("kmv plan: partial sketch below the exchange under ObjectHashAggregate") {
     import spark.implicits._
     import graft.functions.KmvSketch

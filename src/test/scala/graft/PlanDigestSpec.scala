@@ -132,8 +132,14 @@ class PlanDigestSpec extends AnyFunSuite {
     "t43_countmin_by_lang"    -> Digest(4, 1, 0, 0, 0),
     // grouped CM served from the persisted store: the inline build agg
     // is replaced by the store's dedup+sum (metadata-sized rows) — the
-    // counter side must STAY broadcast
+    // counter side must STAY broadcast (the auto-probe picks it at
+    // language cardinality; this entry pins that the probe never
+    // changes the plan)
     "t46_countmin_by_lang_store" -> Digest(4, 1, 0, 0, 0),
+    // t43's forced 10⁶-group plan: the probe join exchanges
+    // (group, row, cell) on BOTH sides instead of broadcasting the
+    // counter table — 2 more shuffles, 0 broadcasts, same answer
+    "t59_countmin_by_lang_shuffle" -> Digest(6, 0, 0, 0, 0),
     // grouped store serve: spread + (group, item) recount agg + the
     // stored-totals threshold aggregate, which must arrive by BROADCAST
     // (a shuffle join here means metadata-sized thresholds started
