@@ -2064,8 +2064,10 @@ object Similarity {
     * clustering rung (kmeansCells' MLlib fit and pqTrain's in-memory
     * k-means++ are seeded and deterministic per-JVM, but neither is
     * reproducible outside Spark; this one is deterministic END TO END
-    * across engines): init = the k smallest-id vectors (cluster id =
-    * rank in id order); each iteration assigns by the 6dp-rounded
+    * across engines): init = deterministic farthest-first (c0 = the
+    * smallest-id vector, then argmin over max 6dp cosine to the chosen
+    * set, ties to the smallest id; cluster id = selection order); each
+    * iteration assigns by the 6dp-rounded
     * cosine argmax (the [[assignToCentroids]] fused projection —
     * centroids embed as literals, NO join, NO corpus shuffle) and
     * recomputes 6dp-rounded component means (one (cluster, pos) hash
@@ -2117,16 +2119,40 @@ object Similarity {
     val data = scope.cache(
       spread(df.select(col(idCol).as("__id"), col(vecCol).as("__v")))
         .withColumn("__xsq", xsq))
-    val initRows = data.select(col("__id"), col("__v"))
-      .orderBy(col("__id")).limit(k).collect()
-    require(initRows.length == k,
-      s"kmeans needs at least k=$k vectors, found ${initRows.length}")
-    val dim = initRows.head.getSeq[Float](1).length
+    // Init: deterministic FARTHEST-FIRST (a portable k-means++): c0 is
+    // the smallest-id vector; each next center is the vector whose
+    // maximum 6dp-rounded cosine to the already-chosen set is SMALLEST
+    // (ties break to the smallest id) — the same rounding discipline
+    // as the iterations, so any engine replays the selection exactly
+    // (the oracle unrolls each step relationally). This replaces the
+    // k-smallest-id init, which wasted clusters on adjacent same-topic
+    // ids; cost is k−1 extra scans of the cached projection, each one
+    // global min_by agg — a row never leaves the executors except the
+    // single winner. Selection order IS the cluster id.
+    val first = data.select(col("__id"), col("__v"))
+      .orderBy(col("__id")).limit(1).collect()
+    require(first.nonEmpty, "kmeans needs at least one vector")
+    val dim = first.head.getSeq[Float](1).length
     require(k.toLong * dim <= (1L << 20),
       s"k=$k x dim=$dim exceeds the bounded-driver centroid ceiling " +
         "(2^20) — use kmeansCells for large k")
-    var cents: Seq[(Int, Seq[Double])] = initRows.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toSeq) }
+    val chosenIds = scala.collection.mutable.ArrayBuffer[Any](first.head.get(0))
+    val chosenVecs = scala.collection.mutable.ArrayBuffer(
+      first.head.getSeq[Float](1).map(_.toDouble).toSeq)
+    while (chosenVecs.size < k) {
+      val score = nearestCentroid("__v",
+        chosenVecs.toSeq.zipWithIndex.map(_.swap)).getField("cos")
+      val picked = data.filter(!col("__id").isin(chosenIds.toSeq: _*))
+        .agg(min_by(struct(col("__id").as("id"), col("__v").as("v")),
+          struct(score.as("s"), col("__id").as("id"))).as("p"))
+        .select(col("p.id"), col("p.v")).collect().head
+      require(!picked.isNullAt(0),
+        s"kmeans needs at least k=$k vectors, found ${chosenVecs.size}")
+      chosenIds += picked.get(0)
+      chosenVecs += picked.getSeq[Float](1).map(_.toDouble).toSeq
+    }
+    var cents: Seq[(Int, Seq[Double])] =
+      chosenVecs.toSeq.zipWithIndex.map(_.swap)
     for (_ <- 1 to iters) {
       val assigned = data.withColumn("__cl",
         nearestCentroid("__v", cents).getField("topic"))

@@ -19,7 +19,23 @@ class KmeansSpec extends AnyFunSuite {
     val dim = rows.head._2.length
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var cents: Seq[Array[Double]] = rows.take(k).map(_._2)
+    // farthest-first init, same rules as the operator: c0 = smallest
+    // id; next = argmin over max 6dp cosine to the chosen set, ties to
+    // the smallest id; cluster id = selection order
+    def cos6(v: Array[Double], c: Array[Double]): Double = {
+      val dot = v.zip(c).map { case (a, b) => a * b }.sum
+      r6(dot / (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(c.map(x => x * x).sum)))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(rows.head)
+    while (chosen.size < k) {
+      val ids = chosen.map(_._1).toSet
+      val pick = rows.filter(r => !ids(r._1))
+        .map { case (id, v) => (chosen.map(c => cos6(v, c._2)).max, id, v) }
+        .minBy(t => (t._1, t._2))
+      chosen += ((pick._2, pick._3))
+    }
+    var cents: Seq[Array[Double]] = chosen.map(_._2).toSeq
     def assign(v: Array[Double]): (Int, Double) = {
       val xsq = v.map(x => x * x).sum
       var best = (-1, -2.0)
