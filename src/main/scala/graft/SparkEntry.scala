@@ -1417,25 +1417,77 @@ object SparkEntry {
   // Engine-portable Lloyd's k-means (2 iterations, k=4): the ORACLE-
   // CHECKED clustering rung — kmeansCells (MLlib, IVF training) and
   // pqTrain (in-memory k-means++) are seeded-deterministic but not
-  // reproducible outside Spark; this one is: deterministic init (the k
-  // smallest-id vectors), 6dp-rounded cosine argmax assignment (fused
-  // projection over literal centroids — NO join, NO corpus shuffle),
-  // 6dp-rounded component means, empty clusters keep their previous
-  // centroid. The oracle unrolls both iterations relationally — every
-  // intermediate (assignment, means) is engine-exact by the rounding
-  // discipline, so the final assignment matches bit for bit.
+  // reproducible outside Spark; this one is: deterministic
+  // FARTHEST-FIRST init (c0 = smallest-id vector, then argmin over the
+  // max 6dp cosine to the chosen set, ties to the smallest id — each
+  // selection step unrolled below as one slim cosine CTE + one ranked
+  // pick), 6dp-rounded cosine argmax assignment (fused projection over
+  // literal centroids — NO join, NO corpus shuffle), 6dp-rounded
+  // component means, empty clusters keep their previous centroid. The
+  // oracle unrolls init and both iterations relationally — every
+  // intermediate (selection, assignment, means) is engine-exact by the
+  // rounding discipline, so the final assignment matches bit for bit.
   private val kmeansOracleSql: String =
     """WITH grid AS (SELECT unnest(generate_series(0, 63)) AS pos),
-       init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
-                  AS INT) AS cl, embedding
-                FROM (SELECT vec_id, embedding FROM embeddings
-                      ORDER BY vec_id LIMIT 4)),
-       c0 AS (SELECT cl, pos, CAST(embedding[pos + 1] AS DOUBLE) AS c
-              FROM init, grid),
        na AS (SELECT vec_id,
                 sum(CAST(embedding[pos + 1] AS DOUBLE)
                   * CAST(embedding[pos + 1] AS DOUBLE)) AS na
               FROM embeddings, grid GROUP BY vec_id),
+       i0 AS (SELECT min(vec_id) AS id FROM embeddings),
+       d0i AS (SELECT a.vec_id AS a,
+                 sum(CAST(a.embedding[pos + 1] AS DOUBLE)
+                   * CAST(b.embedding[pos + 1] AS DOUBLE)) AS dot
+               FROM embeddings a, embeddings b, grid, i0
+               WHERE b.vec_id = i0.id GROUP BY a.vec_id),
+       c0s AS (SELECT d0i.a,
+                 round(d0i.dot / (sqrt(xa.na) * sqrt(xb.na)), 6) AS cos
+               FROM d0i JOIN na xa ON xa.vec_id = d0i.a
+               CROSS JOIN i0 JOIN na xb ON xb.vec_id = i0.id),
+       i1 AS (SELECT a AS id FROM (
+                SELECT c0s.a, row_number() OVER (ORDER BY c0s.cos ASC,
+                    c0s.a ASC) AS rk
+                FROM c0s, i0 WHERE c0s.a <> i0.id) WHERE rk = 1),
+       d1i AS (SELECT a.vec_id AS a,
+                 sum(CAST(a.embedding[pos + 1] AS DOUBLE)
+                   * CAST(b.embedding[pos + 1] AS DOUBLE)) AS dot
+               FROM embeddings a, embeddings b, grid, i1
+               WHERE b.vec_id = i1.id GROUP BY a.vec_id),
+       c1s AS (SELECT d1i.a,
+                 round(d1i.dot / (sqrt(xa.na) * sqrt(xb.na)), 6) AS cos
+               FROM d1i JOIN na xa ON xa.vec_id = d1i.a
+               CROSS JOIN i1 JOIN na xb ON xb.vec_id = i1.id),
+       i2 AS (SELECT a AS id FROM (
+                SELECT c0s.a, row_number() OVER (
+                    ORDER BY greatest(c0s.cos, c1s.cos) ASC,
+                    c0s.a ASC) AS rk
+                FROM c0s JOIN c1s ON c0s.a = c1s.a, i0, i1
+                WHERE c0s.a NOT IN (i0.id, i1.id)) WHERE rk = 1),
+       d2i AS (SELECT a.vec_id AS a,
+                 sum(CAST(a.embedding[pos + 1] AS DOUBLE)
+                   * CAST(b.embedding[pos + 1] AS DOUBLE)) AS dot
+               FROM embeddings a, embeddings b, grid, i2
+               WHERE b.vec_id = i2.id GROUP BY a.vec_id),
+       c2s AS (SELECT d2i.a,
+                 round(d2i.dot / (sqrt(xa.na) * sqrt(xb.na)), 6) AS cos
+               FROM d2i JOIN na xa ON xa.vec_id = d2i.a
+               CROSS JOIN i2 JOIN na xb ON xb.vec_id = i2.id),
+       i3 AS (SELECT a AS id FROM (
+                SELECT c0s.a, row_number() OVER (
+                    ORDER BY greatest(c0s.cos, c1s.cos, c2s.cos) ASC,
+                    c0s.a ASC) AS rk
+                FROM c0s JOIN c1s ON c0s.a = c1s.a
+                JOIN c2s ON c0s.a = c2s.a, i0, i1, i2
+                WHERE c0s.a NOT IN (i0.id, i1.id, i2.id)) WHERE rk = 1),
+       init AS (SELECT CAST(0 AS INT) AS cl, embedding
+                  FROM embeddings, i0 WHERE vec_id = i0.id
+                UNION ALL SELECT CAST(1 AS INT), embedding
+                  FROM embeddings, i1 WHERE vec_id = i1.id
+                UNION ALL SELECT CAST(2 AS INT), embedding
+                  FROM embeddings, i2 WHERE vec_id = i2.id
+                UNION ALL SELECT CAST(3 AS INT), embedding
+                  FROM embeddings, i3 WHERE vec_id = i3.id),
+       c0 AS (SELECT cl, pos, CAST(embedding[pos + 1] AS DOUBLE) AS c
+              FROM init, grid),
        nb1 AS (SELECT cl, sum(c * c) AS nb FROM c0 GROUP BY cl),
        d1 AS (SELECT e.vec_id, c.cl,
                 sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.c) AS dot
@@ -1945,6 +1997,35 @@ object SparkEntry {
     import graft.operators.Multimodal
     Multimodal.payloadNearDup(
       Multimodal.attachPayload(t(s, d, "documents"), "text", "image/fake"),
+      "doc_id")
+  }
+
+  // REAL pixel decode through the JVM's built-in javax.imageio codecs
+  // (round-13: the former stub seam, closed for still images): each row
+  // synthesizes an actual grayscale PNG whose pixel (x, y) carries
+  // exactly (doc_id + x + y) mod 256, then decodes it back through
+  // ImageIO and reports dimensions + the decoded-raster sample mean.
+  // The oracle predicts every stat RELATIONALLY (PNG is lossless, so
+  // the decoded samples must equal the synthesis rule bit for bit) —
+  // if either the encoder or the decoder mis-handles a single pixel,
+  // the mean diverges and the gate fails. avg_luma is an integer-sum /
+  // count double division — exact in both engines, no rounding (the
+  // float-parity rule: never round per-row arithmetic).
+  define("m6_pixel_decode",
+    """WITH g AS (SELECT doc_id,
+           CAST(3 + doc_id % 5 AS INT) AS w,
+           CAST(2 + doc_id % 4 AS INT) AS h
+         FROM documents),
+       px AS (SELECT g.doc_id, g.w, g.h, xs.x, ys.y
+              FROM g, generate_series(0, 6) xs(x),
+                   generate_series(0, 4) ys(y)
+              WHERE xs.x < g.w AND ys.y < g.h)
+       SELECT doc_id, w AS width, h AS height,
+         CAST(sum((doc_id + x + y) % 256) AS DOUBLE) / (w * h) AS avg_luma
+       FROM px GROUP BY doc_id, w, h""") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.pixelFeatures(
+      Multimodal.synthesizeGrayPng(t(s, d, "documents"), "doc_id"),
       "doc_id")
   }
 
@@ -3619,6 +3700,70 @@ object SparkEntry {
         s"$p/b", lo, hi, bins, sliceId = "odd")
     }
     Quantiles.histogramDrift(s, s"$dir/a", s"$dir/b")
+      .select(col("group").as("lang"), col("l1"),
+        col("n_a"), col("n_b"))
+  }
+
+  // Histogram GEOMETRY MIGRATION (round-13): two snapshots histogrammed
+  // at different resolutions refuse to drift-compare (correct — their
+  // buckets do not align); coarsenHistogramStore folds the finer store
+  // by an integer factor into a fresh store at the coarse geometry, and
+  // the comparison proceeds. The gate's [0, 256] range makes both
+  // widths exact powers of two (4 and 16), so the fold's boundaries
+  // provably equal the native coarse bucketing and the oracle — which
+  // unrolls the FOLD itself (fine floor, then the integer bucket fold
+  // floor(b/4)) against the native coarse build — is bit-exact.
+  define("t60_histogram_coarsen_drift",
+    """WITH b AS (SELECT lang, doc_id % 2 AS half, n_chars
+         FROM documents),
+       fa AS (SELECT lang,
+                CASE WHEN n_chars < 0 THEN -1 WHEN n_chars > 256 THEN 64
+                     ELSE least(CAST(floor(CAST(n_chars AS DOUBLE) / 4.0)
+                            AS INT), 63) END AS bf
+              FROM b WHERE half = 0),
+       ha AS (SELECT lang,
+                CASE WHEN bf < 0 THEN -1 WHEN bf >= 64 THEN 16
+                     ELSE CAST(floor(bf / 4.0) AS INT) END AS bucket,
+                count(*) AS cnt
+              FROM fa GROUP BY 1, 2),
+       hb AS (SELECT lang,
+                CASE WHEN n_chars < 0 THEN -1 WHEN n_chars > 256 THEN 16
+                     ELSE least(CAST(floor(CAST(n_chars AS DOUBLE) / 16.0)
+                            AS INT), 15) END AS bucket,
+                count(*) AS cnt
+              FROM b WHERE half = 1 GROUP BY 1, 2),
+       u AS (SELECT lang, bucket, cnt, 0 AS half FROM ha
+             UNION ALL SELECT lang, bucket, cnt, 1 FROM hb),
+       f AS (SELECT lang, bucket,
+               coalesce(sum(CASE WHEN half = 0 THEN cnt END), 0) AS ca,
+               coalesce(sum(CASE WHEN half = 1 THEN cnt END), 0) AS cb
+             FROM u GROUP BY lang, bucket),
+       nn AS (SELECT lang,
+                sum(CASE WHEN half = 0 THEN cnt ELSE 0 END) AS na,
+                sum(CASE WHEN half = 1 THEN cnt ELSE 0 END) AS nb
+              FROM u GROUP BY lang)
+       SELECT lang,
+         round(sum(abs(CAST(ca AS DOUBLE) / na
+           - CAST(cb AS DOUBLE) / nb)), 6) AS l1,
+         CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b
+       FROM f JOIN nn USING (lang)
+       WHERE na > 0 AND nb > 0
+       GROUP BY lang""") { (s, d) =>
+    import graft.operators.Quantiles
+    val docs = t(s, d, "documents")
+    val (lo, hi) = (0.0, 256.0)
+    val dir = sessionIndexDir(s"hcd_$d") { p =>
+      Quantiles.saveHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 === 0),
+          "lang", "n_chars", lo, hi, 64),
+        s"$p/a", lo, hi, 64, sliceId = "even")
+      Quantiles.saveHistogram(
+        Quantiles.histogramByGroup(docs.filter(col("doc_id") % 2 =!= 0),
+          "lang", "n_chars", lo, hi, 16),
+        s"$p/b", lo, hi, 16, sliceId = "odd")
+      Quantiles.coarsenHistogramStore(s, s"$p/a", s"$p/ac", factor = 4)
+    }
+    Quantiles.histogramDrift(s, s"$dir/ac", s"$dir/b")
       .select(col("group").as("lang"), col("l1"),
         col("n_a"), col("n_b"))
   }

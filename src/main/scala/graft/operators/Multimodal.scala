@@ -11,10 +11,14 @@ import org.apache.spark.sql.types._
   * The Spark-side shape is real and tested — binary payload column, metadata
   * struct, batched per-partition processing, explode-based frame sampling.
   * [[Multimodal.ImageHeaderDecoder]] is a REAL pure-JVM decoder for PNG/JPEG
-  * header metadata (dimensions from IHDR / SOFn); full pixel decode remains
-  * a STUB (this container has no codec libraries): `fakeDecode` derives
-  * deterministic pseudo-metadata from the byte content. Swapping in a full
-  * codec changes ONE function, not the pipeline.
+  * header metadata (dimensions from IHDR / SOFn), and
+  * [[Multimodal.ImageIoDecoder]] is a REAL still-image PIXEL decoder over
+  * the JVM's built-in `javax.imageio` codecs (PNG/JPEG/GIF/BMP — no new
+  * dependency), serving decoded-raster statistics no header carries.
+  * Video/audio codecs are the remaining out-of-container seam (ffmpeg
+  * et al.): `fakeDecode` stands in for those behind the same
+  * [[Multimodal.PayloadDecoder]] interface — swapping in a codec changes
+  * ONE function, not the pipeline.
   *
   * Scale design: payloads stay distributed end-to-end (no collect); decode
   * runs per-partition in batches of `batchSize` (the mapInPandas/mapInArrow
@@ -218,11 +222,122 @@ object Multimodal {
   /** Shared instance with the stub fallback. */
   object ImageHeaderDecoder extends ImageHeaderDecoder(FakeDecoder)
 
-  /** Deterministic stand-in for a real decoder: width/height/duration are
-    * pure functions of the payload bytes. Replace with a codec call in a
-    * real deployment (`???` marks the seam). */
+  /** REAL pixel decoder over the JVM's built-in `javax.imageio` codecs
+    * (PNG/JPEG/GIF/BMP ship with every JRE — no new dependency): full
+    * pixel decode, dimensions from the decoded raster. Payloads ImageIO
+    * does not recognize fall through to `fallback` (mixed corpora
+    * decode what is decodable — the [[ImageHeaderDecoder]] contract).
+    * This CLOSES the former stub seam for still images; video/audio
+    * codecs remain out-of-container (ffmpeg et al.) behind the same
+    * [[PayloadDecoder]] interface. */
+  class ImageIoDecoder(fallback: PayloadDecoder = FakeDecoder)
+      extends PayloadDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int) =
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))) match {
+        case Some(img) => (img.getWidth, img.getHeight, 1)
+        case None => fallback.decode(bytes)
+      }
+
+    /** Decoded-PIXEL statistics — what a header can never give: mean of
+      * the raster's band-0 samples (the luma plane for grayscale; for
+      * RGB callers wanting true luma, weight bands upstream). None for
+      * unrecognized payloads. The mean is an integer-sum / count double
+      * division — exact and engine-reproducible for any image small
+      * enough that the sample sum stays under 2^53. */
+    def pixelStats(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val r = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += r.getSample(x, y, 0); x += 1
+          }
+          y += 1
+        }
+        (img.getWidth, img.getHeight,
+          sum.toDouble / (img.getWidth.toLong * img.getHeight))
+      }
+  }
+
+  /** Shared real-codec instance (header fallback for non-images). */
+  object ImageIoDecoder extends ImageIoDecoder(ImageHeaderDecoder)
+
+  /** Synthesize a REAL grayscale PNG per row — pixel (x, y) carries
+    * exactly (id + x + y) mod 256, dimensions (3 + id mod 5) ×
+    * (2 + id mod 4) — so every decoded-pixel statistic is a pure
+    * relational function of the id and an oracle can predict it without
+    * decoding anything (PNG is lossless; the encode→decode loop must
+    * reproduce each sample bit-exactly or the stats diverge). Batched
+    * per partition like [[decodeFeatures]] — encoder setup amortizes,
+    * payloads never leave the executors. */
+  def synthesizeGrayPng(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val input = spread(docs.select(col(idCol).cast("long")))
+    val rows = input.rdd.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val w = (3 + id % 5).toInt
+        val h = (2 + id % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id + x + y) % 256).toInt); x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  private val pixelStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("avg_luma", DoubleType)))
+
+  /** Decoded-pixel feature extraction through the REAL codec: per-
+    * partition batched ([[decodeFeatures]] shape), emitting dimensions
+    * AND the band-0 sample mean from the decoded raster. Rows ImageIO
+    * cannot decode are dropped (the caller filters a mixed corpus by
+    * mime first; a silent fake stat here would poison the column). */
+  def pixelFeatures(withPayload: DataFrame, idCol: String,
+                    batchSize: Int = 64): DataFrame = {
+    val spark = withPayload.sparkSession
+    val input = spread(withPayload.select(col(idCol).cast("long"),
+      col("payload")))
+    val rows = input.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          ImageIoDecoder.pixelStats(row.getAs[Array[Byte]](1))
+            .map { case (w, h, luma) => Row(row.getLong(0), w, h, luma) }
+        }
+      }
+    }
+    spark.createDataFrame(rows, pixelStatsSchema)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Deterministic stand-in for payloads NO in-container codec covers
+    * (video/audio): width/height/duration are pure functions of the
+    * payload bytes. Still images now decode for real via
+    * [[ImageIoDecoder]]; this remains the documented fallback for
+    * byte-stream payloads that are not images at all. */
   def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    // val img = ImageIO.read(new ByteArrayInputStream(bytes))  // real seam: ???
     val n = bytes.length
     var h = 0xcbf29ce484222325L
     var i = 0

@@ -1336,6 +1336,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIoDecoder: real pixel decode agrees with the header parser; stats exact; garbage falls back") {
+    import Multimodal.{ImageHeaderDecoder, ImageIoDecoder}
+    def gray(fmt: String, w: Int, h: Int, v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, v)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = gray("png", 19, 11, 137)
+    val jpg = gray("jpg", 33, 7, 64)
+    // two INDEPENDENT implementations must agree on dimensions: the
+    // hand-written IHDR/SOFn parser and the JDK's full pixel decode
+    assert(ImageIoDecoder.decode(png) == ImageHeaderDecoder.decode(png))
+    assert(ImageIoDecoder.decode(jpg) == ImageHeaderDecoder.decode(jpg))
+    // pixel stats: PNG is lossless — a constant-137 raster decodes to
+    // mean exactly 137.0 (a header could never tell)
+    assert(ImageIoDecoder.pixelStats(png).contains((19, 11, 137.0)))
+    // non-image bytes: stats absent, decode falls through the header
+    // parser to the stub — never an exception
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(ImageIoDecoder.pixelStats(junk).isEmpty)
+    assert(ImageIoDecoder.decode(junk) == Multimodal.fakeDecode(junk))
+    // the distributed path: synthesized PNGs round-trip to the exact
+    // relational rule (the m6 gate's contract, pinned here in-JVM)
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 254L, 1003L).toDF("doc_id")
+    val got = Multimodal.pixelFeatures(
+        Multimodal.synthesizeGrayPng(ids, "doc_id"), "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    for (id <- Seq(0L, 7L, 254L, 1003L)) {
+      val (w, h) = ((3 + id % 5).toInt, (2 + id % 4).toInt)
+      val exp = (for (x <- 0 until w; y <- 0 until h)
+        yield ((id + x + y) % 256).toDouble).sum / (w * h)
+      assert(got(id) == ((w, h, exp)), s"id $id: ${got(id)} vs ($w,$h,$exp)")
+    }
+  }
+
   test("ImageHeaderDecoder parses MP4 (ISO-BMFF) headers: dims, frame count, prefix tolerance") {
     import Multimodal.ImageHeaderDecoder
     // Build a REAL minimal MP4 by the ISO/IEC 14496-12 box layout —
