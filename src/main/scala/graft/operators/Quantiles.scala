@@ -508,6 +508,50 @@ object Quantiles {
       .toDF("group", "value")
   }
 
+  /** EXACT integer-factor coarsening of a grouped histogram frame
+    * built at some (lo, hi, bins): fine bucket b folds to
+    * floor(b / factor) (overflow rows −1 and `bins` map to −1 and
+    * bins/factor), counts sum, data bounds min/max — a pure INTEGER
+    * regrouping of stored rows, touching no value and re-bucketing
+    * nothing. The folded histogram is therefore a valid coarser
+    * partition of the same data in value order: cumulative counts stay
+    * exact rank prefixes and every serve (quantile continuation,
+    * bounds, drift) is exact over it. Cross-STORE caveat: the folded
+    * partition's boundaries are the fine grid's every-factor-th
+    * boundary, while a natively-built coarse histogram buckets by
+    * floor((x−lo)/W) — provably identical when the widths are exactly
+    * representable (power-of-two ranges, the usual geometry), and
+    * otherwise able to disagree only for values within 1 ulp of a
+    * boundary — a microscopic, documented tolerance for drift
+    * comparison, never a serving-correctness issue (the fold is its
+    * own valid partition). */
+  def coarsenHistogram(hist: DataFrame, bins: Int, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be positive, got $factor")
+    require(bins % factor == 0 && bins / factor >= 2,
+      s"bins=$bins must be a multiple of factor=$factor with at least " +
+        "2 coarse buckets — fractional folds do not align boundaries")
+    val nb = bins / factor
+    hist.groupBy(col("group"),
+        when(col("bucket") < 0, -1)
+          .when(col("bucket") >= bins, nb)
+          .otherwise(floor(col("bucket") / factor).cast("int"))
+          .as("bucket"))
+      .agg(sum("cnt").as("cnt"), min("mn").as("mn"), max("mx").as("mx"))
+  }
+
+  /** Geometry MIGRATION for a histogram store: load + merge `srcPath`,
+    * fold its buckets by `factor`, and save the result as a fresh store
+    * at (lo, hi, bins/factor) under `dstPath` — after which the
+    * re-binned snapshot merges/drift-compares against natively-coarse
+    * stores (the refusal the un-migrated geometries correctly hit).
+    * The source store is untouched. */
+  def coarsenHistogramStore(spark: SparkSession, srcPath: String,
+                            dstPath: String, factor: Int): Unit = {
+    val (hist, lo, hi, bins) = loadHistogram(spark, srcPath)
+    saveHistogram(coarsenHistogram(hist, bins, factor), dstPath,
+      lo, hi, bins / factor, sliceId = "coarsened")
+  }
+
   /** Distribution DRIFT between two histogram stores — the t37
     * snapshot-drift posture for value distributions: per group, the
     * L1 distance between the two stores' bucket-mass vectors

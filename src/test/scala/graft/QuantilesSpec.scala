@@ -165,6 +165,50 @@ class QuantilesSpec extends AnyFunSuite {
     graft.operators.CacheScope.global.release()
   }
 
+  test("coarsened store serves the exact quantile; fold equals native coarse build; bad factors refuse") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 3000).map(i =>
+      (i.toLong, s"g${i % 3}", rnd.nextInt(400).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val (lo, hi) = (0.0, 256.0) // power-of-two widths: fold ≡ native
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_qc_src_").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_qc_dst_").toString
+    Quantiles.saveHistogram(
+      Quantiles.histogramByGroup(df, "g", "v", lo, hi, 64),
+      src, lo, hi, 64)
+    Quantiles.coarsenHistogramStore(spark, src, dst, factor = 4)
+    // the folded store is a valid partition: the serve continues the
+    // refinement from its exact rank prefixes and lands on the exact
+    // percentile_disc value
+    val served = Quantiles.quantileByGroupFromStore(df, "g", "v", dst, 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = rows.groupBy(_._2).map { case (g, rs) =>
+      g -> disc(rs.map(_._3), 0.5) }
+    assert(served == truth)
+    // at power-of-two widths the fold is bit-equal to building
+    // natively at the coarse geometry
+    val native = Quantiles.histogramByGroup(df, "g", "v", lo, hi, 16)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val folded = Quantiles.loadHistogram(spark, dst)._1.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(folded == native, "fold diverged from the native coarse build")
+    // non-dividing and degenerate factors refuse
+    intercept[IllegalArgumentException] {
+      Quantiles.coarsenHistogram(
+        Quantiles.histogramByGroup(df, "g", "v", lo, hi, 64), 64, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.coarsenHistogram(
+        Quantiles.histogramByGroup(df, "g", "v", lo, hi, 64), 64, 64)
+    }
+    graft.operators.CacheScope.global.release()
+  }
+
   test("±Infinity excluded like NaN — never a silent misorder or a maxPasses loop") {
     val rnd = new scala.util.Random(23)
     val clean = (0 until 1500).map(i => (s"g${i % 3}", rnd.nextInt(400).toDouble))
