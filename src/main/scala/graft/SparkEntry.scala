@@ -5917,6 +5917,35 @@ object SparkEntry {
     graft.streaming.Streaming.streamingKmv(s, d, "st23", k = 32)
   }
 
+  // COMPACTION inside the streaming lifecycle (round-13): session 1
+  // streams the even half into the histogram store; at the quiesce
+  // point between sessions the store is folded to one slice
+  // (SketchStore.compact — the nightly-maintenance shape); session 2
+  // restarts from the same checkpoint and streams the odd half ON TOP
+  // of the fold. The committed per-batch watermark is what makes this
+  // safe: a replay of a folded batch is skipped wholesale (its slice
+  // id no longer exists for the dedup to collapse — pinned with real
+  // replay debris in StreamingSpec). Linear merges make fold + new
+  // slices ≡ one-shot histogram of the union, so the served median is
+  // the exact full-corpus answer and t48's oracle transfers verbatim.
+  define("st32_stream_quantile_compacted", quantileByLangSql) { (s, d) =>
+    import graft.operators.SketchStore
+    import graft.streaming.Streaming
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_st32_")
+    val docs = t(s, d, "documents")
+    docs.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.parquet(base.resolve("ingest").toString)
+    Streaming.streamingQuantile(s, d, "st32a",
+      baseDir = Some(base.toString))
+    SketchStore.compact(s, base.resolve("qstore").toString)
+    docs.filter(col("doc_id") % 2 =!= 0).repartition(2)
+      .write.mode("append").parquet(base.resolve("ingest").toString)
+    Streaming.streamingQuantile(s, d, "st32b",
+        baseDir = Some(base.toString))
+      .select(col("group").as("lang"), col("value").cast("long").as("p50"))
+  }
+
   // Persisted KMV sketches (operators.Sketches): build on the even-id
   // half, APPEND the odd half's independently-sketched rows (append-only
   // writes — closure under union means the reader merges per group by

@@ -1159,6 +1159,41 @@ object Streaming {
       .select("group", "item", "cnt")
   }
 
+  /** Committed replay watermark for STORE-backed streams (CM, grouped
+    * CM, histogram — streams whose only state IS the slice store): the
+    * store's slice-id dedup already makes at-least-once replays
+    * idempotent against an UNCOMPACTED store, but a compaction between
+    * sessions folds slices into one anonymous slice — a replayed batch
+    * would then re-append rows whose originals lost their id, and
+    * sum-at-read would double-count. The watermark closes that window:
+    * batches at or below it are skipped wholesale, so a fold can never
+    * meet a replay of a batch it folded. Commit order is
+    * append-then-watermark: a crash between the two leaves a
+    * replayable batch whose slice rows are still PRESENT and un-folded
+    * (compaction is a quiesce-point operation, never concurrent with
+    * the crash window), so the slice dedup collapses the re-append —
+    * both idempotence mechanisms stay live, each covering the case the
+    * other cannot. Written via generation + atomic pointer (the
+    * hhstate discipline — never `overwrite` the only copy). */
+  private def readStoreWatermark(spark: SparkSession,
+                                 base: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val live = graft.operators.Similarity.resolveDataDir(base, "wm")
+    if (Files.exists(Paths.get(live)))
+      spark.read.parquet(live).head().getLong(0)
+    else -1L
+  }
+
+  private def commitStoreWatermark(base: String,
+                                   batchId: Long): Unit = {
+    graft.operators.Similarity.commitGeneration(base, "wm") { dest =>
+      org.apache.spark.sql.SparkSession.active
+        .range(batchId, batchId + 1)
+        .withColumnRenamed("id", "last_batch")
+        .coalesce(1).write.mode("overwrite").parquet(dest)
+    }
+  }
+
   /** Streaming Count-Min frequency sketching: each trigger builds its
     * micro-batch's counter table distributed ([[graft.operators
     * .CountMin.cmBuild]] — ≤ depth·width counters on the wire however
@@ -1201,21 +1236,27 @@ object Streaming {
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(ingestDir)
+    var lastBatch = readStoreWatermark(spark, base.toString)
     val q = stream.writeStream
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
-        if (!mb.isEmpty) {
+        if (batchId > lastBatch && !mb.isEmpty) {
           val counters = CountMin.cmBuild(
             HeavyHitters.ngramItems(mb, "text", n), "gram", depth, width)
           // the batch id is the slice key: a replayed batch
           // (foreachBatch is at-least-once) re-appends byte-identical
           // rows that loadCm's per-slice dedup collapses, so the
-          // "sum-at-read == one-shot build" claim survives crashes
+          // "sum-at-read == one-shot build" claim survives crashes;
+          // the committed watermark above extends that idempotence
+          // across COMPACTION (a folded slice loses its id — replays
+          // of folded batches are skipped outright)
           if (Files.exists(Paths.get(storeDir, "_params")))
             CountMin.appendCm(counters, storeDir, depth, width,
               sliceId = s"b$batchId")
           else
             CountMin.saveCm(counters, storeDir, depth, width,
               sliceId = s"b$batchId")
+          lastBatch = batchId
+          commitStoreWatermark(base.toString, batchId)
         }
       }
       .option("checkpointLocation", ckpt)
@@ -1268,9 +1309,10 @@ object Streaming {
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(ingestDir)
+    var lastBatch = readStoreWatermark(spark, base.toString)
     val q = stream.writeStream
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
-        if (!mb.isEmpty) {
+        if (batchId > lastBatch && !mb.isEmpty) {
           val counters = CountMin.cmBuildByGroup(
             grams(mb), "lang", "gram", depth, width)
           if (Files.exists(Paths.get(storeDir, "_params")))
@@ -1279,6 +1321,8 @@ object Streaming {
           else
             CountMin.saveCmGroups(counters, storeDir, depth, width,
               sliceId = s"b$batchId")
+          lastBatch = batchId
+          commitStoreWatermark(base.toString, batchId)
         }
       }
       .option("checkpointLocation", ckpt)
@@ -1332,9 +1376,10 @@ object Streaming {
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(ingestDir)
+    var lastBatch = readStoreWatermark(spark, base.toString)
     val sq = stream.writeStream
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
-        if (!mb.isEmpty) {
+        if (batchId > lastBatch && !mb.isEmpty) {
           val hist = Quantiles.histogramByGroup(
             mb, "lang", "n_chars", lo, hi, bins)
           if (Files.exists(Paths.get(storeDir, "_params")))
@@ -1343,6 +1388,8 @@ object Streaming {
           else
             Quantiles.saveHistogram(hist, storeDir, lo, hi, bins,
               sliceId = s"b$batchId")
+          lastBatch = batchId
+          commitStoreWatermark(base.toString, batchId)
         }
       }
       .option("checkpointLocation", ckpt)

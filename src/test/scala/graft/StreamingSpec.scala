@@ -423,6 +423,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingQuantile: compaction between sessions survives replay via the watermark") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_q_cw_")
+    try {
+      def mk(ids: Range) = ids.map { i =>
+        (i.toLong, s"l${i % 2}", 100L + (i * 37) % 400)
+      }.toDF("doc_id", "lang", "n_chars")
+      val sfA = root.resolve("sfA"); val sfAll = root.resolve("sfAll")
+      mk(0 until 30).coalesce(1)
+        .write.parquet(sfA.resolve("documents.parquet").toString)
+      mk(0 until 60).coalesce(1)
+        .write.parquet(sfAll.resolve("documents.parquet").toString)
+      val base = root.resolve("base").toString
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getDouble(1)))
+          .sortBy(_._1).toSeq
+      val run1 = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qcw1", ingestFiles = 2,
+        baseDir = Some(base)))
+      // nightly maintenance at the quiesce point: fold all slices
+      graft.operators.SketchStore.compact(spark, s"$base/qstore")
+      // crash-replay debris AFTER the fold: the replayed batch's
+      // original slice rows lost their id to __compacted, so the
+      // per-slice dedup can no longer collapse a re-append — only the
+      // committed watermark (skip batches ≤ last_batch) keeps the
+      // counts from doubling
+      dropLastCommit(base)
+      val replayed = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qcw2", ingestFiles = 2,
+        baseDir = Some(base)))
+      assert(replayed == run1,
+        s"replay after compaction shifted ranks: $replayed vs $run1")
+      // and new slices land on top of the fold: linear merge ≡ the
+      // one-shot histogram of the union
+      mk(30 until 60).repartition(2)
+        .write.mode("append").parquet(s"$base/ingest")
+      val resumed = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qcw3", ingestFiles = 2,
+        baseDir = Some(base)))
+      val oneShot = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfAll.toString, "qcw4", ingestFiles = 4))
+      assert(resumed == oneShot, s"$resumed vs $oneShot")
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Simulate foreachBatch's at-least-once delivery precisely: delete
     * the stream checkpoint's LAST commit marker, so the restart
     * re-delivers the final batch (its offsets are recorded, its commit
