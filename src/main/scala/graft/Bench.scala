@@ -131,7 +131,16 @@ object Bench {
     "t47_exact_quantiles", "t49_quantile_by_lang_store",
     // round-12: portable k-means (iters fused scans + slim mean aggs
     // during construction; the timed serve is the final fused argmax)
-    "s19_kmeans")
+    "s19_kmeans",
+    // round-13: serves from COMPACTED stores (fold + commit lands on
+    // the warm-up rep; the medians time the single-slice read the
+    // compaction exists to buy — t58 reads beside t49's two-slice
+    // serve), the forced shuffle-join CM plan (the 10⁶-group regime's
+    // shape, benched beside t40/t41's broadcast-side numbers), and
+    // the real ImageIO pixel decode (synthesize + decode the corpus's
+    // PNGs per rep — a genuinely codec-bound row)
+    "t55_kmv_compacted", "t58_quantile_compacted",
+    "t59_countmin_by_lang_shuffle", "m6_pixel_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
