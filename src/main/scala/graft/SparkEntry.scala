@@ -2029,6 +2029,40 @@ object SparkEntry {
       "doc_id")
   }
 
+  // REAL decode → transform → re-encode → decode through the codec
+  // (round-13): the synthesized gradient PNGs are box-downsampled by 2
+  // (each 2×2 block becomes floor(mean) — an EXACTLY SPECIFIED integer
+  // filter, deliberately not the JDK's unspecified getScaledInstance
+  // interpolation), re-encoded as PNG, and decoded AGAIN for stats.
+  // The oracle predicts every output pixel from the synthesis rule
+  // ((id + x + y) mod 256 box-averaged relationally) — four codec
+  // operations deep, still bit-exact.
+  define("m7_pixel_downsample",
+    """WITH g AS (SELECT doc_id,
+           CAST(floor((3 + doc_id % 5) / 2.0) AS INT) AS w,
+           CAST(floor((2 + doc_id % 4) / 2.0) AS INT) AS h
+         FROM documents),
+       px AS (SELECT g.doc_id, g.w, g.h,
+                CAST(floor((
+                  (g.doc_id + 2*xs.bx     + 2*ys.by)     % 256 +
+                  (g.doc_id + 2*xs.bx + 1 + 2*ys.by)     % 256 +
+                  (g.doc_id + 2*xs.bx     + 2*ys.by + 1) % 256 +
+                  (g.doc_id + 2*xs.bx + 1 + 2*ys.by + 1) % 256) / 4.0)
+                  AS BIGINT) AS v
+              FROM g, generate_series(0, 2) xs(bx),
+                   generate_series(0, 1) ys(by)
+              WHERE xs.bx < g.w AND ys.by < g.h)
+       SELECT doc_id, w AS width, h AS height,
+         CAST(sum(v) AS DOUBLE) / (w * h) AS avg_luma
+       FROM px GROUP BY doc_id, w, h""") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.pixelFeatures(
+      Multimodal.downsamplePayload(
+        Multimodal.synthesizeGrayPng(t(s, d, "documents"), "doc_id"),
+        "doc_id", factor = 2),
+      "doc_id")
+  }
+
   // ==================================================================
   // §2.1 Sources: CSV all-Float32 default, NDJSON with explicit schema
   // ==================================================================

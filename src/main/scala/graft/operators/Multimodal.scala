@@ -332,6 +332,73 @@ object Multimodal {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  private val downsampleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** REAL image downsampling through the codec path: decode → EXACTLY
+    * SPECIFIED box average (each factor×factor block becomes
+    * floor(mean) of its samples; trailing rows/columns past the last
+    * full block are cropped — the crop-to-multiple convention) →
+    * re-encode PNG. The filter is deliberately NOT
+    * `Image.getScaledInstance` (its interpolation is unspecified and
+    * engine-irreproducible); integer box arithmetic makes every output
+    * pixel a pure function of the input pixels, so downstream stats
+    * stay oracle-checkable (the m7 gate decodes the re-encoded bytes
+    * and checks the exact block means relationally). Rows ImageIO
+    * cannot decode are dropped, the [[pixelFeatures]] contract.
+    * Per-partition batched; payloads never leave the executors. */
+  def downsamplePayload(withPayload: DataFrame, idCol: String,
+                        factor: Int = 2, batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, s"factor must be positive, got $factor")
+    val spark = withPayload.sparkSession
+    val input = spread(withPayload.select(col(idCol).cast("long"),
+      col("payload")))
+    val rows = input.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            row.getAs[Array[Byte]](1)))).flatMap { img =>
+            val (w, h) = (img.getWidth / factor, img.getHeight / factor)
+            if (w < 1 || h < 1) None
+            else {
+              val out = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val src = img.getRaster; val dst = out.getRaster
+              var by = 0
+              while (by < h) {
+                var bx = 0
+                while (bx < w) {
+                  var sum = 0L; var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      sum += src.getSample(bx * factor + dx,
+                        by * factor + dy, 0)
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  dst.setSample(bx, by, 0,
+                    (sum / (factor.toLong * factor)).toInt)
+                  bx += 1
+                }
+                by += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Some(Row(row.getLong(0), bos.toByteArray, w, h))
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, downsampleSchema)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Deterministic stand-in for payloads NO in-container codec covers
     * (video/audio): width/height/duration are pure functions of the
     * payload bytes. Still images now decode for real via
