@@ -1084,7 +1084,7 @@ object Similarity {
     Files.deleteIfExists(Paths.get(path, s"$sub.ptr"))
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
+  private[operators] def deleteRec(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
       // materialize the walk before deleting, and close the JDK stream

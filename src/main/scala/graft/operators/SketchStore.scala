@@ -95,9 +95,24 @@ object SketchStore {
     * different directories) into the next generation and flip. The
     * folded table is metadata-sized by construction (≤ groups × bins
     * rows, the same ceiling every serve already enforces), so one
-    * output file keeps the store listing-cheap — the point. */
-  private def commit(path: String, sub: String)(folded: DataFrame): Unit =
+    * output file keeps the store listing-cheap — the point.
+    *
+    * Plain-dir reclamation (the compactIndex `orphanPlain` rule, which
+    * commitGeneration itself does not apply): once a PREVIOUS
+    * compaction's pointer supersedes the plain builder dir, that dir —
+    * holding every original pre-fold slice, the bulk of the store's
+    * bytes — has had at least one full compaction cycle of reader
+    * grace, so this compaction reclaims it before committing the next
+    * generation. The first compaction never deletes it (the fold reads
+    * from it, and lazy readers resolved before the flip may still be
+    * scanning). */
+  private def commit(path: String, sub: String)(folded: DataFrame): Unit = {
+    val preLive = java.nio.file.Paths
+      .get(Similarity.resolveDataDir(path, sub)).getFileName.toString
     Similarity.commitGeneration(path, sub) { dir =>
       folded.coalesce(1).write.mode("overwrite").parquet(dir)
     }
+    if (preLive != sub)
+      Similarity.deleteRec(java.nio.file.Paths.get(path, sub))
+  }
 }

@@ -170,9 +170,18 @@ class SketchStoreSpec extends AnyFunSuite {
     val before = serve()
     SketchStore.compact(spark, dir)
     assert(serve() == before)
-    // a second compaction folds the __compacted slice again — stable
+    // plain builder dir survives the FIRST fold (one full cycle of
+    // reader grace — the fold itself read from it)...
+    val plain = java.nio.file.Paths.get(dir, "counters")
+    assert(java.nio.file.Files.isDirectory(plain),
+      "plain dir reclaimed without grace")
+    // a second compaction folds the __compacted slice again — stable —
+    // and reclaims the superseded plain dir (the orphanPlain rule:
+    // it holds every pre-fold slice, the bulk of the store's bytes)
     SketchStore.compact(spark, dir)
     assert(serve() == before)
+    assert(!java.nio.file.Files.exists(plain),
+      "superseded plain dir leaked past its grace cycle")
     // unknown layout refuses rather than guessing a fold
     val bogus = tmp("bogus")
     Seq(("wat_v9", 1)).toDF("layout", "k")
