@@ -3297,12 +3297,12 @@ object SparkEntry {
         HeavyHitters.summarizeItems(
           HeavyHitters.ngramItems(
             docs.filter(col("doc_id") % 2 === 0), "text", 2), "gram", m),
-        "group", "summary", "n_items", s"$p/hh", m)
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "even")
       Sketches.appendMgSummaries(
         HeavyHitters.summarizeItems(
           HeavyHitters.ngramItems(
             docs.filter(col("doc_id") % 2 =!= 0), "text", 2), "gram", m),
-        "group", "summary", "n_items", s"$p/hh", m)
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "odd")
     }
     HeavyHitters.frequentItemsFromStore(
       HeavyHitters.ngramItems(docs, "text", 2), "gram", s"$dir/hh",
@@ -3387,12 +3387,12 @@ object SparkEntry {
         HeavyHitters.summarizeItemsByGroup(
           langGrams(docs.filter(col("doc_id") % 2 === 0)),
           "lang", "gram", m),
-        "group", "summary", "n_items", s"$p/hh", m)
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "even")
       Sketches.appendMgSummaries(
         HeavyHitters.summarizeItemsByGroup(
           langGrams(docs.filter(col("doc_id") % 2 =!= 0)),
           "lang", "gram", m),
-        "group", "summary", "n_items", s"$p/hh", m)
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "odd")
     }
     HeavyHitters.frequentItemsByGroupFromStore(
       langGrams(docs), "lang", "gram", s"$dir/hh", phi = 0.0013)
@@ -6373,12 +6373,12 @@ object SparkEntry {
         HeavyHitters.summarizeItemsByGroup(
           langGrams(docs.filter(col("doc_id") % 2 === 0)),
           "lang", "gram", m),
-        "group", "summary", "n_items", s"$p/hh", m)
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "even")
       Sketches.appendMgSummaries(
         HeavyHitters.summarizeItemsByGroup(
           langGrams(docs.filter(col("doc_id") % 2 =!= 0)),
           "lang", "gram", m),
-        "group", "summary", "n_items", s"$p/hh", m)
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "odd")
       // compaction folds the two summaries per lang into one; the
       // deficit bound composes (Σ Nᵢ/(m+1)), so the candidate set
       // still covers every φ-frequent gram and the exact recount

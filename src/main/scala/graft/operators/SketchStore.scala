@@ -63,9 +63,10 @@ object SketchStore {
         // the identity (k-min of k values)
         commit(path, "sketches")(Sketches.loadKmvSketches(spark, path)
           .select(col("group"), col("sk")))
-      case Sketches.MgLayout =>  // mg_v1: (group, summary, n_items)
-        commit(path, "summaries")(Sketches.loadMgSummaries(spark, path)
-          .select(col("group"), col("summary"), col("n_items")))
+      case Sketches.MgLayout =>  // mg_v2: (slice_id, group, summary, n)
+        commit(path, "summaries")(withSlice(
+          Sketches.loadMgSummaries(spark, path)
+            .select(col("group"), col("summary"), col("n_items"))))
       case CountMin.Layout =>    // cm_v2: (slice_id, row, cell, cnt)
         commit(path, "counters")(withSlice(
           CountMin.loadCm(spark, path)._1

@@ -102,19 +102,32 @@ object Sketches {
   // ([[HeavyHitters.frequentItemsFromStore]]), never the raw estimates.
   // ------------------------------------------------------------------
 
-  private[operators] val MgLayout = "mg_v1"
+  // v2: summary rows carry the writer's slice_id. Unlike KMV (whose
+  // union closure makes a duplicated row literally harmless — the
+  // k-min of a set unioned with itself is the set), the MG merge is
+  // ADDITIVE: replaying an append without a key would double-count
+  // both the estimates and n_items, and an inflated Σn_items RAISES
+  // every serve threshold ceil(φ·N) — silently DROPPING genuinely
+  // φ-frequent items, the worst failure mode the store has. The
+  // slice id closes it: the reader keeps one row per (slice, group)
+  // before folding, so at-least-once appends are idempotent (the
+  // cm_v2/hist_v1 discipline).
+  private[operators] val MgLayout = "mg_v2"
 
   /** Create a summary table at `path` from a (group, summary, n_items)
     * frame — summary in the [[graft.functions.MisraGries.mgSummary]]
-    * output shape, n_items the slice's total (non-null) item count. */
+    * output shape, n_items the slice's total (non-null) item count.
+    * `sliceId` is the replay-idempotence key (one id names ONE slice's
+    * summaries — the [[graft.operators.CountMin.appendCm]] contract). */
   def saveMgSummaries(summaries: DataFrame, groupCol: String,
                       summaryCol: String, nCol: String,
-                      path: String, m: Int): Unit = {
+                      path: String, m: Int,
+                      sliceId: String = "s0"): Unit = {
     require(m >= 1, s"m must be positive, got $m")
     val spark = summaries.sparkSession
     import spark.implicits._
     Similarity.dropStalePointer(path, "summaries")
-    summaries.select(col(groupCol).as("group"),
+    summaries.select(lit(sliceId).as("slice_id"), col(groupCol).as("group"),
         col(summaryCol).as("summary"), col(nCol).cast("long").as("n_items"))
       .write.mode("overwrite").parquet(s"$path/summaries")
     Seq((MgLayout, m)).toDF("layout", "m")
@@ -129,27 +142,34 @@ object Sketches {
     p.getAs[Int]("m")
   }
 
-  /** Append a new slice's (group, summary, n_items) rows — same-m only. */
+  /** Append a new slice's (group, summary, n_items) rows — same-m
+    * only; `sliceId` is the replay-idempotence key (a replayed append
+    * re-writes byte-identical rows the load's per-slice dedup
+    * collapses — without it, the ADDITIVE merge would double-count
+    * n_items and inflate every serve threshold). */
   def appendMgSummaries(summaries: DataFrame, groupCol: String,
                         summaryCol: String, nCol: String,
-                        path: String, m: Int): Unit = {
+                        path: String, m: Int,
+                        sliceId: String): Unit = {
     val stored = readM(summaries.sparkSession, path)
     require(stored == m,
       s"summary table at $path was built at m=$stored, got m=$m — " +
         "summaries merge with the guaranteed bound only at equal m")
-    summaries.select(col(groupCol).as("group"),
+    summaries.select(lit(sliceId).as("slice_id"), col(groupCol).as("group"),
         col(summaryCol).as("summary"), col(nCol).cast("long").as("n_items"))
       .write.mode("append")
       .parquet(Similarity.resolveDataDir(path, "summaries"))
   }
 
-  /** Load the table, folding every appended row per group into one
-    * summary over the union stream. Output: (group, summary, n_items
-    * = Σ slice counts). Candidate guarantee after the fold: every item
-    * with total frequency > n_items/(m+1) is present. */
+  /** Load the table: per-(slice, group) dedup (replay idempotence),
+    * then fold every slice's row per group into one summary over the
+    * union stream. Output: (group, summary, n_items = Σ slice counts).
+    * Candidate guarantee after the fold: every item with total
+    * frequency > n_items/(m+1) is present. */
   def loadMgSummaries(spark: SparkSession, path: String): DataFrame = {
     val m = readM(spark, path)
     spark.read.parquet(Similarity.resolveDataDir(path, "summaries"))
+      .dropDuplicates("slice_id", "group")
       .groupBy("group")
       .agg(graft.functions.MisraGries.mgMerge(col("summary"), m)
           .as("summary"),

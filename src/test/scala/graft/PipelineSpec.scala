@@ -4089,11 +4089,18 @@ class PipelineSpec extends AnyFunSuite {
     withTempDir("graft_mg_store_") { dir =>
       Sketches.saveMgSummaries(
         HeavyHitters.summarizeItems(slices(0).toDF("item"), "item", m),
-        "group", "summary", "n_items", dir, m)
-      for (sl <- slices.drop(1))
+        "group", "summary", "n_items", dir, m, sliceId = "s0")
+      for ((sl, i) <- slices.drop(1).zipWithIndex)
         Sketches.appendMgSummaries(
           HeavyHitters.summarizeItems(sl.toDF("item"), "item", m),
-          "group", "summary", "n_items", dir, m)
+          "group", "summary", "n_items", dir, m, sliceId = s"s${i + 1}")
+      // a REPLAYED slice append (at-least-once writer) collapses in the
+      // per-slice dedup — the ADDITIVE merge would otherwise double
+      // n_items and inflate every threshold ceil(phi*N), silently
+      // dropping true positives
+      Sketches.appendMgSummaries(
+        HeavyHitters.summarizeItems(slices(2).toDF("item"), "item", m),
+        "group", "summary", "n_items", dir, m, sliceId = "s2")
       // N = 700; phi = 0.2 → thr = 140: hot (350) and warm (200) — and
       // m + 1 = 9 > 1/phi = 5 upholds the superset guarantee across the
       // merged slices
@@ -4116,7 +4123,7 @@ class PipelineSpec extends AnyFunSuite {
       val eM = intercept[IllegalArgumentException] {
         Sketches.appendMgSummaries(
           HeavyHitters.summarizeItems(slices(0).toDF("item"), "item", 16),
-          "group", "summary", "n_items", dir, 16)
+          "group", "summary", "n_items", dir, 16, sliceId = "bad")
       }
       assert(eM.getMessage.contains("m="), eM.getMessage)
       // a foreign layout refuses
@@ -4207,10 +4214,14 @@ class PipelineSpec extends AnyFunSuite {
         df.filter(abs(hash(col("item"))) % 2 === 1))
       Sketches.saveMgSummaries(
         HeavyHitters.summarizeItemsByGroup(s0, "g", "item", m),
-        "group", "summary", "n_items", dir, m)
+        "group", "summary", "n_items", dir, m, sliceId = "s0")
       Sketches.appendMgSummaries(
         HeavyHitters.summarizeItemsByGroup(s1, "g", "item", m),
-        "group", "summary", "n_items", dir, m)
+        "group", "summary", "n_items", dir, m, sliceId = "s1")
+      // replayed grouped slice: per-(slice, group) dedup collapses it
+      Sketches.appendMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(s1, "g", "item", m),
+        "group", "summary", "n_items", dir, m, sliceId = "s1")
       val served = HeavyHitters.frequentItemsByGroupFromStore(
         df, "g", "item", dir, phi = 0.1)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -121,9 +121,9 @@ class SketchStoreSpec extends AnyFunSuite {
         count(lit(1)).as("n_items"))
     }
     Sketches.saveMgSummaries(mgSlice(col("id") % 2 === 0), "g", "summary",
-      "n_items", mdir, m)
+      "n_items", mdir, m, sliceId = "even")
     Sketches.appendMgSummaries(mgSlice(col("id") % 2 =!= 0), "g", "summary",
-      "n_items", mdir, m)
+      "n_items", mdir, m, sliceId = "odd")
     def mgServe(): Set[(String, String, Long)] =
       HeavyHitters.frequentItemsByGroupFromStore(items, "g", "item",
           mdir, phi = 0.015)
