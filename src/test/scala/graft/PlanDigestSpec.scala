@@ -143,8 +143,10 @@ class PlanDigestSpec extends AnyFunSuite {
     // grouped store serve: spread + (group, item) recount agg + the
     // stored-totals threshold aggregate, which must arrive by BROADCAST
     // (a shuffle join here means metadata-sized thresholds started
-    // exchanging the counted corpus)
-    "t44_frequent_by_lang_store" -> Digest(3, 1, 0, 0, 0),
+    // exchanging the counted corpus). 4th exchange since mg_v2: the
+    // load's per-(slice, group) replay dedup is its own aggregate —
+    // it moves ONLY summary rows (≤ slices·groups), never the corpus
+    "t44_frequent_by_lang_store" -> Digest(4, 1, 0, 0, 0),
     // t41's forced high-cardinality plan: candidate list and thresholds
     // both ship as broadcasts (left-semi + thr join) instead of
     // InSet/when-chain literals — exchanges must still move only
@@ -196,7 +198,7 @@ class PlanDigestSpec extends AnyFunSuite {
     // under the store, never the serve plan (t55↔t36's explode+merge
     // agg, t56↔t44, t57↔t46, t58↔t49)
     "t55_kmv_compacted"       -> Digest(1, 0, 0, 0, 0),
-    "t56_frequent_compacted"  -> Digest(3, 1, 0, 0, 0),
+    "t56_frequent_compacted"  -> Digest(4, 1, 0, 0, 0), // = t44's shape
     "t57_countmin_compacted"  -> Digest(4, 1, 0, 0, 0),
     "t58_quantile_compacted"  -> Digest(0, 0, 0, 0, 0),
     // quantiles composed into curation: the fences are a bounded driver
