@@ -5980,6 +5980,33 @@ object SparkEntry {
       .select(col("group").as("lang"), col("value").cast("long").as("p50"))
   }
 
+  // AUTO-compaction cadence (round-14): the store-backed writer folds
+  // its OWN store mid-stream once the live slice count reaches the
+  // threshold — compaction as part of the ingest lifecycle, not a
+  // separate maintenance window. Safe by construction at this call
+  // point: single-writer holds (the compactor IS the stream's writer)
+  // and the batch's watermark was committed a moment earlier, so the
+  // replay guard is trivially clean. With 4 ingest files and threshold
+  // 2 the fold fires repeatedly DURING the stream; linear merges keep
+  // every fold invisible, so t48's oracle transfers verbatim — and the
+  // gate requires the cadence to have actually fired (the live hist
+  // table must be a compaction generation, not the builder dir).
+  define("st33_stream_quantile_autocompact", quantileByLangSql) { (s, d) =>
+    import graft.operators.Similarity
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_st33_")
+    val out = graft.streaming.Streaming.streamingQuantile(s, d, "st33",
+        baseDir = Some(base.toString), compactSliceThreshold = 2)
+      .select(col("group").as("lang"), col("value").cast("long").as("p50"))
+    val live = java.nio.file.Paths
+      .get(Similarity.resolveDataDir(
+        base.resolve("qstore").toString, "hist"))
+      .getFileName.toString
+    require(live.startsWith("hist.g"),
+      s"auto-compaction never fired mid-stream: live dir is $live")
+    out
+  }
+
   // Persisted KMV sketches (operators.Sketches): build on the even-id
   // half, APPEND the odd half's independently-sketched rows (append-only
   // writes — closure under union means the reader merges per group by
@@ -6536,7 +6563,15 @@ object SparkEntry {
                  FROM dl),
        qt AS (SELECT DISTINCT CAST(q_id AS BIGINT) AS q_id, term
               FROM (VALUES ${zipfQueries.flatMap { case (qid, qtext) =>
-                qtext.split(" ").map(tm => s"($qid, '$tm')")
+                qtext.split(" ").map { tm =>
+                  // terms interpolate into SQL literals: a quote (or any
+                  // non-alphanumeric) in a future synthesis would corrupt
+                  // the oracle text silently — refuse it loudly here
+                  require(tm.matches("[a-z0-9]+"),
+                    s"zipf query term '$tm' is not alphanumeric — it " +
+                      "cannot be interpolated into the oracle SQL")
+                  s"($qid, '$tm')"
+                }
               }.mkString(", ")}) AS t(q_id, term)),
        scored AS (
          SELECT qt.q_id, tf.n_id,

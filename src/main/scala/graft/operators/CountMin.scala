@@ -228,10 +228,11 @@ object CountMin {
     require(d == depth && w == width,
       s"counter store at $path has geometry ${d}x$w, got ${depth}x$width" +
         " — different-geometry sketches do not merge")
-    counters.select(lit(sliceId).as("slice_id"),
-        col("row"), col("cell"), col("cnt"))
-      .write.mode("append")
-      .parquet(Similarity.resolveDataDir(path, "counters"))
+    Similarity.fencedSliceAppend(path, "counters") { dir =>
+      counters.select(lit(sliceId).as("slice_id"),
+          col("row"), col("cell"), col("cnt"))
+        .write.mode("append").parquet(dir)
+    }
   }
 
   /** Load the store: keep one row per (slice, row, cell) — collapsing
@@ -287,10 +288,11 @@ object CountMin {
     require(d == depth && w == width,
       s"counter store at $path has geometry ${d}x$w, got ${depth}x$width" +
         " — different-geometry sketches do not merge")
-    counters.select(lit(sliceId).as("slice_id"),
-        col("group"), col("row"), col("cell"), col("cnt"))
-      .write.mode("append")
-      .parquet(Similarity.resolveDataDir(path, "counters"))
+    Similarity.fencedSliceAppend(path, "counters") { dir =>
+      counters.select(lit(sliceId).as("slice_id"),
+          col("group"), col("row"), col("cell"), col("cnt"))
+        .write.mode("append").parquet(dir)
+    }
   }
 
   /** Load the grouped store: per-slice dedup, then sum per

@@ -1085,10 +1085,12 @@ object Dedup {
     * is claimed for all later batches). */
   def appendToLineIndex(df: DataFrame, linesCol: String, path: String,
                         normalize: Column => Column = rawLine): Unit =
-    df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
-      .filter(trim(col("__line")) =!= "")
-      .select(xxhash64(normalize(col("__line"))).as("h")).distinct()
-      .write.mode("append").parquet(Similarity.resolveDataDir(path, "lines"))
+    Similarity.fencedSliceAppend(path, "lines") { dir =>
+      df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
+        .filter(trim(col("__line")) =!= "")
+        .select(xxhash64(normalize(col("__line"))).as("h")).distinct()
+        .write.mode("append").parquet(dir)
+    }
 
   /** Incremental [[keepFirstLines]]: dedup a NEW ingest batch against
     * itself AND the already-indexed history, without touching history
@@ -1311,10 +1313,12 @@ object Dedup {
                          (implicit scope: CacheScope = CacheScope.global): Unit = {
     val spark = df.sparkSession
     val l = windowIndexParams(spark, path)
-    windowOccurrences(df.select(lit(0L).as("__id0"), col(textCol)),
-        textCol, "__id0", l)
-      .select(col("__h").as("h")).distinct()
-      .write.mode("append").parquet(Similarity.resolveDataDir(path, "wins"))
+    Similarity.fencedSliceAppend(path, "wins") { dir =>
+      windowOccurrences(df.select(lit(0L).as("__id0"), col(textCol)),
+          textCol, "__id0", l)
+        .select(col("__h").as("h")).distinct()
+        .write.mode("append").parquet(dir)
+    }
   }
 
   /** Incremental [[duplicateWindowSpans]]: spans for a NEW ingest batch

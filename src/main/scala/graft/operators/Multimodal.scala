@@ -240,21 +240,23 @@ object Multimodal {
       }
 
     /** Decoded-PIXEL statistics — what a header can never give: mean of
-      * the raster's band-0 samples (the luma plane for grayscale; for
-      * RGB callers wanting true luma, weight bands upstream). None for
-      * unrecognized payloads. The mean is an integer-sum / count double
-      * division — exact and engine-reproducible for any image small
-      * enough that the sample sum stays under 2^53. */
+      * the raster's per-pixel LUMA ([[Multimodal.lumaSample]]: integer
+      * BT.601 for ≥3-band rasters, band-0 for single-band — an RGB JPEG
+      * gets true luminance, not the red channel). None for unrecognized
+      * payloads. The mean is an integer-sum / count double division —
+      * exact and engine-reproducible for any image small enough that
+      * the sample sum stays under 2^53. */
     def pixelStats(bytes: Array[Byte]): Option[(Int, Int, Double)] =
       Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))).map { img =>
         val r = img.getRaster
+        val bands = r.getNumBands
         var sum = 0L
         var y = 0
         while (y < img.getHeight) {
           var x = 0
           while (x < img.getWidth) {
-            sum += r.getSample(x, y, 0); x += 1
+            sum += lumaSample(r, x, y, bands); x += 1
           }
           y += 1
         }
@@ -262,6 +264,23 @@ object Multimodal {
           sum.toDouble / (img.getWidth.toLong * img.getHeight))
       }
   }
+
+  /** THE grayscale convention of the pixel operators, stated once:
+    * rasters with ≥ 3 bands reduce per pixel to integer BT.601 luma,
+    * `(299·R + 587·G + 114·B + 500) / 1000` (half-up integer rounding —
+    * pure int64 arithmetic, bit-reproducible in any engine; bands past
+    * the third, i.e. alpha, are ignored). Single- and two-band rasters
+    * read band 0 directly: for TYPE_BYTE_GRAY that IS the intensity;
+    * for palette/indexed images band 0 is the palette INDEX — callers
+    * with indexed corpora must convert upstream (the same caveat every
+    * header-vs-pixel policy in this file documents explicitly rather
+    * than hiding a colorspace guess). */
+  private[operators] def lumaSample(r: java.awt.image.Raster,
+                                    x: Int, y: Int, bands: Int): Int =
+    if (bands >= 3)
+      ((299L * r.getSample(x, y, 0) + 587L * r.getSample(x, y, 1) +
+        114L * r.getSample(x, y, 2) + 500L) / 1000L).toInt
+    else r.getSample(x, y, 0)
 
   /** Shared real-codec instance (header fallback for non-images). */
   object ImageIoDecoder extends ImageIoDecoder(ImageHeaderDecoder)
@@ -338,11 +357,12 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType)))
 
-  /** REAL image downsampling through the codec path: decode → EXACTLY
-    * SPECIFIED box average (each factor×factor block becomes
-    * floor(mean) of its samples; trailing rows/columns past the last
-    * full block are cropped — the crop-to-multiple convention) →
-    * re-encode PNG. The filter is deliberately NOT
+  /** REAL image downsampling through the codec path: decode → reduce
+    * each pixel to its luma ([[lumaSample]] — BT.601 for RGB, band-0
+    * for grayscale) → EXACTLY SPECIFIED box average (each factor×factor
+    * block becomes floor(mean) of its samples; trailing rows/columns
+    * past the last full block are cropped — the crop-to-multiple
+    * convention) → re-encode grayscale PNG. The filter is deliberately NOT
     * `Image.getScaledInstance` (its interpolation is unspecified and
     * engine-irreproducible); integer box arithmetic makes every output
     * pixel a pure function of the input pixels, so downstream stats
@@ -367,6 +387,7 @@ object Multimodal {
               val out = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
               val src = img.getRaster; val dst = out.getRaster
+              val bands = src.getNumBands
               var by = 0
               while (by < h) {
                 var bx = 0
@@ -375,8 +396,8 @@ object Multimodal {
                   while (dy < factor) {
                     var dx = 0
                     while (dx < factor) {
-                      sum += src.getSample(bx * factor + dx,
-                        by * factor + dy, 0)
+                      sum += lumaSample(src, bx * factor + dx,
+                        by * factor + dy, bands)
                       dx += 1
                     }
                     dy += 1

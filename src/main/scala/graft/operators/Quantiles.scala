@@ -433,10 +433,11 @@ object Quantiles {
     require(slo == lo && shi == hi && sb == bins,
       s"histogram store at $path has geometry [$slo, $shi] x $sb, got " +
         s"[$lo, $hi] x $bins — different-geometry histograms do not merge")
-    hist.select(lit(sliceId).as("slice_id"), col("group"), col("bucket"),
-        col("cnt"), col("mn"), col("mx"))
-      .write.mode("append")
-      .parquet(Similarity.resolveDataDir(path, "hist"))
+    Similarity.fencedSliceAppend(path, "hist") { dir =>
+      hist.select(lit(sliceId).as("slice_id"), col("group"), col("bucket"),
+          col("cnt"), col("mn"), col("mx"))
+        .write.mode("append").parquet(dir)
+    }
   }
 
   /** Load the store: per-slice dedup (replay idempotence), then the
@@ -547,6 +548,14 @@ object Quantiles {
     * The source store is untouched. */
   def coarsenHistogramStore(spark: SparkSession, srcPath: String,
                             dstPath: String, factor: Int): Unit = {
+    // the load below is LAZY and saveHistogram overwrite-writes dstPath
+    // first: if dst aliased (or nested under) src, Spark would truncate
+    // the input mid-read and the only copy of the store would be lost
+    val srcC = java.nio.file.Paths.get(srcPath).toAbsolutePath.normalize
+    val dstC = java.nio.file.Paths.get(dstPath).toAbsolutePath.normalize
+    require(!dstC.startsWith(srcC) && !srcC.startsWith(dstC),
+      s"coarsenHistogramStore needs disjoint paths: dst $dstC would " +
+        s"overwrite-truncate src $srcC mid-read")
     val (hist, lo, hi, bins) = loadHistogram(spark, srcPath)
     saveHistogram(coarsenHistogram(hist, bins, factor), dstPath,
       lo, hi, bins / factor, sliceId = "coarsened")

@@ -238,8 +238,9 @@ object Retrieval {
       requireBm25Layout(p, path)
       val (postings, n, sumDl) = tfDlFrame(newDocs, textCol, idCol)
       if (n > 0) {
-        postings.write.mode("append")
-          .parquet(Similarity.resolveDataDir(path, "index"))
+        Similarity.fencedSliceAppend(path, "index") { dir =>
+          postings.write.mode("append").parquet(dir)
+        }
         val nd = p.getAs[Long]("n_docs") + n
         val sd = p.getAs[Long]("sum_dl") + sumDl
         // never overwrite the only stats copy in place: a crash

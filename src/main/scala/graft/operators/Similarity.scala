@@ -177,8 +177,11 @@ object Similarity {
                        path: String): Unit = {
     val spark = newCorpus.sparkSession
     val (bits, bands, seed) = lshParams(spark, path)
-    bandedSignatures(newCorpus, vecCol, idCol, "n_id", bits, bands, seed)
-      .write.mode("append").parquet(resolveDataDir(path, "index"))
+    val sigs = bandedSignatures(newCorpus, vecCol, idCol, "n_id",
+      bits, bands, seed)
+    fencedSliceAppend(path, "index") { dir =>
+      sigs.write.mode("append").parquet(dir)
+    }
   }
 
   /** ANN against a [[buildLshIndex]]-persisted index: reads the stored
@@ -540,8 +543,10 @@ object Similarity {
     val p = readParams(spark, path).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val book = spark.read.parquet(s"$path/codebook")
-    pqEncode(newCorpus, book, vecCol, idCol, dim, m)
-      .write.mode("append").parquet(resolveDataDir(path, "codes"))
+    val codes = pqEncode(newCorpus, book, vecCol, idCol, dim, m)
+    fencedSliceAppend(path, "codes") { dir =>
+      codes.write.mode("append").parquet(dir)
+    }
   }
 
   /** ANN against a [[buildPqIndex]]-persisted index: reads the stored
@@ -733,8 +738,11 @@ object Similarity {
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val rotated = rotate(newCorpus.select(col(idCol), col(vecCol)), vecCol,
       readRotation(spark, path))
-    pqEncode(rotated, spark.read.parquet(s"$path/codebook"), vecCol, idCol,
-      dim, m).write.mode("append").parquet(resolveDataDir(path, "codes"))
+    val codes = pqEncode(rotated, spark.read.parquet(s"$path/codebook"),
+      vecCol, idCol, dim, m)
+    fencedSliceAppend(path, "codes") { dir =>
+      codes.write.mode("append").parquet(dir)
+    }
   }
 
   /** ANN against a [[buildOpqIndex]]-persisted index: stored rotation +
@@ -889,8 +897,10 @@ object Similarity {
   def appendToSq8Index(newCorpus: DataFrame, vecCol: String, idCol: String,
                        path: String): Unit = {
     val bounds = readSq8Bounds(newCorpus.sparkSession, path)
-    sq8Encode(newCorpus, bounds, vecCol, idCol)
-      .write.mode("append").parquet(resolveDataDir(path, "codes"))
+    val codes = sq8Encode(newCorpus, bounds, vecCol, idCol)
+    fencedSliceAppend(path, "codes") { dir =>
+      codes.write.mode("append").parquet(dir)
+    }
   }
 
   /** Drift-GATED frozen-bounds append — [[sq8DriftCheck]] wired into the
@@ -1076,6 +1086,80 @@ object Similarity {
     spark.read.parquet(parts.toIndexedSeq: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Concurrent-writer fencing. Every persisted store in the repo is
+  // SINGLE-writer by contract (appends, compactions, param commits) —
+  // but a production scheduler WILL eventually double-schedule a
+  // writer, and without a fence the losing write is folded away or
+  // orphaned SILENTLY (the worst failure mode a store can have: every
+  // serve keeps answering, wrongly or minus a slice). The fence is an
+  // epoch counter per (store, sub-table) — a plain `<sub>.epoch` file,
+  // bumped by atomic rename after every committed mutation (append,
+  // compaction, generation commit). Writers capture the epoch when they
+  // OPEN the store and verify it has not advanced before (and at) their
+  // commit point: the loser of any interleaving fails LOUDLY instead of
+  // silently losing data. This is detection, not mutual exclusion — the
+  // check-to-commit window is microseconds, the open-to-commit window
+  // it guards is the minutes a fold or append actually takes, and the
+  // single-writer contract remains the documented operating mode; the
+  // fence is the tripwire for its violation.
+  // ------------------------------------------------------------------
+
+  /** Current fencing epoch of `sub` under `path` (0 = never mutated). */
+  def readEpoch(path: String, sub: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val f = Paths.get(path, s"$sub.epoch")
+    if (Files.exists(f))
+      new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+    else 0L
+  }
+
+  private[graft] def bumpEpoch(path: String, sub: String,
+                               from: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, s"$sub.epoch.tmp")
+    Files.write(tmp, (from + 1).toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(path, s"$sub.epoch"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def fenceCheck(path: String, sub: String, expected: Long,
+                         who: String): Unit = {
+    val now = readEpoch(path, sub)
+    if (now != expected)
+      throw new IllegalStateException(
+        s"concurrent writer fenced: $who opened $path/$sub at epoch " +
+          s"$expected but it is now $now — another writer committed in " +
+          "between. This store is single-writer; the losing operation " +
+          "was aborted (nothing it wrote is live). Re-run it at a " +
+          "quiesce point.")
+  }
+
+  /** Run a slice APPEND under the fence: capture (epoch, live dir) at
+    * open, write, then verify neither moved before publishing the bump.
+    * If a compaction flipped the pointer mid-append, the written files
+    * landed in the SUPERSEDED directory — invisible to every reader and
+    * reclaimed by the next sweep — so the loud failure here is the only
+    * record the slice needs re-appending; without it the loss is
+    * silent. (An append that starts strictly AFTER a compaction commits
+    * resolves the new generation and proceeds normally — appends-on-
+    * top-of-fold is the designed lifecycle, not a race.) */
+  private[graft] def fencedSliceAppend(path: String, sub: String)
+                                      (write: String => Unit): Unit = {
+    val epoch0 = readEpoch(path, sub)
+    val dir0 = resolveDataDir(path, sub)
+    write(dir0)
+    val dirNow = resolveDataDir(path, sub)
+    if (dirNow != dir0)
+      throw new IllegalStateException(
+        s"concurrent writer fenced: a compaction of $path/$sub committed " +
+          s"while this append was writing (live dir $dir0 -> $dirNow); " +
+          "the appended files landed in the superseded directory and are " +
+          "NOT visible to readers — re-run the append.")
+    fenceCheck(path, sub, epoch0, "append")
+    bumpEpoch(path, sub, epoch0)
+  }
+
   /** A full REBUILD at an existing index path must not leave a pointer
     * targeting a generation of the previous lineage: drop it so the
     * plain `<sub>` dir the builder writes becomes live again. */
@@ -1116,11 +1200,21 @@ object Similarity {
     * have the identical failure mode: an in-place `mode("overwrite")`
     * of the only copy truncates it first, so a crash mid-write corrupts
     * exactly the state a restart's re-seed depends on. Here a crash at
-    * ANY point leaves the previously committed generation live. */
-  private[graft] def commitGeneration(path: String, sub: String)
+    * ANY point leaves the previously committed generation live.
+    *
+    * `expectedEpoch` is the concurrent-writer fence ([[readEpoch]]): a
+    * caller that read the store earlier passes the epoch it opened at,
+    * and the commit refuses — loudly, BEFORE the pointer flip, leaving
+    * the store exactly as the interleaved winner left it — if another
+    * writer committed in between. Verified twice: before the (possibly
+    * long) generation write and again immediately before the flip. */
+  private[graft] def commitGeneration(path: String, sub: String,
+                                      expectedEpoch: Option[Long] = None)
                                      (writeTo: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
+    expectedEpoch.foreach(fenceCheck(path, sub, _, "generation commit"))
+    val epoch0 = expectedEpoch.getOrElse(readEpoch(path, sub))
     val liveName =
       Paths.get(resolveDataDir(path, sub)).getFileName.toString
     val gen = liveName match {
@@ -1129,10 +1223,18 @@ object Similarity {
       case _ => f"$sub.g${1}%04d"
     }
     writeTo(Paths.get(path, gen).toString)
+    expectedEpoch.foreach { e =>
+      try fenceCheck(path, sub, e, "generation commit")
+      catch { case t: IllegalStateException =>
+        deleteRec(Paths.get(path, gen)) // the torn loser, reclaim eagerly
+        throw t
+      }
+    }
     val tmp = Paths.get(path, s"$sub.ptr.tmp")
     Files.write(tmp, gen.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(path, s"$sub.ptr"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    bumpEpoch(path, sub, epoch0)
     // sweep superseded generations beyond the grace one (liveName); the
     // builder's plain `<sub>` dir is never swept — a rebuild reclaims it
     val genRe = (java.util.regex.Pattern.quote(sub) + "\\.g\\d+").r
@@ -1178,7 +1280,19 @@ object Similarity {
     * cell's slivers folded into one file (`repartition(col("cell"))`:
     * whole cells hash to one task). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                   partitions: Int = 0): Unit = {
+                   partitions: Int = 0): Unit =
+    compactIndex(spark, path, partitions,
+      Seq("index", "codes", "cells", "lines")
+        .map(sub => sub -> readEpoch(path, sub)).toMap)
+
+  /** [[compactIndex]] with the writer's OPEN epochs made explicit (the
+    * public form reads them at entry): each sub-table's pointer flip is
+    * fenced against the epoch captured here — if an append committed in
+    * between, the flip aborts loudly and the store keeps serving the
+    * winner's data ([[fencedSliceAppend]], mirrored). */
+  private[graft] def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, partitions: Int,
+                                  openEpochs: Map[String, Long]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val n = if (partitions > 0) partitions
@@ -1186,6 +1300,7 @@ object Similarity {
     Seq("index", "codes", "cells", "lines").foreach { sub =>
       val live = Paths.get(resolveDataDir(path, sub))
       if (Files.isDirectory(live)) {
+        val epoch0 = openEpochs.getOrElse(sub, readEpoch(path, sub))
         val liveName = live.getFileName.toString
         // sweep orphans: generation dirs no pointer targets (crashed
         // compactions and generations superseded by earlier compactions),
@@ -1220,11 +1335,19 @@ object Similarity {
             .parquet(genDir.toString)
         else
           df.repartition(n).write.mode("overwrite").parquet(genDir.toString)
+        // fence: an append that committed since this compaction opened
+        // would be folded away by the flip — abort loudly instead, and
+        // reclaim the torn generation (this compaction is the loser)
+        try fenceCheck(path, sub, epoch0, "compactIndex")
+        catch { case t: IllegalStateException =>
+          deleteRec(genDir); throw t
+        }
         // commit: write the pointer beside its final name, atomic rename
         val tmp = Paths.get(path, s"$sub.ptr.tmp")
         Files.write(tmp, gen.getBytes("UTF-8"))
         Files.move(tmp, Paths.get(path, s"$sub.ptr"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        bumpEpoch(path, sub, epoch0)
         // the superseded `live` dir is deliberately NOT deleted here —
         // see the scaladoc's reader-grace argument; next sweep reclaims it
       }
@@ -1474,11 +1597,12 @@ object Similarity {
     // an index built with meta columns keeps them through appends — a
     // sliver missing the column would read back as NULL and silently
     // break the serve-side filter that depends on it
-    nearestStoredCentroid(spread(newCorpus), vecCol, path)
+    val cells = nearestStoredCentroid(spread(newCorpus), vecCol, path)
       .select(col(idCol).as("n_id") +: col(vecCol).as("vec") +:
         guardedMetaCols(metaColsOf(p)) :+ col("cell"): _*)
-      .write.mode("append").partitionBy("cell")
-      .parquet(resolveDataDir(path, "cells"))
+    fencedSliceAppend(path, "cells") { dir =>
+      cells.write.mode("append").partitionBy("cell").parquet(dir)
+    }
   }
 
   /** Nearest STORED centroid per row: the k×D centroid table embeds as a
@@ -1732,12 +1856,13 @@ object Similarity {
     val p = readParams(spark, path).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
     val book = spark.read.parquet(s"$path/codebook")
-    nearestStoredCentroid(spread(newCorpus), vecCol, path)
+    val codes = nearestStoredCentroid(spread(newCorpus), vecCol, path)
       .withColumn("__nvec", unit(col(vecCol)))
       .select(col(idCol).as("n_id"), col(vecCol).as("vec"),
         pqCodesColumn(book, col("__nvec"), dim, m).as("codes"), col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(resolveDataDir(path, "codes"))
+    fencedSliceAppend(path, "codes") { dir =>
+      codes.write.mode("append").partitionBy("cell").parquet(dir)
+    }
   }
 
   /** ANN against a [[buildIvfPqIndex]] index. Per serving batch: probe
@@ -2129,6 +2254,13 @@ object Similarity {
     // ids; cost is k−1 extra scans of the cached projection, each one
     // global min_by agg — a row never leaves the executors except the
     // single winner. Selection order IS the cluster id.
+    // PRACTICAL k BOUND: each selection step embeds every chosen
+    // centroid as expression literals (O(step·dim) per plan, O(k²·dim)
+    // total) and runs its own scan of the cached projection — right for
+    // the small-k exact-oracle regime this fit serves (k ≲ 64), far
+    // past its sweet spot near the 2^20 k·dim ceiling below. Large-k
+    // coarse quantizers (IVF cell training) belong on [[kmeansCells]],
+    // whose MLlib init does not unroll plans per center.
     val first = data.select(col("__id"), col("__v"))
       .orderBy(col("__id")).limit(1).collect()
     require(first.nonEmpty, "kmeans needs at least one vector")

@@ -37,10 +37,16 @@ import org.apache.spark.sql.functions._
   * single-writer contract as appends — run it at a quiesce point. In
   * particular, slice-id replay idempotence only covers slices still
   * PRESENT in the live table: an at-least-once writer must not replay
-  * a slice id that a compaction already folded (the streaming writers'
-  * committed `last_batch` watermark guarantees exactly this — replayed
-  * batches are skipped before the append, so a fold between crash and
-  * restart is safe).
+  * a slice id that a compaction already folded. The streaming writers'
+  * committed `last_batch` watermark covers replays of WATERMARKED
+  * batches (they are skipped before the append) — but a writer that
+  * crashed between its append and its watermark commit leaves a slice
+  * that WILL be replayed, and folding it in that window would strip
+  * the id the replay dedups against. [[compact]] therefore REFUSES
+  * while such un-watermarked batch slices exist (the replay guard),
+  * and its commit is fenced against any writer that slipped in between
+  * (the epoch fence) — both violations fail loudly instead of
+  * double-counting silently.
   */
 object SketchStore {
 
@@ -52,39 +58,103 @@ object SketchStore {
 
   /** Compact the sketch store at `path`, whatever its family — the
     * layout tag in `_params` dispatches. Refuses unknown layouts
-    * rather than guessing at a fold that might not be linear. */
+    * rather than guessing at a fold that might not be linear.
+    *
+    * Two guards run before the pointer flip, each converting a silent
+    * corruption into a loud refusal:
+    *  - REPLAY guard: when the store carries a committed streaming
+    *    watermark (`wm`, [[graft.streaming.Streaming]]'s store-backed
+    *    writers), any batch-id slice ABOVE it is a crash window in
+    *    flight — the writer appended but died before committing the
+    *    watermark, so its batch WILL be replayed. Folding that slice
+    *    would strip the id its replay dedups against, and the re-append
+    *    would double-count. Compaction refuses until the restart
+    *    re-delivers the batch and the watermark catches up.
+    *  - WRITER fence: the commit verifies the store's fencing epoch
+    *    ([[Similarity.readEpoch]]) did not advance since this
+    *    compaction opened — a concurrent append's slice cannot be
+    *    silently folded away; the compaction loses and aborts. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val (_, sub) = dispatch(spark, path)
+    compact(spark, path, Similarity.readEpoch(path, sub))
+  }
+
+  private def dispatch(spark: SparkSession,
+                       path: String): (String, String) = {
     val layout =
       Similarity.readParams(spark, path).head().getAs[String]("layout")
     layout match {
-      case Sketches.Layout =>    // kmv_v1: (group, sk), no slice ids —
-        // re-sketching the union of stored k-min sets IS the k-min of
-        // the union (closure), and re-folding a single folded row is
-        // the identity (k-min of k values)
-        commit(path, "sketches")(Sketches.loadKmvSketches(spark, path)
-          .select(col("group"), col("sk")))
-      case Sketches.MgLayout =>  // mg_v2: (slice_id, group, summary, n)
-        commit(path, "summaries")(withSlice(
-          Sketches.loadMgSummaries(spark, path)
-            .select(col("group"), col("summary"), col("n_items"))))
-      case CountMin.Layout =>    // cm_v2: (slice_id, row, cell, cnt)
-        commit(path, "counters")(withSlice(
-          CountMin.loadCm(spark, path)._1
-            .select(col("row"), col("cell"), col("cnt"))))
-      case CountMin.GroupLayout => // cmg_v1: + group
-        commit(path, "counters")(withSlice(
-          CountMin.loadCmGroups(spark, path)._1
-            .select(col("group"), col("row"), col("cell"), col("cnt"))))
-      case Quantiles.Layout =>   // hist_v1: (slice_id, group, bucket, …)
-        commit(path, "hist")(withSlice(
-          Quantiles.loadHistogram(spark, path)._1
-            .select(col("group"), col("bucket"), col("cnt"),
-              col("mn"), col("mx"))))
+      case Sketches.Layout => (layout, "sketches")
+      case Sketches.MgLayout => (layout, "summaries")
+      case CountMin.Layout | CountMin.GroupLayout => (layout, "counters")
+      case Quantiles.Layout => (layout, "hist")
       case other =>
         throw new IllegalArgumentException(
           s"store at $path has layout '$other' — not a compactable " +
             "sketch store (ANN indexes compact via Similarity.compactIndex)")
     }
+  }
+
+  /** [[compact]] with the writer's OPEN epoch made explicit (the public
+    * form reads it at entry) — the seam the fencing tests interleave
+    * through. */
+  private[graft] def compact(spark: SparkSession, path: String,
+                             openEpoch: Long): Unit = {
+    val (layout, sub) = dispatch(spark, path)
+    guardUnwatermarked(spark, path, sub, layout)
+    layout match {
+      case Sketches.Layout =>    // kmv_v1: (group, sk), no slice ids —
+        // re-sketching the union of stored k-min sets IS the k-min of
+        // the union (closure), and re-folding a single folded row is
+        // the identity (k-min of k values)
+        commit(path, sub, openEpoch)(Sketches.loadKmvSketches(spark, path)
+          .select(col("group"), col("sk")))
+      case Sketches.MgLayout =>  // mg_v2: (slice_id, group, summary, n)
+        commit(path, sub, openEpoch)(withSlice(
+          Sketches.loadMgSummaries(spark, path)
+            .select(col("group"), col("summary"), col("n_items"))))
+      case CountMin.Layout =>    // cm_v2: (slice_id, row, cell, cnt)
+        commit(path, sub, openEpoch)(withSlice(
+          CountMin.loadCm(spark, path)._1
+            .select(col("row"), col("cell"), col("cnt"))))
+      case CountMin.GroupLayout => // cmg_v1: + group
+        commit(path, sub, openEpoch)(withSlice(
+          CountMin.loadCmGroups(spark, path)._1
+            .select(col("group"), col("row"), col("cell"), col("cnt"))))
+      case Quantiles.Layout =>   // hist_v1: (slice_id, group, bucket, …)
+        commit(path, sub, openEpoch)(withSlice(
+          Quantiles.loadHistogram(spark, path)._1
+            .select(col("group"), col("bucket"), col("cnt"),
+              col("mn"), col("mx"))))
+    }
+  }
+
+  /** The replay guard: refuse to fold batch-id slices (`b<N>`) the
+    * committed streaming watermark has not covered — see [[compact]].
+    * Stores without a `wm` table (non-streaming writers) are governed
+    * by the quiesce-point contract alone; KMV stores carry no slice
+    * ids and their fold is replay-idempotent by union closure. */
+  private def guardUnwatermarked(spark: SparkSession, path: String,
+                                 sub: String, layout: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (layout == Sketches.Layout) return
+    val wmDir = Similarity.resolveDataDir(path, "wm")
+    if (!Files.exists(Paths.get(wmDir))) return
+    val wm = spark.read.parquet(wmDir).head().getLong(0)
+    val batchRe = "^b(\\d+)$".r
+    val inFlight = spark.read
+      .parquet(Similarity.resolveDataDir(path, sub))
+      .select(col("slice_id")).distinct().collect()
+      .map(_.getString(0))
+      .collect { case s @ batchRe(n) if n.toLong > wm => s }
+    require(inFlight.isEmpty,
+      s"store at $path has un-watermarked batch slices " +
+        s"${inFlight.sorted.mkString("[", ", ", "]")} past the committed " +
+        s"watermark $wm — the writer crashed between append and watermark " +
+        "commit, and those batches WILL be replayed. Folding them now " +
+        "would strip the slice ids the replay dedups against and " +
+        "double-count. Restart the stream (the replay + watermark commit " +
+        "clears this), then compact.")
   }
 
   private def withSlice(folded: DataFrame): DataFrame =
@@ -103,14 +173,18 @@ object SketchStore {
     * compaction's pointer supersedes the plain builder dir, that dir —
     * holding every original pre-fold slice, the bulk of the store's
     * bytes — has had at least one full compaction cycle of reader
-    * grace, so this compaction reclaims it before committing the next
-    * generation. The first compaction never deletes it (the fold reads
-    * from it, and lazy readers resolved before the flip may still be
-    * scanning). */
-  private def commit(path: String, sub: String)(folded: DataFrame): Unit = {
+    * grace, so this compaction reclaims it AFTER the new generation
+    * commits (preLive is captured before the flip, the delete runs
+    * after commitGeneration returns — a crash before the delete just
+    * leaves the dir for the next cycle, never a window where neither
+    * copy is live). The first compaction never deletes it (the fold
+    * reads from it, and lazy readers resolved before the flip may
+    * still be scanning). */
+  private def commit(path: String, sub: String, openEpoch: Long)
+                    (folded: DataFrame): Unit = {
     val preLive = java.nio.file.Paths
       .get(Similarity.resolveDataDir(path, sub)).getFileName.toString
-    Similarity.commitGeneration(path, sub) { dir =>
+    Similarity.commitGeneration(path, sub, Some(openEpoch)) { dir =>
       folded.coalesce(1).write.mode("overwrite").parquet(dir)
     }
     if (preLive != sub)

@@ -68,9 +68,10 @@ object Sketches {
     require(stored == k,
       s"sketch table at $path was built at k=$stored, got k=$k — " +
         "sketches merge exactly only at equal k")
-    sketches.select(col(groupCol).as("group"), col(skCol).as("sk"))
-      .write.mode("append")
-      .parquet(Similarity.resolveDataDir(path, "sketches"))
+    Similarity.fencedSliceAppend(path, "sketches") { dir =>
+      sketches.select(col(groupCol).as("group"), col(skCol).as("sk"))
+        .write.mode("append").parquet(dir)
+    }
   }
 
   /** Load the table, merging every appended row per group into one exact
@@ -155,10 +156,12 @@ object Sketches {
     require(stored == m,
       s"summary table at $path was built at m=$stored, got m=$m — " +
         "summaries merge with the guaranteed bound only at equal m")
-    summaries.select(lit(sliceId).as("slice_id"), col(groupCol).as("group"),
-        col(summaryCol).as("summary"), col(nCol).cast("long").as("n_items"))
-      .write.mode("append")
-      .parquet(Similarity.resolveDataDir(path, "summaries"))
+    Similarity.fencedSliceAppend(path, "summaries") { dir =>
+      summaries.select(lit(sliceId).as("slice_id"),
+          col(groupCol).as("group"), col(summaryCol).as("summary"),
+          col(nCol).cast("long").as("n_items"))
+        .write.mode("append").parquet(dir)
+    }
   }
 
   /** Load the table: per-(slice, group) dedup (replay idempotence),

@@ -1170,29 +1170,58 @@ object Streaming {
     * meet a replay of a batch it folded. Commit order is
     * append-then-watermark: a crash between the two leaves a
     * replayable batch whose slice rows are still PRESENT and un-folded
-    * (compaction is a quiesce-point operation, never concurrent with
-    * the crash window), so the slice dedup collapses the re-append —
-    * both idempotence mechanisms stay live, each covering the case the
-    * other cannot. Written via generation + atomic pointer (the
-    * hhstate discipline — never `overwrite` the only copy). */
+    * — and stay that way, because [[graft.operators.SketchStore
+    * .compact]]'s replay guard REFUSES to fold batch slices past the
+    * committed watermark (a fold in that crash window would strip the
+    * id the replay dedups against) — so the slice dedup collapses the
+    * re-append. Both idempotence mechanisms stay live, each covering
+    * the case the other cannot. Written via generation + atomic pointer (the
+    * hhstate discipline — never `overwrite` the only copy). The `wm`
+    * table lives INSIDE the store directory — it is store metadata, and
+    * co-locating it is what lets [[graft.operators.SketchStore.compact]]
+    * enforce its replay guard (refuse to fold batch slices the
+    * watermark has not covered) without being told where the writer
+    * keeps its bookkeeping. */
   private def readStoreWatermark(spark: SparkSession,
-                                 base: String): Long = {
+                                 storePath: String): Long = {
     import java.nio.file.{Files, Paths}
-    val live = graft.operators.Similarity.resolveDataDir(base, "wm")
+    val live = graft.operators.Similarity.resolveDataDir(storePath, "wm")
     if (Files.exists(Paths.get(live)))
       spark.read.parquet(live).head().getLong(0)
     else -1L
   }
 
-  private def commitStoreWatermark(base: String,
+  private def commitStoreWatermark(storePath: String,
                                    batchId: Long): Unit = {
-    graft.operators.Similarity.commitGeneration(base, "wm") { dest =>
+    graft.operators.Similarity.commitGeneration(storePath, "wm") { dest =>
       org.apache.spark.sql.SparkSession.active
         .range(batchId, batchId + 1)
         .withColumnRenamed("id", "last_batch")
         .coalesce(1).write.mode("overwrite").parquet(dest)
     }
   }
+
+  /** Auto-compaction cadence for the store-backed streams: after a
+    * batch's append + watermark commit, fold the store once its live
+    * slice count reaches `threshold` ([[graft.operators.SketchStore
+    * .compact]]). Running INSIDE the writer's own trigger is what makes
+    * it safe by construction: single-writer holds (it IS the writer),
+    * and the watermark was committed a moment ago so the replay guard
+    * is trivially clean — the two hazards compaction has are both
+    * structurally absent at this call point. The slice count is a
+    * distinct over a metadata-sized table (≤ slices × groups × bins
+    * rows), a per-trigger cost proportional to the state the cadence
+    * exists to bound. 0 disables (the default — compaction stays a
+    * maintenance-window decision unless the caller opts in). */
+  private def maybeCompactStore(spark: SparkSession, storePath: String,
+                                sub: String, threshold: Int): Unit =
+    if (threshold > 0) {
+      val n = spark.read.parquet(
+          graft.operators.Similarity.resolveDataDir(storePath, sub))
+        .select("slice_id").distinct().count()
+      if (n >= threshold)
+        graft.operators.SketchStore.compact(spark, storePath)
+    }
 
   /** Streaming Count-Min frequency sketching: each trigger builds its
     * micro-batch's counter table distributed ([[graft.operators
@@ -1217,7 +1246,8 @@ object Streaming {
   def streamingCountMin(spark: SparkSession, sfDir: String, name: String,
                         n: Int = 2, depth: Int = 4, width: Int = 1024,
                         ingestFiles: Int = 4,
-                        baseDir: Option[String] = None): DataFrame = {
+                        baseDir: Option[String] = None,
+                        compactSliceThreshold: Int = 0): DataFrame = {
     import java.nio.file.{Files, Paths}
     import graft.operators.{CountMin, HeavyHitters}
     val base = baseDir match {
@@ -1236,7 +1266,7 @@ object Streaming {
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(ingestDir)
-    var lastBatch = readStoreWatermark(spark, base.toString)
+    var lastBatch = readStoreWatermark(spark, storeDir)
     val q = stream.writeStream
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
         if (batchId > lastBatch && !mb.isEmpty) {
@@ -1256,7 +1286,9 @@ object Streaming {
             CountMin.saveCm(counters, storeDir, depth, width,
               sliceId = s"b$batchId")
           lastBatch = batchId
-          commitStoreWatermark(base.toString, batchId)
+          commitStoreWatermark(storeDir, batchId)
+          maybeCompactStore(mb.sparkSession, storeDir, "counters",
+            compactSliceThreshold)
         }
       }
       .option("checkpointLocation", ckpt)
@@ -1287,7 +1319,8 @@ object Streaming {
   def streamingCountMinByGroup(spark: SparkSession, sfDir: String,
                                name: String, n: Int = 2, depth: Int = 4,
                                width: Int = 1024, ingestFiles: Int = 4,
-                               baseDir: Option[String] = None): DataFrame = {
+                               baseDir: Option[String] = None,
+                               compactSliceThreshold: Int = 0): DataFrame = {
     import java.nio.file.{Files, Paths}
     import graft.operators.CountMin
     val base = baseDir match {
@@ -1309,7 +1342,7 @@ object Streaming {
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(ingestDir)
-    var lastBatch = readStoreWatermark(spark, base.toString)
+    var lastBatch = readStoreWatermark(spark, storeDir)
     val q = stream.writeStream
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
         if (batchId > lastBatch && !mb.isEmpty) {
@@ -1322,7 +1355,9 @@ object Streaming {
             CountMin.saveCmGroups(counters, storeDir, depth, width,
               sliceId = s"b$batchId")
           lastBatch = batchId
-          commitStoreWatermark(base.toString, batchId)
+          commitStoreWatermark(storeDir, batchId)
+          maybeCompactStore(mb.sparkSession, storeDir, "counters",
+            compactSliceThreshold)
         }
       }
       .option("checkpointLocation", ckpt)
@@ -1357,7 +1392,8 @@ object Streaming {
                         q: Double = 0.5, lo: Double = 0.0,
                         hi: Double = 256.0, bins: Int = 64,
                         ingestFiles: Int = 4,
-                        baseDir: Option[String] = None): DataFrame = {
+                        baseDir: Option[String] = None,
+                        compactSliceThreshold: Int = 0): DataFrame = {
     import java.nio.file.{Files, Paths}
     import graft.operators.Quantiles
     val base = baseDir match {
@@ -1376,7 +1412,7 @@ object Streaming {
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(ingestDir)
-    var lastBatch = readStoreWatermark(spark, base.toString)
+    var lastBatch = readStoreWatermark(spark, storeDir)
     val sq = stream.writeStream
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
         if (batchId > lastBatch && !mb.isEmpty) {
@@ -1389,7 +1425,9 @@ object Streaming {
             Quantiles.saveHistogram(hist, storeDir, lo, hi, bins,
               sliceId = s"b$batchId")
           lastBatch = batchId
-          commitStoreWatermark(base.toString, batchId)
+          commitStoreWatermark(storeDir, batchId)
+          maybeCompactStore(mb.sparkSession, storeDir, "hist",
+            compactSliceThreshold)
         }
       }
       .option("checkpointLocation", ckpt)

@@ -1378,6 +1378,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pixel operators reduce RGB to BT.601 luma, not the red channel (mixed-RGB fixture)") {
+    import Multimodal.ImageIoDecoder
+    // a 4×2 RGB PNG whose channels disagree hard: the red channel alone
+    // would average 255·(even pixels)/n while true luma is per-formula
+    def rgb(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    def luma(r: Int, g: Int, b: Int): Int =
+      ((299L * r + 587L * g + 114L * b + 500L) / 1000L).toInt
+    val px = (x: Int, y: Int) =>
+      if ((x + y) % 2 == 0) (255, 0, 0) else (0, 200, 40)
+    val bytes = rgb(4, 2)(px)
+    val expMean = (for (x <- 0 until 4; y <- 0 until 2) yield {
+      val (r, g, b) = px(x, y); luma(r, g, b).toDouble
+    }).sum / 8
+    val got = ImageIoDecoder.pixelStats(bytes).get
+    assert(got == ((4, 2, expMean)), s"$got vs (4,2,$expMean)")
+    // the red-channel reading would have been wrong by construction
+    val redMean = (for (x <- 0 until 4; y <- 0 until 2)
+      yield px(x, y)._1.toDouble).sum / 8
+    assert(expMean != redMean, "fixture must separate luma from band-0")
+    // downsample honors the same convention: one 2×2 block = floor of
+    // the block's luma mean, re-encoded grayscale and decoded back
+    import spark.implicits._
+    val frame = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val down = Multimodal.downsamplePayload(frame, "doc_id", factor = 2)
+      .collect().head
+    assert((down.getInt(2), down.getInt(3)) == ((2, 1)))
+    val outPng = down.getAs[Array[Byte]](1)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(outPng))
+    val blockMean = (x0: Int) => (for (dx <- 0 to 1; dy <- 0 to 1) yield {
+      val (r, g, b) = px(x0 * 2 + dx, dy); luma(r, g, b).toLong
+    }).sum / 4
+    assert(img.getRaster.getSample(0, 0, 0) == blockMean(0).toInt)
+    assert(img.getRaster.getSample(1, 0, 0) == blockMean(1).toInt)
+  }
+
   test("ImageHeaderDecoder parses MP4 (ISO-BMFF) headers: dims, frame count, prefix tolerance") {
     import Multimodal.ImageHeaderDecoder
     // Build a REAL minimal MP4 by the ISO/IEC 14496-12 box layout —

@@ -218,6 +218,139 @@ class SketchStoreSpec extends AnyFunSuite {
     graft.operators.CacheScope.global.release()
   }
 
+  test("writer fencing: a compaction that raced an append loses loudly; the store keeps serving everything") {
+    val items = (0 until 400).map(i => s"w${i % 30}").toDF("item")
+    val dir = tmp("fence"); val (depth, width) = (4, 128)
+    def slice(f: org.apache.spark.sql.Column) =
+      CountMin.cmBuild(items.filter(f), "item", depth, width)
+    CountMin.saveCm(slice(col("item") =!= "w0"), dir, depth, width,
+      sliceId = "a")
+    def serve(): Set[(String, Long)] = {
+      val (counters, d, w) = CountMin.loadCm(spark, dir)
+      CountMin.cmEstimate(items.distinct(), counters, "item", d, w)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    // interleaving 1 — compact loses: it opens (captures the epoch),
+    // an append commits in between, its pointer flip must abort
+    val e0 = Similarity.readEpoch(dir, "counters")
+    CountMin.appendCm(slice(col("item") === "w0"), dir, depth, width,
+      sliceId = "b") // the racing append: bumps the epoch
+    val withB = serve()
+    val ex = intercept[IllegalStateException] {
+      SketchStore.compact(spark, dir, e0)
+    }
+    assert(ex.getMessage.contains("concurrent writer fenced"))
+    assert(serve() == withB,
+      "the fenced compaction mutated the store it lost")
+    // nothing torn left behind: a clean retry at a quiesce point
+    // succeeds and the serve is unchanged (slice b folded, not lost)
+    SketchStore.compact(spark, dir)
+    assert(serve() == withB, "retry after fencing changed the serve")
+    assert(rawShape(dir, "counters")._2 == 1)
+    // interleaving 2 — append loses: a compaction commits while the
+    // append's files are in flight; they land in the SUPERSEDED dir,
+    // the append fails loudly, and readers never see a partial slice
+    val afterCompact = serve()
+    val ex2 = intercept[IllegalStateException] {
+      Similarity.fencedSliceAppend(dir, "counters") { liveDir =>
+        SketchStore.compact(spark, dir) // the racing compaction
+        slice(col("item") === "w1")
+          .select(lit("c").as("slice_id"), col("row"), col("cell"),
+            col("cnt"))
+          .write.mode("append").parquet(liveDir)
+      }
+    }
+    assert(ex2.getMessage.contains("fenced"))
+    assert(serve() == afterCompact,
+      "the fenced append's orphaned files leaked into the serve")
+    // and the documented recovery — re-run the append — lands cleanly
+    CountMin.appendCm(slice(col("item") === "w1"), dir, depth, width,
+      sliceId = "c")
+    val (counters, d, w) = CountMin.loadCm(spark, dir)
+    val est = CountMin.cmEstimate(Seq("w1").toDF("item"), counters,
+      "item", d, w).collect().head.getLong(1)
+    // w1 now counted twice: once in slice a's fold, once in slice c —
+    // exactly what re-appending after a SUCCESSFUL fold should do
+    assert(est >= 2 * (400 / 30),
+      s"re-appended slice not visible: est=$est")
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("writer fencing: compactIndex aborts when an ANN append committed since it opened") {
+    val rnd = new scala.util.Random(11)
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val dir = tmp("annfence")
+    Similarity.buildLshIndex(vecs(0 until 40), "embedding", "vec_id",
+      dir, bits = 8, bands = 4)
+    val corpus = vecs(0 until 50).cache()
+    val queries = vecs(100 until 103)
+    def serve(): Set[(Long, Long)] =
+      Similarity.lshTopKFromIndex(queries, corpus, dir, "embedding",
+          "vec_id", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // compactor opens, append commits in between → flip aborts loudly
+    val open = Map("index" -> Similarity.readEpoch(dir, "index"))
+    Similarity.appendToLshIndex(vecs(40 until 50), "embedding", "vec_id",
+      dir)
+    val withAppend = serve()
+    val ex = intercept[IllegalStateException] {
+      Similarity.compactIndex(spark, dir, 0, open)
+    }
+    assert(ex.getMessage.contains("concurrent writer fenced"))
+    assert(serve() == withAppend,
+      "the fenced compactIndex mutated the index it lost")
+    // clean retry succeeds; results identical (compaction is a rewrite)
+    Similarity.compactIndex(spark, dir)
+    assert(serve() == withAppend)
+    corpus.unpersist()
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("replay guard: compact refuses un-watermarked batch slices until the watermark catches up") {
+    val rows = (0 until 900).map(i => (i.toLong, s"g${i % 3}",
+      (i % 120).toDouble)).toDF("id", "g", "v")
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    val dir = tmp("wmguard")
+    def hist(f: org.apache.spark.sql.Column) =
+      Quantiles.histogramByGroup(rows.filter(f), "g", "v", lo, hi, bins)
+    def commitWm(b: Long): Unit =
+      Similarity.commitGeneration(dir, "wm") { dest =>
+        spark.range(b, b + 1).withColumnRenamed("id", "last_batch")
+          .coalesce(1).write.mode("overwrite").parquet(dest)
+      }
+    // batch 0: append + watermark committed (the clean path)
+    Quantiles.saveHistogram(hist(col("id") % 2 === 0), dir, lo, hi, bins,
+      sliceId = "b0")
+    commitWm(0)
+    // batch 1: the writer crashed AFTER the append, BEFORE the
+    // watermark commit — b1 WILL be replayed; folding it now would
+    // strip the slice id its replay dedups against
+    Quantiles.appendHistogram(hist(col("id") % 2 =!= 0), dir, lo, hi,
+      bins, sliceId = "b1")
+    val ex = intercept[IllegalArgumentException] {
+      SketchStore.compact(spark, dir)
+    }
+    assert(ex.getMessage.contains("un-watermarked"))
+    // the restart replays batch 1 — the per-slice dedup collapses the
+    // byte-identical re-append — and commits the watermark; compaction
+    // now proceeds and the serve equals the exact one-shot answer
+    Quantiles.appendHistogram(hist(col("id") % 2 =!= 0), dir, lo, hi,
+      bins, sliceId = "b1")
+    commitWm(1)
+    SketchStore.compact(spark, dir)
+    val served = Quantiles.quantileByGroupFromStore(rows, "g", "v", dir, 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = (0 until 900).map(i => (s"g${i % 3}", (i % 120).toDouble))
+      .groupBy(_._1).map { case (g, rs) =>
+        val s = rs.map(_._2).sorted
+        g -> s((math.ceil(0.5 * s.size).toLong max 1L).toInt - 1)
+      }
+    assert(served == truth, s"$served vs $truth")
+    graft.operators.CacheScope.global.release()
+  }
+
   test("many-slice soak: the raw table collapses to a constant after compaction") {
     // 500 appended slices — the daily-append-for-a-year-plus shape. The
     // slice histograms are built once and re-stamped per slice id (the

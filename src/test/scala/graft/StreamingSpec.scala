@@ -472,6 +472,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingQuantile auto-compaction: threshold crossed mid-stream; replay + resume stay exact") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_q_ac_")
+    try {
+      def mk(ids: Range) = ids.map { i =>
+        (i.toLong, s"l${i % 2}", 100L + (i * 37) % 400)
+      }.toDF("doc_id", "lang", "n_chars")
+      val sfA = root.resolve("sfA"); val sfAll = root.resolve("sfAll")
+      mk(0 until 30).coalesce(1)
+        .write.parquet(sfA.resolve("documents.parquet").toString)
+      mk(0 until 60).coalesce(1)
+        .write.parquet(sfAll.resolve("documents.parquet").toString)
+      val base = root.resolve("base").toString
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getDouble(1)))
+          .sortBy(_._1).toSeq
+      // threshold 2 with 4 ingest files: the writer folds its own
+      // store repeatedly DURING the stream (after batches 1, 2, 3)
+      val run1 = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qac1", ingestFiles = 4,
+        baseDir = Some(base), compactSliceThreshold = 2))
+      val qstore = s"$base/qstore"
+      val live = java.nio.file.Paths
+        .get(graft.operators.Similarity.resolveDataDir(qstore, "hist"))
+        .getFileName.toString
+      assert(live.startsWith("hist.g"),
+        s"threshold never fired mid-stream: live dir is $live")
+      // the one-shot answer over the same corpus must match exactly
+      val oneShotA = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qac2", ingestFiles = 1))
+      assert(run1 == oneShotA, s"$run1 vs $oneShotA")
+      // crash-replay across the in-stream fold: the final batch was
+      // appended, watermarked, AND folded; its replay must be skipped
+      // by the watermark (the slice id no longer exists to dedup on)
+      dropLastCommit(base)
+      val replayed = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qac3", ingestFiles = 4,
+        baseDir = Some(base), compactSliceThreshold = 2))
+      assert(replayed == run1,
+        s"replay across the in-stream fold shifted ranks: $replayed vs $run1")
+      // resume with new slices on top of the folded store
+      mk(30 until 60).repartition(2)
+        .write.mode("append").parquet(s"$base/ingest")
+      val resumed = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfA.toString, "qac4", ingestFiles = 4,
+        baseDir = Some(base), compactSliceThreshold = 2))
+      val oneShot = grab(graft.streaming.Streaming.streamingQuantile(
+        spark, sfAll.toString, "qac5", ingestFiles = 4))
+      assert(resumed == oneShot, s"$resumed vs $oneShot")
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Simulate foreachBatch's at-least-once delivery precisely: delete
     * the stream checkpoint's LAST commit marker, so the restart
     * re-delivers the final batch (its offsets are recorded, its commit
