@@ -1308,6 +1308,69 @@ object SparkEntry {
       .select("q_id", "n_id", "rank")
   }
 
+  // ANN recall as a HARD quality gate (round-14): the s-family serves
+  // are oracled for DETERMINISM, and drift tripwires exist (s18/st27),
+  // but neither catches an index-QUALITY regression — bad centroids, a
+  // mis-tuned nprobe, or a garbage codebook stay perfectly
+  // deterministic. This gate measures recall@5 of the three persisted
+  // serving rungs (IVF, IVFPQ, SQ8 — REUSING s11/s12/s17's session
+  // indexes, whose builds calibrate at recall target 1.0 on this very
+  // query set) against the s1 brute ranking via Similarity.recallAtK,
+  // enforces a hard 0.9 floor in-gate, and emits the measured values.
+  // The oracle derives the expected 1.0 from the brute side alone
+  // (served = brute exactly, by the calibration-transfer argument each
+  // source gate documents), so a quality drop trips the floor AND
+  // hash-mismatches. Sensitivity is pinned in PipelineSpec: a
+  // deliberately degraded serve (nprobe = 1) measures recall < 1 and
+  // is caught by the same computation.
+  define("s22_ann_recall_floor",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5),
+       top AS (SELECT q_id, n_id FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM top)
+       SELECT family, round(tot / tot, 6) AS recall
+       FROM (VALUES ('ivf'), ('ivfpq'), ('sq8')) AS f(family)
+       CROSS JOIN n ORDER BY family""") { (s, d) =>
+    import graft.operators.Similarity
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val brute = Similarity.bruteForceTopK(queries, corpus, "embedding",
+      "vec_id", k = 5)
+    val ivfIdx = sessionIndexDir(s"s11_$d") { p =>
+      Similarity.buildIvfIndex(corpus, "embedding", "vec_id", p, cells = 10)
+      Similarity.calibrateIvfIndex(queries, p, "embedding", "vec_id",
+        k = 5, recallTarget = 1.0)
+    }
+    val ivfpqIdx = sessionIndexDir(s"s12_$d") { p =>
+      Similarity.buildIvfPqIndex(corpus, "embedding", "vec_id", p,
+        dim = 64, m = 16, cells = 10, k = 16)
+      Similarity.calibrateIvfPqIndex(queries, p, "embedding", "vec_id",
+        k = 5, recallTarget = 1.0)
+    }
+    val sq8Idx = sessionIndexDir(s"s17_$d") { p =>
+      Similarity.buildSq8Index(corpus, "embedding", "vec_id", p, dim = 64)
+    }
+    val measured = Seq(
+      "ivf" -> Similarity.recallAtK(
+        Similarity.ivfTopKFromIndex(queries, ivfIdx, "embedding",
+          "vec_id", k = 5), brute),
+      "ivfpq" -> Similarity.recallAtK(
+        Similarity.ivfPqTopKFromIndex(queries, ivfpqIdx, "embedding",
+          "vec_id", k = 5), brute),
+      "sq8" -> Similarity.recallAtK(
+        Similarity.sq8TopKFromIndex(queries, corpus, sq8Idx, "embedding",
+          "vec_id", k = 5, rerank = 1024), brute))
+    measured.foreach { case (f, r) =>
+      require(r >= 0.9, s"ANN recall floor violated: $f recall@5 = $r")
+    }
+    measured.toDF("family", "recall").orderBy("family")
+  }
+
   // SQ8 drift check — the ivfDriftCheck contract for scalar quantization:
   // appends encode against FROZEN per-dimension bounds (out-of-range
   // clamps), so a drifted batch's midpoint-reconstruction error grows

@@ -42,6 +42,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Measured recall@k of a served ANN ranking against a reference
+    * (normally [[bruteForceTopK]]): |served ∩ reference| / |reference|
+    * over (q_id, n_id) pairs, rounded to 6dp. This is the INDEX-QUALITY
+    * tripwire the determinism oracles cannot provide: the s-family
+    * serves are hash-compared for exact reproducibility, but a
+    * regression in index quality (bad centroids, mis-tuned nprobe, a
+    * codebook trained on garbage) stays perfectly deterministic — only
+    * a measured recall floor catches it. Both frames need (q_id, n_id)
+    * columns; duplicates are deduplicated so a ranking with repeated
+    * pairs cannot inflate its own recall. */
+  def recallAtK(served: DataFrame, reference: DataFrame): Double = {
+    val ref = reference.select(col("q_id"), col("n_id")).distinct()
+    val total = ref.count()
+    require(total > 0, "recallAtK needs a non-empty reference ranking")
+    val hits = served.select(col("q_id"), col("n_id")).distinct()
+      .join(ref, Seq("q_id", "n_id")).count()
+    BigDecimal(hits.toDouble / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Hard-negative mining for embedding-model training: for each query
     * vector, the k most cosine-similar corpus vectors with a DIFFERENT
     * label — the near-misses a contrastive objective learns the most

@@ -633,6 +633,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("recallAtK catches a deliberately degraded serve (the s22 quality-floor tripwire)") {
+    import spark.implicits._
+    withTempDir("graft_recall_floor") { dir =>
+      // two tight orthogonal clusters + one query BETWEEN them: the
+      // true top-4 provably spans both clusters (symmetric cosines,
+      // id tie-break), so a one-cell probe can never recall it fully
+      def unit(v: Seq[Double]): Seq[Float] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / n).toFloat)
+      }
+      val corpus = ((1 to 10).map(i =>
+          (i.toLong, unit(Seq(1.0, 0.01 * i, 0.0, 0.0)))) ++
+        (1 to 10).map(i =>
+          (100L + i, unit(Seq(0.01 * i, 1.0, 0.0, 0.0)))))
+        .toDF("vec_id", "embedding")
+      val queries = Seq((500L, unit(Seq(0.7, 0.7, 0.0, 0.0))))
+        .toDF("vec_id", "embedding")
+      Similarity.buildIvfIndex(corpus, "embedding", "vec_id", dir,
+        cells = 2)
+      val brute = Similarity.bruteForceTopK(queries, corpus, "embedding",
+        "vec_id", k = 4)
+      // a healthy (full-probe) serve recalls everything …
+      val healthy = Similarity.recallAtK(
+        Similarity.ivfTopKFromIndex(queries, dir, "embedding", "vec_id",
+          k = 4, nprobe = 2), brute)
+      assert(healthy == 1.0, s"full probe should be exact, got $healthy")
+      // … and the degraded serve (nprobe = 1: the quality regression
+      // the determinism oracles cannot see) trips the 0.9 floor
+      val degraded = Similarity.recallAtK(
+        Similarity.ivfTopKFromIndex(queries, dir, "embedding", "vec_id",
+          k = 4, nprobe = 1), brute)
+      assert(degraded < 0.9, s"degraded serve not caught: $degraded")
+      assert(degraded > 0.0, "degraded serve should still find its own cell")
+    }
+  }
+
   test("persisted IVFPQ index: nprobe=all + covering rerank equals brute; frozen append; partitioned compaction") {
     withTempDir("graft_ivfpq_idx") { dir =>
       val q = emb.filter(col("vec_id") < 5)
