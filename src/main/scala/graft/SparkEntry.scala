@@ -5049,6 +5049,86 @@ object SparkEntry {
       blocklist = block, minKeptLines = 1)
   }
 
+  // HTML/markup extraction IN FRONT of the scrub stack (round-14): the
+  // first operation every web-corpus pipeline runs, previously absent —
+  // the text stack started at clean text. The gate wraps every document
+  // in deterministic markup (tags, a comment hiding a tag, a script
+  // whose CODE must vanish, an upper-case STYLE block, &nbsp;-encoded
+  // spaces, and a double-escaped &amp;amp; exercising the decode-amp-
+  // LAST rule), extracts with TextExtract.htmlToText (a pure
+  // regexp_replace chain — scan-shaped, zero shuffle at any corpus
+  // size), and then runs the p14 boilerplate scrub ON the extracted
+  // text — where the discovery stage correctly identifies the wrapper's
+  // own template 2-grams as the corpus boilerplate. The oracle rebuilds
+  // the wrap relationally, extracts via TextExtract.htmlToTextSql
+  // (generated from the SAME pattern list as the Column chain — the
+  // ZOrder one-spelling rule), and replays the scrub in SQL.
+  define("p18_html_extract_scrub",
+    s"""WITH wrapped AS (SELECT doc_id,
+           '<div class="doc"><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</h1><!-- meta: skip <b>this</b> --><script type="text/javascript">var n = 1 &lt; 2;</script><p>' ||
+           replace(text, ' ', '&nbsp;') ||
+           '</p><STYLE>.x{color:red}</STYLE>&quot;fin&quot; &amp;amp; x &gt; y</div>'
+             AS html
+         FROM documents),
+       x AS (SELECT doc_id,
+               ${graft.operators.TextExtract.htmlToTextSql("html")} AS text
+             FROM wrapped),
+       w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+           AS wds FROM x),
+       g2 AS (SELECT doc_id, array_to_string(wds[pos : pos + 1], ' ')
+                AS gram
+              FROM (SELECT doc_id, wds,
+                      unnest(generate_series(1, greatest(len(wds) - 1, 0)))
+                        AS pos
+                    FROM w)),
+       pg AS (SELECT doc_id, gram, count(*) AS c FROM g2
+              GROUP BY doc_id, gram),
+       blk AS (SELECT gram FROM (
+                 SELECT gram, sum(c) AS occurrences FROM pg GROUP BY gram
+                 ORDER BY occurrences DESC, gram LIMIT 25)),
+       lines AS (SELECT doc_id, g AS pos,
+                   array_to_string(wds[g*5+1 : g*5+5], ' ') AS line
+                 FROM (SELECT doc_id, wds,
+                         unnest(generate_series(0,
+                           CAST(ceil(len(wds) / 5.0) AS INT) - 1)) AS g
+                       FROM w)),
+       kept AS (SELECT doc_id, pos, line FROM lines
+                WHERE NOT EXISTS (SELECT 1 FROM blk
+                  WHERE contains(lower(line), lower(gram)))),
+       nl AS (SELECT doc_id, count(*) AS n_lines FROM lines
+              GROUP BY doc_id),
+       nk AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id)
+       SELECT nl.doc_id,
+         CAST(nl.n_lines AS BIGINT) AS n_lines,
+         CAST(coalesce(nk.n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(nk.n_kept, 0) >= 1 AS keep,
+         coalesce(nk.text, '') AS text
+       FROM nl LEFT JOIN nk ON nl.doc_id = nk.doc_id""") { (s, d) =>
+    import graft.operators.{HeavyHitters, LineClean, TextExtract}
+    val html = concat(
+      lit("<div class=\"doc\"><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><!-- meta: skip <b>this</b> -->" +
+        "<script type=\"text/javascript\">var n = 1 &lt; 2;</script><p>"),
+      regexp_replace(col("text"), " ", "&nbsp;"),
+      lit("</p><STYLE>.x{color:red}</STYLE>" +
+        "&quot;fin&quot; &amp;amp; x &gt; y</div>"))
+    val extracted = t(s, d, "documents")
+      .select(col("doc_id"), TextExtract.htmlToText(html).as("text"))
+    val block = HeavyHitters.topKNgrams(extracted, "text", n = 2, k = 25)
+      .select("gram").collect().map(_.getString(0)).toSeq
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    LineClean.cleanLines(
+      extracted.select(col("doc_id"), lines.as("lines")), "lines",
+      "doc_id", minWordsPerLine = 0, requireTerminalPunct = false,
+      blocklist = block, minKeptLines = 1)
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus

@@ -1414,6 +1414,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("TextExtract.htmlToText: blocks removed whole, tags stripped, entities decoded, double-escape kept") {
+    import spark.implicits._
+    import graft.operators.TextExtract
+    val cases = Seq(
+      ("<p>Hello <b>world</b></p>", "Hello world"),
+      // script/style CONTENT vanishes (it is code, not prose), any case
+      ("<SCRIPT>var x = '<p>not text</p>';</SCRIPT>after", "after"),
+      ("<script\ntype=\"module\">\nlet a = 1 < 2;\n</script >x", "x"),
+      ("<style type=\"a\">.c { color: red }</style>kept", "kept"),
+      // comments go before the tag strip, so a tag inside one is inert
+      ("<!-- a <b>comment</b> spanning --> tail", "tail"),
+      // entities decode AFTER the strip — decoded '<' is text, not a tag
+      ("a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&apos; &amp; done",
+        "a b <tag> \"q\" 's' & done"),
+      // the double-escape rule: amp decodes LAST, exactly once
+      ("&amp;lt; stays encoded once", "&lt; stays encoded once"),
+      ("&amp;amp; collapses one level", "&amp; collapses one level"),
+      ("multi\n  line <br/>\t text", "multi line text"),
+      // documented out-of-scope: a quoted '>' inside an attribute ends
+      // the tag early (regex, not a parser) — pinned so the policy is
+      // a stated contract, not an accident
+      ("<a href=\"x>y\">edge", "y\">edge"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextExtract.htmlToText(col("h")).as("t"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, exp), g) =>
+      assert(g == exp, s"extract(<$in>) = <$g>, expected <$exp>")
+    }
+  }
+
   test("pixel operators reduce RGB to BT.601 luma, not the red channel (mixed-RGB fixture)") {
     import Multimodal.ImageIoDecoder
     // a 4×2 RGB PNG whose channels disagree hard: the red channel alone
