@@ -1682,6 +1682,34 @@ object SparkEntry {
       totalN = 100, temperature = 0.5, salt = "p17")
   }
 
+  // Quality floor for the LARGE-k training rung (round-14 stretch):
+  // kmeansCells (MLlib, seeded) trains every IVF coarse quantizer, but
+  // no cross-engine oracle can recompute an MLlib fit — its gates were
+  // determinism-only, so a silently degenerate fit (all mass in one
+  // cell, centroids at the global mean) would pass everything. The
+  // s21-report shape, hardened into a floor: the mean own-centroid
+  // cosine must strictly beat the k=1 global-centroid baseline
+  // (Similarity.cellQualityGain — two broadcast-join scan passes, no
+  // corpus shuffle). The oracle pins the deterministic envelope
+  // (k, corpus count, floor verdict); sensitivity is pinned in
+  // KmeansSpec, where an arbitrary (id-modulo) assignment fails the
+  // same check the real fit passes.
+  define("s23_kmeans_cells_quality",
+    """SELECT 8 AS k, CAST(count(*) AS BIGINT) AS n_vectors,
+       true AS cells_beat_baseline FROM embeddings""") { (s, d) =>
+    import graft.operators.Similarity
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val assigned = Similarity.kmeansCells(emb, "embedding", k = 8)
+    val (q, b) = Similarity.cellQualityGain(assigned, "embedding",
+      "vec_id", "cell")
+    require(q > b,
+      s"kmeansCells quality floor violated: mean own-centroid cosine " +
+        s"$q does not beat the global-centroid baseline $b")
+    Seq((8, emb.count(), q > b)).toDF("k", "n_vectors",
+      "cells_beat_baseline")
+  }
+
   // IVFPQ — coarse cells × PQ codes, the 10⁸⁺-vector layout. With nprobe
   // covering all 10 label cells the composition provably equals flat PQ
   // (PipelineSpec asserts it), whose candidates cover the true top-5 at

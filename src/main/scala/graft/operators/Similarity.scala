@@ -264,6 +264,27 @@ object Similarity {
     model.transform(feat).drop("__features")
   }
 
+  /** Quality-vs-baseline signal for a cell/cluster assignment: mean
+    * cosine of each vector to its OWN cell's centroid (quality), and
+    * the same metric against the single GLOBAL centroid (the k=1
+    * baseline any clustering must beat — a fit whose cells do no
+    * better than the global mean has learned nothing, however
+    * deterministic its output). Both legs ride [[centroidCosines]]
+    * (one broadcast-join scan pass each, no corpus shuffle), so the
+    * check costs two aggregates at any corpus size. This is the
+    * quality tripwire for the MLlib [[kmeansCells]] training rung,
+    * whose outputs no cross-engine oracle can recompute — determinism
+    * gates alone would pass a silently degenerate fit. */
+  def cellQualityGain(assigned: DataFrame, vecCol: String, idCol: String,
+                      cellCol: String): (Double, Double) = {
+    val quality = centroidCosines(assigned, vecCol, idCol, cellCol)
+      .agg(avg("cos")).head().getDouble(0)
+    val baseline = centroidCosines(
+        assigned.withColumn("__global", lit(0)), vecCol, idCol, "__global")
+      .agg(avg("cos")).head().getDouble(0)
+    (quality, baseline)
+  }
+
   // ================================================================
   // Product quantization (Jégou/Douze/Schmid, PAMI'11) — the memory-scale
   // path beyond ~10⁸ vectors: the corpus is stored as M small codes

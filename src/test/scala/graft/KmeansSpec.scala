@@ -68,6 +68,27 @@ class KmeansSpec extends AnyFunSuite {
     graft.operators.CacheScope.global.release()
   }
 
+  test("cellQualityGain: the real fit beats the global baseline; an arbitrary assignment does not (s23's tripwire)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // the real MLlib fit must strictly beat the k=1 global baseline …
+    val fitted = Similarity.kmeansCells(emb, "embedding", k = 8)
+    val (q, b) = Similarity.cellQualityGain(fitted, "embedding",
+      "vec_id", "cell")
+    assert(q > b, s"real fit quality $q does not beat baseline $b")
+    // … while a degenerate assignment (cells by id modulo — the shape
+    // of a silently broken trainer: deterministic, plausible-looking,
+    // learned nothing) fails the SAME check: its cell centroids are
+    // each ≈ the global mean, so the gain collapses
+    import org.apache.spark.sql.functions._
+    val arbitrary = emb.withColumn("cell", (col("vec_id") % 8).cast("int"))
+    val (qa, ba) = Similarity.cellQualityGain(arbitrary, "embedding",
+      "vec_id", "cell")
+    assert(qa - ba < (q - b) / 2,
+      s"arbitrary assignment gain ${qa - ba} should collapse vs real ${q - b}")
+    graft.operators.CacheScope.global.release()
+  }
+
   test("model store: serve == fit; refit supersedes atomically; torn generation invisible") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = java.nio.file.Files
