@@ -122,11 +122,14 @@ object Decontaminate {
       s"appendToIndex: e_id(s) already present in the index at $path " +
         s"(e.g. ${dup.take(5).mkString(", ")}) — benchmarks are frozen " +
         "artifacts; rebuild to change an existing item")
-    ev.select(col("e_id"), explode(col("sh")).as("__s"))
+    val postings = ev.select(col("e_id"), explode(col("sh")).as("__s"))
       .select(col("e_id"),
         key(col("__s"), p.getAs[Boolean]("hashed")).as("shingle"))
-      .write.mode("append")
-      .parquet(Similarity.resolveDataDir(path, "index"))
+    Similarity.fencedSliceAppend(path, "index") { dir =>
+      postings.write.mode("append").parquet(dir)
+    }
+    // sizes is outside compactIndex's sub list (never generationed), so
+    // the plain path stays the consistent read/write target for it
     ev.select(col("e_id"), size(col("sh")).as("n_e"))
       .write.mode("append").parquet(s"$path/sizes")
   }

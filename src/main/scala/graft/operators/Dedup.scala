@@ -200,6 +200,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     import spark.implicits._
+    Similarity.dropStalePointer(path, "index") // rebuild = fresh lineage
     minhashBandTable(docs, textCol, idCol, shingleSize, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/index")
     Seq((shingleSize, numHashes, bands))
@@ -218,9 +219,16 @@ object Dedup {
                            path: String): Unit = {
     val spark = docs.sparkSession
     val p = Similarity.readParams(spark, path).head()
-    minhashBandTable(docs, textCol, idCol, p.getAs[Int]("shingle_size"),
-        p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
-      .write.mode("append").parquet(s"$path/index")
+    // pointer-resolved + fenced, like every other compactable index:
+    // the plain-path write this replaces would land appends in a dir a
+    // post-compaction sweep deletes (silent loss), and readers resolving
+    // the pointer would never see them at all
+    val bandTable = minhashBandTable(docs, textCol, idCol,
+      p.getAs[Int]("shingle_size"), p.getAs[Int]("num_hashes"),
+      p.getAs[Int]("bands"))
+    Similarity.fencedSliceAppend(path, "index") { dir =>
+      bandTable.write.mode("append").parquet(dir)
+    }
   }
 
   /** Incremental near-dup: score a NEW ingest batch against itself AND the
@@ -263,7 +271,8 @@ object Dedup {
       newSh.select(col("id"),
         posexplode(VF.minhashBandHashes(col("sh"), numHashes, bands))
           .as(Seq("band", "bucket"))))
-    val idx = spark.read.parquet(s"$indexPath/index")
+    val idx = spark.read
+      .parquet(Similarity.resolveDataDir(indexPath, "index"))
       .select(col("id").as("o_id"), col("band"), col("bucket"))
     val a = newBand.as("a")
     val b = newBand.as("b")

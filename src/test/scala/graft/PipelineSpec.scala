@@ -224,6 +224,41 @@ class PipelineSpec extends AnyFunSuite {
         threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rep.exists(p => p._2 == probeId && p._3 == 1.0))
+    // the minhash index is compactable like every "index" sub-table:
+    // the fold must be invisible to the serve, appends must land in the
+    // RESOLVED generation (a plain-path append here would be deleted by
+    // the next sweep — the bug this pin guards against), and a second
+    // compaction reclaims the superseded plain dir without changing
+    // anything
+    def serve(): Set[(Long, Long)] =
+      Dedup.nearDupAgainstIndex(probe, docs, dir, "text", "doc_id",
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = serve()
+    Similarity.compactIndex(spark, dir, partitions = 2)
+    assert(Similarity.resolveDataDir(dir, "index") == s"$dir/index.g0001")
+    assert(serve() == before, "compaction changed the minhash serve")
+    // an append AFTER compaction must be visible (it lands in g0001,
+    // not the doomed plain dir): a fresh doc appended then probed with
+    // its own copy must surface as a J=1.0 pair
+    val extra = probe.select((col("doc_id") + 1000).as("doc_id"),
+      col("text"))
+    Dedup.appendToMinHashIndex(extra, "text", "doc_id", dir)
+    val extraId = extra.collect().head.getLong(0)
+    val corpus2 = docs.select("doc_id", "text").unionByName(extra)
+    val rep2 = Dedup.nearDupAgainstIndex(probe, corpus2, dir, "text",
+        "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rep2.exists(p => p._2 == extraId && p._3 == 1.0),
+      "post-compaction append invisible to the serve")
+    Similarity.compactIndex(spark, dir, partitions = 2)
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "index")),
+      "superseded plain index dir leaked past its grace cycle")
+    val rep3 = Dedup.nearDupAgainstIndex(probe, corpus2, dir, "text",
+        "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rep3.exists(p => p._2 == extraId && p._3 == 1.0))
   }
 
   test("minhash exact-dup collapse (groupExact) returns the ungrouped answer on a duplicated corpus") {
