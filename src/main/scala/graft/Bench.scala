@@ -140,7 +140,15 @@ object Bench {
     // the real ImageIO pixel decode (synthesize + decode the corpus's
     // PNGs per rep — a genuinely codec-bound row)
     "t55_kmv_compacted", "t58_quantile_compacted",
-    "t59_countmin_by_lang_shuffle", "m6_pixel_decode")
+    "t59_countmin_by_lang_shuffle", "m6_pixel_decode",
+    // round-14: markup extraction + boilerplate scrub (the regex chain
+    // is the heaviest pure-projection pass in the repo — benched as the
+    // composition a web pipeline actually runs), the ANN recall floor
+    // (three persisted serves + a brute reference — index builds land
+    // on the warm-up rep via sessionIndexDir), and the kmeansCells
+    // quality check (MLlib fit + two broadcast-join quality scans)
+    "p18_html_extract_scrub", "s22_ann_recall_floor",
+    "s23_kmeans_cells_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

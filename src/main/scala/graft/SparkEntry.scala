@@ -1339,8 +1339,11 @@ object SparkEntry {
     val emb = t(s, d, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
     val corpus = emb.filter(col("vec_id") >= 5)
-    val brute = Similarity.bruteForceTopK(queries, corpus, "embedding",
-      "vec_id", k = 5)
+    // the brute reference feeds three recall computations (two actions
+    // each) — cache the slim (q_id, n_id, rank) frame, not the corpus
+    val brute = graft.operators.CacheScope.global.cache(
+      Similarity.bruteForceTopK(queries, corpus, "embedding",
+        "vec_id", k = 5))
     val ivfIdx = sessionIndexDir(s"s11_$d") { p =>
       Similarity.buildIvfIndex(corpus, "embedding", "vec_id", p, cells = 10)
       Similarity.calibrateIvfIndex(queries, p, "embedding", "vec_id",

@@ -22,7 +22,7 @@ object CurationSoak {
     val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans", "r8",
-        "r8b", "cc", "zipf", "kmv"))
+        "r8b", "cc", "zipf", "kmv", "r14"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -653,6 +653,41 @@ object CurationSoak {
           byDoc.filter(col("group") % 97 === 0),
           CountMin.cmBuildByGroup(byDoc, "group", "gram", 4, 8),
           "group", "gram", 4, 8, broadcastGroupCap = 0).count()
+      }
+    }
+
+    if (sections("r14")) {
+      // markup extraction at 100k docs: the regexp_replace chain is a
+      // pure projection (zero shuffle expected — the [soak] line proves
+      // it), so its cost is the per-byte regex scan a web pipeline pays
+      // on every document exactly once
+      import graft.operators.TextExtract
+      val wrapped = docs100k.select(col("doc_id"), concat(
+        lit("<div class=\"doc\"><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><!-- meta --><script>var n = 1 &lt; 2;</script><p>"),
+        regexp_replace(col("text"), " ", "&nbsp;"),
+        lit("</p><style>.x{color:red}</style>&quot;fin&quot; &amp; done</div>"))
+        .as("html"))
+      time("html_extract_100k") {
+        wrapped.select(TextExtract.htmlToText(col("html")).as("t"))
+          .agg(sum(length(col("t")))).head.getLong(0)
+      }
+      // the composed front door: extract, then the p14 discover→scrub
+      // (sketch-path blocklist discovery + line removal) on the output
+      time("html_extract_scrub_100k") {
+        val extracted = wrapped.select(col("doc_id"),
+          TextExtract.htmlToText(col("html")).as("text"))
+        val block = graft.operators.HeavyHitters
+          .topKNgrams(extracted, "text", n = 2, k = 25)
+          .select("gram").collect().map(_.getString(0)).toSeq
+        val toks = split(trim(col("text")), "\\s+")
+        val lines = transform(
+          sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
+          g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+        graft.operators.LineClean.cleanLines(
+          extracted.select(col("doc_id"), lines.as("lines")), "lines",
+          "doc_id", minWordsPerLine = 0, requireTerminalPunct = false,
+          blocklist = block, minKeptLines = 1).count()
       }
     }
     spark.stop()
