@@ -5064,20 +5064,8 @@ object SparkEntry {
          coalesce(nk.n_kept, 0) >= 1 AS keep,
          coalesce(nk.text, '') AS text
        FROM nl LEFT JOIN nk ON nl.doc_id = nk.doc_id""") { (s, d) =>
-    import graft.operators.{HeavyHitters, LineClean}
-    val docs = t(s, d, "documents")
-    // bounded driver list: exactly 25 grams whatever the corpus size,
-    // discovered at sketch wire cost (never a vocabulary shuffle)
-    val block = HeavyHitters.topKNgrams(docs, "text", n = 2, k = 25)
-      .select("gram").collect().map(_.getString(0)).toSeq
-    val toks = split(trim(col("text")), "\\s+")
-    val lines = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
-    LineClean.cleanLines(
-      docs.select(col("doc_id"), lines.as("lines")), "lines", "doc_id",
-      minWordsPerLine = 0, requireTerminalPunct = false,
-      blocklist = block, minKeptLines = 1)
+    graft.operators.LineClean.scrubDiscoveredBoilerplate(
+      t(s, d, "documents"), "text", "doc_id")
   }
 
   // HTML/markup extraction IN FRONT of the scrub stack (round-14): the
@@ -5138,7 +5126,7 @@ object SparkEntry {
          coalesce(nk.n_kept, 0) >= 1 AS keep,
          coalesce(nk.text, '') AS text
        FROM nl LEFT JOIN nk ON nl.doc_id = nk.doc_id""") { (s, d) =>
-    import graft.operators.{HeavyHitters, LineClean, TextExtract}
+    import graft.operators.{LineClean, TextExtract}
     val html = concat(
       lit("<div class=\"doc\"><h1>Doc "), col("doc_id").cast("string"),
       lit("</h1><!-- meta: skip <b>this</b> -->" +
@@ -5148,16 +5136,7 @@ object SparkEntry {
         "&quot;fin&quot; &amp;amp; x &gt; y</div>"))
     val extracted = t(s, d, "documents")
       .select(col("doc_id"), TextExtract.htmlToText(html).as("text"))
-    val block = HeavyHitters.topKNgrams(extracted, "text", n = 2, k = 25)
-      .select("gram").collect().map(_.getString(0)).toSeq
-    val toks = split(trim(col("text")), "\\s+")
-    val lines = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
-    LineClean.cleanLines(
-      extracted.select(col("doc_id"), lines.as("lines")), "lines",
-      "doc_id", minWordsPerLine = 0, requireTerminalPunct = false,
-      blocklist = block, minKeptLines = 1)
+    LineClean.scrubDiscoveredBoilerplate(extracted, "text", "doc_id")
   }
 
   // Train→eval benchmark-contamination check: asymmetric trigram

@@ -122,4 +122,32 @@ object LineClean {
         size(col(linesCol)).cast("long").as("n_lines"),
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), "\n").as("text"))
+
+  /** The C4 discover→remove boilerplate loop as ONE call, shared by the
+    * p14/p18 gates and the soak (three hand-synchronized copies would
+    * silently drift): the corpus's own top-`k` `n`-grams become the
+    * line blocklist ([[HeavyHitters.topKNgrams]] — the SKETCH discovery
+    * path: MG summary + bounded exact recount, wire O(m) per partition,
+    * constant in the vocabulary), documents are segmented into fixed
+    * `lineWords`-word windows (the newline-free test-corpus convention;
+    * real corpora pre-split on '\n' and call [[cleanLines]] directly),
+    * and every line containing a discovered gram is dropped. Word and
+    * punctuation rules are off so the composition is isolated to the
+    * discovered blocklist. The blocklist is a bounded driver list —
+    * exactly `k` grams whatever the corpus size. */
+  def scrubDiscoveredBoilerplate(docs: DataFrame, textCol: String,
+                                 idCol: String, n: Int = 2, k: Int = 25,
+                                 lineWords: Int = 5,
+                                 minKeptLines: Int = 1): DataFrame = {
+    val block = HeavyHitters.topKNgrams(docs, textCol, n = n, k = k)
+      .select("gram").collect().map(_.getString(0)).toSeq
+    val toks = split(trim(col(textCol)), "\\s+")
+    val lines = transform(
+      sequence(lit(0),
+        ceil(size(toks) / lit(lineWords.toDouble)).cast("int") - 1),
+      g => array_join(slice(toks, g * lineWords + 1, lit(lineWords)), " "))
+    cleanLines(docs.select(col(idCol), lines.as("lines")), "lines", idCol,
+      minWordsPerLine = 0, requireTerminalPunct = false,
+      blocklist = block, minKeptLines = minKeptLines)
+  }
 }

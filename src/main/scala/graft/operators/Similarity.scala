@@ -1176,18 +1176,25 @@ object Similarity {
           "quiesce point.")
   }
 
-  /** Run a slice APPEND under the fence: capture (epoch, live dir) at
-    * open, write, then verify neither moved before publishing the bump.
-    * If a compaction flipped the pointer mid-append, the written files
-    * landed in the SUPERSEDED directory — invisible to every reader and
-    * reclaimed by the next sweep — so the loud failure here is the only
-    * record the slice needs re-appending; without it the loss is
-    * silent. (An append that starts strictly AFTER a compaction commits
-    * resolves the new generation and proceeds normally — appends-on-
-    * top-of-fold is the designed lifecycle, not a race.) */
+  /** Run a slice APPEND under the fence: capture the live dir at open,
+    * write, then verify the pointer did not move before publishing the
+    * epoch bump. If a compaction flipped the pointer mid-append, the
+    * written files landed in the SUPERSEDED directory — invisible to
+    * every reader and reclaimed by the next sweep — so the loud
+    * failure here is the only record the slice needs re-appending
+    * (and re-appending IS safe: nothing this writer wrote is live);
+    * without it the loss is silent. Two other interleavings are
+    * deliberately NOT failures: an append that starts strictly after a
+    * compaction commits resolves the new generation and proceeds
+    * normally (appends-on-top-of-fold is the designed lifecycle), and
+    * two CONCURRENT appends commute — append-only tables take both
+    * slices' files whatever the interleaving, so a same-dir epoch
+    * advance is benign and the bump simply publishes on top of it
+    * (which is also why the bump reads the FRESH epoch: a mid-fold
+    * compactor's post-flip re-check must see the advance whichever
+    * appender published last). */
   private[graft] def fencedSliceAppend(path: String, sub: String)
                                       (write: String => Unit): Unit = {
-    val epoch0 = readEpoch(path, sub)
     val dir0 = resolveDataDir(path, sub)
     write(dir0)
     val dirNow = resolveDataDir(path, sub)
@@ -1197,8 +1204,7 @@ object Similarity {
           s"while this append was writing (live dir $dir0 -> $dirNow); " +
           "the appended files landed in the superseded directory and are " +
           "NOT visible to readers — re-run the append.")
-    fenceCheck(path, sub, epoch0, "append")
-    bumpEpoch(path, sub, epoch0)
+    bumpEpoch(path, sub, readEpoch(path, sub))
   }
 
   /** A full REBUILD at an existing index path must not leave a pointer
@@ -1245,10 +1251,25 @@ object Similarity {
     *
     * `expectedEpoch` is the concurrent-writer fence ([[readEpoch]]): a
     * caller that read the store earlier passes the epoch it opened at,
-    * and the commit refuses — loudly, BEFORE the pointer flip, leaving
-    * the store exactly as the interleaved winner left it — if another
-    * writer committed in between. Verified twice: before the (possibly
-    * long) generation write and again immediately before the flip. */
+    * and the commit refuses loudly — leaving the store exactly as the
+    * interleaved winner left it — if another writer committed in
+    * between. The commit is structured so every destructive operation
+    * targets a directory only THIS writer names: the generation is
+    * written into a writer-unique staging dir (generation numbers are
+    * deterministic, so two racing writers would compute the SAME name
+    * — the loser's overwrite/cleanup would otherwise destroy the
+    * winner's committed files) and atomically renamed at commit (a
+    * name collision there means the other writer already committed —
+    * abort, discarding only our own staging). After the pointer flip
+    * the epoch is re-verified: a writer that slipped into the
+    * fence-to-flip window would have been silently folded away, so the
+    * pointer is ROLLED BACK to the pre-flip live target (restoring
+    * exactly the winner's state — a racing appender's slice lives in
+    * that dir; a racing committer's pointer value IS that target) and
+    * the commit fails loudly. Residual race window: the few
+    * microseconds between the post-flip re-check and the epoch bump —
+    * documented, not closable with plain files; the single-writer
+    * contract remains the operating mode and the fence its tripwire. */
   private[graft] def commitGeneration(path: String, sub: String,
                                       expectedEpoch: Option[Long] = None)
                                      (writeTo: String => Unit): Unit = {
@@ -1256,36 +1277,74 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     expectedEpoch.foreach(fenceCheck(path, sub, _, "generation commit"))
     val epoch0 = expectedEpoch.getOrElse(readEpoch(path, sub))
+    val stage = Paths.get(path, f"$sub.gtmp.${System.nanoTime()}%d")
+    def abort(t: IllegalStateException): Nothing = {
+      deleteRec(stage) // only ever our own staging dir
+      throw t
+    }
+    writeTo(stage.toString)
+    expectedEpoch.foreach { e =>
+      try fenceCheck(path, sub, e, "generation commit")
+      catch { case t: IllegalStateException => abort(t) }
+    }
     val liveName =
       Paths.get(resolveDataDir(path, sub)).getFileName.toString
     val gen = liveName match {
-      case s if s.startsWith(s"$sub.g") =>
+      case s if s.startsWith(s"$sub.g") &&
+          s.stripPrefix(s"$sub.g").forall(_.isDigit) =>
         f"$sub.g${s.stripPrefix(s"$sub.g").toInt + 1}%04d"
       case _ => f"$sub.g${1}%04d"
     }
-    writeTo(Paths.get(path, gen).toString)
-    expectedEpoch.foreach { e =>
-      try fenceCheck(path, sub, e, "generation commit")
-      catch { case t: IllegalStateException =>
-        deleteRec(Paths.get(path, gen)) // the torn loser, reclaim eagerly
-        throw t
-      }
+    // an existing rename target here is CRASH DEBRIS — a generation
+    // whose writer died before its pointer flip (the documented
+    // reclaim-the-slot contract, pinned by test). A COMMITTED
+    // generation cannot be the target: gen = next(live) is computed
+    // from the pointer resolved after the fence check, and a commit
+    // slipping in after that advances the epoch, which the post-flip
+    // re-check below turns into a loud rollback.
+    val genDir = Paths.get(path, gen)
+    if (Files.exists(genDir)) deleteRec(genDir)
+    try Files.move(stage, genDir, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileSystemException =>
+      abort(new IllegalStateException(
+        s"concurrent writer fenced: generation $gen at $path appeared " +
+          "mid-commit — another writer committed it first; this " +
+          "writer's staged data was discarded. Re-run at a quiesce " +
+          "point.", e))
     }
     val tmp = Paths.get(path, s"$sub.ptr.tmp")
     Files.write(tmp, gen.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(path, s"$sub.ptr"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (expectedEpoch.isDefined && readEpoch(path, sub) != epoch0) {
+      // a writer committed between the fence check and the flip — our
+      // flip would silently fold it away. Restore the pre-flip target
+      // (which holds the winner's state) and fail loudly.
+      if (liveName == sub)
+        Files.deleteIfExists(Paths.get(path, s"$sub.ptr"))
+      else {
+        Files.write(tmp, liveName.getBytes("UTF-8"))
+        Files.move(tmp, Paths.get(path, s"$sub.ptr"),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      fenceCheck(path, sub, epoch0, "generation commit (post-flip)")
+    }
     bumpEpoch(path, sub, epoch0)
-    // sweep superseded generations beyond the grace one (liveName); the
-    // builder's plain `<sub>` dir is never swept — a rebuild reclaims it
+    // sweep superseded generations beyond the grace one (liveName) and
+    // staging dirs orphaned by crashed writers; the builder's plain
+    // `<sub>` dir is never swept — a rebuild reclaims it
     val genRe = (java.util.regex.Pattern.quote(sub) + "\\.g\\d+").r
+    val stagePrefix = s"$sub.gtmp."
     val listing = {
       val s = Files.list(Paths.get(path))
       try s.iterator().asScala.toSeq finally s.close()
     }
     listing.foreach { p =>
       val nm = p.getFileName.toString
-      if (genRe.matches(nm) && nm != gen && nm != liveName) deleteRec(p)
+      val orphanGen = genRe.matches(nm) && nm != gen && nm != liveName
+      val orphanStage = nm.startsWith(stagePrefix) && p != stage
+      if (orphanGen || orphanStage) deleteRec(p)
     }
   }
 
@@ -1345,8 +1404,8 @@ object Similarity {
         val liveName = live.getFileName.toString
         // sweep orphans: generation dirs no pointer targets (crashed
         // compactions and generations superseded by earlier compactions),
-        // plus the legacy staging/old dirs of the previous two-rename
-        // scheme — never the live dir itself
+        // crashed writers' staging dirs, plus the legacy staging/old
+        // dirs of the previous two-rename scheme — never the live dir
         val genRe = (java.util.regex.Pattern.quote(sub) + "\\.g\\d+").r
         val root = Paths.get(path)
         val listing = {
@@ -1359,35 +1418,66 @@ object Similarity {
           // a crash AFTER the pointer flip leaves the superseded plain
           // builder dir; the pointer outranks it, so it is sweepable too
           val orphanPlain = nm == sub && liveName != sub
-          val legacyTmp = nm == s"$sub.staging" || nm == s"$sub.old"
+          val legacyTmp = nm == s"$sub.staging" || nm == s"$sub.old" ||
+            nm.startsWith(s"$sub.gtmp.")
           if (orphanGen || orphanPlain || legacyTmp) deleteRec(p)
         }
-        // next generation id from the live dir's name (plain dir = g0)
-        val gen = liveName match {
-          case s if s.startsWith(s"$sub.g") =>
-            f"$sub.g${s.stripPrefix(s"$sub.g").toInt + 1}%04d"
-          case _ => f"$sub.g${1}%04d"
-        }
-        val genDir = Paths.get(path, gen)
+        // the rewrite goes into a writer-UNIQUE staging dir and is
+        // renamed at commit — the commitGeneration discipline: two
+        // racing compactors deterministically compute the same next
+        // generation name, so a shared target would let the loser
+        // clobber the winner's committed files
+        val stage = Paths.get(path, f"$sub.gtmp.${System.nanoTime()}%d")
         val df = spark.read.parquet(live.toString)
         if (df.columns.contains("cell"))
           df.repartition(col("cell"))
             .write.mode("overwrite").partitionBy("cell")
-            .parquet(genDir.toString)
+            .parquet(stage.toString)
         else
-          df.repartition(n).write.mode("overwrite").parquet(genDir.toString)
+          df.repartition(n).write.mode("overwrite").parquet(stage.toString)
+        def abort(t: IllegalStateException): Nothing = {
+          deleteRec(stage); throw t
+        }
         // fence: an append that committed since this compaction opened
-        // would be folded away by the flip — abort loudly instead, and
-        // reclaim the torn generation (this compaction is the loser)
+        // would be folded away by the flip — abort loudly instead
         try fenceCheck(path, sub, epoch0, "compactIndex")
-        catch { case t: IllegalStateException =>
-          deleteRec(genDir); throw t
+        catch { case t: IllegalStateException => abort(t) }
+        val liveNow =
+          Paths.get(resolveDataDir(path, sub)).getFileName.toString
+        val gen = liveNow match {
+          case s if s.startsWith(s"$sub.g") &&
+              s.stripPrefix(s"$sub.g").forall(_.isDigit) =>
+            f"$sub.g${s.stripPrefix(s"$sub.g").toInt + 1}%04d"
+          case _ => f"$sub.g${1}%04d"
+        }
+        try Files.move(stage, Paths.get(path, gen),
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case e: java.nio.file.FileSystemException =>
+          abort(new IllegalStateException(
+            s"concurrent writer fenced: generation $gen at $path " +
+              "already exists — another compaction committed it first; " +
+              "this writer's staged rewrite was discarded.", e))
         }
         // commit: write the pointer beside its final name, atomic rename
         val tmp = Paths.get(path, s"$sub.ptr.tmp")
         Files.write(tmp, gen.getBytes("UTF-8"))
         Files.move(tmp, Paths.get(path, s"$sub.ptr"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        if (readEpoch(path, sub) != epoch0) {
+          // a writer committed between the fence check and the flip —
+          // restore the pre-flip target (it holds the winner's state:
+          // an appender's slice lives in that dir, a committer's
+          // pointer value IS that target) and fail loudly
+          if (liveNow == sub)
+            Files.deleteIfExists(Paths.get(path, s"$sub.ptr"))
+          else {
+            Files.write(tmp, liveNow.getBytes("UTF-8"))
+            Files.move(tmp, Paths.get(path, s"$sub.ptr"),
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+          fenceCheck(path, sub, epoch0, "compactIndex (post-flip)")
+        }
         bumpEpoch(path, sub, epoch0)
         // the superseded `live` dir is deliberately NOT deleted here —
         // see the scaladoc's reader-grace argument; next sweep reclaims it

@@ -75,8 +75,8 @@ object SketchStore {
     *    compaction opened — a concurrent append's slice cannot be
     *    silently folded away; the compaction loses and aborts. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val (_, sub) = dispatch(spark, path)
-    compact(spark, path, Similarity.readEpoch(path, sub))
+    val (layout, sub) = dispatch(spark, path)
+    compactImpl(spark, path, layout, sub, Similarity.readEpoch(path, sub))
   }
 
   private def dispatch(spark: SparkSession,
@@ -101,6 +101,12 @@ object SketchStore {
   private[graft] def compact(spark: SparkSession, path: String,
                              openEpoch: Long): Unit = {
     val (layout, sub) = dispatch(spark, path)
+    compactImpl(spark, path, layout, sub, openEpoch)
+  }
+
+  private def compactImpl(spark: SparkSession, path: String,
+                          layout: String, sub: String,
+                          openEpoch: Long): Unit = {
     guardUnwatermarked(spark, path, sub, layout)
     layout match {
       case Sketches.Layout =>    // kmv_v1: (group, sk), no slice ids —

@@ -675,19 +675,10 @@ object CurationSoak {
       // the composed front door: extract, then the p14 discover→scrub
       // (sketch-path blocklist discovery + line removal) on the output
       time("html_extract_scrub_100k") {
-        val extracted = wrapped.select(col("doc_id"),
-          TextExtract.htmlToText(col("html")).as("text"))
-        val block = graft.operators.HeavyHitters
-          .topKNgrams(extracted, "text", n = 2, k = 25)
-          .select("gram").collect().map(_.getString(0)).toSeq
-        val toks = split(trim(col("text")), "\\s+")
-        val lines = transform(
-          sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-          g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
-        graft.operators.LineClean.cleanLines(
-          extracted.select(col("doc_id"), lines.as("lines")), "lines",
-          "doc_id", minWordsPerLine = 0, requireTerminalPunct = false,
-          blocklist = block, minKeptLines = 1).count()
+        graft.operators.LineClean.scrubDiscoveredBoilerplate(
+          wrapped.select(col("doc_id"),
+            TextExtract.htmlToText(col("html")).as("text")),
+          "text", "doc_id").count()
       }
     }
     spark.stop()

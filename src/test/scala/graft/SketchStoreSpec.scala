@@ -276,6 +276,53 @@ class SketchStoreSpec extends AnyFunSuite {
     graft.operators.CacheScope.global.release()
   }
 
+  test("writer fencing: two racing compactions — the loser aborts without touching the winner's committed generation") {
+    import scala.jdk.CollectionConverters._
+    val items = (0 until 300).map(i => s"w${i % 20}").toDF("item")
+    val dir = tmp("ccrace"); val (depth, width) = (4, 128)
+    CountMin.saveCm(CountMin.cmBuild(items.filter(col("item") =!= "w0"),
+      "item", depth, width), dir, depth, width, sliceId = "a")
+    CountMin.appendCm(CountMin.cmBuild(items.filter(col("item") === "w0"),
+      "item", depth, width), dir, depth, width, sliceId = "b")
+    def serve(): Set[(String, Long)] = {
+      val (counters, d, w) = CountMin.loadCm(spark, dir)
+      CountMin.cmEstimate(items.distinct(), counters, "item", d, w)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    val before = serve()
+    // writer B opens (reads the epoch) and starts staging its fold;
+    // writer A commits a FULL compaction in between. Deterministic
+    // generation numbering means both compute the same next-gen name —
+    // B must stage in its own unique dir and abort at the fence,
+    // leaving A's committed generation untouched (the old shared-name
+    // scheme had B overwrite A's live files and then delete them)
+    val ex = intercept[IllegalStateException] {
+      Similarity.commitGeneration(dir, "counters",
+        Some(Similarity.readEpoch(dir, "counters"))) { stageDir =>
+        SketchStore.compact(spark, dir) // winner A commits mid-stage
+        val (counters, _, _) = CountMin.loadCm(spark, dir)
+        counters.select(lit("__compacted").as("slice_id"), col("row"),
+            col("cell"), col("cnt"))
+          .coalesce(1).write.mode("overwrite").parquet(stageDir)
+      }
+    }
+    assert(ex.getMessage.contains("concurrent writer fenced"))
+    val live = java.nio.file.Paths.get(
+      Similarity.resolveDataDir(dir, "counters"))
+    assert(java.nio.file.Files.isDirectory(live),
+      s"live dir $live missing — the loser destroyed the winner's commit")
+    assert(live.getFileName.toString == "counters.g0001")
+    assert(serve() == before, "the losing compaction corrupted the store")
+    // the loser's staging dir was reclaimed
+    val listing = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    assert(!listing.exists(_.getFileName.toString.startsWith("counters.gtmp.")),
+      "losing writer leaked its staging dir")
+    graft.operators.CacheScope.global.release()
+  }
+
   test("writer fencing: compactIndex aborts when an ANN append committed since it opened") {
     val rnd = new scala.util.Random(11)
     def vecs(ids: Range) = ids.map { i =>
