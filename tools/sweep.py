@@ -38,8 +38,16 @@ for sf in SFS:
     # Spark noise goes to stderr; REAL per-gate failures are tagged
     verify_failed = sorted(set(
         re.findall(r"\[verify\] (\S+) failed", v.stdout + v.stderr)))
+    # --json: the per-gate CORRECTNESS-shaped replica. The driver's own
+    # artifact arrived EMPTY in rounds 13 and 14, so per-query
+    # adjudication must never depend on that drop — the sf0.01 leg's
+    # report is published as SWEEP_QUERIES_<tag>.json (driver parity:
+    # the driver compares at sf0.01), the other SFs' land in target/.
+    qjson = (os.path.join(REPO, f"SWEEP_QUERIES_{tag}.json") if sf == "sf0.01"
+             else os.path.join(REPO, "target", f"sweep_queries_{sf}.json"))
     c = subprocess.run(
-        ["python3", "tools/check_oracle.py", f"/root/testdata/{sf}", out],
+        ["python3", "tools/check_oracle.py", f"/root/testdata/{sf}", out,
+         "--json", qjson],
         capture_output=True, text=True, cwd=REPO)
     per_gate = dict(re.findall(r"^(\S+): (OK|.*)$", c.stdout, re.M))
     not_ok = sorted(n for n, s in per_gate.items()
