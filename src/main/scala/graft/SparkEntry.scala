@@ -1316,24 +1316,21 @@ object SparkEntry {
   // serving rungs (IVF, IVFPQ, SQ8 — REUSING s11/s12/s17's session
   // indexes, whose builds calibrate at recall target 1.0 on this very
   // query set) against the s1 brute ranking via Similarity.recallAtK,
-  // enforces a hard 0.9 floor in-gate, and emits the measured values.
-  // The oracle derives the expected 1.0 from the brute side alone
-  // (served = brute exactly, by the calibration-transfer argument each
-  // source gate documents), so a quality drop trips the floor AND
-  // hash-mismatches. Sensitivity is pinned in PipelineSpec: a
-  // deliberately degraded serve (nprobe = 1) measures recall < 1 and
-  // is caught by the same computation.
+  // enforces measured == 1.0 in-gate (round-15: the floor IS the
+  // calibration target — a regression into [0.9, 1.0) must fail here
+  // too, not only in oracled runs; Bench and the soaks run un-oracled),
+  // and emits the measured values. The oracle does NOT recompute
+  // recall (the served rankings aren't reproducible relationally
+  // without replaying the index builds); it PINS the expected
+  // calibrated constant 1.0 per family — the measured values
+  // hash-compare against it, and the brute reference side is
+  // independently oracled by s1. Sensitivity is pinned in
+  // PipelineSpec: a deliberately degraded serve (nprobe = 1) measures
+  // recall < 1 and is caught by the same computation.
   define("s22_ann_recall_floor",
-    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5),
-       top AS (SELECT q_id, n_id FROM (
-         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
-           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
-         FROM q, c) WHERE rank <= 5),
-       n AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM top)
-       SELECT family, round(tot / tot, 6) AS recall
+    """SELECT family, CAST(1.0 AS DOUBLE) AS recall
        FROM (VALUES ('ivf'), ('ivfpq'), ('sq8')) AS f(family)
-       CROSS JOIN n ORDER BY family""") { (s, d) =>
+       ORDER BY family""") { (s, d) =>
     import graft.operators.Similarity
     import s.implicits._
     val emb = t(s, d, "embeddings")
@@ -1369,9 +1366,50 @@ object SparkEntry {
         Similarity.sq8TopKFromIndex(queries, corpus, sq8Idx, "embedding",
           "vec_id", k = 5, rerank = 1024), brute))
     measured.foreach { case (f, r) =>
-      require(r >= 0.9, s"ANN recall floor violated: $f recall@5 = $r")
+      require(r == 1.0, s"ANN recall floor violated: $f recall@5 = $r " +
+        "(calibration targets 1.0 on this query set — any drop is a " +
+        "quality regression, oracled run or not)")
     }
     measured.toDF("family", "recall").orderBy("family")
+  }
+
+  // The LSH rung of the recall floor (round-15): s22 gates the
+  // IVF/IVFPQ/SQ8 persisted serves, but the LSH family's `family` tag
+  // guards hyperplane IDENTITY, not QUALITY — a banding mis-tune or a
+  // degenerate seed stays deterministic and invisible to every other
+  // tripwire. Same machinery: measured recall@5 of lshTopKFromIndex
+  // (multi-probe — the production serving config, REUSING s5's session
+  // index) against the s1 brute ranking. LSH recall < 1 by design in
+  // general, so the floor is the CALIBRATED DESIGN recall on this
+  // fixture — which is 1.0: s5's own oracle is the exact brute window
+  // and is green at every SF, i.e. at (bits=16, bands=8, multi-probe)
+  // the candidate sets provably cover the true top-5 here. The oracle
+  // pins that calibrated constant (recall is not relationally
+  // recomputable — see s22); sensitivity is pinned in PipelineSpec: a
+  // deliberately degraded config (single-probe coarse bands on an
+  // adversarial two-cluster fixture) measures < 1 and is caught by the
+  // same computation.
+  define("s24_lsh_recall_floor",
+    """SELECT CAST('lsh_multiprobe' AS VARCHAR) AS family,
+              CAST(1.0 AS DOUBLE) AS recall""") { (s, d) =>
+    import graft.operators.Similarity
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val brute = graft.operators.CacheScope.global.cache(
+      Similarity.bruteForceTopK(queries, corpus, "embedding",
+        "vec_id", k = 5))
+    val lshIdx = sessionIndexDir(s"s5_$d") { p =>
+      Similarity.buildLshIndex(corpus, "embedding", "vec_id", p)
+    }
+    val r = Similarity.recallAtK(
+      Similarity.lshTopKFromIndex(queries, corpus, lshIdx, "embedding",
+        "vec_id", k = 5), brute)
+    require(r == 1.0, s"LSH recall floor violated: recall@5 = $r " +
+      "(bits=16/bands=8 multi-probe covers the true top-5 on this " +
+      "fixture by calibration — any drop is a banding/seed regression)")
+    Seq(("lsh_multiprobe", r)).toDF("family", "recall")
   }
 
   // SQ8 drift check — the ivfDriftCheck contract for scalar quantization:
@@ -3493,6 +3531,51 @@ object SparkEntry {
       .select(col("group").as("lang"), col("item").as("gram"), col("cnt"))
   }
 
+  // AUTO-compaction on the BATCH append path (round-15): t44 appends and
+  // serves, st33 auto-compacts inside a stream's own trigger — this gate
+  // closes the remaining corner: a non-streaming daily-append writer
+  // whose appends fold the store THEMSELVES once the slice count reaches
+  // the threshold (appendMgSummaries' compactSliceThreshold — same
+  // single-writer-by-identity safety: the fold runs after the appender's
+  // own fenced append committed). With three slices and threshold 2 the
+  // fold fires on BOTH appends; MG fold invisibility (Agarwal'12,
+  // pinned by t56) keeps the serve equal to the one-shot t41 answer, so
+  // the oracle transfers verbatim — and the gate REQUIRES the cadence
+  // to have actually fired (the live summaries table must be a
+  // compaction generation, not the builder dir).
+  define("t61_frequent_store_autocompact", hhByLangOracleSql) { (s, d) =>
+    import graft.operators.{HeavyHitters, Similarity, Sketches}
+    val docs = t(s, d, "documents")
+    val m = 2000 // the t44 capacity: m + 1 > 1/phi at phi = 0.0013
+    val dir = sessionIndexDir(s"hhga_$d") { p =>
+      Sketches.saveMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(
+          langGrams(docs.filter(col("doc_id") % 3 === 0)),
+          "lang", "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "m0")
+      Sketches.appendMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(
+          langGrams(docs.filter(col("doc_id") % 3 === 1)),
+          "lang", "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "m1",
+        compactSliceThreshold = 2)
+      Sketches.appendMgSummaries(
+        HeavyHitters.summarizeItemsByGroup(
+          langGrams(docs.filter(col("doc_id") % 3 === 2)),
+          "lang", "gram", m),
+        "group", "summary", "n_items", s"$p/hh", m, sliceId = "m2",
+        compactSliceThreshold = 2)
+      val live = java.nio.file.Paths
+        .get(Similarity.resolveDataDir(s"$p/hh", "summaries"))
+        .getFileName.toString
+      require(live.startsWith("summaries.g"),
+        s"auto-compaction never fired on append: live dir is $live")
+    }
+    HeavyHitters.frequentItemsByGroupFromStore(
+      langGrams(docs), "lang", "gram", s"$dir/hh", phi = 0.0013)
+      .select(col("group").as("lang"), col("item").as("gram"), col("cnt"))
+  }
+
   // Shared CM oracle (t40 one-shot, st26 streaming — linearity makes
   // the per-batch-built, appended, summed-at-read counter table equal
   // the one-shot build bit for bit, so one oracle covers both).
@@ -4284,6 +4367,38 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 2), "text", "doc_id", s"$p/bm25")
     }
     graft.operators.Retrieval.bm25TopKFromIndex(
+      docs.filter(col("doc_id") % 97 === 0), s"$dir/bm25",
+      "text", "doc_id", k = 5)
+  }
+
+  // AUTO-compaction on the BM25 append path (round-15): r5's lifecycle
+  // with each append folding the index ITSELF once the live postings
+  // table reaches the part-file threshold (appendToBm25Index's
+  // compactFileThreshold; threshold 1 makes both appends fold, AFTER
+  // their stats commit so the fold sees a consistent index). Folds
+  // rewrite byte-equal rows and stats are untouched, so the served
+  // scores equal r5's — the r1/r2 oracle verbatim — and the gate
+  // REQUIRES the fold to have fired (live postings dir must be a
+  // generation).
+  define("r6_bm25_append_autocompact", bm25OracleSql) { (s, d) =>
+    import graft.operators.{Retrieval, Similarity}
+    val docs = t(s, d, "documents")
+    val dir = sessionIndexDir(s"bm25ac_$d") { p =>
+      Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", s"$p/bm25")
+      Retrieval.appendToBm25Index(
+        docs.filter(col("doc_id") % 3 === 1), "text", "doc_id",
+        s"$p/bm25", compactFileThreshold = 1)
+      Retrieval.appendToBm25Index(
+        docs.filter(col("doc_id") % 3 === 2), "text", "doc_id",
+        s"$p/bm25", compactFileThreshold = 1)
+      val live = java.nio.file.Paths
+        .get(Similarity.resolveDataDir(s"$p/bm25", "index"))
+        .getFileName.toString
+      require(live.startsWith("index.g"),
+        s"auto-compaction never fired on append: live dir is $live")
+    }
+    Retrieval.bm25TopKFromIndex(
       docs.filter(col("doc_id") % 97 === 0), s"$dir/bm25",
       "text", "doc_id", k = 5)
   }
@@ -5087,7 +5202,7 @@ object SparkEntry {
            '<div class="doc"><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
            '</h1><!-- meta: skip <b>this</b> --><script type="text/javascript">var n = 1 &lt; 2;</script><p>' ||
            replace(text, ' ', '&nbsp;') ||
-           '</p><STYLE>.x{color:red}</STYLE>&quot;fin&quot; &amp;amp; x &gt; y</div>'
+           '</p><STYLE>.x{color:red}</STYLE>&quot;fin&quot; &amp;amp; x &gt; y &#8220;NCR&#8221; &#8216;q&#x2019; a&#8212;b c&#x2013;d &#8230; A&#160;B &#38;#60;kept&#62;</div>'
              AS html
          FROM documents),
        x AS (SELECT doc_id,
@@ -5133,7 +5248,13 @@ object SparkEntry {
         "<script type=\"text/javascript\">var n = 1 &lt; 2;</script><p>"),
       regexp_replace(col("text"), " ", "&nbsp;"),
       lit("</p><STYLE>.x{color:red}</STYLE>" +
-        "&quot;fin&quot; &amp;amp; x &gt; y</div>"))
+        "&quot;fin&quot; &amp;amp; x &gt; y " +
+        // NCR coverage (round-15): decimal + hex curly quotes, em/en
+        // dash, ellipsis, nbsp-as-NCR, and the &#38;#60; double-escape
+        // proving the amp-family decodes LAST (one level collapses:
+        // the extracted text reads "&#60;kept>", not "<kept>")
+        "&#8220;NCR&#8221; &#8216;q&#x2019; a&#8212;b c&#x2013;d " +
+        "&#8230; A&#160;B &#38;#60;kept&#62;</div>"))
     val extracted = t(s, d, "documents")
       .select(col("doc_id"), TextExtract.htmlToText(html).as("text"))
     LineClean.scrubDiscoveredBoilerplate(extracted, "text", "doc_id")
@@ -5240,6 +5361,41 @@ object SparkEntry {
         s"$p/contam")
     }
     graft.operators.Decontaminate.flagFromIndex(
+      docs.filter(col("doc_id") % 20 =!= 0), s"$dir/contam",
+      "text", "doc_id", threshold = 0.5)
+  }
+
+  // AUTO-compaction on the decontamination-index append path (round-15):
+  // t25 appends and serves; at production cadence (a new benchmark
+  // suite per release) every serve pays the accumulated posting-sliver
+  // listing tax until a manual compactIndex — here each append folds
+  // the index ITSELF once the live postings table reaches the part-file
+  // threshold (appendToIndex's compactFileThreshold; threshold 1 makes
+  // both appends fold). Compaction rewrites byte-equal rows, so flags
+  // against the auto-folded index equal flags against a from-scratch
+  // build — the t22/t25 oracle verbatim — and the gate REQUIRES the
+  // fold to have fired (live postings dir must be a generation).
+  define("t62_decontaminate_autocompact", contamPairsSql) { (s, d) =>
+    import graft.operators.{Decontaminate, Similarity}
+    val docs = t(s, d, "documents")
+    val evalSet = docs.filter(col("doc_id") % 20 === 0)
+    val dir = sessionIndexDir(s"contam_ac_$d") { p =>
+      Decontaminate.buildIndex(
+        evalSet.filter(col("doc_id") % 60 === 0), "text", "doc_id",
+        s"$p/contam", shingleSize = 3, hashPostings = false)
+      Decontaminate.appendToIndex(
+        evalSet.filter(col("doc_id") % 60 === 20), "text", "doc_id",
+        s"$p/contam", compactFileThreshold = 1)
+      Decontaminate.appendToIndex(
+        evalSet.filter(col("doc_id") % 60 === 40), "text", "doc_id",
+        s"$p/contam", compactFileThreshold = 1)
+      val live = java.nio.file.Paths
+        .get(Similarity.resolveDataDir(s"$p/contam", "index"))
+        .getFileName.toString
+      require(live.startsWith("index.g"),
+        s"auto-compaction never fired on append: live dir is $live")
+    }
+    Decontaminate.flagFromIndex(
       docs.filter(col("doc_id") % 20 =!= 0), s"$dir/contam",
       "text", "doc_id", threshold = 0.5)
   }

@@ -104,9 +104,16 @@ object Decontaminate {
     * postings, so overlap is rejected up front — the check is one
     * semi-join against the eval-suite-sized stored id set, not a corpus
     * job. Benchmarks are frozen artifacts; changing an existing item is
-    * a rebuild. */
+    * a rebuild.
+    *
+    * `compactFileThreshold` opts the append into the auto-compaction
+    * cadence ([[Similarity.maybeCompactIndex]]): once the live postings
+    * table has that many part files, the append folds the index itself
+    * — benchmarks accrete one suite at a time, and without a cadence
+    * every serve pays the accumulated small-file listing tax until
+    * someone remembers the maintenance job. */
   def appendToIndex(newEval: DataFrame, textCol: String, idCol: String,
-                    path: String): Unit = {
+                    path: String, compactFileThreshold: Int = 0): Unit = {
     val spark = newEval.sparkSession
     val p = Similarity.readParams(spark, path).head()
     require(p.getAs[String]("layout") == Layout,
@@ -132,6 +139,7 @@ object Decontaminate {
     // the plain path stays the consistent read/write target for it
     ev.select(col("e_id"), size(col("sh")).as("n_e"))
       .write.mode("append").parquet(s"$path/sizes")
+    Similarity.maybeCompactIndex(spark, path, "index", compactFileThreshold)
   }
 
   /** A loaded serving handle. Streaming serves load once, cache both

@@ -227,9 +227,16 @@ object Retrieval {
     * corpus is not read, let alone rewritten. Caller owns id uniqueness
     * across base + appends (the index-family contract); a duplicated id
     * would double-count df and N. Single-writer ownership, like every
-    * append path in the repo. Empty batches are a no-op. */
+    * append path in the repo. Empty batches are a no-op.
+    *
+    * `compactFileThreshold` opts the append into the auto-compaction
+    * cadence ([[Similarity.maybeCompactIndex]]): once the live postings
+    * table has that many part files, the append folds the index itself
+    * — the daily-ingest small-file tax stops growing without a separate
+    * maintenance job. The fold runs after the stats commit, so it folds
+    * a fully consistent index and never changes a served score. */
   def appendToBm25Index(newDocs: DataFrame, textCol: String, idCol: String,
-                        path: String): Unit = {
+                        path: String, compactFileThreshold: Int = 0): Unit = {
     implicit val scope: CacheScope = new CacheScope
     try {
       val spark = newDocs.sparkSession
@@ -257,6 +264,8 @@ object Retrieval {
               "max_df")
             .coalesce(1).write.mode("overwrite").parquet(genDir)
         }
+        Similarity.maybeCompactIndex(spark, path, "index",
+          compactFileThreshold)
       }
     } finally scope.release()
   }

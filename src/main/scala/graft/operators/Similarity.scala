@@ -192,9 +192,16 @@ object Similarity {
     * (bits, bands, seed) are read back and reused, so appended signatures
     * come from the same hyperplanes by construction. The caller owns id
     * uniqueness across appends (duplicate ids would double-report as
-    * candidates, not corrupt results — candidates dedup on (q_id, n_id)). */
+    * candidates, not corrupt results — candidates dedup on (q_id, n_id)).
+    *
+    * `compactFileThreshold` opts the append into the auto-compaction
+    * cadence ([[maybeCompactIndex]]): once the live signature table has
+    * that many part files, the append folds the index itself — bounding
+    * the small-file listing tax at production ingest cadence without a
+    * separate maintenance job. Folds never change results (compaction
+    * rewrites byte-equal rows). */
   def appendToLshIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
-                       path: String): Unit = {
+                       path: String, compactFileThreshold: Int = 0): Unit = {
     val spark = newCorpus.sparkSession
     val (bits, bands, seed) = lshParams(spark, path)
     val sigs = bandedSignatures(newCorpus, vecCol, idCol, "n_id",
@@ -202,6 +209,7 @@ object Similarity {
     fencedSliceAppend(path, "index") { dir =>
       sigs.write.mode("append").parquet(dir)
     }
+    maybeCompactIndex(spark, path, "index", compactFileThreshold)
   }
 
   /** ANN against a [[buildLshIndex]]-persisted index: reads the stored
@@ -1177,26 +1185,64 @@ object Similarity {
   }
 
   /** Run a slice APPEND under the fence: capture the live dir at open,
-    * write, then verify the pointer did not move before publishing the
-    * epoch bump. If a compaction flipped the pointer mid-append, the
-    * written files landed in the SUPERSEDED directory — invisible to
-    * every reader and reclaimed by the next sweep — so the loud
-    * failure here is the only record the slice needs re-appending
-    * (and re-appending IS safe: nothing this writer wrote is live);
-    * without it the loss is silent. Two other interleavings are
-    * deliberately NOT failures: an append that starts strictly after a
-    * compaction commits resolves the new generation and proceeds
-    * normally (appends-on-top-of-fold is the designed lifecycle), and
-    * two CONCURRENT appends commute — append-only tables take both
-    * slices' files whatever the interleaving, so a same-dir epoch
+    * write into a WRITER-UNIQUE staging dir, move the produced part
+    * files into the live dir, then verify the pointer did not move
+    * before publishing the epoch bump. If a compaction flipped the
+    * pointer mid-append, the moved files landed in the SUPERSEDED
+    * directory — invisible to every reader and reclaimed by the next
+    * sweep — so the loud failure here is the only record the slice
+    * needs re-appending (and re-appending IS safe: nothing this writer
+    * wrote is live); without it the loss is silent. Two other
+    * interleavings are deliberately NOT failures: an append that
+    * starts strictly after a compaction commits resolves the new
+    * generation and proceeds normally (appends-on-top-of-fold is the
+    * designed lifecycle), and two CONCURRENT appends commute — both
+    * slices' files land whatever the interleaving, so a same-dir epoch
     * advance is benign and the bump simply publishes on top of it
     * (which is also why the bump reads the FRESH epoch: a mid-fold
     * compactor's post-flip re-check must see the advance whichever
-    * appender published last). */
+    * appender published last).
+    *
+    * The unique staging dir is what MAKES concurrent appends commute
+    * (round-15, found by the fencing concurrency soak): two jobs
+    * writing the same output directory share Spark's `_temporary`
+    * committer tree, so one job's commit/cleanup can delete the
+    * other's in-flight task files (a loud committer error), publish
+    * them under the wrong job (a partial slice), or empty them (a
+    * silently missing slice). With per-append staging every job owns
+    * its committer namespace, and the per-file moves into the live dir
+    * cannot collide — part names embed job-unique UUIDs. A crash
+    * mid-move leaves a partial slice whose retry completes it: slice
+    * rows are byte-identical and per-slice-keyed reads dedup rows, so
+    * the union of partial + full is exactly the full slice (the same
+    * at-least-once story a crashed job commit always had). */
   private[graft] def fencedSliceAppend(path: String, sub: String)
                                       (write: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val dir0 = resolveDataDir(path, sub)
-    write(dir0)
+    val stage = Paths.get(path, f"$sub.atmp.${System.nanoTime()}%d")
+    // merge-move: part files go straight in (names embed job-unique
+    // UUIDs — no collisions); hive partition dirs (`cell=N`, the
+    // IVF/IVFPQ cell layouts) merge file-by-file into the live dir's
+    // matching partition; committer markers (_SUCCESS, .crc) stay behind
+    def mergeMove(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+      if (Files.isDirectory(src)) {
+        Files.createDirectories(dst)
+        val kids = {
+          val s = Files.list(src)
+          try s.iterator().asScala.toSeq finally s.close()
+        }
+        kids.foreach { k =>
+          val nm = k.getFileName.toString
+          if (!nm.startsWith("_") && !nm.startsWith("."))
+            mergeMove(k, dst.resolve(nm))
+        }
+      } else Files.move(src, dst)
+    try {
+      write(stage.toString)
+      mergeMove(stage, Paths.get(dir0))
+    } finally deleteRec(stage)
     val dirNow = resolveDataDir(path, sub)
     if (dirNow != dir0)
       throw new IllegalStateException(
@@ -1206,6 +1252,32 @@ object Similarity {
           "NOT visible to readers — re-run the append.")
     bumpEpoch(path, sub, readEpoch(path, sub))
   }
+
+  /** Auto-compaction cadence for the APPEND-ONLY index families (LSH
+    * signatures, decontamination postings, BM25 postings, PQ codes):
+    * fold the index once its live data table has accumulated
+    * `fileThreshold` part files — the same ingest-lifecycle cadence
+    * [[graft.streaming.Streaming]] threads through the store-backed
+    * streams, for the append paths whose growth unit is FILES, not
+    * slices (each append lands part files; at daily-ingest cadence the
+    * listing/footer tax grows without bound until a fold). Called by
+    * the append functions AFTER their fenced append commits, so
+    * single-writer holds by construction (the compactor IS the
+    * appender) and the fresh epoch the fold opens at is the one the
+    * append just bumped. 0 disables (the default — compaction stays a
+    * maintenance-window decision unless the caller opts in). The
+    * part-file count is one directory listing — metadata-cheap at any
+    * corpus size. */
+  private[operators] def maybeCompactIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, sub: String,
+      fileThreshold: Int): Unit =
+    if (fileThreshold > 0) {
+      val dir = new org.apache.hadoop.fs.Path(resolveDataDir(path, sub))
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val n = fs.listStatus(dir)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (n >= fileThreshold) compactIndex(spark, path)
+    }
 
   /** A full REBUILD at an existing index path must not leave a pointer
     * targeting a generation of the previous lineage: drop it so the
@@ -1253,7 +1325,14 @@ object Similarity {
     * caller that read the store earlier passes the epoch it opened at,
     * and the commit refuses loudly — leaving the store exactly as the
     * interleaved winner left it — if another writer committed in
-    * between. The commit is structured so every destructive operation
+    * between. The fence is UNCONDITIONAL: a caller that passes no
+    * epoch (the per-trigger streaming state/watermark commits) is
+    * fenced from the epoch read at entry, so two double-scheduled
+    * streams racing on the same sub-table also lose loudly instead of
+    * silently destroying each other's commit (and the epoch bump can
+    * never publish a non-advancing value that would hide the
+    * interleaved writer from later fence checks).
+    * The commit is structured so every destructive operation
     * targets a directory only THIS writer names: the generation is
     * written into a writer-unique staging dir (generation numbers are
     * deterministic, so two racing writers would compute the SAME name
@@ -1275,18 +1354,16 @@ object Similarity {
                                      (writeTo: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    expectedEpoch.foreach(fenceCheck(path, sub, _, "generation commit"))
     val epoch0 = expectedEpoch.getOrElse(readEpoch(path, sub))
+    expectedEpoch.foreach(fenceCheck(path, sub, _, "generation commit"))
     val stage = Paths.get(path, f"$sub.gtmp.${System.nanoTime()}%d")
     def abort(t: IllegalStateException): Nothing = {
       deleteRec(stage) // only ever our own staging dir
       throw t
     }
     writeTo(stage.toString)
-    expectedEpoch.foreach { e =>
-      try fenceCheck(path, sub, e, "generation commit")
-      catch { case t: IllegalStateException => abort(t) }
-    }
+    try fenceCheck(path, sub, epoch0, "generation commit")
+    catch { case t: IllegalStateException => abort(t) }
     val liveName =
       Paths.get(resolveDataDir(path, sub)).getFileName.toString
     val gen = liveName match {
@@ -1307,16 +1384,23 @@ object Similarity {
     try Files.move(stage, genDir, StandardCopyOption.ATOMIC_MOVE)
     catch { case e: java.nio.file.FileSystemException =>
       abort(new IllegalStateException(
-        s"concurrent writer fenced: generation $gen at $path appeared " +
-          "mid-commit — another writer committed it first; this " +
-          "writer's staged data was discarded. Re-run at a quiesce " +
-          "point.", e))
+        if (!Files.exists(stage))
+          s"concurrent writer fenced: this writer's staging directory " +
+            s"$stage is GONE — another writer's sweep reclaimed it as " +
+            "crash debris (it exceeded the staging grace period, or " +
+            "clocks are skewed). Nothing this writer wrote is live; " +
+            "re-run at a quiesce point."
+        else
+          s"concurrent writer fenced: generation $gen at $path appeared " +
+            "mid-commit — another writer committed it first; this " +
+            "writer's staged data was discarded. Re-run at a quiesce " +
+            "point.", e))
     }
     val tmp = Paths.get(path, s"$sub.ptr.tmp")
     Files.write(tmp, gen.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(path, s"$sub.ptr"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    if (expectedEpoch.isDefined && readEpoch(path, sub) != epoch0) {
+    if (readEpoch(path, sub) != epoch0) {
       // a writer committed between the fence check and the flip — our
       // flip would silently fold it away. Restore the pre-flip target
       // (which holds the winner's state) and fail loudly.
@@ -1343,10 +1427,33 @@ object Similarity {
     listing.foreach { p =>
       val nm = p.getFileName.toString
       val orphanGen = genRe.matches(nm) && nm != gen && nm != liveName
-      val orphanStage = nm.startsWith(stagePrefix) && p != stage
-      if (orphanGen || orphanStage) deleteRec(p)
+      // staging sweep is AGE-GATED: a foreign gtmp dir younger than the
+      // grace period may be a live concurrent fold legitimately staging
+      // (minutes, for a big fold) — reclaiming it would turn that
+      // writer's commit into a misattributed abort. Only dirs old
+      // enough that no live writer can still own them are crash debris.
+      val orphanStage = nm.startsWith(stagePrefix) && p != stage &&
+        isStaleStaging(p)
+      // crashed appends' staging dirs (fencedSliceAppend) sweep under
+      // the same age gate
+      val orphanAppendStage = nm.startsWith(s"$sub.atmp.") &&
+        isStaleStaging(p)
+      if (orphanGen || orphanStage || orphanAppendStage) deleteRec(p)
     }
   }
+
+  /** Staging dirs (`<sub>.gtmp.<nonce>`) younger than this are presumed
+    * to belong to a LIVE concurrent writer still staging its fold —
+    * only older ones are reclaimed as crash debris by the post-commit
+    * sweeps. One hour comfortably exceeds any single fold's staging
+    * time (folds rewrite metadata-sized tables) while still bounding
+    * how long a crashed writer's debris can linger. */
+  private val StagingGraceMs: Long = 60L * 60 * 1000
+
+  private def isStaleStaging(p: java.nio.file.Path): Boolean =
+    try System.currentTimeMillis -
+      java.nio.file.Files.getLastModifiedTime(p).toMillis > StagingGraceMs
+    catch { case _: java.io.IOException => false } // vanished → not ours to sweep
 
   /** Compact an appendable index ([[buildLshIndex]] / [[buildPqIndex]] /
     * [[buildOpqIndex]]): each append adds part files, and a daily-ingest
@@ -1418,8 +1525,12 @@ object Similarity {
           // a crash AFTER the pointer flip leaves the superseded plain
           // builder dir; the pointer outranks it, so it is sweepable too
           val orphanPlain = nm == sub && liveName != sub
+          // gtmp reclamation is age-gated (see commitGeneration's
+          // sweep): a young foreign staging dir may be a live
+          // concurrent writer mid-fold
           val legacyTmp = nm == s"$sub.staging" || nm == s"$sub.old" ||
-            nm.startsWith(s"$sub.gtmp.")
+            ((nm.startsWith(s"$sub.gtmp.") || nm.startsWith(s"$sub.atmp."))
+              && isStaleStaging(p))
           if (orphanGen || orphanPlain || legacyTmp) deleteRec(p)
         }
         // the rewrite goes into a writer-UNIQUE staging dir and is
@@ -1454,9 +1565,16 @@ object Similarity {
           StandardCopyOption.ATOMIC_MOVE)
         catch { case e: java.nio.file.FileSystemException =>
           abort(new IllegalStateException(
-            s"concurrent writer fenced: generation $gen at $path " +
-              "already exists — another compaction committed it first; " +
-              "this writer's staged rewrite was discarded.", e))
+            if (!Files.exists(stage))
+              s"concurrent writer fenced: this compaction's staging " +
+                s"directory $stage is GONE — another writer's sweep " +
+                "reclaimed it as crash debris (it exceeded the staging " +
+                "grace period, or clocks are skewed). Nothing this " +
+                "writer wrote is live; re-run at a quiesce point."
+            else
+              s"concurrent writer fenced: generation $gen at $path " +
+                "already exists — another compaction committed it first; " +
+                "this writer's staged rewrite was discarded.", e))
         }
         // commit: write the pointer beside its final name, atomic rename
         val tmp = Paths.get(path, s"$sub.ptr.tmp")

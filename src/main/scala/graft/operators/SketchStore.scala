@@ -137,16 +137,24 @@ object SketchStore {
 
   /** The replay guard: refuse to fold batch-id slices (`b<N>`) the
     * committed streaming watermark has not covered — see [[compact]].
-    * Stores without a `wm` table (non-streaming writers) are governed
-    * by the quiesce-point contract alone; KMV stores carry no slice
-    * ids and their fold is replay-idempotent by union closure. */
+    * A store with NO `wm` table but a `b<N>` slice is the FIRST-batch
+    * crash window of the same hazard: a streaming writer appended its
+    * first batch and died before its first watermark commit (a
+    * b-prefixed slice id itself proves a watermarking streaming writer
+    * owns the store — the batch-id scheme is the streaming writers'),
+    * so every batch slice is treated as in-flight and the fold refuses.
+    * Stores without a `wm` table AND without batch slices
+    * (non-streaming writers) are governed by the quiesce-point contract
+    * alone; KMV stores carry no slice ids and their fold is
+    * replay-idempotent by union closure. */
   private def guardUnwatermarked(spark: SparkSession, path: String,
                                  sub: String, layout: String): Unit = {
     import java.nio.file.{Files, Paths}
     if (layout == Sketches.Layout) return
     val wmDir = Similarity.resolveDataDir(path, "wm")
-    if (!Files.exists(Paths.get(wmDir))) return
-    val wm = spark.read.parquet(wmDir).head().getLong(0)
+    val wm = if (Files.exists(Paths.get(wmDir)))
+      spark.read.parquet(wmDir).head().getLong(0)
+    else -1L // no watermark ever committed → every batch slice is in flight
     val batchRe = "^b(\\d+)$".r
     val inFlight = spark.read
       .parquet(Similarity.resolveDataDir(path, sub))

@@ -147,12 +147,24 @@ object Sketches {
     * only; `sliceId` is the replay-idempotence key (a replayed append
     * re-writes byte-identical rows the load's per-slice dedup
     * collapses — without it, the ADDITIVE merge would double-count
-    * n_items and inflate every serve threshold). */
+    * n_items and inflate every serve threshold).
+    *
+    * `compactSliceThreshold` opts the append into the auto-compaction
+    * cadence (the [[graft.streaming.Streaming]] store-backed writers'
+    * discipline, for the BATCH append path): once the live table holds
+    * that many distinct slices, the append folds the store itself via
+    * [[SketchStore.compact]] — safe by construction here because
+    * single-writer holds (the compactor IS the appender, running after
+    * its own fenced append committed) and MG folds are invisible to
+    * every serve (Agarwal'12 mergeability, pinned by t56). 0 disables
+    * (the default). */
   def appendMgSummaries(summaries: DataFrame, groupCol: String,
                         summaryCol: String, nCol: String,
                         path: String, m: Int,
-                        sliceId: String): Unit = {
-    val stored = readM(summaries.sparkSession, path)
+                        sliceId: String,
+                        compactSliceThreshold: Int = 0): Unit = {
+    val spark = summaries.sparkSession
+    val stored = readM(spark, path)
     require(stored == m,
       s"summary table at $path was built at m=$stored, got m=$m — " +
         "summaries merge with the guaranteed bound only at equal m")
@@ -161,6 +173,12 @@ object Sketches {
           col(groupCol).as("group"), col(summaryCol).as("summary"),
           col(nCol).cast("long").as("n_items"))
         .write.mode("append").parquet(dir)
+    }
+    if (compactSliceThreshold > 0) {
+      val n = spark.read
+        .parquet(Similarity.resolveDataDir(path, "summaries"))
+        .select("slice_id").distinct().count()
+      if (n >= compactSliceThreshold) SketchStore.compact(spark, path)
     }
   }
 

@@ -21,13 +21,19 @@ import org.apache.spark.sql.functions._
   * drift (the ZOrder quantizeSql rule).
   *
   * Scope (stated, not guessed): tags, comments, script/style blocks
-  * (content REMOVED — their text is code, not prose), and the common
-  * named entities decode; numeric character references beyond
-  * `&#39;`, CDATA sections, and pathological markup (a quoted `>`
-  * inside an attribute, an unterminated `<foo`) are out of scope —
-  * a full HTML5 tokenizer is a parser, not a projection, and corpus
-  * pipelines route such documents to quarantine rather than trust a
-  * regex to understand them. */
+  * (content REMOVED — their text is code, not prose), the common
+  * named entities, and the top-frequency numeric character references
+  * (decimal AND hex spellings of the web-corpus punctuation set:
+  * curly quotes, dashes, ellipsis, nbsp, plus the NCR spellings of
+  * the five named entities — real corpora are full of `&#8217;`-class
+  * NCRs, so "named entities only" left extracted text dirty). NCRs
+  * outside that literal map, CDATA sections, and pathological markup
+  * (a quoted `>` inside an attribute, an unterminated `<foo`) remain
+  * out of scope — a general `chr(capture)` decode is not expressible
+  * as a portable regex replacement in both engines, a full HTML5
+  * tokenizer is a parser, not a projection, and corpus pipelines
+  * route such documents to quarantine rather than trust a regex to
+  * understand them. */
 object TextExtract {
 
   /** The extraction chain, applied in order. Each step is
@@ -36,20 +42,33 @@ object TextExtract {
     * Java's `$`-aware replaceAll and DuckDB's RE2). Order matters
     * twice: script/style/comment blocks go before the generic tag
     * strip (their CONTENT must vanish, not just their tags), and
-    * `&amp;` decodes LAST so a literal `&amp;lt;` in the source
-    * becomes the text `&lt;` rather than `<` (the standard
-    * double-escape rule). */
+    * `&amp;`/`&#38;`/`&#x26;` decode LAST so a literal `&amp;lt;` (or
+    * `&#38;#60;`) in the source becomes the text `&lt;` (`&#60;`)
+    * rather than `<` (the standard double-escape rule: exactly one
+    * level collapses). Each named entity decodes alongside its decimal
+    * and hex NCR spellings — same character, three spellings, one
+    * replacement — and the top web-corpus punctuation NCRs (curly
+    * quotes, dashes, ellipsis) decode to their literal codepoints.
+    * Hex NCR digits are case-insensitive via the same `(?i)` the
+    * entity names already need. */
   private[operators] val Steps: Seq[(String, String)] = Seq(
     "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
     "(?is)<style\\b[^>]*>.*?</style\\s*>" -> " ",
     "(?s)<!--.*?-->" -> " ",
     "<[^>]*>" -> " ",     // [^>] spans newlines by itself — no (?s) needed
-    "(?i)&nbsp;" -> " ",
-    "(?i)&lt;" -> "<",
-    "(?i)&gt;" -> ">",
-    "(?i)&quot;" -> "\"",
-    "(?i)&(#39|apos);" -> "'",
-    "(?i)&amp;" -> "&")
+    "(?i)&(nbsp|#160|#xa0);" -> " ",
+    "(?i)&(lt|#60|#x3c);" -> "<",
+    "(?i)&(gt|#62|#x3e);" -> ">",
+    "(?i)&(quot|#34|#x22);" -> "\"",
+    "(?i)&(#39|apos|#x27);" -> "'",
+    "(?i)&(#8216|#x2018);" -> "‘",
+    "(?i)&(#8217|#x2019);" -> "’",
+    "(?i)&(#8220|#x201c);" -> "“",
+    "(?i)&(#8221|#x201d);" -> "”",
+    "(?i)&(#8211|#x2013);" -> "–",
+    "(?i)&(#8212|#x2014);" -> "—",
+    "(?i)&(#8230|#x2026);" -> "…",
+    "(?i)&(amp|#38|#x26);" -> "&")
 
   /** Markup-stripped, entity-decoded, whitespace-collapsed text of a
     * string column. */

@@ -635,6 +635,73 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH append auto-compaction: the threshold folds the index mid-append; results and epoch lifecycle intact") {
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    withTempDir("graft_lsh_ac_") { dir =>
+      Similarity.buildLshIndex(c.filter(col("vec_id") < 250), "embedding",
+        "vec_id", dir)
+      // threshold 1: the append itself folds the index once its fenced
+      // slice lands (single-writer by identity — the compactor IS the
+      // appender), so the caller never schedules a maintenance pass
+      Similarity.appendToLshIndex(c.filter(col("vec_id") >= 250),
+        "embedding", "vec_id", dir, compactFileThreshold = 1)
+      val live = java.nio.file.Paths
+        .get(Similarity.resolveDataDir(dir, "index"))
+        .getFileName.toString
+      assert(live.startsWith("index.g"),
+        s"auto-compaction never fired on append: live dir is $live")
+      val inc = Similarity.lshTopKFromIndex(q, c, dir, "embedding",
+        "vec_id", 5)
+      val full = Similarity.lshTopK(q, c, "embedding", "vec_id", 5)
+      assert(inc.select("q_id", "n_id", "rank")
+        .exceptAll(full.select("q_id", "n_id", "rank")).count() == 0)
+      assert(inc.count() == 25)
+      // appends continue on top of the fold (the designed lifecycle)
+      Similarity.appendToLshIndex(
+        emb.filter(col("vec_id") < 5), "embedding", "vec_id", dir,
+        compactFileThreshold = 1)
+      assert(java.nio.file.Paths
+        .get(Similarity.resolveDataDir(dir, "index"))
+        .getFileName.toString > live, "second fold did not advance the generation")
+    }
+  }
+
+  test("LSH recall floor catches a deliberately degraded banding (the s24 quality-floor tripwire)") {
+    import spark.implicits._
+    // two tight orthogonal clusters + one query BETWEEN them (the s22
+    // sensitivity fixture): the true top-4 provably spans both
+    // clusters, so a banding that can only probe near-identical
+    // signatures must miss part of it
+    def unit(v: Seq[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val corpus = ((1 to 10).map(i =>
+        (i.toLong, unit(Seq(1.0, 0.01 * i, 0.0, 0.0)))) ++
+      (1 to 10).map(i =>
+        (100L + i, unit(Seq(0.01 * i, 1.0, 0.0, 0.0)))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((500L, unit(Seq(0.7, 0.7, 0.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, "embedding",
+      "vec_id", k = 4)
+    // healthy config (the s24 serving shape: banded + multi-probe)
+    // recalls everything on this fixture …
+    val healthy = Similarity.recallAtK(
+      Similarity.lshTopK(queries, corpus, "embedding", "vec_id", k = 4,
+        bits = 16, bands = 8, multiProbe = true), brute)
+    assert(healthy == 1.0, s"healthy banding should be exact here, got $healthy")
+    // … and a degenerate banding (ONE 16-bit band, no probing: only
+    // exact-signature collisions become candidates — the mis-tune the
+    // family tag cannot see because the hyperplanes are identical)
+    // measures recall < 1 and is caught by the same computation
+    val degraded = Similarity.recallAtK(
+      Similarity.lshTopK(queries, corpus, "embedding", "vec_id", k = 4,
+        bits = 16, bands = 1, multiProbe = false), brute)
+    assert(degraded < 1.0, s"degraded banding not caught: $degraded")
+  }
+
   test("persisted IVF index: nprobe=all equals brute force; frozen-centroid append; cells compact") {
     withTempDir("graft_ivf_idx") { dir =>
       val q = emb.filter(col("vec_id") < 5)
@@ -1466,6 +1533,22 @@ class PipelineSpec extends AnyFunSuite {
       // the double-escape rule: amp decodes LAST, exactly once
       ("&amp;lt; stays encoded once", "&lt; stays encoded once"),
       ("&amp;amp; collapses one level", "&amp; collapses one level"),
+      // numeric character references (round-15): decimal and hex
+      // spellings of the named set and the web-punctuation set decode
+      // to their literal codepoints; hex digits are case-insensitive
+      ("a&#160;b &#60;t&#62; &#34;q&#34; &#x27;s&#X27; &#38; done",
+        "a b <t> \"q\" 's' & done"),
+      ("&#8216;a&#8217; &#8220;b&#8221; c&#8211;d e&#8212;f g&#8230;",
+        "‘a’ “b” c–d e—f g…"),
+      ("&#x2018;a&#x2019; &#x201C;b&#x201d; c&#x2013;d e&#x2014;f g&#x2026;",
+        "‘a’ “b” c–d e—f g…"),
+      // NCR double-escape: the amp FAMILY (&amp;/&#38;/&#x26;) decodes
+      // last, so an NCR-escaped entity collapses exactly one level
+      ("&#38;lt; stays once", "&lt; stays once"),
+      ("&#x26;#60; stays once", "&#60; stays once"),
+      // outside the literal map: stays as-is (stated contract — a
+      // general chr(capture) decode is not a portable regex replacement)
+      ("&#9731; snowman undecoded", "&#9731; snowman undecoded"),
       ("multi\n  line <br/>\t text", "multi line text"),
       // documented out-of-scope: a quoted '>' inside an attribute ends
       // the tag early (regex, not a parser) — pinned so the policy is
