@@ -246,10 +246,14 @@ object Bench {
     println(line)
     // Also persist the line: the stdout copy rides a log stream that WARN
     // noise and tail-truncation can eat (r6's artifact survived only
-    // inside a 2000-char tail) — the file copy is always machine-readable.
+    // inside a 2000-char tail; the driver's BENCH_r13/r14 drops parsed
+    // null for the same reason) — the file copy is always
+    // machine-readable. It lands at the REPO ROOT so the end-of-round
+    // commit carries it and per-query round-over-round comparison never
+    // depends on the flaky stdout tail or the idle replicas.
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json"))
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(out, line + "\n")
     } catch { case scala.util.control.NonFatal(e) =>

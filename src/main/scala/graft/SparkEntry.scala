@@ -6350,7 +6350,9 @@ object SparkEntry {
   // distinct line on durable storage, not in the state store). Id-ordered
   // batch replay provably equals full-batch keepFirstLines (PipelineSpec
   // 3-batch replay), so d11's oracle transfers to the stream verbatim.
-  define("st13_stream_line_dedup",
+  // Shared by st13 and st34 (auto-compacted index — folds rewrite
+  // byte-equal hash rows, so the dedup answer is untouched).
+  private val streamLineDedupSql: String =
     """WITH toks AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
          FROM documents),
@@ -6368,8 +6370,35 @@ object SparkEntry {
            row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
          FROM lines)
        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-       FROM ranked WHERE rn = 1 GROUP BY doc_id""") { (s, d) =>
+       FROM ranked WHERE rn = 1 GROUP BY doc_id"""
+
+  define("st13_stream_line_dedup", streamLineDedupSql) { (s, d) =>
     graft.streaming.Streaming.streamingLineDedup(s, d, "st13")
+  }
+
+  // AUTO-compaction inside the line-dedup stream (round-15): st33 gave
+  // the cadence to the SLICE stores; the line-hash index is the other
+  // unbounded-growth streaming state — every trigger appends hash part
+  // files, and at production cadence the per-trigger anti-join pays a
+  // growing listing/footer tax. Here the appender folds its OWN index
+  // inside its trigger once the live table reaches the part-file
+  // threshold (single-writer by identity; hash rows are byte-equal
+  // across a fold, and membership is join-checked, so folds are
+  // invisible to the dedup answer — st13's oracle verbatim). The gate
+  // REQUIRES the fold to have fired mid-stream.
+  define("st34_stream_line_dedup_autocompact", streamLineDedupSql) { (s, d) =>
+    import graft.operators.Similarity
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_st34_")
+    val out = graft.streaming.Streaming.streamingLineDedup(s, d, "st34",
+      baseDir = Some(base.toString), compactFileThreshold = 2)
+    val live = java.nio.file.Paths
+      .get(Similarity.resolveDataDir(
+        base.resolve("lineidx").toString, "lines"))
+      .getFileName.toString
+    require(live.startsWith("lines.g"),
+      s"auto-compaction never fired mid-stream: live dir is $live")
+    out
   }
 
   // Streaming substring dedup: the persisted window-hash index is the
@@ -6377,7 +6406,10 @@ object SparkEntry {
   // batch replay provably equals full-batch duplicateWindowSpans
   // (PipelineSpec replay pin), so d14's oracle shape — here over the raw
   // corpus, natural repeats only — transfers to the stream verbatim.
-  define("st15_stream_span_dedup",
+  // Shared by st15 and st35 (auto-compacted window index — `wins`
+  // joined compactIndex's sub list this round; folds rewrite byte-equal
+  // hash rows, so the span answer is untouched).
+  private val streamSpanDedupSql: String =
     """WITH toks AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
          FROM documents),
@@ -6405,8 +6437,33 @@ object SparkEntry {
          FROM isl)
        SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
          CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
-       FROM grp GROUP BY doc_id, g""") { (s, d) =>
+       FROM grp GROUP BY doc_id, g"""
+
+  define("st15_stream_span_dedup", streamSpanDedupSql) { (s, d) =>
     graft.streaming.Streaming.streamingSpanDedup(s, d, "st15")
+  }
+
+  // AUTO-compaction inside the span-dedup stream (round-15): the
+  // st34 cadence for the WINDOW-hash index — which could not even be
+  // compacted manually before this round (`wins` was missing from
+  // compactIndex's sub list while the append's scaladoc claimed
+  // otherwise). The appender folds its own index inside its trigger at
+  // the part-file threshold; membership is join-checked over byte-equal
+  // hash rows, so folds are invisible and st15's oracle transfers
+  // verbatim. The gate REQUIRES the fold to have fired mid-stream.
+  define("st35_stream_span_dedup_autocompact", streamSpanDedupSql) { (s, d) =>
+    import graft.operators.Similarity
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_st35_")
+    val out = graft.streaming.Streaming.streamingSpanDedup(s, d, "st35",
+      baseDir = Some(base.toString), compactFileThreshold = 2)
+    val live = java.nio.file.Paths
+      .get(Similarity.resolveDataDir(
+        base.resolve("winidx").toString, "wins"))
+      .getFileName.toString
+    require(live.startsWith("wins.g"),
+      s"auto-compaction never fired mid-stream: live dir is $live")
+    out
   }
 
   // Streaming classifier serving ≡ batch t14, certified by the SAME

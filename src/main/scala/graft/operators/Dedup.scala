@@ -214,9 +214,13 @@ object Dedup {
     * the new documents pay the sketch pass (additional parquet part files;
     * the indexed corpus is untouched). Stored `_params` are reused, so
     * appended rows come from the same hash family by construction. The
-    * caller owns id uniqueness across appends. */
+    * caller owns id uniqueness across appends. `compactFileThreshold`
+    * opts into the auto-compaction cadence
+    * ([[Similarity.maybeCompactIndex]]): once the live band table has
+    * that many part files the append folds the index itself. */
   def appendToMinHashIndex(docs: DataFrame, textCol: String, idCol: String,
-                           path: String): Unit = {
+                           path: String,
+                           compactFileThreshold: Int = 0): Unit = {
     val spark = docs.sparkSession
     val p = Similarity.readParams(spark, path).head()
     // pointer-resolved + fenced, like every other compactable index:
@@ -229,6 +233,7 @@ object Dedup {
     Similarity.fencedSliceAppend(path, "index") { dir =>
       bandTable.write.mode("append").parquet(dir)
     }
+    Similarity.maybeCompactIndex(spark, path, "index", compactFileThreshold)
   }
 
   /** Incremental near-dup: score a NEW ingest batch against itself AND the
@@ -1091,15 +1096,20 @@ object Dedup {
     * Membership is checked by anti-join, so hash rows duplicated across
     * appends are harmless (append the batch's RAW lines for exactly-once
     * keep-first semantics: every line the batch carried, kept or dropped,
-    * is claimed for all later batches). */
+    * is claimed for all later batches). `compactFileThreshold` opts into
+    * the auto-compaction cadence ([[Similarity.maybeCompactIndex]]). */
   def appendToLineIndex(df: DataFrame, linesCol: String, path: String,
-                        normalize: Column => Column = rawLine): Unit =
+                        normalize: Column => Column = rawLine,
+                        compactFileThreshold: Int = 0): Unit = {
     Similarity.fencedSliceAppend(path, "lines") { dir =>
       df.select(posexplode(col(linesCol)).as(Seq("__pos", "__line")))
         .filter(trim(col("__line")) =!= "")
         .select(xxhash64(normalize(col("__line"))).as("h")).distinct()
         .write.mode("append").parquet(dir)
     }
+    Similarity.maybeCompactIndex(df.sparkSession, path, "lines",
+      compactFileThreshold)
+  }
 
   /** Incremental [[keepFirstLines]]: dedup a NEW ingest batch against
     * itself AND the already-indexed history, without touching history
@@ -1317,8 +1327,12 @@ object Dedup {
     * exactly-once keep-first convention as [[appendToLineIndex]].
     * Membership is checked by joins, so hash rows duplicated across
     * appends are harmless; [[Similarity.compactIndex]] folds sliver
-    * files. */
-  def appendToWindowIndex(df: DataFrame, textCol: String, path: String)
+    * files (round-15: `wins` is actually IN its sub list now — the
+    * claim was aspirational before), and `compactFileThreshold` opts
+    * into the auto-compaction cadence
+    * ([[Similarity.maybeCompactIndex]]). */
+  def appendToWindowIndex(df: DataFrame, textCol: String, path: String,
+                          compactFileThreshold: Int = 0)
                          (implicit scope: CacheScope = CacheScope.global): Unit = {
     val spark = df.sparkSession
     val l = windowIndexParams(spark, path)
@@ -1328,6 +1342,7 @@ object Dedup {
         .select(col("__h").as("h")).distinct()
         .write.mode("append").parquet(dir)
     }
+    Similarity.maybeCompactIndex(spark, path, "wins", compactFileThreshold)
   }
 
   /** Incremental [[duplicateWindowSpans]]: spans for a NEW ingest batch

@@ -1242,6 +1242,11 @@ object Similarity {
     try {
       write(stage.toString)
       mergeMove(stage, Paths.get(dir0))
+      // a Spark write INTO dir0 used to invalidate CacheManager entries
+      // whose plans scan it (cached shingle sets, postings frames);
+      // filesystem moves bypass Spark, so the invalidation must be
+      // explicit or cached readers keep serving the pre-append listing
+      org.apache.spark.sql.SparkSession.active.catalog.refreshByPath(dir0)
     } finally deleteRec(stage)
     val dirNow = resolveDataDir(path, sub)
     if (dirNow != dir0)
@@ -1486,11 +1491,19 @@ object Similarity {
     * not undo the partition pruning the layout exists for — with each
     * cell's slivers folded into one file (`repartition(col("cell"))`:
     * whole cells hash to one task). */
+  /** Every compactable data sub-table an index family can carry. `wins`
+    * (the window-dedup hash index) was MISSING until round-15 — its
+    * append scaladoc claimed compactIndex folds its slivers while the
+    * fold silently skipped it, so a daily-append window index grew
+    * without bound. Absent sub-dirs are skipped, so the union list is
+    * safe for every family. */
+  private val CompactableSubs = Seq("index", "codes", "cells", "lines",
+    "wins")
+
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    partitions: Int = 0): Unit =
     compactIndex(spark, path, partitions,
-      Seq("index", "codes", "cells", "lines")
-        .map(sub => sub -> readEpoch(path, sub)).toMap)
+      CompactableSubs.map(sub => sub -> readEpoch(path, sub)).toMap)
 
   /** [[compactIndex]] with the writer's OPEN epochs made explicit (the
     * public form reads them at entry): each sub-table's pointer flip is
@@ -1504,7 +1517,7 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    Seq("index", "codes", "cells", "lines").foreach { sub =>
+    CompactableSubs.foreach { sub =>
       val live = Paths.get(resolveDataDir(path, sub))
       if (Files.isDirectory(live)) {
         val epoch0 = openEpochs.getOrElse(sub, readEpoch(path, sub))

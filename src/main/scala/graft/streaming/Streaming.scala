@@ -757,15 +757,26 @@ object Streaming {
     * executor memory — the same forever-stream argument as
     * [[streamingLineDedup]]. */
   def streamingSpanDedup(spark: SparkSession, sfDir: String, name: String,
-                         windowTokens: Int = 8): DataFrame = {
+                         windowTokens: Int = 8,
+                         baseDir: Option[String] = None,
+                         compactFileThreshold: Int = 0): DataFrame = {
     import graft.operators.Dedup
-    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val base = baseDir match {
+      case Some(p) => java.nio.file.Files
+        .createDirectories(java.nio.file.Paths.get(p))
+      case None =>
+        java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    }
     val outDir = base.resolve("data").toString
     val ckpt = base.resolve("ckpt").toString
     val idxDir = base.resolve("winidx").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-    Dedup.buildWindowIndex(batchDocs.limit(0), "text", idxDir,
-      windowTokens) // empty history: the stream IS the corpus
+    // build the empty history only on FIRST start — a restart must
+    // resume against the accumulated index, not wipe it (the
+    // streamingKmv first-start staging rule)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
+      Dedup.buildWindowIndex(batchDocs.limit(0), "text", idxDir,
+        windowTokens) // empty history: the stream IS the corpus
     val stream = spark.readStream
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
@@ -781,7 +792,10 @@ object Streaming {
           val b = mb.select(col("doc_id"), col("text"))
           Dedup.duplicateWindowSpansAgainstIndex(b, "text", "doc_id", idxDir)
             .write.mode("append").parquet(outDir)
-          Dedup.appendToWindowIndex(b, "text", idxDir)
+          // the appender folds its OWN index at the threshold (the st33
+          // cadence — single-writer by identity inside the trigger)
+          Dedup.appendToWindowIndex(b, "text", idxDir,
+            compactFileThreshold)
         } finally batchScope.release()
       }
       .option("checkpointLocation", ckpt)
@@ -792,9 +806,16 @@ object Streaming {
   }
 
   def streamingLineDedup(spark: SparkSession, sfDir: String, name: String,
-                         wordsPerLine: Int = 5): DataFrame = {
+                         wordsPerLine: Int = 5,
+                         baseDir: Option[String] = None,
+                         compactFileThreshold: Int = 0): DataFrame = {
     import graft.operators.Dedup
-    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    val base = baseDir match {
+      case Some(p) => java.nio.file.Files
+        .createDirectories(java.nio.file.Paths.get(p))
+      case None =>
+        java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    }
     val outDir = base.resolve("data").toString
     val ckpt = base.resolve("ckpt").toString
     val idxDir = base.resolve("lineidx").toString
@@ -804,9 +825,11 @@ object Streaming {
       sequence(lit(0),
         ceil(size(toks) / lit(wordsPerLine.toDouble)).cast("int") - 1),
       g => array_join(slice(toks, g * wordsPerLine + 1, lit(wordsPerLine)), " "))
-    Dedup.buildLineIndex(
-      batchDocs.limit(0).select(col("doc_id"), lines.as("lines")),
-      "lines", idxDir) // empty history: the stream IS the corpus
+    // first start only — a restart resumes against the accumulated index
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
+      Dedup.buildLineIndex(
+        batchDocs.limit(0).select(col("doc_id"), lines.as("lines")),
+        "lines", idxDir) // empty history: the stream IS the corpus
     val stream = spark.readStream
       .schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1)
@@ -823,7 +846,10 @@ object Streaming {
           Dedup.dedupLinesAgainstIndex(prepped, "lines", "doc_id", idxDir)
             .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
             .write.mode("append").parquet(outDir)
-          Dedup.appendToLineIndex(prepped, "lines", idxDir)
+          // the appender folds its OWN index at the threshold (the st33
+          // cadence — single-writer by identity inside the trigger)
+          Dedup.appendToLineIndex(prepped, "lines", idxDir,
+            compactFileThreshold = compactFileThreshold)
         } finally batchScope.release()
       }
       .option("checkpointLocation", ckpt)
