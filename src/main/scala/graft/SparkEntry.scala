@@ -1412,6 +1412,51 @@ object SparkEntry {
     Seq(("lsh_multiprobe", r)).toDF("family", "recall")
   }
 
+  // Auto-compaction cadence on the ANN ingest path (round-15 — the
+  // last append family without it): each IVF append lands one sliver
+  // file per TOUCHED `cell=` dir, so at daily-ingest cadence a serving
+  // batch's partition-pruned scan pays a listing/footer tax that grows
+  // without bound until a fold. Here the appender folds its OWN index
+  // at the part-file threshold (single-writer by identity: the
+  // compactor IS the appender, and the fold opens at the epoch the
+  // append just bumped — the st33 argument on the batch path). The
+  // threshold listing is RECURSIVE because the part files live inside
+  // `cell=` dirs — a top-level count would never fire. A fold rewrites
+  // the same (n_id, vec, cell) rows into one file per cell, so the
+  // serve is invariant: built on a PARTIAL corpus, appended to full in
+  // two batches, served exact (nprobe = cells), the s11 brute-window
+  // oracle transfers verbatim — appended vectors are provably visible
+  // THROUGH the fold. The gate REQUIRES the fold to have fired (the
+  // live data dir must be a pointer-resolved generation).
+  define("s25_ivf_append_autocompact",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 5)
+       SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+         FROM q, c) WHERE rank <= 5""") { (s, d) =>
+    import graft.operators.Similarity
+    val emb = t(s, d, "embeddings")
+    val idx = sessionIndexDir(s"s25_$d") { p =>
+      Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 250),
+        "embedding", "vec_id", p, cells = 10)
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 0),
+        "embedding", "vec_id", p, compactFileThreshold = 1)
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 1),
+        "embedding", "vec_id", p, compactFileThreshold = 1)
+      val live = java.nio.file.Paths
+        .get(Similarity.resolveDataDir(p, "cells")).getFileName.toString
+      require(live.startsWith("cells.g"),
+        s"auto-compaction never fired on the ANN append path: live dir is $live")
+    }
+    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5), idx,
+      "embedding", "vec_id", k = 5, nprobe = 10)
+      .select("q_id", "n_id", "rank")
+  }
+
   // SQ8 drift check — the ivfDriftCheck contract for scalar quantization:
   // appends encode against FROZEN per-dimension bounds (out-of-range
   // clamps), so a drifted batch's midpoint-reconstruction error grows

@@ -587,7 +587,8 @@ object Similarity {
     * pass; the stored params guarantee the same subspace split. The
     * caller owns id uniqueness across appends (like [[appendToLshIndex]]). */
   def appendToPqIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
-                      path: String): Unit = {
+                      path: String,
+                      compactFileThreshold: Int = 0): Unit = {
     val spark = newCorpus.sparkSession
     val p = readParams(spark, path).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
@@ -596,6 +597,7 @@ object Similarity {
     fencedSliceAppend(path, "codes") { dir =>
       codes.write.mode("append").parquet(dir)
     }
+    maybeCompactIndex(spark, path, "codes", compactFileThreshold)
   }
 
   /** ANN against a [[buildPqIndex]]-persisted index: reads the stored
@@ -781,7 +783,8 @@ object Similarity {
     * only the NEW vectors pay any work (same freeze contract as
     * [[appendToPqIndex]]). */
   def appendToOpqIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
-                       path: String): Unit = {
+                       path: String,
+                       compactFileThreshold: Int = 0): Unit = {
     val spark = newCorpus.sparkSession
     val p = readParams(spark, path).head()
     val (dim, m) = (p.getAs[Int]("dim"), p.getAs[Int]("m"))
@@ -792,6 +795,7 @@ object Similarity {
     fencedSliceAppend(path, "codes") { dir =>
       codes.write.mode("append").parquet(dir)
     }
+    maybeCompactIndex(spark, path, "codes", compactFileThreshold)
   }
 
   /** ANN against a [[buildOpqIndex]]-persisted index: stored rotation +
@@ -944,12 +948,15 @@ object Similarity {
     * still sees true vectors. Use [[ivfDriftCheck]]-style monitoring and
     * rebuild on distribution drift. Caller owns id uniqueness. */
   def appendToSq8Index(newCorpus: DataFrame, vecCol: String, idCol: String,
-                       path: String): Unit = {
+                       path: String,
+                       compactFileThreshold: Int = 0): Unit = {
     val bounds = readSq8Bounds(newCorpus.sparkSession, path)
     val codes = sq8Encode(newCorpus, bounds, vecCol, idCol)
     fencedSliceAppend(path, "codes") { dir =>
       codes.write.mode("append").parquet(dir)
     }
+    maybeCompactIndex(newCorpus.sparkSession, path, "codes",
+      compactFileThreshold)
   }
 
   /** Drift-GATED frozen-bounds append — [[sq8DriftCheck]] wired into the
@@ -974,7 +981,8 @@ object Similarity {
     * projection + one scalar aggregate over the batch. */
   def appendToSq8IndexChecked(newCorpus: DataFrame, vecCol: String,
                               idCol: String, path: String,
-                              refuse: Boolean = false): Sq8DriftReport = {
+                              refuse: Boolean = false,
+                              compactFileThreshold: Int = 0): Sq8DriftReport = {
     val spark = newCorpus.sparkSession
     import spark.implicits._
     val p = readParams(spark, path).head()
@@ -998,7 +1006,7 @@ object Similarity {
           f"${r.baseErr}%.6g, oob ${r.outOfRangeFrac}%.4f) — the batch " +
           "distribution no longer matches the frozen bounds; rebuild " +
           "the index or append with refuse = false")
-    appendToSq8Index(newCorpus, vecCol, idCol, path)
+    appendToSq8Index(newCorpus, vecCol, idCol, path, compactFileThreshold)
     r
   }
 
@@ -1271,16 +1279,22 @@ object Similarity {
     * appender) and the fresh epoch the fold opens at is the one the
     * append just bumped. 0 disables (the default — compaction stays a
     * maintenance-window decision unless the caller opts in). The
-    * part-file count is one directory listing — metadata-cheap at any
-    * corpus size. */
+    * part-file count is a RECURSIVE listing (the IVF/IVFPQ data tables
+    * are hive-partitioned `cell=` layouts whose part files live one
+    * level down — a top-level listing would count 0 forever and the
+    * cadence would silently never fire); the listing short-circuits at
+    * the threshold, so the cost is bounded by the threshold itself,
+    * not the index size. */
   private[operators] def maybeCompactIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, sub: String,
       fileThreshold: Int): Unit =
     if (fileThreshold > 0) {
       val dir = new org.apache.hadoop.fs.Path(resolveDataDir(path, sub))
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      val n = fs.listStatus(dir)
-        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val it = fs.listFiles(dir, true)
+      var n = 0
+      while (n < fileThreshold && it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
       if (n >= fileThreshold) compactIndex(spark, path)
     }
 
@@ -1853,7 +1867,8 @@ object Similarity {
     * no shuffle; the partitioned append adds one sliver file per touched
     * cell ([[compactIndex]] folds them). */
   def appendToIvfIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
-                       path: String): Unit = {
+                       path: String,
+                       compactFileThreshold: Int = 0): Unit = {
     val p = readParams(newCorpus.sparkSession, path).head()
     requireLayoutIn(p, path, IvfLayoutV2)
     // an index built with meta columns keeps them through appends — a
@@ -1865,6 +1880,8 @@ object Similarity {
     fencedSliceAppend(path, "cells") { dir =>
       cells.write.mode("append").partitionBy("cell").parquet(dir)
     }
+    maybeCompactIndex(newCorpus.sparkSession, path, "cells",
+      compactFileThreshold)
   }
 
   /** Nearest STORED centroid per row: the k×D centroid table embeds as a
@@ -2112,7 +2129,8 @@ object Similarity {
     * rebuild tripwire for both frozen artifacts; [[compactIndex]] folds
     * the slivers. */
   def appendToIvfPqIndex(newCorpus: DataFrame, vecCol: String,
-                         idCol: String, path: String): Unit = {
+                         idCol: String, path: String,
+                         compactFileThreshold: Int = 0): Unit = {
     val spark = newCorpus.sparkSession
     requireLayout(spark, path, IvfPqLayoutV1)
     val p = readParams(spark, path).head()
@@ -2125,6 +2143,7 @@ object Similarity {
     fencedSliceAppend(path, "codes") { dir =>
       codes.write.mode("append").partitionBy("cell").parquet(dir)
     }
+    maybeCompactIndex(spark, path, "codes", compactFileThreshold)
   }
 
   /** ANN against a [[buildIvfPqIndex]] index. Per serving batch: probe

@@ -1352,6 +1352,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN append auto-compaction folds at the threshold without changing the serve") {
+    withTempDir("graft_annauto") { dir =>
+      import java.nio.file.{Files, Paths}
+      val q = emb.filter(col("vec_id") < 5)
+      val c = emb.filter(col("vec_id") >= 5)
+      val base = c.filter(col("vec_id") < 250)
+      val bA = c.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 0)
+      val bB = c.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 1)
+      val manual = s"$dir/manual"
+      Similarity.buildPqIndex(base, "embedding", "vec_id", manual,
+        dim = 64, m = 4, k = 4)
+      // byte-identical twin of the built index, so the frozen codebook is
+      // shared by construction and only the compaction cadence differs
+      val auto = s"$dir/auto"
+      val walk = Files.walk(Paths.get(manual))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foreach { p =>
+          val t = Paths.get(auto).resolve(Paths.get(manual).relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.copy(p, t)
+        }
+      } finally walk.close()
+      Similarity.appendToPqIndex(bA, "embedding", "vec_id", manual)
+      Similarity.appendToPqIndex(bB, "embedding", "vec_id", manual)
+      Similarity.appendToPqIndex(bA, "embedding", "vec_id", auto,
+        compactFileThreshold = 1)
+      // first append folded: live codes dir is a pointer-resolved
+      // generation (the plain dir would mean the cadence never fired)
+      val gen1 = Paths.get(Similarity.resolveDataDir(auto, "codes"))
+        .getFileName.toString
+      assert(gen1.startsWith("codes.g"), s"fold never fired: $gen1")
+      Similarity.appendToPqIndex(bB, "embedding", "vec_id", auto,
+        compactFileThreshold = 1)
+      val gen2 = Paths.get(Similarity.resolveDataDir(auto, "codes"))
+        .getFileName.toString
+      assert(gen2.startsWith("codes.g") && gen2 > gen1,
+        s"second append did not advance the fold: $gen1 -> $gen2")
+      // serve invariance: the folded lineage answers exactly like the
+      // unfolded one — both batches visible THROUGH two folds
+      val serve = (p: String) => Similarity.pqTopKFromIndex(q, c, p,
+        "embedding", "vec_id", k = 5, rerank = 16)
+        .select("q_id", "n_id", "rank").collect().toSet
+      assert(serve(auto) == serve(manual))
+    }
+  }
+
   test("compaction crash-safety: uncommitted generation leaves the index readable") {
     withTempDir("graft_crash") { dir =>
       val q = emb.filter(col("vec_id") < 5)
