@@ -5305,6 +5305,66 @@ object SparkEntry {
     LineClean.scrubDiscoveredBoilerplate(extracted, "text", "doc_id")
   }
 
+  // URL canonicalization + keep-first URL dedup (round-15 — the other
+  // first operation a web-corpus pipeline runs, beside p18's markup
+  // extraction): crawl dumps carry the same page under many URL
+  // spellings, and URL-level dedup is the cheapest rung there is — one
+  // pure projection (scan-shaped, codegen'd, zero shuffle) plus a
+  // groupBy on the slim canonical key, BEFORE any content family pays a
+  // shingle. At 100 TB the shuffle carries one short string per group,
+  // not documents. The corpus has no URL column, so the gate derives a
+  // deterministic four-variant frontier from doc_id (the p18 wrap
+  // discipline — construction spelled identically in both engines):
+  // case-shifted host + :443 + tracking params + trailing slash (v0),
+  // www. prefix + fragment (v1), doubled slashes + fbclid (v2) — all
+  // three fold to ONE canonical URL per doc_id group — and a
+  // kept-parameter singleton (v3) proving real query params survive
+  // while utm_/gclid are dropped around them. The canonicalization
+  // chain itself is generated from ONE pattern list
+  // (UrlCanon.Steps) into both the Column chain and this oracle SQL.
+  define("p19_url_canonical_dedup",
+    s"""WITH urls AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'HTTPS://Example.COM:443/Articles/' ||
+               CAST(doc_id // 4 AS VARCHAR) ||
+               '/?utm_source=feed&utm_campaign=x'
+             WHEN 1 THEN 'https://www.example.com/Articles/' ||
+               CAST(doc_id // 4 AS VARCHAR) || '#section-2'
+             WHEN 2 THEN 'https://example.com//Articles//' ||
+               CAST(doc_id // 4 AS VARCHAR) || '/?fbclid=IwAR0share'
+             ELSE 'https://example.com/Articles/' ||
+               CAST(doc_id // 4 AS VARCHAR) ||
+               '?page=2&utm_medium=email&gclid=xyz'
+           END AS url
+         FROM documents),
+       c AS (SELECT doc_id,
+               ${graft.operators.UrlCanon.canonicalizeUrlSql("url")}
+                 AS canon_url
+             FROM urls)
+       SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dupes,
+         min(doc_id) AS keep_id
+       FROM c GROUP BY canon_url""") { (s, d) =>
+    import graft.operators.UrlCanon
+    val base = floor(col("doc_id") / 4).cast("long").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://Example.COM:443/Articles/"), base,
+          lit("/?utm_source=feed&utm_campaign=x")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://www.example.com/Articles/"), base,
+          lit("#section-2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com//Articles//"), base,
+          lit("/?fbclid=IwAR0share")))
+      .otherwise(
+        concat(lit("https://example.com/Articles/"), base,
+          lit("?page=2&utm_medium=email&gclid=xyz")))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        UrlCanon.canonicalizeUrl(url).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dupes"), min("doc_id").as("keep_id"))
+  }
+
   // Train→eval benchmark-contamination check: asymmetric trigram
   // containment over a deterministic doc_id split (every 20th doc plays
   // the benchmark). The distribution is sharply bimodal on this corpus

@@ -1609,6 +1609,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("UrlCanon.canonicalizeUrl: contract per step, passthrough, idempotence") {
+    import spark.implicits._
+    import graft.operators.UrlCanon
+    val cases = Seq(
+      // scheme + host case-fold; path/query case is semantic and kept
+      ("HTTPS://Example.COM/Articles/Art-12", "https://example.com/Articles/Art-12"),
+      // default ports drop; non-default ports are semantic and kept
+      ("http://example.com:80/a", "http://example.com/a"),
+      ("https://example.com:443", "https://example.com"),
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      ("http://example.com:8080/", "http://example.com:8080"),
+      // www. prefix drops; a www-ish subdomain does not
+      ("https://www.example.com/a", "https://example.com/a"),
+      ("https://www2.example.com/a", "https://www2.example.com/a"),
+      // fragment drops
+      ("https://example.com/a#sec-2", "https://example.com/a"),
+      ("https://example.com/#top", "https://example.com"),
+      // tracking params drop wherever they sit (case-insensitive keys);
+      // real params survive, including around removed ones
+      ("https://example.com/a?utm_source=f&utm_campaign=x", "https://example.com/a"),
+      ("https://example.com/a?UTM_Source=f", "https://example.com/a"),
+      ("https://example.com/a?page=2&utm_medium=m&gclid=g", "https://example.com/a?page=2"),
+      ("https://example.com/a?fbclid=z&page=2", "https://example.com/a?page=2"),
+      ("https://example.com/a?utm_a=1&utm_b=2&c=3", "https://example.com/a?c=3"),
+      // doubled slashes collapse in the path, never in scheme://
+      ("https://example.com//a//b///c", "https://example.com/a/b/c"),
+      // trailing slash and dangling ?/& drop
+      ("https://example.com/a/", "https://example.com/a"),
+      ("https://example.com/a?", "https://example.com/a"),
+      ("https://example.com/", "https://example.com"),
+      // generic schemes canonicalize too; scheme is never folded
+      ("FTP://Host//p/", "ftp://host/p"),
+      ("http://example.com/a", "http://example.com/a"),
+      // non-hierarchical / schemeless inputs pass through UNCHANGED
+      ("mailto:a@b.c", "mailto:a@b.c"),
+      ("not a url", "not a url"),
+      ("/relative/path?utm_source=x", "/relative/path?utm_source=x"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlCanon.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, exp), g) =>
+      assert(g == exp, s"canon(<$in>) = <$g>, expected <$exp>")
+    }
+    // idempotence: a canonical URL is its own canonical form (the
+    // dedup key is stable under re-processing by any later pipeline)
+    val twice = cases.map(_._2).toDF("u")
+      .select(UrlCanon.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    cases.map(_._2).zip(twice).foreach { case (c1, c2) =>
+      assert(c2 == c1, s"not idempotent: canon(<$c1>) = <$c2>")
+    }
+  }
+
   test("pixel operators reduce RGB to BT.601 luma, not the red channel (mixed-RGB fixture)") {
     import Multimodal.ImageIoDecoder
     // a 4×2 RGB PNG whose channels disagree hard: the red channel alone
