@@ -5305,6 +5305,44 @@ object SparkEntry {
     LineClean.scrubDiscoveredBoilerplate(extracted, "text", "doc_id")
   }
 
+  // The deterministic four-variant URL frontier p19/st36 derive from
+  // doc_id (the corpus has no URL column; the p18 wrap discipline —
+  // construction spelled once per engine, canonicalization generated
+  // from ONE list): case-shifted host + :443 + tracking params +
+  // trailing slash (v0), www. prefix + fragment (v1), doubled slashes
+  // + fbclid (v2) — all three fold to ONE canonical URL per doc_id
+  // group — and a kept-parameter singleton (v3) proving real query
+  // params survive while utm_/gclid are dropped around them.
+  private val urlFrontierSql: String =
+    """CASE doc_id % 4
+             WHEN 0 THEN 'HTTPS://Example.COM:443/Articles/' ||
+               CAST(doc_id // 4 AS VARCHAR) ||
+               '/?utm_source=feed&utm_campaign=x'
+             WHEN 1 THEN 'https://www.example.com/Articles/' ||
+               CAST(doc_id // 4 AS VARCHAR) || '#section-2'
+             WHEN 2 THEN 'https://example.com//Articles//' ||
+               CAST(doc_id // 4 AS VARCHAR) || '/?fbclid=IwAR0share'
+             ELSE 'https://example.com/Articles/' ||
+               CAST(doc_id // 4 AS VARCHAR) ||
+               '?page=2&utm_medium=email&gclid=xyz'
+           END"""
+
+  private def urlFrontierCol: Column = {
+    val base = floor(col("doc_id") / 4).cast("long").cast("string")
+    when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://Example.COM:443/Articles/"), base,
+          lit("/?utm_source=feed&utm_campaign=x")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://www.example.com/Articles/"), base,
+          lit("#section-2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com//Articles//"), base,
+          lit("/?fbclid=IwAR0share")))
+      .otherwise(
+        concat(lit("https://example.com/Articles/"), base,
+          lit("?page=2&utm_medium=email&gclid=xyz")))
+  }
+
   // URL canonicalization + keep-first URL dedup (round-15 — the other
   // first operation a web-corpus pipeline runs, beside p18's markup
   // extraction): crawl dumps carry the same page under many URL
@@ -5323,19 +5361,7 @@ object SparkEntry {
   // chain itself is generated from ONE pattern list
   // (UrlCanon.Steps) into both the Column chain and this oracle SQL.
   define("p19_url_canonical_dedup",
-    s"""WITH urls AS (SELECT doc_id,
-           CASE doc_id % 4
-             WHEN 0 THEN 'HTTPS://Example.COM:443/Articles/' ||
-               CAST(doc_id // 4 AS VARCHAR) ||
-               '/?utm_source=feed&utm_campaign=x'
-             WHEN 1 THEN 'https://www.example.com/Articles/' ||
-               CAST(doc_id // 4 AS VARCHAR) || '#section-2'
-             WHEN 2 THEN 'https://example.com//Articles//' ||
-               CAST(doc_id // 4 AS VARCHAR) || '/?fbclid=IwAR0share'
-             ELSE 'https://example.com/Articles/' ||
-               CAST(doc_id // 4 AS VARCHAR) ||
-               '?page=2&utm_medium=email&gclid=xyz'
-           END AS url
+    s"""WITH urls AS (SELECT doc_id, $urlFrontierSql AS url
          FROM documents),
        c AS (SELECT doc_id,
                ${graft.operators.UrlCanon.canonicalizeUrlSql("url")}
@@ -5345,22 +5371,9 @@ object SparkEntry {
          min(doc_id) AS keep_id
        FROM c GROUP BY canon_url""") { (s, d) =>
     import graft.operators.UrlCanon
-    val base = floor(col("doc_id") / 4).cast("long").cast("string")
-    val url = when(col("doc_id") % 4 === 0,
-        concat(lit("HTTPS://Example.COM:443/Articles/"), base,
-          lit("/?utm_source=feed&utm_campaign=x")))
-      .when(col("doc_id") % 4 === 1,
-        concat(lit("https://www.example.com/Articles/"), base,
-          lit("#section-2")))
-      .when(col("doc_id") % 4 === 2,
-        concat(lit("https://example.com//Articles//"), base,
-          lit("/?fbclid=IwAR0share")))
-      .otherwise(
-        concat(lit("https://example.com/Articles/"), base,
-          lit("?page=2&utm_medium=email&gclid=xyz")))
     t(s, d, "documents")
       .select(col("doc_id"),
-        UrlCanon.canonicalizeUrl(url).as("canon_url"))
+        UrlCanon.canonicalizeUrl(urlFrontierCol).as("canon_url"))
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_dupes"), min("doc_id").as("keep_id"))
   }
@@ -6567,6 +6580,41 @@ object SparkEntry {
         base.resolve("winidx").toString, "wins"))
       .getFileName.toString
     require(live.startsWith("wins.g"),
+      s"auto-compaction never fired mid-stream: live dir is $live")
+    out
+  }
+
+  // Streaming URL-frontier dedup (round-15): p19's canonical-URL
+  // keep-first made incremental — the shape a real crawl runs (the
+  // frontier arrives in batches; a page already fetched under SOME
+  // spelling must never be kept again). Cross-batch state is the
+  // persisted claim index (8-byte hashes, O(distinct pages) at any
+  // corpus size; the corpus never shuffles), and the appender folds
+  // its OWN index at the part-file threshold — the st33 cadence, gate-
+  // required to have fired. Id-ordered batch replay provably equals
+  // the full-batch min-per-canon form (keep-first is order-
+  // deterministic; PipelineSpec pins the replay), so the p19-style
+  // grouped oracle transfers verbatim.
+  define("st36_stream_url_dedup",
+    s"""WITH urls AS (SELECT doc_id, $urlFrontierSql AS url
+         FROM documents),
+       c AS (SELECT doc_id,
+               ${graft.operators.UrlCanon.canonicalizeUrlSql("url")}
+                 AS canon_url
+             FROM urls)
+       SELECT min(doc_id) AS doc_id, canon_url
+       FROM c GROUP BY canon_url""") { (s, d) =>
+    import graft.operators.Similarity
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_st36_")
+    val out = graft.streaming.Streaming.streamingUrlDedup(s, d, "st36",
+      urlFrontierCol, baseDir = Some(base.toString),
+      compactFileThreshold = 2)
+    val live = java.nio.file.Paths
+      .get(Similarity.resolveDataDir(
+        base.resolve("urlidx").toString, "urls"))
+      .getFileName.toString
+    require(live.startsWith("urls.g"),
       s"auto-compaction never fired mid-stream: live dir is $live")
     out
   }

@@ -1148,6 +1148,71 @@ object Dedup {
       .withColumn(textCol, array_join(col(textCol), delim))
 
   // ------------------------------------------------------------------
+  // URL-level keep-first dedup — the [[UrlCanon]] frontier rung made
+  // incremental: a crawl frontier arrives in daily batches, and a page
+  // already fetched under SOME canonical spelling must never be kept
+  // again. Same lifecycle as the line index: build → dedup-against →
+  // claim-append (fenced) → auto-compact at the part-file threshold.
+  // The index stores one xxhash64 per distinct canonical URL — at
+  // 100 TB the state is O(distinct pages), 8 bytes each, and the
+  // corpus itself never shuffles (the groupBy key and the history
+  // join are both the slim hash).
+  // ------------------------------------------------------------------
+
+  /** Build a canonical-URL claim index over a corpus' URL column.
+    * [[UrlCanon.canonicalizeUrl]] is applied HERE, so callers feed raw
+    * URLs and the index can never disagree with the dedup about the
+    * canonical form. */
+  def buildUrlIndex(df: DataFrame, urlCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Similarity.dropStalePointer(path, "urls") // rebuild = fresh lineage
+    df.select(xxhash64(UrlCanon.canonicalizeUrl(col(urlCol))).as("h"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/urls")
+    Seq(("xxhash64", 42)).toDF("family", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Keep-first URL dedup of a NEW ingest batch against itself AND the
+    * claimed history: one output row per not-yet-claimed canonical URL,
+    * carrying the batch's smallest `idCol` for it (the keep-first
+    * winner) plus `canon_url`. Id-ordered batch replay provably equals
+    * the full-batch min-per-canon form — keep-first is
+    * order-deterministic (PipelineSpec pins the 3-batch replay). */
+  def dedupUrlsAgainstIndex(batch: DataFrame, urlCol: String,
+                            idCol: String, indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val hist = spark.read.parquet(
+      Similarity.resolveDataDir(indexPath, "urls"))
+    val first = batch
+      .select(col(idCol),
+        UrlCanon.canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url").agg(min(col(idCol)).as(idCol))
+    first.join(hist, xxhash64(first("canon_url")) === hist("h"),
+        "left_anti")
+      .select(col(idCol), col("canon_url"))
+  }
+
+  /** Claim a batch's canonical URLs for all later batches — run AFTER
+    * [[dedupUrlsAgainstIndex]], with the RAW batch (kept or dropped:
+    * every canonical URL the batch carried is claimed, the line-index
+    * exactly-once convention). Membership is anti-join-checked, so
+    * hash rows duplicated across appends are harmless.
+    * `compactFileThreshold` opts into the auto-compaction cadence
+    * ([[Similarity.maybeCompactIndex]]). */
+  def appendToUrlIndex(df: DataFrame, urlCol: String, path: String,
+                       compactFileThreshold: Int = 0): Unit = {
+    Similarity.fencedSliceAppend(path, "urls") { dir =>
+      df.select(xxhash64(UrlCanon.canonicalizeUrl(col(urlCol))).as("h"))
+        .distinct()
+        .write.mode("append").parquet(dir)
+    }
+    Similarity.maybeCompactIndex(df.sparkSession, path, "urls",
+      compactFileThreshold)
+  }
+
+  // ------------------------------------------------------------------
   // Substring-level dedup (Lee et al.'22 "Deduplicating Training Data
   // Makes Language Models Better": remove every repeated substring of
   // >= L tokens, keeping one copy). Their single-machine construction

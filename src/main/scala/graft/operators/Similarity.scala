@@ -1512,7 +1512,7 @@ object Similarity {
     * without bound. Absent sub-dirs are skipped, so the union list is
     * safe for every family. */
   private val CompactableSubs = Seq("index", "codes", "cells", "lines",
-    "wins")
+    "wins", "urls")
 
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    partitions: Int = 0): Unit =

@@ -805,6 +805,59 @@ object Streaming {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming URL-frontier dedup: canonical-URL keep-first across
+    * micro-batches ([[graft.operators.UrlCanon]] + the claim index).
+    * Cross-batch state is the persisted index — each trigger dedups
+    * its batch against itself and history
+    * ([[graft.operators.Dedup.dedupUrlsAgainstIndex]]), emits the
+    * winners, claims its RAW batch, and at the part-file threshold
+    * folds its OWN index (the st33 cadence — single-writer by
+    * identity inside the trigger). Id-ordered batch replay provably
+    * equals the full-batch min-per-canon form (keep-first is
+    * order-deterministic; PipelineSpec pins the replay), so the
+    * p19-style grouped oracle transfers verbatim. State at 100 TB is
+    * O(distinct pages) 8-byte hashes; the corpus never shuffles.
+    * `urlOf` derives the URL column from the document row (the test
+    * corpus has no URL column — production frontiers pass their own). */
+  def streamingUrlDedup(spark: SparkSession, sfDir: String, name: String,
+                        urlOf: org.apache.spark.sql.Column,
+                        baseDir: Option[String] = None,
+                        compactFileThreshold: Int = 0): DataFrame = {
+    import graft.operators.Dedup
+    val base = baseDir match {
+      case Some(p) => java.nio.file.Files
+        .createDirectories(java.nio.file.Paths.get(p))
+      case None =>
+        java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+    }
+    val outDir = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idxDir = base.resolve("urlidx").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // first start only — a restart resumes against the accumulated index
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
+      Dedup.buildUrlIndex(
+        batchDocs.limit(0).select(urlOf.as("url")), "url", idxDir)
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/documents.*")
+    val q = stream.writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        val withUrl = mb.select(col("doc_id"), urlOf.as("url"))
+        Dedup.dedupUrlsAgainstIndex(withUrl, "url", "doc_id", idxDir)
+          .write.mode("append").parquet(outDir)
+        // claim AFTER the dedup emitted, fold at the threshold
+        Dedup.appendToUrlIndex(withUrl, "url", idxDir,
+          compactFileThreshold = compactFileThreshold)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   def streamingLineDedup(spark: SparkSession, sfDir: String, name: String,
                          wordsPerLine: Int = 5,
                          baseDir: Option[String] = None,

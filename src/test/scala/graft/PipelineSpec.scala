@@ -1663,6 +1663,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("URL keep-first dedup: id-ordered batch replay through the index equals the full batch; claims persist through the fold") {
+    withTempDir("graft_urlidx") { dir =>
+      import spark.implicits._
+      import graft.operators.UrlCanon
+      val urls = Seq(
+        (0L, "https://example.com/a?utm_source=x"),
+        (1L, "https://www.example.com/a"), // dup of 0 under canon
+        (2L, "https://example.com/b"),
+        (3L, "HTTPS://EXAMPLE.com/a/"), // dup of 0 under canon
+        (4L, "https://example.com/b?page=2"), // kept param: distinct
+        (5L, "https://example.com/c"),
+        (6L, "https://example.com/b"), // dup of 2
+        (7L, "https://example.com/c#frag") // dup of 5
+      ).toDF("doc_id", "url")
+      val full = urls.select(
+          UrlCanon.canonicalizeUrl(col("url")).as("c"), col("doc_id"))
+        .groupBy("c").agg(min("doc_id").as("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(full.size == 4 && full.map(_._2) == Set(0L, 2L, 4L, 5L))
+      val batches = Seq(urls.filter(col("doc_id") <= 2),
+        urls.filter(col("doc_id") >= 3 && col("doc_id") <= 5),
+        urls.filter(col("doc_id") >= 6))
+      Dedup.buildUrlIndex(batches.head.limit(0), "url", dir)
+      val incr = batches.flatMap { b =>
+        val kept = Dedup.dedupUrlsAgainstIndex(b, "url", "doc_id", dir)
+          .collect().map(r => (r.getString(1), r.getLong(0)))
+        // claim the RAW batch, folding at the threshold (every append
+        // crosses it, so the claims must survive repeated folds)
+        Dedup.appendToUrlIndex(b, "url", dir, compactFileThreshold = 1)
+        kept
+      }.toSet
+      assert(incr == full, s"$incr vs $full")
+      // the fold fired and the live table is a pointer-resolved generation
+      assert(java.nio.file.Paths
+        .get(Similarity.resolveDataDir(dir, "urls"))
+        .getFileName.toString.startsWith("urls.g"))
+      // a post-fold batch repeating only claimed spellings keeps nothing
+      val replayed = Dedup.dedupUrlsAgainstIndex(
+        Seq((8L, "https://example.com/a"), (9L, "https://example.com/c/"))
+          .toDF("doc_id", "url"), "url", "doc_id", dir)
+      assert(replayed.isEmpty)
+    }
+  }
+
   test("pixel operators reduce RGB to BT.601 luma, not the red channel (mixed-RGB fixture)") {
     import Multimodal.ImageIoDecoder
     // a 4×2 RGB PNG whose channels disagree hard: the red channel alone
