@@ -22,7 +22,7 @@ object CurationSoak {
     val sections: Set[String] = sys.env.get("SPARK_GRAFT_SOAK_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("dedup", "text", "ann", "order", "r5", "spans", "r8",
-        "r8b", "cc", "zipf", "kmv", "r14"))
+        "r8b", "cc", "zipf", "kmv", "r14", "r15"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -679,6 +679,32 @@ object CurationSoak {
           wrapped.select(col("doc_id"),
             TextExtract.htmlToText(col("html")).as("text")),
           "text", "doc_id").count()
+      }
+    }
+
+    if (sections("r15")) {
+      // URL canonicalization at 1M urls: a pure regexp projection (zero
+      // shuffle expected — the [soak] line proves it), the per-URL cost
+      // a crawl frontier pays exactly once per spelling
+      import graft.operators.UrlCanon
+      val urls1m = replicate(docs100k.select("doc_id"), "doc_id", 10)
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS://Example.COM:443/p/"))
+            .when(col("doc_id") % 3 === 1, lit("https://www.example.com/p/"))
+            .otherwise(lit("https://example.com//p//")),
+          col("doc_id").cast("string"),
+          lit("/?utm_source=feed&page=2#frag")).as("url"))
+      time("url_canon_1m") {
+        urls1m.select(UrlCanon.canonicalizeUrl(col("url")).as("c"))
+          .agg(sum(length(col("c")))).head.getLong(0)
+      }
+      // canonical keep-first dedup: the only shuffle is the slim
+      // canonical-key groupBy — one short string + one long per row on
+      // the wire, never the documents
+      time("url_dedup_1m") {
+        urls1m.select(col("doc_id"),
+            UrlCanon.canonicalizeUrl(col("url")).as("c"))
+          .groupBy("c").agg(min("doc_id")).count()
       }
     }
     spark.stop()

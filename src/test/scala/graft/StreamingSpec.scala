@@ -125,6 +125,42 @@ class StreamingSpec extends AnyFunSuite {
       s"unrelated doc should share no bucket: $got")
   }
 
+  test("streamingUrlDedup restart resumes against the accumulated claim index") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_url_rs_")
+    try {
+      // sfDir whose documents.parquet is a DIRECTORY the stream tails:
+      // slice A now, slice B after the first session ends
+      val corpus = root.resolve("sf").resolve("documents.parquet").toString
+      Seq((0L, "https://example.com/a?utm_source=x"),
+          (1L, "https://www.example.com/a"), // dup of 0 under canon
+          (2L, "https://example.com/b"))
+        .toDF("doc_id", "url").coalesce(1).write.parquet(corpus)
+      val base = root.resolve("base").toString
+      def grab(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(1), r.getLong(0))).toSet
+      val run1 = grab(graft.streaming.Streaming.streamingUrlDedup(
+        spark, root.resolve("sf").toString, "urlrs1", col("url"),
+        baseDir = Some(base)))
+      assert(run1 == Set(("https://example.com/a", 0L),
+        ("https://example.com/b", 2L)), s"$run1")
+      // slice B arrives: one dup of a FIRST-SESSION canon (must lose to
+      // the restart-resumed index, not to in-session state) + one fresh
+      Seq((3L, "HTTPS://EXAMPLE.com/a/"), (4L, "https://example.com/c"))
+        .toDF("doc_id", "url").coalesce(1)
+        .write.mode("append").parquet(corpus)
+      val run2 = grab(graft.streaming.Streaming.streamingUrlDedup(
+        spark, root.resolve("sf").toString, "urlrs2", col("url"),
+        baseDir = Some(base)))
+      assert(run2 == run1 + (("https://example.com/c", 4L)),
+        s"restart lost or re-kept claims: $run2 vs $run1")
+    } finally {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bandBucketPairs: hot bucket saturates at maxBucket, cold buckets unaffected") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
