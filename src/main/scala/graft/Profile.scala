@@ -37,6 +37,7 @@ object Profile {
     val stages = new AtomicLong(0)
     val jobs = new AtomicLong(0)
     val maxStageShuffle = new AtomicLong(0)
+    val detail = sys.env.get("SPARK_GRAFT_PROFILE_DETAIL").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -48,6 +49,15 @@ object Profile {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           maxStageShuffle.getAndUpdate(v =>
             math.max(v, m.shuffleReadMetrics.totalBytesRead))
+          if (detail) {
+            val i = sc.stageInfo
+            println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%3d " +
+              f"run=${m.executorRunTime / 1000.0}%7.1fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%7.1fs " +
+              f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+              f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB  " +
+              i.name.takeWhile(_ != '\n').take(100))
+          }
         }
       }
     })

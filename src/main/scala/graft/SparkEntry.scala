@@ -1355,16 +1355,17 @@ object SparkEntry {
     val sq8Idx = sessionIndexDir(s"s17_$d") { p =>
       Similarity.buildSq8Index(corpus, "embedding", "vec_id", p, dim = 64)
     }
-    val measured = Seq(
-      "ivf" -> Similarity.recallAtK(
-        Similarity.ivfTopKFromIndex(queries, ivfIdx, "embedding",
-          "vec_id", k = 5), brute),
-      "ivfpq" -> Similarity.recallAtK(
-        Similarity.ivfPqTopKFromIndex(queries, ivfpqIdx, "embedding",
-          "vec_id", k = 5), brute),
-      "sq8" -> Similarity.recallAtK(
-        Similarity.sq8TopKFromIndex(queries, corpus, sq8Idx, "embedding",
-          "vec_id", k = 5, rerank = 1024), brute))
+    // one batched recall computation: the three serves ride ONE tagged
+    // union-join-aggregate action (recallAtKMany) instead of two actions
+    // per family — same arithmetic, same measured values
+    val measuredMap = Similarity.recallAtKMany(Seq(
+      "ivf" -> Similarity.ivfTopKFromIndex(queries, ivfIdx, "embedding",
+        "vec_id", k = 5),
+      "ivfpq" -> Similarity.ivfPqTopKFromIndex(queries, ivfpqIdx, "embedding",
+        "vec_id", k = 5),
+      "sq8" -> Similarity.sq8TopKFromIndex(queries, corpus, sq8Idx,
+        "embedding", "vec_id", k = 5, rerank = 1024)), brute)
+    val measured = Seq("ivf", "ivfpq", "sq8").map(f => f -> measuredMap(f))
     measured.foreach { case (f, r) =>
       require(r == 1.0, s"ANN recall floor violated: $f recall@5 = $r " +
         "(calibration targets 1.0 on this query set — any drop is a " +
@@ -3300,16 +3301,24 @@ object SparkEntry {
     val chunks = transform(
       sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
       g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+    // Slim the cached projection to what downstream reads (doc_id, lang,
+    // n_tokens, keep): the old cache materialized the full text AND the
+    // __chunks array alongside the stats — roughly 2× the corpus bytes
+    // written to and read from block storage for columns no consumer
+    // touches past the fold. tokenCount moves inside the cached
+    // projection (same values; computed for all rows instead of kept
+    // rows only, a cheap split vs. caching every document twice).
     val folded = graft.operators.CacheScope.global.cache(
       graft.operators.Repetition.withRepetitionStats(
         t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"),
           chunks.as("__chunks")),
-        "text", linesOf = _ => col("__chunks")))
+        "text", linesOf = _ => col("__chunks"))
+        .select(col("doc_id"), col("lang"), col("keep"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens")))
     val kept = folded
       .filter(col("keep"))
-      .select(col("doc_id"), col("lang"),
-        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
-          .as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
     val surv = graft.operators.Quality
       .withGroupPercentile(kept, "lang", "n_tokens")
       .filter(col("pct_rank") > 0.1)
@@ -5300,8 +5309,13 @@ object SparkEntry {
         // the extracted text reads "&#60;kept>", not "<kept>")
         "&#8220;NCR&#8221; &#8216;q&#x2019; a&#8212;b c&#x2013;d " +
         "&#8230; A&#160;B &#38;#60;kept&#62;</div>"))
-    val extracted = t(s, d, "documents")
-      .select(col("doc_id"), TextExtract.htmlToText(html).as("text"))
+    // cache the extraction: the regex chain (the heaviest pure projection
+    // in the repo) feeds THREE passes otherwise — the discovery sketch,
+    // its exact recount, and the final scrub each re-ran the whole
+    // htmlToText chain over every document
+    val extracted = graft.operators.CacheScope.global.cache(
+      t(s, d, "documents")
+        .select(col("doc_id"), TextExtract.htmlToText(html).as("text")))
     LineClean.scrubDiscoveredBoilerplate(extracted, "text", "doc_id")
   }
 

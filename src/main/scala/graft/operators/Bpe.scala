@@ -89,6 +89,14 @@ object Bpe {
     import spark.implicits._
     var vocab = scope.cache(wordCounts(corpus, textCol)
       .select(split(col("w"), "").as("syms"), col("cnt")))
+    // The previous round's cache is unpersisted only after the CURRENT
+    // round's argmax has materialized the current cache — so each round
+    // runs ONE action (the argmax collect, which fills the cache as a
+    // side effect) instead of the old argmax + eager count() pair, and
+    // the rewrite lineage still never re-folds more than one level (a
+    // recompute would read the parent's cached blocks, not re-scan the
+    // corpus).
+    var prev: Option[DataFrame] = None
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -101,24 +109,24 @@ object Bpe {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = None
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, c))
         if (rank < numMerges) {
-          // materialize the rewritten vocabulary, then drop the parent:
-          // per-round lineage stays one fold deep, the CC-loop discipline
           val next = scope.cache(
             vocab.select(applyMerge(col("syms"), l, r).as("syms"),
               col("cnt")))
-          next.count()
-          vocab.unpersist()
+          prev = Some(vocab)
           vocab = next
         }
         rank += 1
       }
     }
+    prev.foreach(_.unpersist())
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 

@@ -481,19 +481,37 @@ object Dedup {
                    threshold: Double, shingleSize: Int = 2,
                    maxDf: Long = 1000L)
                   (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    val sh = spread(docs.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), array_distinct(TF.shingles(col(textCol), shingleSize)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val inverted = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    // ONE scan + shingle explode, cached — the df guard, the anti-join,
+    // BOTH self-join sides AND the per-doc set sizes all read it (the
+    // previous shape re-ran the scan + regex shingling four times: once
+    // for the guard, once into the cache, twice for the sizes joins).
+    // Postings carry xxhash64(shingle), not the gram text: an 8-byte key
+    // roughly halves the posting row and the self-join's key compares.
+    // Collisions could merge two distinct shingles' postings (overcount
+    // one pair's intersection by 1, or pool df across two grams) with
+    // P ≈ distinct-shingles²/2⁶⁵ — zero in practice at any corpus size;
+    // the d4/d8/d17/d18 oracles group by the gram TEXT, so a collision
+    // would surface as a gate mismatch (the duplicateWindowSpans
+    // convention).
+    val inv = scope.cache(
+      spread(docs.select(col(idCol).as("id"), col(textCol)))
+        .select(col("id"),
+          explode(array_distinct(TF.shingles(col(textCol), shingleSize)))
+            .as("__s"))
+        .select(col("id"), xxhash64(col("__s")).as("shingle")))
+    // |sh(doc)| derived from the SAME cached postings (rows are distinct
+    // per doc by construction) — docs with zero shingles have no rows,
+    // which is fine: they can never appear in a candidate pair, and both
+    // joins below are inner.
+    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))
     // document frequency via a map-side-combined aggregate (NOT a window,
-    // which would sort+shuffle every posting): the over-frequent shingle set
-    // is tiny, so the anti-join against it broadcasts. Cache the pruned
-    // index — both sides of the shingle self-join consume it.
-    val heavy = inverted.groupBy("shingle")
+    // which would sort+shuffle every posting): the over-frequent shingle
+    // set is tiny, so the anti-join against it broadcasts.
+    val heavy = inv.groupBy("shingle")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select("shingle")
-    val pruned = scope.cache(inverted.join(heavy, Seq("shingle"), "left_anti"))
+    val pruned = inv.join(broadcast(heavy), Seq("shingle"), "left_anti")
     val a = pruned.as("a")
     val b = pruned.as("b")
     val shared = a.join(b,
@@ -675,9 +693,22 @@ object Dedup {
                                    maxIter: Int = 20,
                                    algorithm: String = "label")
                                   (implicit scope: CacheScope = CacheScope.global): (DataFrame, CcStats) = {
+    // The symmetrizing self-union references `edges` twice, and Spark
+    // gives a self-union no subplan reuse — when the edge list comes out
+    // of an expensive detector (ngramJaccard's posting self-join), the
+    // WHOLE detector plan used to execute twice inside one job. Cache the
+    // oriented pairs first: the union's two branches read the cached rows.
+    val oriented = scope.cache(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // hash-partitioned by dst at cache time: the label-propagation
+    // neighbor join is keyed on dst every round, so pre-partitioning the
+    // cached edges pays ONE exchange instead of one per round (§2.4
+    // exchange sharing; the per-round shuffle was the CC loop's largest
+    // wire cost — edges ≫ labels)
     val sym = scope.cache(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+      oriented
+        .unionByName(oriented.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst")))
     val nodeIds = nodes.select(col(idCol).as("id"))
     // an edge endpoint missing from `nodes` would be SILENTLY ignored by the
     // propagation joins, under-merging components — validate up front (one
@@ -732,8 +763,9 @@ object Dedup {
   private def labelPropagation(nodeIds: DataFrame, sym: DataFrame,
                                idCol: String,
                                maxIter: Int): (DataFrame, Seq[Long]) = {
-    var labels = nodeIds.select(col("id"), col("id").as("label"))
+    var checkpointed = nodeIds.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    var labels = checkpointed
     val perRound = scala.collection.mutable.ArrayBuffer.empty[Long]
     var iter = 0
     var changed = 1L
@@ -741,17 +773,22 @@ object Dedup {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("label").as("nbr_label"))
       // eager checkpoint: materializes `next` AND truncates its plan, so the
-      // previous round's blocks can be dropped immediately after
+      // previous round's blocks can be dropped immediately after. The
+      // update carries its own change flag, so the convergence test is a
+      // plain filter+count over the checkpointed blocks — the previous
+      // old-vs-new label join was a second shuffle + action per round.
+      val takeNbr =
+        col("nbr_label").isNotNull && col("nbr_label") < col("label")
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
-          when(col("nbr_label").isNotNull && col("nbr_label") < col("label"),
-            col("nbr_label")).otherwise(col("label")).as("label"))
+          when(takeNbr, col("nbr_label")).otherwise(col("label")).as("label"),
+          takeNbr.as("__changed"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      changed = next.filter(col("__changed")).count()
       perRound += changed
-      labels.unpersist()
-      labels = next
+      checkpointed.unpersist()
+      checkpointed = next
+      labels = next.select("id", "label")
       iter += 1
     }
     require(changed == 0,
@@ -804,7 +841,14 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
       val next = small.localCheckpoint(true)
-      changed = next.exceptAll(e).count() + e.exceptAll(next).count()
+      // symmetric-difference count in ONE full-outer join + action (both
+      // sides are canonical distinct edge sets, so set difference ==
+      // multiset difference; the previous two exceptAll passes shuffled
+      // both frames twice and ran two jobs per round)
+      changed = next.withColumn("__n", lit(1))
+        .join(e.withColumn("__o", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__n").isNull || col("__o").isNull)
+        .count()
       perRound += changed
       e.unpersist()
       e = next
@@ -1051,15 +1095,22 @@ object Dedup {
           xxhash64(normalize(col("__line"))).as("__h"),
           (trim(col("__line")) === "").as("__blank"))))
 
-  /** Join the winner table back and filter each original doc row's lines
-    * in place: positions that are blank or hold the winning occurrence
-    * survive; a non-blank line with NO winner row (claimed by history in
-    * the incremental path) drops everywhere. */
+  /** Re-aggregate surviving positions per doc and filter each original
+    * doc row's lines in place. The non-blank survivors are EXACTLY the
+    * winner rows themselves — `__w` is the min (id, pos) struct of its
+    * hash group, so "occurrences equal to their hash's winner" is just
+    * the winner table unpacked — which removes the old occ⋈winners
+    * join-back entirely (it re-shuffled every occurrence by __h to
+    * decide membership the winner table already states; a winner is
+    * never blank, so the union below cannot duplicate a position).
+    * Blank positions always survive; a non-blank line with NO winner row
+    * (claimed by history in the incremental path) drops everywhere. */
   private def keepByWinners(df: DataFrame, linesCol: String, idCol: String,
                             occ: DataFrame, winners: DataFrame): DataFrame = {
-    val keptPos = occ.join(winners, Seq("__h"), "left")
-      .filter(col("__blank") ||
-        struct(col("__kid"), col("__pos")) === col("__w"))
+    val keptPos = winners
+      .select(col("__w.__kid").as("__kid"), col("__w.__pos").as("__pos"))
+      .unionByName(occ.filter(col("__blank"))
+        .select(col("__kid"), col("__pos")))
       .groupBy("__kid")
       .agg(collect_list(col("__pos")).as("__keep"))
     df.join(keptPos, col(idCol) === col("__kid"))

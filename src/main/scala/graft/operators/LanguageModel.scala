@@ -203,13 +203,23 @@ object LanguageModel {
     val toks = spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), TF.tokens(lower(col(textCol))).as("w"))
       .filter(size(col("w")) >= 2)
-    val bg = toks.select(col("id"),
-      explode(zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("b"))
+    val bgArr = zip_with(
+      slice(col("w"), lit(1), size(col("w")) - 1),
+      slice(col("w"), lit(2), size(col("w")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    // per-(doc, bigram) counts fold IN-ROW — the old groupBy(id, b)
+    // shuffled one row per distinct (doc, bigram) with the bigram string
+    // on the wire; the count is a per-document quantity, so it folds
+    // where the document already is (guide §2.3, aggregate before you
+    // shuffle). Sorted array / run starts materialize as row columns per
+    // the runStarts/runsFromStarts caller contract.
     val tfb = scope.cache(
-      bg.groupBy("id", "b").agg(count(lit(1)).as("tf")))
+      toks.select(col("id"), array_sort(bgArr).as("__bg"))
+        .select(col("id"), col("__bg"), runStarts(col("__bg")).as("__s"))
+        .select(col("id"),
+          explode(runsFromStarts(col("__bg"), col("__s"))).as("__r"))
+        .select(col("id"), col("__r.item").as("b"),
+          col("__r.cnt").as("tf")))
     // the bigram TYPE table: counts plus both projections of the key
     val parts = scope.cache(tfb.groupBy("b").agg(sum("tf").as("c"))
       .select(col("b"), col("c"),

@@ -90,20 +90,47 @@ object Retrieval {
         explode(TF.tokens(TF.normText(col(textCol)))).as("term"))
       .filter(col("term") =!= "")
 
+  /** In-row (term, tf) aggregation: tokenize, sort the doc's own tokens,
+    * and fold equal runs into (term, tf) structs INSIDE the row — the
+    * guide's "aggregate before you shuffle" taken to its limit: tf and
+    * dl need NO exchange at all. The old `groupBy(n_id, term)` shuffled
+    * one row per distinct (doc, term) with the term STRING on the wire
+    * (the largest exchange of the one-shot/build paths — 45 MB at sf0.1)
+    * and the dl join re-shuffled it by doc; both are per-document
+    * quantities, so they fold where the document already is. Returns one
+    * row per doc with ≥ 1 term: (outId, __runs: array<(term, tf)>, dl).
+    * Token spelling matches [[termPairs]] exactly (normText, whitespace
+    * split, empty terms dropped). */
+  private def docTermRuns(df: DataFrame, textCol: String, idCol: String,
+                          outId: String): DataFrame = {
+    val toks = filter(TF.tokens(TF.normText(col(textCol))), t => t =!= lit(""))
+    // sorted array and run starts materialize as row columns in separate
+    // projections — the runStarts/runsFromStarts caller contract
+    spread(df.select(col(idCol).as(outId), toks.as("__t0")))
+      .filter(size(col("__t0")) >= 1)
+      .select(col(outId), array_sort(col("__t0")).as("__t"))
+      .select(col(outId), col("__t"), runStarts(col("__t")).as("__b"))
+      .select(col(outId),
+        runsFromStarts(col("__t"), col("__b")).as("__runs"),
+        size(col("__t")).cast("long").as("dl"))
+  }
+
   /** The slim postings frame: one row per (corpus doc, term) with tf and
-    * the denormalized dl/df — everything scoring needs. */
+    * the denormalized dl/df — everything scoring needs. tf/dl fold
+    * in-row ([[docTermRuns]] — zero exchanges); the only build shuffle
+    * left is the vocabulary-sized df aggregate. */
   private def postingsFrame(corpus: DataFrame, textCol: String,
                             idCol: String, maxDf: Long)
                            (implicit scope: CacheScope): DataFrame = {
-    val tf = scope.cache(
-      termPairs(corpus, textCol, idCol, "n_id")
-        .groupBy("n_id", "term").agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy("n_id").agg(sum("tf").as("dl"))
+    val runs = scope.cache(docTermRuns(corpus, textCol, idCol, "n_id"))
+    val tf = runs
+      .select(col("n_id"), col("dl"), explode(col("__runs")).as("__r"))
+      .select(col("n_id"), col("dl"),
+        col("__r.item").as("term"), col("__r.cnt").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    // df join is broadcast-able at moderate vocab; dl join co-partitions
-    // with tf on n_id. Both are build-time-only costs.
-    tf.join(df, "term").join(dl, "n_id")
+    // df join is broadcast-able at moderate vocab (Zipf-bounded)
+    tf.join(df, "term")
       .select(col("term"), col("n_id"), col("tf"), col("dl"), col("df"))
   }
 
@@ -172,14 +199,15 @@ object Retrieval {
     * `_params` stats. */
   private def tfDlFrame(docs: DataFrame, textCol: String, idCol: String)
                        (implicit scope: CacheScope): (DataFrame, Long, Long) = {
-    val tf = scope.cache(
-      termPairs(docs, textCol, idCol, "n_id")
-        .groupBy("n_id", "term").agg(count(lit(1)).as("tf")))
-    val dl = scope.cache(tf.groupBy("n_id").agg(sum("tf").as("dl")))
-    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    // tf and dl fold in-row (docTermRuns) — the old groupBy(n_id, term)
+    // exchange and the dl join-back are gone; the stats aggregate runs
+    // over one slim cached row per doc
+    val runs = scope.cache(docTermRuns(docs, textCol, idCol, "n_id"))
+    val st = runs.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
     val n = st.getLong(0)
-    (tf.join(dl, "n_id").select(col("term"), col("n_id"), col("tf"),
-      col("dl")),
+    (runs.select(col("n_id"), col("dl"), explode(col("__runs")).as("__r"))
+      .select(col("__r.item").as("term"), col("n_id"),
+        col("__r.cnt").as("tf"), col("dl")),
       n, if (n == 0) 0L else st.getLong(1))
   }
 

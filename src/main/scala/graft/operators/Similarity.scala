@@ -62,6 +62,31 @@ object Similarity {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  /** [[recallAtK]] over SEVERAL served rankings against one reference,
+    * in ONE reference count + ONE tagged union-join-aggregate action
+    * (2 jobs total instead of 2 per family) — the independent serve
+    * subplans also overlap inside the single job instead of running
+    * back-to-back. Identical arithmetic per family: distinct (q_id,
+    * n_id) pairs, |served ∩ reference| / |reference|, 6dp HALF_UP. */
+  def recallAtKMany(served: Seq[(String, DataFrame)],
+                    reference: DataFrame): Map[String, Double] = {
+    require(served.nonEmpty, "recallAtKMany needs at least one ranking")
+    val ref = reference.select(col("q_id"), col("n_id")).distinct()
+    val total = ref.count()
+    require(total > 0, "recallAtKMany needs a non-empty reference ranking")
+    val hits = served.map { case (tag, df) =>
+      df.select(col("q_id"), col("n_id")).distinct()
+        .select(lit(tag).as("__tag"), col("q_id"), col("n_id"))
+    }.reduce(_ unionByName _)
+      .join(ref, Seq("q_id", "n_id"))
+      .groupBy("__tag").agg(count(lit(1)).as("__hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    served.map { case (tag, _) =>
+      tag -> BigDecimal(hits.getOrElse(tag, 0L).toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
   /** Hard-negative mining for embedding-model training: for each query
     * vector, the k most cosine-similar corpus vectors with a DIFFERENT
     * label — the near-misses a contrastive objective learns the most

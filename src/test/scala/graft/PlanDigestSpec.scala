@@ -47,7 +47,9 @@ class PlanDigestSpec extends AnyFunSuite {
     // dedup family: exact groupBy + winner join-back, line-hash serve,
     // span detection (slim window rows, winner broadcast)
     "d1_exact_dedup"          -> Digest(2, 0, 0, 0, 0),
-    "d11_line_dedup"          -> Digest(4, 2, 0, 0, 2),
+    // r15: −1 broadcast — keepByWinners now unpacks the winner structs
+    // directly instead of join-backing occ⋈winners to decide membership
+    "d11_line_dedup"          -> Digest(4, 1, 0, 0, 2),
     "d14_duplicate_spans"     -> Digest(4, 1, 0, 2, 1),
     // persisted-index serving: pruned IVF, hard negatives, BM25, contam
     // (windows here are query-side rank/top-k partitioned by q_id — the
@@ -83,7 +85,10 @@ class PlanDigestSpec extends AnyFunSuite {
     // deliberately reference-weighted — stable, and a new consumer of a
     // cached frame is itself a plan change worth reviewing
     "t27_bpe_encode"          -> Digest(5, 1, 0, 0, 0),
-    "t28_kn_bigram"           -> Digest(14, 3, 0, 0, 0),
+    // r15: 14 → 10 shuffles — per-(doc, bigram) counts fold IN-ROW
+    // (sortedRuns) instead of a groupBy(id, b) exchange; reference-
+    // weighted ×2 via tfb's cached consumers, plus partial/final pairs
+    "t28_kn_bigram"           -> Digest(10, 3, 0, 0, 0),
     // round-10 serving batch: SQ8 persisted serve, hybrid-from-indexes
     // (no corpus rescan), Bloom-prefiltered decontamination (broadcast-
     // free), C4 line cleaning (zero-join scan pass), payload near-dup
