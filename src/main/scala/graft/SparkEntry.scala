@@ -18,6 +18,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** (doc_id, `out` = fixed 5-word windows of text) — the newline-free
+    * test-corpus line convention shared by the line-dedup/clean gates.
+    * Tokens materialize as a ROW COLUMN first so the window lambda
+    * slices a bound array: an inline `split(...)` referenced inside the
+    * transform lambda re-runs the whole tokenization once PER WINDOW
+    * (the interpreted-HOF re-evaluation trap — see TF.slidingJoin). */
+  private def withDocLines5(df: DataFrame, out: String): DataFrame =
+    df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("__tk"))
+      .select(col("doc_id"), transform(
+        sequence(lit(0),
+          ceil(size(col("__tk")) / lit(5.0)).cast("int") - 1),
+        g => array_join(slice(col("__tk"), g * 5 + 1, lit(5)), " "))
+        .as(out))
+
   /** Staged corpus for the substring-dedup gates (d14/d15): every even
     * doc gains a replica (id + 100000) of its full text plus a unique
     * tail, giving each replica one known duplicated prefix span whose
@@ -2566,12 +2580,8 @@ object SparkEntry {
          n_tokens, lm_logprob
        FROM scored WHERE n_tokens >= 30 AND lm_logprob >= -3.402""") { (s, d) =>
     import graft.operators.{Dedup, LanguageModel, Splits}
-    val toks = split(trim(col("text")), "\\s+")
-    val lines = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
     val cleaned = Dedup.keepFirstLines(
-      t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+      withDocLines5(t(s, d, "documents"), "lines"),
       "lines", "doc_id")
       .select(col("doc_id"), array_join(col("lines"), " ").as("text"))
     val scored = LanguageModel.unigramLogProb(cleaned, "text", "doc_id")
@@ -3242,10 +3252,12 @@ object SparkEntry {
     s"""WITH $repetitionCtes
        SELECT *, CAST($repetitionKeepExpr AS INT) AS keep
        FROM fr""") { (s, d) =>
-    val toks = split(trim(col("text")), "\\s+")
+    // the window lambda slices withRepetitionStats' materialized token
+    // column (__w) — an inline split re-runs the tokenization per window
+    val tk = col("__w")
     val chunks = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+      sequence(lit(0), ceil(size(tk) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(tk, g * 5 + 1, lit(5)), " "))
     graft.operators.Repetition.withRepetitionStats(
       t(s, d, "documents"), "text", linesOf = _ => chunks)
       .select(col("doc_id") +:
@@ -3297,10 +3309,11 @@ object SparkEntry {
     // for itself twice over: the kept frame feeds BOTH the percentile
     // histogram pass (groupRunningTotal's driver-side phase is an
     // action) and the final plan.
-    val toks = split(trim(col("text")), "\\s+")
+    // token array materializes as a column first — an inline split in the
+    // window lambda re-runs the tokenization per window (TF.slidingJoin)
     val chunks = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+      sequence(lit(0), ceil(size(col("__tk")) / lit(5.0)).cast("int") - 1),
+      g => array_join(slice(col("__tk"), g * 5 + 1, lit(5)), " "))
     // Slim the cached projection to what downstream reads (doc_id, lang,
     // n_tokens, keep): the old cache materialized the full text AND the
     // __chunks array alongside the stats — roughly 2× the corpus bytes
@@ -3310,8 +3323,11 @@ object SparkEntry {
     // rows only, a cheap split vs. caching every document twice).
     val folded = graft.operators.CacheScope.global.cache(
       graft.operators.Repetition.withRepetitionStats(
-        t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"),
-          chunks.as("__chunks")),
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            split(trim(col("text")), "\\s+").as("__tk"))
+          .select(col("doc_id"), col("lang"), col("text"),
+            chunks.as("__chunks")),
         "text", linesOf = _ => col("__chunks"))
         .select(col("doc_id"), col("lang"), col("keep"),
           graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
@@ -4662,12 +4678,8 @@ object SparkEntry {
          FROM lines)
        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
        FROM ranked WHERE rn = 1 GROUP BY doc_id""") { (s, d) =>
-    val toks = split(trim(col("text")), "\\s+")
-    val lines = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
     graft.operators.Dedup.keepFirstLines(
-      t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+      withDocLines5(t(s, d, "documents"), "lines"),
       "lines", "doc_id")
       .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
   }
@@ -4700,12 +4712,7 @@ object SparkEntry {
          AND NOT EXISTS (SELECT 1 FROM h1 WHERE h1.line = r.line)
        GROUP BY doc_id""") { (s, d) =>
     import graft.operators.Dedup
-    val toks = split(trim(col("text")), "\\s+")
-    val lines = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
-    val prepped = t(s, d, "documents")
-      .select(col("doc_id"), lines.as("lines"))
+    val prepped = withDocLines5(t(s, d, "documents"), "lines")
     val idx = sessionIndexDir(s"d13_$d") { p =>
       Dedup.buildLineIndex(prepped.filter(col("doc_id") < 250), "lines", p)
     }
@@ -5612,12 +5619,8 @@ object SparkEntry {
          coalesce(nk.n_kept, 0) >= 3 AS keep,
          coalesce(nk.text, '') AS text
        FROM nl LEFT JOIN nk ON nl.doc_id = nk.doc_id""") { (s, d) =>
-    val toks = split(trim(col("text")), "\\s+")
-    val lines = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
     graft.operators.LineClean.cleanLines(
-      t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+      withDocLines5(t(s, d, "documents"), "lines"),
       "lines", "doc_id",
       minWordsPerLine = 5, requireTerminalPunct = false,
       blocklist = Seq("slow"), minKeptLines = 3)
@@ -5652,12 +5655,8 @@ object SparkEntry {
          string_agg(line, chr(10) ORDER BY pos)
            FILTER (WHERE pos = first_pos) AS text
        FROM kept GROUP BY doc_id""") { (s, d) =>
-    val toks = split(trim(col("text")), "\\s+")
-    val lines = transform(
-      sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
     graft.operators.LineClean.dedupLinesWithinDoc(
-      t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+      withDocLines5(t(s, d, "documents"), "lines"),
       "lines", "doc_id")
   }
 

@@ -1333,12 +1333,17 @@ object Dedup {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     val toks = TF.tokens(col(textCol))
     val L = windowTokens
+    // windows build as TF.slidingJoin's zip_with chain over a
+    // MATERIALIZED token column — the old transform-with-slice lambda
+    // re-ran the whole tokenization once per window (O(tokens²) per doc,
+    // the interpreted-HOF re-evaluation trap measured on TF.shingles)
     scope.cache(spread(
       docs.filter(size(toks) >= L)
-        .select(col(idCol).as("__kid"),
+        .select(col(idCol).as("__kid"), toks.as("__toks"))
+        .select(col("__kid"),
           posexplode(transform(
-            sequence(lit(0), size(toks) - L),
-            p => xxhash64(concat_ws("\u0001", slice(toks, p + 1, lit(L))))))
+            TF.slidingJoin(col("__toks"), L, "\u0001"),
+            w => xxhash64(w)))
             .as(Seq("__pos", "__h")))))
   }
 

@@ -141,12 +141,16 @@ object LineClean {
                                  minKeptLines: Int = 1): DataFrame = {
     val block = HeavyHitters.topKNgrams(docs, textCol, n = n, k = k)
       .select("gram").collect().map(_.getString(0)).toSeq
-    val toks = split(trim(col(textCol)), "\\s+")
+    // token array materializes as a column first — an inline split in the
+    // window lambda re-runs the tokenization per window (TF.slidingJoin)
     val lines = transform(
       sequence(lit(0),
-        ceil(size(toks) / lit(lineWords.toDouble)).cast("int") - 1),
-      g => array_join(slice(toks, g * lineWords + 1, lit(lineWords)), " "))
-    cleanLines(docs.select(col(idCol), lines.as("lines")), "lines", idCol,
+        ceil(size(col("__tk")) / lit(lineWords.toDouble)).cast("int") - 1),
+      g => array_join(slice(col("__tk"), g * lineWords + 1,
+        lit(lineWords)), " "))
+    cleanLines(docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__tk"))
+      .select(col(idCol), lines.as("lines")), "lines", idCol,
       minWordsPerLine = 0, requireTerminalPunct = false,
       blocklist = block, minKeptLines = minKeptLines)
   }

@@ -137,15 +137,19 @@ object Packing {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens): $overlap vs $maxTokens")
     val stride = maxTokens - overlap
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val tk = col("__tk")
     val k = greatest(lit(1L),
-      ceil((size(toks).cast("long") - overlap).cast("double") / stride)
+      ceil((size(tk).cast("long") - overlap).cast("double") / stride)
         .cast("long"))
+    // the window lambda slices a MATERIALIZED token column — an inline
+    // tokens() expression re-runs the split once per chunk
     val chunks = transform(sequence(lit(0L), k - 1),
-      i => slice(toks, (i * stride + 1).cast("int"), lit(maxTokens)))
+      i => slice(tk, (i * stride + 1).cast("int"), lit(maxTokens)))
     // spread: the windowing is an interpreted HOF (no codegen), so a
     // one-row-group input would chunk on ONE core; no-op at cluster scale
     spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), posexplode(chunks).as(Seq("chunk_ix", "__toks")))
       .select(col(idCol), col("chunk_ix").cast("int").as("chunk_ix"),
         size(col("__toks")).as("n_tokens"),

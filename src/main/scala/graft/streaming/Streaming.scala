@@ -873,15 +873,21 @@ object Streaming {
     val ckpt = base.resolve("ckpt").toString
     val idxDir = base.resolve("lineidx").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val toks = split(trim(col("text")), "\\s+")
+    // the window lambda slices a MATERIALIZED token column (applied via
+    // withLines below) — an inline split re-runs the tokenization per
+    // window (the interpreted-HOF re-evaluation trap, see TF.slidingJoin)
     val lines = transform(
       sequence(lit(0),
-        ceil(size(toks) / lit(wordsPerLine.toDouble)).cast("int") - 1),
-      g => array_join(slice(toks, g * wordsPerLine + 1, lit(wordsPerLine)), " "))
+        ceil(size(col("__tk")) / lit(wordsPerLine.toDouble)).cast("int") - 1),
+      g => array_join(slice(col("__tk"), g * wordsPerLine + 1,
+        lit(wordsPerLine)), " "))
+    def withLines(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__tk"))
+      .select(col("doc_id"), lines.as("lines"))
     // first start only — a restart resumes against the accumulated index
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
       Dedup.buildLineIndex(
-        batchDocs.limit(0).select(col("doc_id"), lines.as("lines")),
+        withLines(batchDocs.limit(0)),
         "lines", idxDir) // empty history: the stream IS the corpus
     val stream = spark.readStream
       .schema(batchDocs.schema)
@@ -895,7 +901,7 @@ object Streaming {
         implicit val batchScope: graft.operators.CacheScope =
           new graft.operators.CacheScope
         try {
-          val prepped = mb.select(col("doc_id"), lines.as("lines"))
+          val prepped = withLines(mb)
           Dedup.dedupLinesAgainstIndex(prepped, "lines", "doc_id", idxDir)
             .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
             .write.mode("append").parquet(outDir)

@@ -214,20 +214,24 @@ object CurationSoak {
       // corpus-wide keep-first line dedup at 100k docs: ~11 lines/doc of
       // 5-word chunks; shuffle should carry (hash, id, pos) triples + the
       // final doc-row relocation, never exploded text
+      // window lambda slices a materialized token column (TF.slidingJoin
+      // trap: an inline split re-runs the tokenization per window)
       val toks = split(trim(col("text")), "\\s+")
       val lines = transform(
-        sequence(lit(0), ceil(size(toks) / lit(5.0)).cast("int") - 1),
-        g => array_join(slice(toks, g * 5 + 1, lit(5)), " "))
+        sequence(lit(0), ceil(size(col("__tk")) / lit(5.0)).cast("int") - 1),
+        g => array_join(slice(col("__tk"), g * 5 + 1, lit(5)), " "))
       time("line_dedup_100k") {
         Dedup.keepFirstLines(
-          docs100k.select(col("doc_id"), lines.as("lines")),
+          docs100k.select(col("doc_id"), toks.as("__tk"))
+            .select(col("doc_id"), lines.as("lines")),
           "lines", "doc_id").count()
       }
 
       // incremental path: 50k docs of history in the persisted hash
       // index, a 50k-doc ingest batch deduped against it — the per-batch
       // cost profile st13 pays every trigger
-      val prepped100k = docs100k.select(col("doc_id"), lines.as("lines"))
+      val prepped100k = docs100k.select(col("doc_id"), toks.as("__tk"))
+        .select(col("doc_id"), lines.as("lines"))
       val lineIdxDir = java.nio.file.Files.createTempDirectory("graft_soak_li_").toString
       time("line_index_build_50k") {
         Dedup.buildLineIndex(prepped100k.filter(col("doc_id") < 10000000L),
