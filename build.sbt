@@ -23,8 +23,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap default stays 8g: round-16 MEASURED the VERDICT-item-2 hypothesis
+// (GC pressure from 32 tasks in one default-heap JVM) and a bigger heap
+// made it WORSE, not better — the suspect query cluster at local[32],
+// sf0.1, quiet box: 16.9 s at -Xmx8g (G1 GC total 1.8 s) vs 21.2 s at
+// -Xmx32g (G1 GC total 5.4 s — larger young gen, longer pauses stalling
+// all 32 task threads); -XX:+UseParallelGC at 8g was a wash (16.4 s).
+// The real fixes were allocation-side (TextKernels, ImageIO cache).
+// SPARK_GRAFT_JAVA_OPTS passes extra measurement flags (e.g. -Xlog:gc)
+// through to the forked run/test JVMs without editing this file.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

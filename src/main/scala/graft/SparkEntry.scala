@@ -26,11 +26,8 @@ object SparkEntry {
     * (the interpreted-HOF re-evaluation trap — see TF.slidingJoin). */
   private def withDocLines5(df: DataFrame, out: String): DataFrame =
     df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("__tk"))
-      .select(col("doc_id"), transform(
-        sequence(lit(0),
-          ceil(size(col("__tk")) / lit(5.0)).cast("int") - 1),
-        g => array_join(slice(col("__tk"), g * 5 + 1, lit(5)), " "))
-        .as(out))
+      .select(col("doc_id"),
+        graft.functions.TextKernels.wordChunks(col("__tk"), 5).as(out))
 
   /** Staged corpus for the substring-dedup gates (d14/d15): every even
     * doc gains a replica (id + 100000) of its full text plus a unique
@@ -3252,12 +3249,11 @@ object SparkEntry {
     s"""WITH $repetitionCtes
        SELECT *, CAST($repetitionKeepExpr AS INT) AS keep
        FROM fr""") { (s, d) =>
-    // the window lambda slices withRepetitionStats' materialized token
-    // column (__w) — an inline split re-runs the tokenization per window
-    val tk = col("__w")
-    val chunks = transform(
-      sequence(lit(0), ceil(size(tk) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(tk, g * 5 + 1, lit(5)), " "))
+    // the chunker reads withRepetitionStats' materialized token column
+    // (__w) through the codegen'd WordChunks kernel (round-16: the
+    // transform/slice HOF spelling kept the whole projection out of
+    // whole-stage codegen)
+    val chunks = graft.functions.TextKernels.wordChunks(col("__w"), 5)
     graft.operators.Repetition.withRepetitionStats(
       t(s, d, "documents"), "text", linesOf = _ => chunks)
       .select(col("doc_id") +:
@@ -3309,11 +3305,9 @@ object SparkEntry {
     // for itself twice over: the kept frame feeds BOTH the percentile
     // histogram pass (groupRunningTotal's driver-side phase is an
     // action) and the final plan.
-    // token array materializes as a column first — an inline split in the
-    // window lambda re-runs the tokenization per window (TF.slidingJoin)
-    val chunks = transform(
-      sequence(lit(0), ceil(size(col("__tk")) / lit(5.0)).cast("int") - 1),
-      g => array_join(slice(col("__tk"), g * 5 + 1, lit(5)), " "))
+    // token array materializes as a column first; the chunker is the
+    // codegen'd WordChunks kernel (round-16)
+    val chunks = graft.functions.TextKernels.wordChunks(col("__tk"), 5)
     // Slim the cached projection to what downstream reads (doc_id, lang,
     // n_tokens, keep): the old cache materialized the full text AND the
     // __chunks array alongside the stats — roughly 2× the corpus bytes

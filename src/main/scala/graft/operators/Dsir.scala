@@ -88,7 +88,9 @@ object Dsir {
     * literal) and the bucket count. */
   case class DsirModel(lam: Map[Int, Double], b: Int) {
     require(lam.size == b, s"λ table has ${lam.size} entries, expected $b")
-    private[Dsir] def lamLit: Column = typedLit(lam)
+    // dense λ for the codegen'd scoring kernel: keys are 0..b-1 by
+    // construction (trained from range(b)), so the map IS an array
+    private[Dsir] lazy val lamArr: Array[Double] = Array.tabulate(b)(lam)
   }
 
   /** Collect a λ frame into a serving model — bounded at b rows. */
@@ -128,14 +130,15 @@ object Dsir {
     * sum). Rounded to 6dp (accumulated double — the t10 discipline). */
   def withLogWeight(docs: DataFrame, m: DsirModel, textCol: String,
                     wCol: String = "log_w"): DataFrame = {
-    val lamMap = m.lamLit
-    // spread first: the fold is interpreted (HOFs do not codegen) and
-    // CPU-bound, so a one-row-group input would score on ONE core; a
-    // no-op at cluster scale
+    // round-16: the HOF fold (interpreted per element, with element_at
+    // against a 4096-entry map LITERAL — a linear key scan per bigram)
+    // is now the codegen'd DsirLogWeight kernel: same md5-prefix bucket
+    // rule, same left-to-right double accumulation, λ as a dense array.
+    // spread first: the scoring is CPU-bound, so a one-row-group input
+    // would score on ONE core; a no-op at cluster scale
     spread(docs).withColumn(wCol, round(
-      aggregate(featureBuckets(col(textCol), m.b), lit(0.0),
-        (acc, bkt) => acc + coalesce(element_at(lamMap, bkt), lit(0.0))),
-      6))
+      graft.functions.TextKernels.dsirLogWeight(
+        TF.tokens(col(textCol)), m.lamArr), 6))
   }
 
   /** (0,1) uniform from md5(salt ‖ id) — pure function of the key, so
@@ -152,11 +155,12 @@ object Dsir {
   def withSelectionKey(docs: DataFrame, m: DsirModel, textCol: String,
                        idCol: String, salt: String = "dsir",
                        keyCol: String = "sel_key"): DataFrame = {
-    val lamMap = m.lamLit
-    val rawW = aggregate(featureBuckets(col(textCol), m.b), lit(0.0),
-      (acc, bkt) => acc + coalesce(element_at(lamMap, bkt), lit(0.0)))
+    // same codegen'd kernel as withLogWeight (the UNROUNDED weight feeds
+    // the key; one round at the end — unchanged)
+    val rawW = graft.functions.TextKernels.dsirLogWeight(
+      TF.tokens(col(textCol)), m.lamArr)
     val gumbel = -log(-log(hashUniform(col(idCol), salt)))
-    // spread: same interpreted-fold parallelism guard as withLogWeight
+    // spread: same CPU-bound parallelism guard as withLogWeight
     spread(docs).withColumn(keyCol, round(rawW + gumbel, 6))
   }
 

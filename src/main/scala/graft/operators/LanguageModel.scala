@@ -203,21 +203,17 @@ object LanguageModel {
     val toks = spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), TF.tokens(lower(col(textCol))).as("w"))
       .filter(size(col("w")) >= 2)
-    val bgArr = zip_with(
-      slice(col("w"), lit(1), size(col("w")) - 1),
-      slice(col("w"), lit(2), size(col("w")) - 1),
-      (a, b) => concat(a, lit(" "), b))
     // per-(doc, bigram) counts fold IN-ROW — the old groupBy(id, b)
     // shuffled one row per distinct (doc, bigram) with the bigram string
     // on the wire; the count is a per-document quantity, so it folds
     // where the document already is (guide §2.3, aggregate before you
-    // shuffle). Sorted array / run starts materialize as row columns per
-    // the runStarts/runsFromStarts caller contract.
+    // shuffle). Round-16: the zip_with window build + interpreted
+    // sort/run-fold HOF chain is ONE codegen'd kernel with identical
+    // sorted run order (TextKernelsSpec pins value equality).
     val tfb = scope.cache(
-      toks.select(col("id"), array_sort(bgArr).as("__bg"))
-        .select(col("id"), col("__bg"), runStarts(col("__bg")).as("__s"))
-        .select(col("id"),
-          explode(runsFromStarts(col("__bg"), col("__s"))).as("__r"))
+      toks.select(col("id"), explode(graft.functions.TextKernels
+          .gramRuns(col("w"), 2, dropEmpty = false).getField("runs"))
+          .as("__r"))
         .select(col("id"), col("__r.item").as("b"),
           col("__r.cnt").as("tf")))
     // the bigram TYPE table: counts plus both projections of the key

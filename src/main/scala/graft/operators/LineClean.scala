@@ -141,13 +141,9 @@ object LineClean {
                                  minKeptLines: Int = 1): DataFrame = {
     val block = HeavyHitters.topKNgrams(docs, textCol, n = n, k = k)
       .select("gram").collect().map(_.getString(0)).toSeq
-    // token array materializes as a column first — an inline split in the
-    // window lambda re-runs the tokenization per window (TF.slidingJoin)
-    val lines = transform(
-      sequence(lit(0),
-        ceil(size(col("__tk")) / lit(lineWords.toDouble)).cast("int") - 1),
-      g => array_join(slice(col("__tk"), g * lineWords + 1,
-        lit(lineWords)), " "))
+    // token array materializes as a column first; the chunker is the
+    // codegen'd WordChunks kernel (round-16)
+    val lines = graft.functions.TextKernels.wordChunks(col("__tk"), lineWords)
     cleanLines(docs
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__tk"))
       .select(col(idCol), lines.as("lines")), "lines", idCol,

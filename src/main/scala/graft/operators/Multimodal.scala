@@ -28,6 +28,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream cache is FILE-backed: every decode
+  // creates (and deletes) a temp cache file and serializes on the
+  // filesystem + the codec registry — at local[32] the m6 pixel decode
+  // measured 5.3 s vs 0.67 s at local[8] from this alone. Our payloads are
+  // in-memory byte arrays; the memory cache decodes the identical bytes
+  // with zero I/O. Set once when the operator family loads (every decode
+  // path below runs through this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach a binary payload + metadata struct to a text corpus (test-data
     * surrogate for real image/audio bytes). */
   def attachPayload(docs: DataFrame, textCol: String, mime: String): DataFrame =

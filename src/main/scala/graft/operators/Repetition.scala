@@ -51,7 +51,9 @@ object Repetition {
 
   /** Word n-gram shingles from a pre-materialized token array (same
     * contract as [[TF.shingles]], minus the re-tokenization per n). */
-  private def shinglesOf(toks: Column, n: Int): Column =
+  // the HOF spellings below are retained as the REFERENCE implementation:
+  // TextKernelsSpec pins the codegen'd kernels against them value-for-value
+  private[graft] def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
@@ -63,7 +65,7 @@ object Repetition {
     * frequent element (ties → smallest) and `dup_*` sum ALL occurrences /
     * characters of elements occurring ≥ 2 times. O(|arr|) per row, no
     * shuffle, no UDF. */
-  private def sortedRunStats(sorted: Column): Column = {
+  private[graft] def sortedRunStats(sorted: Column): Column = {
     val zero = struct(
       lit(null).cast("string").as("prev"), lit(0L).as("run"),
       lit(0L).as("top_cnt"), lit(null).cast("string").as("top_gram"),
@@ -146,22 +148,29 @@ object Repetition {
     val nChars = greatest(
       length(array_join(col("__w"), " ")).cast("long"), lit(1L))
     val lineChars = greatest(
-      aggregate(col("__l"), lit(0L), (acc, l) => acc + length(l).cast("long")),
-      lit(1L))
+      graft.functions.TextKernels.charSum(col("__l")), lit(1L))
     val nLines = greatest(size(col("__l")).cast("long"), lit(1L))
-    val withGrams = (2 to 10).foldLeft(staged) { (acc, n) =>
-      acc.withColumn(s"__s$n",
-        sortedRunStats(array_sort(shinglesOf(col("__w"), n))))
-    }.withColumn("__sl", sortedRunStats(array_sort(col("__l"))))
+    // round-16: ONE codegen'd kernel pass computes all nine gram sizes
+    // (replacing nine interpreted sort+fold HOF chains — the heaviest
+    // pure-scan floor in the repo; TextKernelsSpec pins value equality
+    // with the HOF spelling, including ties/nulls/unicode). __sa is
+    // referenced nine times, so CollapseProject keeps it materialized
+    // and the kernel runs once per row.
+    val withGrams = staged
+      .withColumn("__sa", graft.functions.TextKernels
+        .gramRunStats(col("__w"), 2, 10))
+      .withColumn("__sl", graft.functions.TextKernels
+        .elemRunStats(col("__l")))
+    def gramStats(n: Int): Column = element_at(col("__sa"), n - 1)
     def topFrac(n: Int): Column = {
-      val s = col(s"__s$n")
+      val s = gramStats(n)
       when(s.getField("top_cnt") === 0, lit(0.0))
         .otherwise((s.getField("top_cnt") *
           length(s.getField("top_gram")).cast("long")).cast("double") /
           nChars.cast("double"))
     }
     def dupFrac(n: Int): Column =
-      col(s"__s$n").getField("dup_chars").cast("double") / nChars.cast("double")
+      gramStats(n).getField("dup_chars").cast("double") / nChars.cast("double")
     val out = withGrams
       .withColumn("top_2gram_char_frac", topFrac(2))
       .withColumn("top_3gram_char_frac", topFrac(3))
@@ -181,6 +190,6 @@ object Repetition {
       .map { case (c, thr) => col(c) <= thr }
       .reduce(_ && _)
     out.withColumn("keep", keep)
-      .drop("__w" +: "__l" +: "__sl" +: (2 to 10).map(n => s"__s$n"): _*)
+      .drop("__w", "__l", "__sl", "__sa")
   }
 }

@@ -103,16 +103,19 @@ object Retrieval {
     * split, empty terms dropped). */
   private def docTermRuns(df: DataFrame, textCol: String, idCol: String,
                           outId: String): DataFrame = {
-    val toks = filter(TF.tokens(TF.normText(col(textCol))), t => t =!= lit(""))
-    // sorted array and run starts materialize as row columns in separate
-    // projections — the runStarts/runsFromStarts caller contract
-    spread(df.select(col(idCol).as(outId), toks.as("__t0")))
-      .filter(size(col("__t0")) >= 1)
-      .select(col(outId), array_sort(col("__t0")).as("__t"))
-      .select(col(outId), col("__t"), runStarts(col("__t")).as("__b"))
+    // round-16: the interpreted filter → array_sort → runStarts →
+    // runsFromStarts HOF chain is ONE codegen'd kernel (same empty-token
+    // drop, same sorted run order — exploded row order, and with it every
+    // downstream accumulation order, is bit-identical; TextKernelsSpec
+    // pins it). total = post-drop token count = dl.
+    spread(df.select(col(idCol).as(outId),
+        TF.tokens(TF.normText(col(textCol))).as("__t0")))
+      .select(col(outId), graft.functions.TextKernels
+        .gramRuns(col("__t0"), 1, dropEmpty = true).as("__k"))
+      .filter(col("__k").getField("total") >= 1)
       .select(col(outId),
-        runsFromStarts(col("__t"), col("__b")).as("__runs"),
-        size(col("__t")).cast("long").as("dl"))
+        col("__k").getField("runs").as("__runs"),
+        col("__k").getField("total").as("dl"))
   }
 
   /** The slim postings frame: one row per (corpus doc, term) with tf and

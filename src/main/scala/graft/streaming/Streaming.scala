@@ -873,14 +873,11 @@ object Streaming {
     val ckpt = base.resolve("ckpt").toString
     val idxDir = base.resolve("lineidx").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // the window lambda slices a MATERIALIZED token column (applied via
-    // withLines below) — an inline split re-runs the tokenization per
-    // window (the interpreted-HOF re-evaluation trap, see TF.slidingJoin)
-    val lines = transform(
-      sequence(lit(0),
-        ceil(size(col("__tk")) / lit(wordsPerLine.toDouble)).cast("int") - 1),
-      g => array_join(slice(col("__tk"), g * wordsPerLine + 1,
-        lit(wordsPerLine)), " "))
+    // chunks from a MATERIALIZED token column through the codegen'd
+    // WordChunks kernel (round-16; same strings as the transform/slice
+    // HOF spelling — TextKernelsSpec pins it)
+    val lines =
+      graft.functions.TextKernels.wordChunks(col("__tk"), wordsPerLine)
     def withLines(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__tk"))
       .select(col("doc_id"), lines.as("lines"))

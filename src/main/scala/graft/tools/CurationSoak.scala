@@ -214,12 +214,10 @@ object CurationSoak {
       // corpus-wide keep-first line dedup at 100k docs: ~11 lines/doc of
       // 5-word chunks; shuffle should carry (hash, id, pos) triples + the
       // final doc-row relocation, never exploded text
-      // window lambda slices a materialized token column (TF.slidingJoin
-      // trap: an inline split re-runs the tokenization per window)
+      // chunks from a materialized token column via the codegen'd
+      // WordChunks kernel (round-16)
       val toks = split(trim(col("text")), "\\s+")
-      val lines = transform(
-        sequence(lit(0), ceil(size(col("__tk")) / lit(5.0)).cast("int") - 1),
-        g => array_join(slice(col("__tk"), g * 5 + 1, lit(5)), " "))
+      val lines = graft.functions.TextKernels.wordChunks(col("__tk"), 5)
       time("line_dedup_100k") {
         Dedup.keepFirstLines(
           docs100k.select(col("doc_id"), toks.as("__tk"))
