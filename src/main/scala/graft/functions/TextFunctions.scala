@@ -225,7 +225,10 @@ object TextFunctions {
     * Native `sequence`/`transform`/`slice` — no UDF. */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    when(size(toks) >= n, slidingJoin(toks, n, " "))
+    // round-16: windows build in the codegen'd GramArray kernel — the
+    // zip_with chain below stays as the reference implementation
+    // (TextKernelsSpec pins value equality, null propagation included)
+    when(size(toks) >= n, TextKernels.gramArray(toks, n, " "))
       .otherwise(array().cast("array<string>"))
   }
 

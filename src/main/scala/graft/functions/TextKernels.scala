@@ -364,6 +364,139 @@ object TextKernels {
   def charSum(arr: Column): Column =
     ColumnBridge.column(CharSum(ColumnBridge.expression(arr)))
 
+  /** The n-token sliding windows of a token array, joined by `sep` —
+    * the codegen'd replacement for `TF.slidingJoin`'s zip_with chain
+    * (itself a HOF: interpreted per element, CodegenFallback for its
+    * whole Project). Callers guard `size(toks) >= n` like slidingJoin's
+    * contract. concat (NOT concat_ws) semantics: a window containing a
+    * null token yields a NULL gram (the zip_with chain's
+    * null-propagating `concat(a, sep, b)`). */
+  def gramArray(arr: ArrayData, n: Int, sep: UTF8String): ArrayData = {
+    val t = arr.numElements()
+    val m = t - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val toks = toksOf(arr)
+    var hasNull = false
+    var i = 0
+    while (i < t) { if (toks(i) == null) hasNull = true; i += 1 }
+    val out = new Array[Any](m)
+    if (!hasNull) {
+      val sepLen = sep.numBytes()
+      var total = (t - 1) * sepLen
+      i = 0
+      while (i < t) { total += toks(i).numBytes(); i += 1 }
+      val joined = new Array[Byte](total)
+      val bOff = new Array[Int](t + 1)
+      var off = 0
+      i = 0
+      while (i < t) {
+        bOff(i) = off
+        toks(i).writeToMemory(joined, Platform.BYTE_ARRAY_OFFSET + off)
+        off += toks(i).numBytes()
+        if (i < t - 1) {
+          sep.writeToMemory(joined, Platform.BYTE_ARRAY_OFFSET + off)
+          off += sepLen
+        }
+        i += 1
+      }
+      bOff(t) = total + sepLen
+      i = 0
+      while (i < m) {
+        out(i) = UTF8String.fromBytes(joined, bOff(i),
+          bOff(i + n) - sepLen - bOff(i))
+        i += 1
+      }
+    } else {
+      i = 0
+      while (i < m) {
+        var anyNull = false
+        var k = 0
+        while (k < n) { if (toks(i + k) == null) anyNull = true; k += 1 }
+        out(i) =
+          if (anyNull) null
+          else {
+            val parts = new Array[UTF8String](2 * n - 1)
+            k = 0
+            while (k < n) {
+              parts(2 * k) = toks(i + k)
+              if (k < n - 1) parts(2 * k + 1) = sep
+              k += 1
+            }
+            UTF8String.concat(parts: _*)
+          }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  def gramArray(tokens: Column, n: Int, sep: String): Column =
+    ColumnBridge.column(GramArray(ColumnBridge.expression(tokens), n, sep))
+
+  /** One BPE merge pass, leftmost-first: append each symbol, fusing it
+    * into the previous one exactly when (prev == l && next == r); a
+    * freshly fused l+r no longer EQUALS l, so overlaps merge
+    * left-to-right ("aaa" under (a,a) → ["aa","a"]) — byte-identical to
+    * [[graft.operators.Bpe.applyMerge]]'s Sep-join fold. */
+  private def mergeOnce(syms: Array[UTF8String], n: Int,
+                        l: UTF8String, r: UTF8String): Int = {
+    var out = 0
+    var i = 0
+    while (i < n) {
+      if (out > 0 && syms(out - 1).equals(l) && syms(i).equals(r)) {
+        syms(out - 1) = UTF8String.concat(syms(out - 1), syms(i))
+      } else {
+        syms(out) = syms(i)
+        out += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Apply a whole merge list (rank order) to a symbol array in ONE
+    * compiled pass per merge — replaces the one-interpreted-fold-
+    * projection-PER-MERGE chain (whose fold also re-`split` the
+    * accumulated string once per symbol, O(len²) per word per merge). */
+  def bpeMergeChain(arr: ArrayData, ls: Array[UTF8String],
+                    rs: Array[UTF8String]): ArrayData = {
+    var n = arr.numElements()
+    val syms = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { syms(i) = arr.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < ls.length) {
+      n = mergeOnce(syms, n, ls(m), rs(m))
+      m += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = syms(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def bpeMergeChain(syms: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeMergeChain(ColumnBridge.expression(syms),
+      merges.map(_._1).toArray, merges.map(_._2).toArray))
+
+  /** Adjacent (l, r) symbol pairs — the `pairsOf` transform (empty for
+    * 1-symbol words) as a compiled method. */
+  def bpePairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = new GenericInternalRow(
+        Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bpePairs(syms: Column): Column =
+    ColumnBridge.column(BpePairs(ColumnBridge.expression(syms)))
+
   private val md5Tl = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
@@ -532,6 +665,78 @@ case class GramRuns(child: Expression, n: Int, dropEmpty: Boolean)
       s"${ev.value} = graft.functions.TextKernels.gramRuns($c, $n, $dropEmpty);")
 
   override protected def withNewChildInternal(newChild: Expression): GramRuns =
+    copy(child = newChild)
+}
+
+/** n-token windows joined by `sep` — see [[TextKernels.gramArray]].
+  * Null-propagating on the array (callers guard `size >= n`). */
+case class GramArray(child: Expression, n: Int, sep: String)
+    extends UnaryExpression {
+  require(n >= 1, s"bad window $n")
+
+  @transient private lazy val sepU = UTF8String.fromString(sep)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "gram_array"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gramArray(input.asInstanceOf[ArrayData], n, sepU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("gramSep", sepU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.gramArray($c, $n, $sepRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramArray =
+    copy(child = newChild)
+}
+
+/** BPE merge-chain application — see [[TextKernels.bpeMergeChain]].
+  * Merges ship as parallel left/right arrays (rank order). */
+case class BpeMergeChain(child: Expression, ls: Array[String],
+                         rs: Array[String]) extends UnaryExpression {
+  require(ls.length == rs.length, "merge halves out of step")
+
+  @transient private lazy val lsU = ls.map(UTF8String.fromString)
+  @transient private lazy val rsU = rs.map(UTF8String.fromString)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_chain"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeMergeChain(input.asInstanceOf[ArrayData], lsU, rsU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLs", lsU,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val rRef = ctx.addReferenceObj("bpeRs", rsU,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.bpeMergeChain($c, $lRef, $rRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeChain =
+    copy(child = newChild)
+}
+
+/** Adjacent symbol pairs — see [[TextKernels.bpePairs]]. */
+case class BpePairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("l", StringType, nullable = true),
+    StructField("r", StringType, nullable = true))), containsNull = false)
+  override def prettyName: String = "bpe_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpePairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.bpePairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpePairs =
     copy(child = newChild)
 }
 

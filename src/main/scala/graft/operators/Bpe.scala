@@ -51,7 +51,9 @@ object Bpe {
 
   /** Adjacent (l, r) symbol pairs; empty for 1-symbol words. The
     * `size >= 2` guard matters: `sequence(1, 0)` would DESCEND. */
-  private def pairsOf(syms: Column): Column =
+  // retained as the REFERENCE implementations — TextKernelsSpec pins the
+  // codegen'd bpePairs/bpeMergeChain kernels against them value-for-value
+  private[graft] def pairsOf(syms: Column): Column =
     when(size(syms) >= 2,
       transform(sequence(lit(1), size(syms) - 1),
         j => struct(element_at(syms, j).as("l"),
@@ -64,7 +66,7 @@ object Bpe {
     * falls out of the fold order (a freshly merged `l+r` no longer
     * EQUALS `l`, so overlapping occurrences like "aaa" under (a,a)
     * merge to ["aa","a"], the standard BPE convention). */
-  private[operators] def applyMerge(syms: Column, l: String,
+  private[graft] def applyMerge(syms: Column, l: String,
                                     r: String): Column =
     split(
       aggregate(
@@ -104,7 +106,8 @@ object Bpe {
     while (rank <= numMerges && !exhausted) {
       // slim map-side-combined agg over the vocabulary; argmax is ONE row
       val best = vocab
-        .select(explode(pairsOf(col("syms"))).as("pr"), col("cnt"))
+        .select(explode(graft.functions.TextKernels.bpePairs(col("syms")))
+          .as("pr"), col("cnt"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
@@ -118,7 +121,8 @@ object Bpe {
         merges += ((rank, l, r, c))
         if (rank < numMerges) {
           val next = scope.cache(
-            vocab.select(applyMerge(col("syms"), l, r).as("syms"),
+            vocab.select(graft.functions.TextKernels
+              .bpeMergeChain(col("syms"), Seq((l, r))).as("syms"),
               col("cnt")))
           prev = Some(vocab)
           vocab = next
@@ -231,13 +235,14 @@ object Bpe {
     * previous by NAME, and CollapseProject's duplicate-reference guard
     * keeps them separate. */
   private def wordDict(words: DataFrame,
-                       merges: Seq[(String, String)]): DataFrame = {
-    val dict0 = spread(words.select("w").distinct())
-      .select(col("w"), split(col("w"), "").as("__syms"))
-    merges.foldLeft(dict0) { case (df, (l, r)) =>
-      df.select(col("w"), applyMerge(col("__syms"), l, r).as("__syms"))
-    }
-  }
+                       merges: Seq[(String, String)]): DataFrame =
+    // round-16: the whole merge chain applies in ONE codegen'd kernel
+    // projection (was one interpreted-fold projection PER MERGE, each
+    // fold re-splitting its accumulator once per symbol — O(len²) per
+    // word per merge; TextKernelsSpec pins value equality)
+    spread(words.select("w").distinct())
+      .select(col("w"), graft.functions.TextKernels
+        .bpeMergeChain(split(col("w"), ""), merges).as("__syms"))
 
   /** Full per-document token SEQUENCES under a trained merge list —
     * the encode form a training pipeline feeds to packing/sharding.

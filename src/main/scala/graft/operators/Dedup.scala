@@ -1073,10 +1073,35 @@ object Dedup {
                      normalize: Column => Column = rawLine)
                     (implicit scope: CacheScope = CacheScope.global): DataFrame = {
     val occ = lineOccurrences(df, linesCol, idCol, normalize)
-    val winners = occ.filter(!col("__blank"))
-      .groupBy("__h")
-      .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))
+    val winners = winnerMin(occ.filter(!col("__blank")),
+      df.schema(idCol).dataType)
     keepByWinners(df, linesCol, idCol, occ, winners)
+  }
+
+  /** The per-hash winner `min (id, pos)` aggregate. Integral ids take
+    * the [[occEnc]] encoded-long min and decode the winner back
+    * (round-16): `min(struct(…))` plans as a SortAggregate — struct
+    * buffers are not hash-able, so EVERY occurrence row sorts per
+    * partition before even the partial agg — while the encoded min is
+    * a plain HashAggregate. Same winner: (id, pos) lexicographic order
+    * ≡ numeric order of id·2³⁰ + pos while pos < 2³⁰ and |id| < 2³³ —
+    * the documented [[occEnc]] trade the span operators already make on
+    * the same id domain. Non-integral ids keep the struct spelling. */
+  private def winnerMin(nonBlank: DataFrame,
+                        idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        nonBlank.groupBy("__h")
+          .agg(min(occEnc(col("__kid"), col("__pos"))).as("__we"))
+          .select(col("__h"), struct(
+            shiftright(col("__we"), 30).cast(idType).as("__kid"),
+            col("__we").bitwiseAND(lit((1L << 30) - 1)).cast("int")
+              .as("__pos")).as("__w"))
+      case _ =>
+        nonBlank.groupBy("__h")
+          .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))
+    }
   }
 
   /** Exploded (id, pos, xxhash64(normalize(line)), isBlank) triples —
@@ -1179,10 +1204,10 @@ object Dedup {
     val spark = batch.sparkSession
     val hist = spark.read.parquet(Similarity.resolveDataDir(indexPath, "lines"))
     val occ = lineOccurrences(batch, linesCol, idCol, normalize)
-    val winners = occ.filter(!col("__blank"))
-      .join(hist, occ("__h") === hist("h"), "left_anti")
-      .groupBy("__h")
-      .agg(min(struct(col("__kid"), col("__pos"))).as("__w"))
+    val winners = winnerMin(
+      occ.filter(!col("__blank"))
+        .join(hist, occ("__h") === hist("h"), "left_anti"),
+      batch.schema(idCol).dataType)
     keepByWinners(batch, linesCol, idCol, occ, winners)
   }
 
@@ -1333,18 +1358,19 @@ object Dedup {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     val toks = TF.tokens(col(textCol))
     val L = windowTokens
-    // windows build as TF.slidingJoin's zip_with chain over a
-    // MATERIALIZED token column — the old transform-with-slice lambda
-    // re-ran the whole tokenization once per window (O(tokens²) per doc,
-    // the interpreted-HOF re-evaluation trap measured on TF.shingles)
+    // windows build in the codegen'd GramArray kernel over a
+    // MATERIALIZED token column (round-16; was TF.slidingJoin's
+    // interpreted zip_with chain), hashed after the posexplode — same
+    // xxhash64 per window, and the whole projection stays codegen'd
     scope.cache(spread(
       docs.filter(size(toks) >= L)
         .select(col(idCol).as("__kid"), toks.as("__toks"))
         .select(col("__kid"),
-          posexplode(transform(
-            TF.slidingJoin(col("__toks"), L, "\u0001"),
-            w => xxhash64(w)))
-            .as(Seq("__pos", "__h")))))
+          posexplode(graft.functions.TextKernels
+            .gramArray(col("__toks"), L, "\u0001"))
+            .as(Seq("__pos", "__w0")))
+        .select(col("__kid"), col("__pos"),
+          xxhash64(col("__w0")).as("__h"))))
   }
 
   /** Merge marked (id, pos) windows — each covering tokens [pos, pos+L)

@@ -145,7 +145,23 @@ object GlobalOrder {
   def groupRunningTotal(df: DataFrame, groupCol: String,
                         sortCols: Seq[Column], valueCol: String,
                         cumCol: String = "cum")
-                       (implicit scope: CacheScope = CacheScope.global): DataFrame = {
+                       (implicit scope: CacheScope = CacheScope.global): DataFrame =
+    groupRunningTotalWithTotals(df, groupCol, sortCols, valueCol, cumCol)._1
+
+  /** [[groupRunningTotal]] plus the per-group value totals — FREE on the
+    * driver: phase 2 already collects per-(partition, group) sums to
+    * compute the prefix offsets, and the group total is their sum
+    * (integer, order-free — exactly `SUM(valueCol) GROUP BY group`).
+    * Callers that previously ran a separate counts/totals aggregate
+    * action over the same frame (temperatureSample's quota counts, the
+    * quantile family's `__cnt`) read this instead: one action and one
+    * full pass fewer per call (guide §2.4 — the s22 recallAtKMany
+    * batching rule). */
+  private[operators] def groupRunningTotalWithTotals(
+      df: DataFrame, groupCol: String,
+      sortCols: Seq[Column], valueCol: String,
+      cumCol: String = "cum")
+     (implicit scope: CacheScope = CacheScope.global): (DataFrame, Seq[(Any, Long)]) = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     // group leads the range key: a group's rows are contiguous across the
@@ -191,8 +207,25 @@ object GlobalOrder {
         Row.fromSeq(r.toSeq :+ s)
       }
     }
-    spark.createDataFrame(rdd,
-      sorted.schema.add(cumCol, LongType, nullable = false))
+    val totals = partSums.groupBy(_._2)
+      .map { case (g, rows) => g -> rows.map(_._3).sum }.toSeq
+    (spark.createDataFrame(rdd,
+      sorted.schema.add(cumCol, LongType, nullable = false)), totals)
+  }
+
+  /** Driver-held per-group totals as a broadcastable one-partition frame
+    * (|groups| rows — metadata by the bounded-group contract), for the
+    * callers that join the totals back onto the cumulative table. */
+  private[operators] def totalsFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      groupField: org.apache.spark.sql.types.StructField,
+      totals: Seq[(Any, Long)], cntCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      groupField, org.apache.spark.sql.types.StructField(
+        cntCol, LongType, nullable = false)))
+    spark.createDataFrame(
+      totals.map { case (g, n) => Row(g, n) }.asJava, schema)
   }
 
   /** Per-domain token-budget selection — the "data mixing" pass of a

@@ -65,21 +65,29 @@ object Quality {
     val gKey = concat_ws("\u0001",
       groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     // histogram: one row per (group, distinct value) — map-side combined
-    val hist = scope.cache(
-      df.select(gs :+ col(valueCol): _*)
-        .groupBy(gs :+ col(valueCol): _*)
-        .agg(count(lit(1)).as("__n"))
-        .withColumn("__g", gKey))
-    val cum = scope.cache(GlobalOrder.groupRunningTotal(
-      hist, "__g", Seq(col(valueCol)), "__n", "__cum"))
-    // |groups| rows — broadcast-sized by definition of "group"
-    val totals = cum.groupBy("__g").agg(sum("__n").as("__cnt"))
+    // (uncached since round-16: its only consumer is the running-total
+    // pass, which caches its own range-sorted copy)
+    val hist = df.select(gs :+ col(valueCol): _*)
+      .groupBy(gs :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__g", gKey)
+    // round-16 (guide §2.4, one action): per-group totals ride the
+    // running-total pass's driver-side partial sums (FREE — no separate
+    // totals aggregate action), and ALL requested quantiles fold into
+    // ONE conditional-min aggregate instead of one filter+agg per
+    // quantile joined back together. min(when(cond, v)) over a group ≡
+    // filter(cond) then min(v) — identical discrete quantile values.
+    val (cum, tots) = GlobalOrder.groupRunningTotalWithTotals(
+      hist, "__g", Seq(col(valueCol)), "__n", "__cum")
+    val totals = GlobalOrder.totalsFrame(df.sparkSession,
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.StringType), tots, "__cnt")
     val withTot = cum.join(broadcast(totals), "__g")
-    qs.map { case (name, q) =>
-      withTot.filter(col("__cum") >= ceil(lit(q) * col("__cnt")))
-        .groupBy(gs: _*)
-        .agg(min(col(valueCol)).as(name))
-    }.reduce(_.join(_, groupCols))
+    val aggs = qs.map { case (name, q) =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__cnt")), col(valueCol)))
+        .as(name)
+    }
+    withTot.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** One row per group: (groupCol, thr) where thr is the discrete q-th
@@ -107,13 +115,16 @@ object Quality {
   def withGroupPercentile(df: DataFrame, groupCol: String, valueCol: String,
       pctCol: String = "pct_rank")
       (implicit scope: CacheScope = CacheScope.global): DataFrame = {
-    val hist = scope.cache(
-      df.select(col(groupCol), col(valueCol))
-        .groupBy(groupCol, valueCol)
-        .agg(count(lit(1)).as("__n")))
-    val cum = GlobalOrder.groupRunningTotal(
+    // round-16: totals ride the running-total pass's driver-side partial
+    // sums (one aggregate action fewer per call — guide §2.4); the hist
+    // cache is gone for the same reason as groupQuantiles'
+    val hist = df.select(col(groupCol), col(valueCol))
+      .groupBy(groupCol, valueCol)
+      .agg(count(lit(1)).as("__n"))
+    val (cum, tots) = GlobalOrder.groupRunningTotalWithTotals(
       hist, groupCol, Seq(col(valueCol)), "__n", "__cum")
-    val totals = cum.groupBy(groupCol).agg(sum("__n").as("__cnt"))
+    val totals = GlobalOrder.totalsFrame(df.sparkSession,
+      hist.schema(groupCol).copy(name = groupCol), tots, "__cnt")
     val ranks = cum.join(broadcast(totals), Seq(groupCol))
       .select(col(groupCol), col(valueCol),
         (col("__cum").cast("double") / col("__cnt").cast("double"))

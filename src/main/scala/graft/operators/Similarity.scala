@@ -1199,7 +1199,15 @@ object Similarity {
   private[graft] def bumpEpoch(path: String, sub: String,
                                from: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Paths.get(path, s"$sub.epoch.tmp")
+    // writer-UNIQUE staging (round-16): the old shared `$sub.epoch.tmp`
+    // let two concurrent bumps race — writer A's atomic move CONSUMES the
+    // file writer B just wrote, and B's move dies with a non-loud
+    // NoSuchFileException (reproduced by the fencing soak; the one test
+    // the round-15 driver run failed). With unique staging both moves
+    // succeed; interleaved bumps were always last-writer-wins, and the
+    // fence checks read the FINAL value either way. Crash debris
+    // (`$sub.epoch.tmp.<nonce>`) sweeps with the other stale staging.
+    val tmp = Paths.get(path, f"$sub.epoch.tmp.${System.nanoTime()}%d")
     Files.write(tmp, (from + 1).toString.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(path, s"$sub.epoch"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -1274,7 +1282,22 @@ object Similarity {
       } else Files.move(src, dst)
     try {
       write(stage.toString)
-      mergeMove(stage, Paths.get(dir0))
+      // a sweep can reclaim a SUPERSEDED dir0 while a slow append is
+      // mid-merge (a compaction committed, then a later compaction's
+      // sweep deleted the old generation) — that loser must fail as the
+      // FENCE, not as a stray filesystem error (round-16; the fencing
+      // soak's loud-failure invariant)
+      try mergeMove(stage, Paths.get(dir0))
+      catch { case e: java.io.IOException =>
+        if (resolveDataDir(path, sub) != dir0)
+          throw new IllegalStateException(
+            s"concurrent writer fenced: a compaction of $path/$sub " +
+              s"committed while this append was merging into the now-" +
+              s"superseded $dir0 (its sweep reclaimed the directory " +
+              "mid-move). Nothing this append wrote is live; re-run it " +
+              "at a quiesce point.", e)
+        else throw e
+      }
       // a Spark write INTO dir0 used to invalidate CacheManager entries
       // whose plans scan it (cached shingle sets, postings frames);
       // filesystem moves bypass Spark, so the invalidation must be
@@ -1478,11 +1501,11 @@ object Similarity {
       // enough that no live writer can still own them are crash debris.
       val orphanStage = nm.startsWith(stagePrefix) && p != stage &&
         isStaleStaging(p)
-      // crashed appends' staging dirs (fencedSliceAppend) sweep under
-      // the same age gate
-      val orphanAppendStage = nm.startsWith(s"$sub.atmp.") &&
-        isStaleStaging(p)
-      if (orphanGen || orphanStage || orphanAppendStage) deleteRec(p)
+      // crashed appends' staging dirs (fencedSliceAppend) and crashed
+      // epoch bumps' staging files sweep under the same age gate
+      val orphanAppendStage = (nm.startsWith(s"$sub.atmp.") ||
+        nm.startsWith(s"$sub.epoch.tmp.")) && isStaleStaging(p)
+      if (orphanGen || orphanStage || orphanAppendStage) deleteRecQuiet(p)
     }
   }
 
@@ -1493,6 +1516,14 @@ object Similarity {
     * time (folds rewrite metadata-sized tables) while still bounding
     * how long a crashed writer's debris can linger. */
   private val StagingGraceMs: Long = 60L * 60 * 1000
+
+  /** Best-effort reclamation for the post-commit sweeps: debris deletion
+    * is garbage collection, and a zombie writer re-populating a
+    * superseded dir mid-sweep (its own failure is handled by ITS fence)
+    * must not crash the WINNER's commit — the next cycle reclaims. */
+  private def deleteRecQuiet(p: java.nio.file.Path): Unit =
+    try deleteRec(p)
+    catch { case _: java.io.IOException => () }
 
   private def isStaleStaging(p: java.nio.file.Path): Boolean =
     try System.currentTimeMillis -
@@ -1581,9 +1612,10 @@ object Similarity {
           // sweep): a young foreign staging dir may be a live
           // concurrent writer mid-fold
           val legacyTmp = nm == s"$sub.staging" || nm == s"$sub.old" ||
-            ((nm.startsWith(s"$sub.gtmp.") || nm.startsWith(s"$sub.atmp."))
+            ((nm.startsWith(s"$sub.gtmp.") || nm.startsWith(s"$sub.atmp.") ||
+              nm.startsWith(s"$sub.epoch.tmp."))
               && isStaleStaging(p))
-          if (orphanGen || orphanPlain || legacyTmp) deleteRec(p)
+          if (orphanGen || orphanPlain || legacyTmp) deleteRecQuiet(p)
         }
         // the rewrite goes into a writer-UNIQUE staging dir and is
         // renamed at commit — the commitGeneration discipline: two

@@ -122,12 +122,17 @@ object Splits {
     require(fractions.forall(_._2 > 0.0), "fractions must be positive")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val ranked = GlobalOrder.groupRunningTotal(
+    // round-16: max(__rank) per stratum IS the stratum count, which the
+    // running-total pass's driver-side partial sums already hold — the
+    // previous totals aggregate re-ran the ranking lineage as one extra
+    // action (guide §2.4)
+    val (ranked, tots) = GlobalOrder.groupRunningTotalWithTotals(
       df.withColumn("__h",
           md5(concat(lit(salt), col(keyCol).cast("string"))))
         .withColumn("__one", lit(1L)),
       strataCol, Seq(col("__h"), col(keyCol)), "__one", "__rank")
-    val totals = ranked.groupBy(strataCol).agg(max("__rank").as("__n"))
+    val totals = GlobalOrder.totalsFrame(df.sparkSession,
+      df.schema(strataCol).copy(name = strataCol), tots, "__n")
     val cums = fractions.scanLeft(0.0)(_ + _._2).tail
     // last boundary is floor(1.0·n) = n — the otherwise branch is only a
     // spelling, every row already satisfies the last when()
@@ -171,8 +176,17 @@ object Splits {
     require(totalN > 0, "totalN must be positive")
     require(temperature > 0, "temperature must be positive")
     val invT = 1.0 / temperature
-    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.get(0), r.getLong(1)))
+    // round-16: the per-domain counts are the running-total pass's OWN
+    // driver-side partial sums (Σ __one per domain) — the previous
+    // separate count aggregate re-ran the whole input lineage as one
+    // extra action (guide §2.4)
+    val keep = df.columns.map(col).toSeq
+    val (ranked, tots) = GlobalOrder.groupRunningTotalWithTotals(
+      df.withColumn("__h",
+          md5(concat(lit(salt), col(keyCol).cast("string"))))
+        .withColumn("__one", lit(1L)),
+      domainCol, Seq(col("__h"), col(keyCol)), "__one", "__rank")
+    val counts = tots.toArray
       .sortBy(_._1.toString) // deterministic weight-sum order
     val exactK = if (invT == math.rint(invT) && invT >= 1 && invT <= 6)
       Some(math.rint(invT).toInt) else None
@@ -191,12 +205,6 @@ object Splits {
         ws.map { case (dv, n, wd) =>
           dv -> math.min(n, math.floor(totalN * wd / w).toLong) }
     }
-    val keep = df.columns.map(col).toSeq
-    val ranked = GlobalOrder.groupRunningTotal(
-      df.withColumn("__h",
-          md5(concat(lit(salt), col(keyCol).cast("string"))))
-        .withColumn("__one", lit(1L)),
-      domainCol, Seq(col("__h"), col(keyCol)), "__one", "__rank")
     val quotaCol = quotas.foldLeft(lit(0L): Column) {
       case (acc, (dv, q)) =>
         when(col(domainCol) === lit(dv), lit(q)).otherwise(acc)

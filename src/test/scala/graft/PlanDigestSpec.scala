@@ -49,7 +49,10 @@ class PlanDigestSpec extends AnyFunSuite {
     "d1_exact_dedup"          -> Digest(2, 0, 0, 0, 0),
     // r15: −1 broadcast — keepByWinners now unpacks the winner structs
     // directly instead of join-backing occ⋈winners to decide membership
-    "d11_line_dedup"          -> Digest(4, 1, 0, 0, 2),
+    // r16: −2 sorts — the per-hash winner is the occEnc encoded-long
+    // min (HashAggregate) instead of min(struct), whose unsortable
+    // buffer forced a SortAggregate over every occurrence row
+    "d11_line_dedup"          -> Digest(4, 1, 0, 0, 0),
     "d14_duplicate_spans"     -> Digest(4, 1, 0, 2, 1),
     // persisted-index serving: pruned IVF, hard negatives, BM25, contam
     // (windows here are query-side rank/top-k partitioned by q_id — the
@@ -67,8 +70,11 @@ class PlanDigestSpec extends AnyFunSuite {
     // histogram-instead-of-window paths: ZERO WindowExec is the whole
     // point of the t16/t20/a15 design — a 1 in the windows column here
     // is the exact regression the round-7 verdict flagged
-    "t16_adaptive_threshold"  -> Digest(2, 2, 0, 0, 0),
-    "a15_stratified_split"    -> Digest(1, 1, 0, 0, 0),
+    // r16: −1 shuffle each — the per-group totals aggregate is gone
+    // (they ride the running-total pass's driver-side partial sums and
+    // join back as a driver-built broadcast frame)
+    "t16_adaptive_threshold"  -> Digest(1, 2, 0, 0, 0),
+    "a15_stratified_split"    -> Digest(0, 1, 0, 0, 0),
     // zero-/one-shuffle scan passes (Gopher rules, repetition folds,
     // DSIR select — the single shuffle is spread()'s round-robin)
     "t15_gopher_rules"        -> Digest(0, 0, 0, 0, 0),
@@ -76,8 +82,10 @@ class PlanDigestSpec extends AnyFunSuite {
     "t24_dsir_select"         -> Digest(1, 0, 0, 0, 0),
     // the composed capstone: the heavy percentile/split phases run as
     // bounded driver-side actions during construction, so the final
-    // plan is the cached fold (its spread() shuffle) + broadcast joins
-    "p10_curation_v3"         -> Digest(1, 1, 0, 0, 0),
+    // plan is the cached fold + broadcast joins (r16: −1 shuffle — the
+    // stratifiedSplit totals aggregate now rides the running-total
+    // pass's driver-side sums)
+    "p10_curation_v3"         -> Digest(0, 1, 0, 0, 0),
     // round-10: BPE encode (dict join over distinct words — corpus text
     // never folds) and Kneser–Ney scoring (type-table joins, no window).
     // Cached subplans are counted once per InMemoryTableScan REFERENCE

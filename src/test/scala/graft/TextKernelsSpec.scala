@@ -227,6 +227,59 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMergeChain and bpePairs equal the applyMerge fold / pairsOf transform") {
+    import graft.operators.Bpe
+    val words = Seq("aaa", "banana", "abab", "x", "aa", "mississippi",
+      "héllo", "日本語", "aabaab", "zzzz")
+      .toDF("w").withColumn("__syms", split(col("w"), ""))
+    // overlap semantics: "aaa" under (a,a) → ["aa","a"]; chains where a
+    // later merge consumes an earlier merge's output
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "b"), ("s", "s"),
+      ("i", "ss"), ("n", "a"), ("z", "z"), ("zz", "zz"))
+    val ref = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("__syms", Bpe.applyMerge(col("__syms"), l, r))
+    }.withColumn("__pairs", Bpe.pairsOf(col("__syms")))
+    val got = words
+      .withColumn("__syms",
+        graft.functions.TextKernels.bpeMergeChain(col("__syms"), merges))
+      .withColumn("__pairs",
+        graft.functions.TextKernels.bpePairs(col("__syms")))
+    val refRows = ref.select("w", "__syms", "__pairs").collect()
+      .map(r => r.getString(0) -> (r.getSeq[String](1), r.getSeq[Any](2))).toMap
+    got.select("w", "__syms", "__pairs").collect().foreach { r =>
+      val (rs, rp) = refRows(r.getString(0))
+      assert(r.getSeq[String](1) == rs,
+        s"${r.getString(0)}: ${r.getSeq[String](1)} vs $rs")
+      assert(r.getSeq[Any](2) == rp,
+        s"${r.getString(0)} pairs: ${r.getSeq[Any](2)} vs $rp")
+    }
+  }
+
+  test("gramArray equals slidingJoin's zip_with chain, null propagation included") {
+    val df = adversarialDocs.toDF("text")
+      .withColumn("__w", TF.tokens(col("text")))
+      .filter(size(col("__w")) >= 3)
+    Seq((2, " "), (3, " "), (8, "")).foreach { case (n, sep) =>
+      val rows = df.filter(size(col("__w")) >= n)
+        .withColumn("k", TextKernels.gramArray(col("__w"), n, sep))
+        .withColumn("ref", TF.slidingJoin(col("__w"), n, sep))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](2) == r.getSeq[String](3),
+          s"n=$n sep=${sep.map(_.toInt)} text=${r.getString(0)}")
+      }
+    }
+    // null tokens: concat propagates — a window touching a null is null
+    val withNulls = Seq(Tuple1(Seq[String]("a", null, "b", "c", "d")))
+      .toDF("arr")
+      .select(TextKernels.gramArray(col("arr"), 2, " ").as("k"),
+        TF.slidingJoin(col("arr"), 2, " ").as("ref"))
+      .head()
+    assert(withNulls.getSeq[String](0) == withNulls.getSeq[String](1))
+    assert(withNulls.getSeq[String](0)(0) == null)
+  }
+
   test("dsirLogWeight equals the HOF featureBuckets fold, bit for bit") {
     val docs = (adversarialDocs ++ Seq(
       "repeated bigram repeated bigram repeated bigram",
