@@ -77,9 +77,16 @@ object NaiveBayes {
   def classify(docs: DataFrame, textCol: String, idCol: String, model: Model,
                alpha: Double = 1.0, hintBroadcast: Boolean = true): DataFrame = {
     require(alpha > 0, s"alpha must be positive for total scoring, got $alpha")
+    // per-doc (w, tf) folds IN-ROW via the codegen'd runs kernel
+    // (round-16): the old explode → groupBy(id, w) spelling shuffled one
+    // row per distinct (doc, word) with the word string on the wire —
+    // tf is a per-document quantity and never needed an exchange
+    // (guide §2.3/§2.4, the BM25 docTermRuns shape)
     val tf = spread(docs.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), explode(TF.tokens(lower(col(textCol)))).as("w"))
-      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .select(col("id"), explode(graft.functions.TextKernels
+        .gramRuns(TF.tokens(lower(col(textCol))), 1, dropEmpty = false)
+        .getField("runs")).as("__r"))
+      .select(col("id"), col("__r.item").as("w"), col("__r.cnt").as("tf"))
     // class table is O(classes) — always broadcast; driver holds one scalar
     val totalDocs = model.classes.agg(sum("n_docs")).head.getLong(0).toDouble
     val cls = broadcast(model.classes)
