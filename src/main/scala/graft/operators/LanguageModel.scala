@@ -150,14 +150,17 @@ object LanguageModel {
     val toks = spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), TF.tokens(lower(col(textCol))).as("w"))
       .filter(size(col("w")) >= 2)
-    val bg = toks.select(col("id"),
-      explode(zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("b"))
-    // cached: feeds the bigram vocab, the context marginals, and the join
+    // cached: feeds the bigram vocab, the context marginals, and the join.
+    // round-16: per-(doc, bigram) counts fold IN-ROW via the codegen'd
+    // runs kernel — the old explode → groupBy(id, b) shuffled one row per
+    // distinct (doc, bigram) with the bigram string on the wire (the KN
+    // path's shape, same swap)
     val tfb = scope.cache(
-      bg.groupBy("id", "b").agg(count(lit(1)).as("tf")))
+      toks.select(col("id"), explode(graft.functions.TextKernels
+          .gramRuns(col("w"), 2, dropEmpty = false).getField("runs"))
+          .as("__r"))
+        .select(col("id"), col("__r.item").as("b"),
+          col("__r.cnt").as("tf")))
     val cb = scope.cache(tfb.groupBy("b").agg(sum("tf").as("c")))
     val ctx = cb
       .groupBy(element_at(split(col("b"), " "), 1).as("w1"))
